@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Deduplication operators for training-data pipelines, designed so every
+  * stage is a declarative Spark plan (map-side work + one keyed shuffle),
+  * never a driver-side loop.
+  *
+  * Scale design:
+  *  - exact dedup is a single hash-aggregate on the normalized text — at
+  *    100 TB, group on a 60-bit digest of the text instead of the text
+  *    itself to keep shuffle rows small (both variants provided);
+  *  - MinHash signatures are computed with higher-order functions inside
+  *    one projection (no explode, no shuffle): k hashes over the shingle
+  *    array via `transform`+`array_min`. The only shuffle is the band-
+  *    bucket self-join, whose keys are (band, bucket) — uniform by
+  *    construction of the hash;
+  *  - LSH buckets can be pathologically large when a corpus contains
+  *    millions of copies of one page; `maxBucket` drops those buckets
+  *    (their members are already caught by exact dedup), bounding the
+  *    per-bucket pair blow-up to maxBucket² — the standard guard for
+  *    skewed web corpora.
+  */
+object Dedup {
+
+  /** Exact dedup: representative (min doc_id) + multiplicity per text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  /** Exact dedup keyed on the text digest — shuffle carries 8-byte keys
+    * instead of document bodies; preferred at scale.
+    */
+  def exactByDigest(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), h60(col("text")).as("text_h60"))
+      .groupBy(col("text_h60"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("text_h60"), col("n_copies"))
+
+  /** doc_id + MinHash signature (k seeded portable hashes over `shingleN`-
+    * word shingles). Documents with fewer than `shingleN` tokens drop out.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int, shingleN: Int): DataFrame = {
+    val sh = shingles(tokens(col("text")), shingleN)
+    val sigCols = (0 until k).map { i =>
+      array_min(transform(col("sh"), s => h60Seeded(i, s))).as(s"mh$i")
+    }
+    docs.select(col("doc_id"), sh.as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** Candidate near-duplicate pairs via banded MinHash-LSH.
+    * `k` hashes split into `bands` bands of `k/bands` rows; a pair is a
+    * candidate iff some band agrees on all its rows. Bucket key is the
+    * concatenation of the band's signature values.
+    */
+  def minhashPairs(docs: DataFrame, k: Int, bands: Int, shingleN: Int,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sig = minhashSignatures(docs, k, shingleN)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until r).map(j => col(s"mh${b * r + j}")): _*).as("bucket"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val smallBuckets = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bkt_n"))
+      .where(col("bkt_n") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val b = buckets.join(smallBuckets, Seq("band", "bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash fingerprint per document (see functions.SimHash60): 60-bit
+    * signature whose Hamming distance approximates cosine similarity of
+    * the token-frequency vectors. Requires GraftFunctions.register first.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      expr("simhash60(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''))")
+        .as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard over *rare* shingles: shingles occurring in more
+    * than `maxDf` documents are dropped first (web-scale "stop shingles" —
+    * they contribute no discriminative signal and are what makes the
+    * shingle self-join quadratic). Pair similarity is computed over the
+    * surviving shingle sets; `minJaccard` filters the output.
+    */
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int, maxDf: Int,
+                        minJaccard: Double): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), shingleN)).as("shingle"))
+      .distinct()
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("shingle"))
+    val rs = sh.join(rare, Seq("shingle"))
+    val sizes = rs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = rs.as("x").join(rs.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The reference's distributed pipeline — scatter → local hybrid sort →
+  * k-way merge (`/root/reference/QuickInsertionHeap.c:197-215`) — restated
+  * as Spark's declarative sort surface.
+  *
+  * Scale notes (the whole point of the restatement):
+  *  - `globalSort` = `ShuffleExchange(RangePartitioning)` + per-partition
+  *    sort. Spark's range partitioner samples split points, so every
+  *    executor merges only its own key range — there is no equivalent of
+  *    the reference's rank-0 serial k-way merge bottleneck
+  *    (`QuickInsertionHeap.c:215` merges the ENTIRE dataset on one node;
+  *    at 100 TB that single node is the job).
+  *  - `partitionSort` keeps the data distributed: range-scatter then sort
+  *    within partitions. Concatenating partitions in index order yields a
+  *    total order without ever collecting — this is exactly the
+  *    scatter/local-sort phase of the reference, minus the gather.
+  *  - `topK` maps the reference's heap-merge "emit first N" semantics
+  *    (`quickThreshold.c:109,116`) to `TakeOrderedAndProject`, which keeps
+  *    a bounded heap per partition and merges only K elements per task —
+  *    O(K) driver memory regardless of input size.
+  */
+object Sorts {
+
+  /** Global total-order sort. One line subsumes the reference's EP2. */
+  def globalSort(df: DataFrame, keys: Column*): DataFrame =
+    df.orderBy(keys: _*)
+
+  /** Range-scatter + sort-within-partitions, data stays distributed.
+    * Reading partitions in index order yields the global order.
+    */
+  def partitionSort(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
+    df.repartitionByRange(numPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+
+  /** Bounded top-k — plans as TakeOrderedAndProject (per-partition heap +
+    * driver merge of k·P elements), never a full sort.
+    */
+  def topK(df: DataFrame, k: Int, keys: Column*): DataFrame =
+    df.orderBy(keys: _*).limit(k)
+
+  /** Ordered parquet sink (the reference's `sorted.txt` file sink,
+    * `QuickInsertionHeap.cu:118-131`). Written distributed: file N holds
+    * key range N, so readers get global order from (file, offset) order.
+    */
+  def sortedSink(df: DataFrame, path: String, keys: Column*): Unit =
+    globalSort(df, keys: _*).write.mode("overwrite").parquet(path)
+}
