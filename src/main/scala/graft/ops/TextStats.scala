@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Text-analysis operators for training-data pipelines. Every operator is a
+  * map-only projection (no shuffle at all): at 100 TB these run at scan
+  * speed and compose with any downstream filter — exactly the shape a
+  * corpus-cleaning pass wants. All arithmetic is expressed with built-in
+  * (codegen'd) functions so a SQL oracle can mirror it bit-for-bit.
+  */
+object TextStats {
+
+  /** Whitespace token count + a BPE-ish subword count: alphanumeric runs
+    * and individual non-space punctuation both count as tokens, roughly
+    * matching how a byte-pair tokenizer fragments text.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).as("n_ws_tokens"),
+      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).as("n_punct"),
+      length(col("text")).as("len"))
+
+  /** Stopword sets for the n-gram language-ID heuristic. Deliberately tiny
+    * and ASCII-only: language ID at corpus scale is a *routing* signal, not
+    * a linguistic judgment, and a 10-word profile already separates the big
+    * European languages. Deterministic and SQL-mirrorable.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "qui", "pas"),
+  )
+
+  /** Language ID: argmax over per-language stopword hit counts, tie-broken
+    * by profile order then "und" (undetermined) when nothing hits.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(tokens(col("text")))
+    val hits = LangProfiles.map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs: max hits, then lexicographically
+    // larger lang — pin determinism by ordering profiles so ties resolve
+    // the same in SQL (greatest-by with explicit comparison chain instead).
+    val best = hits.reduceLeft { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    docs.select(col("doc_id"),
+      when(best.getField("hits") > 0, best.getField("lang"))
+        .otherwise(lit("und")).as("lang_pred"),
+      best.getField("hits").as("lang_hits"))
+  }
+
+  /** Quality score in [0,1]: mean of three bounded components —
+    * length score (saturating at 500 chars), alpha ratio, and mean word
+    * length score (penalizes both single-char noise and unbroken blobs).
+    * Rounded to 4dp so double arithmetic compares across engines.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val nToks = size(tokens(col("text"))).cast("double")
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+    val lenScore = least(len / 500.0d, lit(1.0d))
+    val alphaRatio = when(len > 0, alpha / len).otherwise(0.0d)
+    val meanWord = when(nToks > 0, alpha / nToks).otherwise(0.0d)
+    val wordScore = when(meanWord >= 3.0d && meanWord <= 10.0d, 1.0d)
+      .otherwise(when(meanWord > 0.0d, 0.5d).otherwise(0.0d))
+    docs.select(col("doc_id"),
+      round((lenScore + alphaRatio + wordScore) / 3.0d, 4).as("quality"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over the token stream: left fold
+    * of `acc * 31 + h60(token) (mod 2^61-1)`. Order-sensitive (unlike a bag
+    * hash) so re-ordered text fingerprints differently; portable because
+    * h60 is md5-based and the modulus keeps every intermediate positive in
+    * a signed 64-bit integer in any engine.
+    */
+  val FpMod = 2305843009213693951L // 2^61 - 1
+
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val hashed = transform(tokens(col("text")), t => h60(t) % 1000003L)
+    docs.select(col("doc_id"),
+      aggregate(hashed, lit(0L),
+        (acc, h) => (acc * 31L + h) % FpMod).as("fp"))
+  }
+}
