@@ -1,13 +1,364 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator of the engine is exposed here twice: as a Spark query
+  * (`queries`) and as the ANSI SQL a DuckDB oracle runs on the same parquet
+  * tables (`oracleSql`). Column names AND types match pairwise; every query
+  * ends in an ORDER BY pinning a total order so value hashing is
+  * deterministic. Floating-point results either come from exact decimal
+  * arithmetic cast to double (bit-identical across engines) or are rounded
+  * after a pinned fold order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship on sf0.001: the reference's whole pipeline — scan → range
+    * shuffle → per-partition sort (the Spark restatement of
+    * `/root/reference/QuickInsertionHeap.c:197-215`).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Sorts.globalSort(
+      Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Portable h60 in DuckDB syntax (mirror of functions.h60). */
+  private def h60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB tokens CTE body (mirror of functions.tokens). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** DuckDB 3-gram shingles from a token list `tk`. */
+  private val shingleSql =
+    "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) ELSE [] END"
+
+  /** DuckDB left-fold dot product of two DOUBLE[] columns. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+
+  private def cosSql(a: String, b: String): String =
+    s"round(CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0 THEN ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) ELSE 0.0 END, 6)"
+
+  /** Shared CTE prefix for all document/minhash oracles. */
+  private val MinhashK = 6
+  private val MinhashBands = 3
+  private val ShingleN = 3
+  private val MaxBucket = 1000
+  private val MinJaccard = 0.1
+
+  private val sigCte: String = {
+    val mhCols = (0 until MinhashK).map { i =>
+      s"list_min(list_transform(s, x -> ${h60Sql(s"'$i:' || x")})) AS mh$i"
+    }.mkString(", ")
+    s"""toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, $shingleSql AS s FROM toks),
+       |sig AS (SELECT doc_id, $mhCols FROM sh WHERE len(s) > 0)""".stripMargin
+  }
+
+  private val pairsCte: String = {
+    val r = MinhashK / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val bucket = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""buckets AS ($bandSelects),
+       |small AS (SELECT band, bucket FROM buckets GROUP BY band, bucket HAVING count(*) <= $MaxBucket),
+       |b AS (SELECT buckets.* FROM buckets JOIN small USING (band, bucket)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  private val sortCols =
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+  private def li(s: SparkSession, d: String): DataFrame = Tables.lineitem(s, d)
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- relational surface ------------------------------------------------
+    "q1_pricing" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q3_top_revenue" -> ((s, d) => {
+      val rev = li(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount"))))
+          .cast("double").as("revenue"))
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      rev.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    "window_top_orders" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // -- sort surface (the reference's core) -------------------------------
+    "global_sort" -> ((s, d) =>
+      Sorts.globalSort(li(s, d).select(sortCols.map(col): _*),
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))),
+
+    "partition_sort" -> ((s, d) =>
+      Sorts.partitionSort(li(s, d).select(sortCols.map(col): _*), 8,
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))),
+
+    "top_k" -> ((s, d) =>
+      Sorts.topK(li(s, d).select(sortCols.map(col): _*), 100,
+        col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
+
+    "gen_sorted" -> ((s, d) =>
+      Sorts.globalSort(Gen.lcgInts(s, 100000L), col("value"), col("id"))),
+
+    "hybrid_sort" -> ((s, d) => {
+      GraftFunctions.register(s)
+      li(s, d).groupBy(col("l_orderkey"))
+        .agg(expr("hybrid_sort_array(collect_list(l_suppkey))").as("sorted_supps"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // -- dedup -------------------------------------------------------------
+    "exact_dedup" -> ((s, d) =>
+      Dedup.exact(docs(s, d)).orderBy(col("doc_id"))),
+
+    "dedup_digest" -> ((s, d) =>
+      Dedup.exactByDigest(docs(s, d)).orderBy(col("doc_id"))),
+
+    "minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(docs(s, d), MinhashK, ShingleN).orderBy(col("doc_id"))),
+
+    "minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d), MinhashK, MinhashBands, ShingleN, MaxBucket)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "ngram_jaccard" -> ((s, d) =>
+      Dedup.nearDupPairs(docs(s, d), MinhashK, MinhashBands, ShingleN, MinJaccard, MaxBucket)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "simhash" -> ((s, d) =>
+      Dedup.simhash(docs(s, d)).orderBy(col("doc_id"))),
+
+    // -- similarity search -------------------------------------------------
+    "knn_bruteforce" -> ((s, d) =>
+      Similarity.bruteForceTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5)
+        .orderBy(col("query_id"), col("rank"))),
+
+    "knn_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5, 100)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // -- text analysis -----------------------------------------------------
+    "token_counts" -> ((s, d) =>
+      TextStats.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
+
+    "lang_id" -> ((s, d) =>
+      TextStats.langId(docs(s, d)).orderBy(col("doc_id"))),
+
+    "quality" -> ((s, d) =>
+      TextStats.qualityScore(docs(s, d)).orderBy(col("doc_id"))),
+
+    "fingerprint" -> ((s, d) =>
+      TextStats.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
+
+    // -- time series -------------------------------------------------------
+    "events_hourly" -> ((s, d) =>
+      Events.hourlyStats(Tables.events(s, d))
+        .orderBy(col("hour"), col("event_type"))),
+
+    "events_users" -> ((s, d) =>
+      Events.userStats(Tables.events(s, d)).orderBy(col("user_id"))),
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      """WITH rev AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderkey, c_name, strftime(o_orderdate, '%Y-%m-%d') AS o_date, revenue
+        |FROM rev JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "window_top_orders" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "global_sort" ->
+      s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
+         |ORDER BY l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
+
+    "partition_sort" ->
+      s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
+         |ORDER BY l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
+
+    "top_k" ->
+      s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
+         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin,
+
+    "gen_sorted" ->
+      """SELECT ((id % 2147483647) * 2654435761) % 5000000 AS value, id
+        |FROM range(100000) t(id) ORDER BY value, id""".stripMargin,
+
+    "hybrid_sort" ->
+      """SELECT l_orderkey, list_sort(list(l_suppkey)) AS sorted_supps
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "dedup_digest" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "minhash_sig" ->
+      s"""WITH $sigCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+
+    "minhash_pairs" ->
+      s"""WITH $sigCte,
+         |$pairsCte
+         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH $sigCte,
+         |$pairsCte,
+         |sets AS (SELECT doc_id, list_distinct(s) AS st FROM sh WHERE len(s) > 0)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))), 4) AS jaccard
+         |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a JOIN sets b ON b.doc_id = c.doc_b)
+         |WHERE jaccard >= $MinJaccard ORDER BY doc_a, doc_b""".stripMargin,
+
+    "simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |hs AS (SELECT doc_id, list_transform(tk, t -> ${h60Sql("t")}) AS h FROM toks)
+         |SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+         |  CASE WHEN list_sum(list_transform(h, x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "knn_bruteforce" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT * FROM c WHERE vec_id < 8),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, ${cosSql("q.e", "c.e")} AS cos_sim
+         |  FROM q, c WHERE q.vec_id <> c.vec_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn FROM scored)
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "knn_ivf" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id % 100 = 0),
+         |assign AS (SELECT vec_id, e, cell FROM (
+         |  SELECT c.vec_id, c.e, cents.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "cents.ce")} DESC, cents.cent_id ASC) AS rn
+         |  FROM c, cents) WHERE rn = 1),
+         |q AS (SELECT * FROM assign WHERE vec_id < 8),
+         |scored AS (SELECT q.vec_id AS query_id, a.vec_id AS nbr_id, ${cosSql("q.e", "a.e")} AS cos_sim
+         |  FROM q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn FROM scored)
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "token_counts" ->
+      s"""SELECT doc_id, len($toksSql) AS n_tokens,
+         |len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
+         |length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         |length(text) AS len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" -> {
+      val profs = TextStats.LangProfiles
+      val hitCols = profs.map { case (lang, words) =>
+        s"len(list_intersect(list_distinct(tk), [${words.map(w => s"'$w'").mkString(", ")}])) AS h_$lang"
+      }.mkString(", ")
+      // first-seen argmax over profile order (mirrors reduceLeft with strict >)
+      val langs = profs.map(_._1)
+      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        s"WHEN ${rest.map(r => s"h_$l >= h_$r").mkString(" AND ")} THEN '$l'"
+      }.mkString(" ")
+      val greatest = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |hits AS (SELECT doc_id, $hitCols FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN $greatest = 0 THEN 'und' ELSE (CASE $caseChain ELSE '${langs.last}' END) END AS lang_pred,
+         |  $greatest AS lang_hits
+         |FROM hits ORDER BY doc_id""".stripMargin
+    },
+
+    "quality" ->
+      """SELECT doc_id, round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |  + (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)
+        |  + (CASE WHEN mw >= 3.0 AND mw <= 10.0 THEN 1.0 WHEN mw > 0.0 THEN 0.5 ELSE 0.0 END)) / 3.0, 4) AS quality
+        |FROM (SELECT doc_id, text,
+        |  CASE WHEN len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) > 0
+        |    THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+        |    ELSE 0.0 END AS mw
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |hs AS (SELECT doc_id, list_transform(tk, t -> ${h60Sql("t")} % 1000003) AS h FROM toks)
+         |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), h), (acc, x) -> (acc * 31 + x) % ${TextStats.FpMod}) AS fp
+         |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |count(*) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "events_users" ->
+      """SELECT user_id, count(*) AS n_events,
+        |CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
 }

@@ -48,6 +48,12 @@ package object functions {
     */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Narrow decimal for rates (discount/tax in [0,1)): keeps decimal
+    * products like `price * (1 - rate)` within precision 38 in every
+    * engine, so no engine-specific scale reduction ever rounds a digit.
+    */
+  def rate2(c: Column): Column = c.cast(DecimalType(4, 2))
+
   /** SUM(dec2(c)) presented as double — exact then converted once. */
   def sumMoney(c: Column): Column = sum(dec2(c)).cast("double")
 }

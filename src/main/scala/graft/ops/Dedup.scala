@@ -32,14 +32,18 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
-  /** Exact dedup keyed on the text digest — shuffle carries 8-byte keys
-    * instead of document bodies; preferred at scale.
+  /** Exact dedup keyed on the text digest — shuffle carries 32-byte md5
+    * keys instead of document bodies; preferred at scale. The FULL 128-bit
+    * digest is the group key: at 1e12 docs the birthday bound is
+    * n²/2^129 ≈ 1e24/6.8e38 ≈ 1.5e-15 expected collisions — genuinely
+    * "exact" for any realistic corpus, unlike a 60-bit key whose
+    * ~n²/2^61 collisions would silently merge distinct documents.
     */
   def exactByDigest(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), h60(col("text")).as("text_h60"))
-      .groupBy(col("text_h60"))
+    docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      .select(col("doc_id"), col("text_h60"), col("n_copies"))
+      .select(col("doc_id"), col("text_md5"), col("n_copies"))
 
   /** doc_id + MinHash signature (k seeded portable hashes over `shingleN`-
     * word shingles). Documents with fewer than `shingleN` tokens drop out.
@@ -94,6 +98,34 @@ object Dedup {
       expr("simhash60(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''))")
         .as("simhash"))
   }
+
+  /** Exact n-gram Jaccard computed ONLY over candidate pairs (doc_a, doc_b)
+    * — e.g. the output of [[minhashPairs]]. This is the scale-correct
+    * two-stage near-dup pipeline: LSH bounds the candidate set to
+    * O(n·bucket), then the exact refinement joins each pair with its two
+    * (distinct) shingle sets and intersects them map-side. No quadratic
+    * self-join ever touches the corpus.
+    */
+  def jaccardRefine(docs: DataFrame, pairs: DataFrame, shingleN: Int,
+                    minJaccard: Double): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), shingleN)).as("sh"))
+      .where(size(col("sh")) > 0)
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 4))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** LSH candidates refined to exact Jaccard — the composed near-dup op. */
+  def nearDupPairs(docs: DataFrame, k: Int, bands: Int, shingleN: Int,
+                   minJaccard: Double, maxBucket: Int = 1000): DataFrame =
+    jaccardRefine(docs, minhashPairs(docs, k, bands, shingleN, maxBucket),
+      shingleN, minJaccard)
 
   /** Exact n-gram Jaccard over *rare* shingles: shingles occurring in more
     * than `maxDf` documents are dropped first (web-scale "stop shingles" —

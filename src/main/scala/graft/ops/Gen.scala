@@ -34,15 +34,23 @@ object Gen {
 
   /** Deterministic multiplicative-congruential values — identical in any
     * engine with 64-bit integer arithmetic, so a DuckDB oracle can
-    * regenerate the exact rows (`(id * 2654435761) % bound`). This is the
-    * generator used for cross-engine sort-parity checks; Spark's `rand`
-    * stream is implementation-defined and not reproducible elsewhere.
+    * regenerate the exact rows. The id is reduced mod 2^31-1 *before* the
+    * Knuth multiply so the product stays under 2^63 for any id (2^31-1 ·
+    * 2654435761 ≈ 5.7e18 < Long.MaxValue): no silent Spark wraparound, no
+    * DuckDB i64-overflow error, at any scale. Spark's `rand` stream is
+    * implementation-defined and not reproducible elsewhere — this is the
+    * generator used for cross-engine sort-parity checks.
     */
+  val LcgDomain = 2147483647L // 2^31 - 1: LcgDomain * 2654435761 < 2^63
+
   def lcgInts(spark: SparkSession, n: Long, bound: Long = 5000000L): DataFrame =
     spark.range(n).select(
-      ((col("id") * 2654435761L) % bound).as("value"),
+      (((col("id") % LcgDomain) * 2654435761L) % bound).as("value"),
       col("id"))
 
-  /** Knuth-style multiplicative hash as a Column, for salting/shingling. */
-  def mixCol(c: Column, bound: Long): Column = (c * 2654435761L) % bound
+  /** Knuth-style multiplicative hash as a Column, for salting/shingling.
+    * Same overflow-safe domain reduction as [[lcgInts]].
+    */
+  def mixCol(c: Column, bound: Long): Column =
+    ((c % LcgDomain) * 2654435761L) % bound
 }

@@ -3,28 +3,33 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two paths, both fully declarative (no driver-side loops, no UDFs — the
-  * dot products are Catalyst higher-order functions, codegen'd):
+  * Two paths, both shaped so the corpus side is NEVER shuffled:
   *
-  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is expected to
-  *    be small (it is broadcast); the corpus side streams. Per query the
-  *    plan is a broadcast nested-loop join + `TakeOrderedAndProject`-style
-  *    windowed top-k — at 100 TB the corpus is scanned once, never shuffled,
-  *    and only `k` rows per query survive the partial top-k.
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query set (small by
+  *    contract) is broadcast; the corpus streams through a map-side
+  *    broadcast join, and the per-query result is reduced by
+  *    [[graft.functions.TopKByScore]] — a bounded-heap aggregate with
+  *    partial (map-side) aggregation, so each task emits at most k rows per
+  *    query into the shuffle. At 100 TB: one corpus scan, k·tasks shuffle
+  *    rows, O(k) memory per group. (A window-function top-k would instead
+  *    land the whole corpus' scores for one query on one task.)
   *
   *  - [[ivfTopK]]: IVF (inverted-file) ANN. A deterministic centroid subset
   *    partitions the corpus into cells ("coarse quantizer"); each query
-  *    probes only its own cell, cutting the scanned fraction to ~1/nCells.
-  *    Cell assignment is itself a broadcast argmin — the corpus is again
-  *    never shuffled, and the cell id becomes a pre-filter that composes
-  *    with partition pruning if the corpus is written bucketed by cell.
+  *    probes only its own cell. Cell assignment is a map-only argmax over a
+  *    collected centroid array literal — no cross join, no window, no
+  *    shuffle of the corpus; the only shuffle in the whole plan is the
+  *    final k-row-per-task top-k aggregation.
   *
   * Floating point is pinned for oracle portability: all arithmetic is done
-  * in double with a left-fold accumulation (`aggregate`), matching a
-  * sequential SQL `list_reduce`/`list_dot_product`, and results are rounded
-  * before comparison.
+  * in double with a left-fold accumulation (`aggregate`), matching the
+  * DuckDB oracle's `list_sum(list_transform(...))`, and similarities are
+  * rounded to 6dp before ranking so both engines rank identical values.
+  * Zero-norm embeddings get similarity 0.0 (never NaN).
   */
 object Similarity {
 
@@ -37,23 +42,34 @@ object Similarity {
     */
   def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
+  /** Cosine similarity from precomputed norms; 0.0 when either norm is 0
+    * (a NaN would otherwise rank above every real similarity).
+    */
+  def cosineFromNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    when(normA * normB > 0, dotAB / (normA * normB)).otherwise(lit(0.0d))
+
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    cosineFromNorms(dot(a, b), sqrt(dot(a, a)), sqrt(dot(b, b)))
 
   /** Exact top-k cosine neighbors for each query vector.
     *
-    * @param corpus  (id, embedding float array) — the big side
+    * @param corpus  (id, embedding float array) — the big side, map-only
     * @param queries (id, embedding float array) — the small side, broadcast
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), asDouble(col(embCol)).as("c_emb"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb"))
+    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
+        asDouble(col(embCol)).as("c_emb"))
+      .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        asDouble(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", sqrt(dot(col("q_emb"), col("q_emb"))))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos_sim"))
+        round(cosineFromNorms(dot(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")), 6).as("cos_sim"))
     topPerKey(scored, k)
   }
 
@@ -76,35 +92,61 @@ object Similarity {
     val scored = cells.join(broadcast(qCells), Seq("cell"))
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos_sim"))
+        round(cosineFromNorms(dot(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")), 6).as("cos_sim"))
     topPerKey(scored, k)
   }
 
   /** Nearest-centroid (max cosine) cell id per row; ties broken by smaller
-    * centroid id. Centroids are broadcast — the big side never shuffles.
+    * centroid id; zero-norm rows deterministically land in the smallest
+    * centroid id's cell.
+    *
+    * The centroid set is collected to the driver (it is small by contract —
+    * an IVF coarse quantizer is O(√n) at most, and here a fixed stride) and
+    * embedded as an array literal, so assignment is a map-only projection:
+    * `array_max(transform(centroids, c -> struct(cos, -cent_id)))`. The big
+    * side is never joined, shuffled, or windowed. Centroid norms are
+    * precomputed driver-side with the same left-fold the column `dot` uses,
+    * so results are bit-identical to an all-column-expression plan.
     */
   private def assignCells(df: DataFrame, idName: String, embName: String,
                           stride: Int,
                           corpusForCentroids: Option[DataFrame] = None): DataFrame = {
     val base = corpusForCentroids.getOrElse(df)
-    val cents = base.where(col(base.columns(0)) % stride === 0)
-      .select(col(base.columns(0)).as("cent_id"), col(base.columns(1)).as("cent_emb"))
-    df.crossJoin(broadcast(cents))
-      .select(col(idName), col(embName),
-        col("cent_id"),
-        cosine(col(embName), col("cent_emb")).as("cent_sim"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idName))
-          .orderBy(col("cent_sim").desc, col("cent_id").asc)))
-      .where(col("rn") === 1)
-      .select(col(idName), col(embName), col("cent_id").as("cell"))
+    val Seq(bId, bEmb) = base.columns.take(2).toSeq
+    val centRows = base.where(col(bId) % stride === 0)
+      .select(col(bId).cast("long"), col(bEmb)).collect()
+    require(centRows.nonEmpty, s"no centroids: no $bId divisible by $stride")
+    val cents = array(centRows.map { r =>
+      val emb = r.getSeq[Double](1)
+      val nrm = math.sqrt(emb.foldLeft(0.0d)((acc, x) => acc + x * x))
+      struct(lit(r.getLong(0)).as("cent_id"),
+        typedLit(emb).as("cent_emb"),
+        lit(nrm).as("cent_nrm"))
+    }: _*)
+    val withNrm = df.withColumn("_nrm", sqrt(dot(col(embName), col(embName))))
+    // round(…, 6) before the argmax so rank ties resolve identically to a
+    // SQL oracle that also ranks rounded similarities
+    val best = array_max(transform(cents, c =>
+      struct(
+        round(cosineFromNorms(dot(col(embName), c.getField("cent_emb")),
+          col("_nrm"), c.getField("cent_nrm")), 6).as("s"),
+        (-c.getField("cent_id")).as("nid"))))
+    val nrmName = if (idName == "query_id") "q_nrm" else "c_nrm"
+    withNrm.select(col(idName), col(embName),
+      (-best.getField("nid")).as("cell"), col("_nrm").as(nrmName))
   }
 
-  /** Per-query top-k by similarity (desc), deterministic tie-break on id. */
-  private def topPerKey(scored: DataFrame, k: Int): DataFrame =
-    scored.withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("nbr_id").asc)))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_sim"))
+  /** Per-query top-k by similarity (desc), deterministic tie-break on id.
+    * Bounded-heap aggregate with map-side partial aggregation — see
+    * [[graft.functions.TopKByScore]].
+    */
+  private def topPerKey(scored: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(scored.sparkSession)
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(cos_sim, nbr_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nbr_id").as("nbr_id"), col("col.cos_sim").as("cos_sim"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet scans of the driver-generated corpus (see /root/repo/TESTDATA.md).
   * Plain `spark.read.parquet` so Catalyst keeps full pushdown/pruning
@@ -18,7 +19,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = read(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * by default ([PARQUET_TYPE_ILLEGAL]). Read nanos as a long and convert
+    * to a µs timestamp (Spark's native precision) — truncation below µs is
+    * irrelevant to hour/day windowing and matches what any Spark pipeline
+    * ingesting ns data does.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(s, d, "events")
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

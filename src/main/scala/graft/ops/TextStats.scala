@@ -19,10 +19,11 @@ object TextStats {
     */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      size(tokens(col("text"))).as("n_tokens"),
-      size(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).as("n_ws_tokens"),
-      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).as("n_punct"),
-      length(col("text")).as("len"))
+      // bigint, matching the natural len()/length() type of SQL oracles
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).cast("long").as("n_ws_tokens"),
+      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("long").as("n_punct"),
+      length(col("text")).cast("long").as("len"))
 
   /** Stopword sets for the n-gram language-ID heuristic. Deliberately tiny
     * and ASCII-only: language ID at corpus scale is a *routing* signal, not
@@ -54,7 +55,7 @@ object TextStats {
     docs.select(col("doc_id"),
       when(best.getField("hits") > 0, best.getField("lang"))
         .otherwise(lit("und")).as("lang_pred"),
-      best.getField("hits").as("lang_hits"))
+      best.getField("hits").cast("long").as("lang_hits"))
   }
 
   /** Quality score in [0,1]: mean of three bounded components —
@@ -76,12 +77,14 @@ object TextStats {
   }
 
   /** Polynomial rolling-hash fingerprint over the token stream: left fold
-    * of `acc * 31 + h60(token) (mod 2^61-1)`. Order-sensitive (unlike a bag
-    * hash) so re-ordered text fingerprints differently; portable because
-    * h60 is md5-based and the modulus keeps every intermediate positive in
-    * a signed 64-bit integer in any engine.
+    * of `acc * 31 + (h60(token) mod 1000003)  (mod FpMod)`. Order-sensitive
+    * (unlike a bag hash) so re-ordered text fingerprints differently;
+    * portable because h60 is md5-based and FpMod is small enough that every
+    * intermediate fits a signed 64-bit integer in any engine:
+    * (FpMod-1)·31 + 1000002 ≈ 3.1e16 ≪ 2^63 ≈ 9.2e18 — no overflow, so
+    * Spark and DuckDB fold to the same value bit-for-bit.
     */
-  val FpMod = 2305843009213693951L // 2^61 - 1
+  val FpMod = 999999999999989L // largest prime < 10^15; 31·FpMod < 2^63
 
   def fingerprint(docs: DataFrame): DataFrame = {
     val hashed = transform(tokens(col("text")), t => h60(t) % 1000003L)

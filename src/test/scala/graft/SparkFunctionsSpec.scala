@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+import graft.ops.Gen
+
+/** Spark-level tests for the engine's native expressions and helpers:
+  * hybrid_sort_array (incl. nulls + threshold validation), simhash60 vs the
+  * portable h60 column hash, the bounded top-k aggregate vs a window-function
+  * reference implementation, and lcgInts overflow behavior at large ids.
+  */
+class SparkFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("hybrid_sort_array matches sort_array on int/long arrays") {
+    val rows = spark.sql(
+      """SELECT hybrid_sort_array(a) AS h, sort_array(a) AS s FROM VALUES
+        |(array(3, 1, 2)), (array()), (array(5)),
+        |(array(2147483647, -2147483648, 0, 2147483647))
+        |AS t(a)""".stripMargin).collect()
+    rows.foreach(r => assert(r.get(0) == r.get(1)))
+  }
+
+  test("hybrid_sort_array: null elements first, like sort_array and list_sort") {
+    val rows = spark.sql(
+      "SELECT hybrid_sort_array(array(3, NULL, 1, NULL, 2)) AS h," +
+        " sort_array(array(3, NULL, 1, NULL, 2)) AS s").collect()
+    assert(rows.head.get(0) == rows.head.get(1))
+  }
+
+  test("hybrid_sort_array: custom threshold literal works; junk threshold fails cleanly") {
+    val r = spark.sql("SELECT hybrid_sort_array(array(9L, 7L, 8L), 2) AS h").collect()
+    assert(r.head.getSeq[Long](0) == Seq(7L, 8L, 9L))
+    val e = intercept[Exception] {
+      spark.sql("SELECT hybrid_sort_array(array(1), 'x')").collect()
+    }
+    assert(e.getMessage.contains("threshold must be an integer literal"))
+  }
+
+  test("SimHashUtil.h60 matches the portable column h60 (DuckDB-verified value)") {
+    // 648541476951500027 == CAST('0x'||substr(md5('abc'),1,15) AS BIGINT) in DuckDB
+    assert(SimHashUtil.h60("abc") == 648541476951500027L)
+    val fromCol = spark.range(1).select(h60(lit("abc"))).head.getLong(0)
+    assert(fromCol == 648541476951500027L)
+  }
+
+  test("simhash60 expression: empty array is 0; single token equals its h60 bits") {
+    val r = spark.sql(
+      "SELECT simhash60(CAST(array() AS array<string>)) AS e," +
+        " simhash60(array('abc')) AS one").head()
+    assert(r.getLong(0) == 0L)
+    // with one token every bit vote follows that token's hash exactly
+    assert(r.getLong(1) == SimHashUtil.h60("abc"))
+  }
+
+  test("topk_by_score matches window-function top-k on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(2000) { i =>
+      (rnd.nextInt(5).toLong, math.rint(rnd.nextDouble() * 1e6) / 1e6, i.toLong)
+    }.toDF("query_id", "cos_sim", "nbr_id")
+    val viaAgg = rows.groupBy(col("query_id"))
+      .agg(expr("topk_by_score(cos_sim, nbr_id, 7)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.nbr_id"), col("col.cos_sim"))
+      .orderBy(col("query_id"), col("rank")).collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    val viaWindow = rows.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 7)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(viaAgg.length == viaWindow.length)
+    viaAgg.zip(viaWindow).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("topk_by_score: fewer rows than k, and tie-break on smaller id") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 0.5, 10L), (1L, 0.5, 3L), (1L, 0.9, 7L))
+      .toDF("query_id", "cos_sim", "nbr_id")
+    val out = df.groupBy(col("query_id"))
+      .agg(expr("topk_by_score(cos_sim, nbr_id, 5)").as("top"))
+      .select(posexplode(col("top"))).select(col("col.nbr_id")).as[Long].collect()
+    assert(out.toSeq == Seq(7L, 3L, 10L))
+  }
+
+  test("tokens + shingles: boundary sizes") {
+    val r = spark.range(1).select(
+      shingles(tokens(lit("A b, c")), 3).as("s3"),
+      shingles(tokens(lit("a b")), 3).as("s_short"),
+      tokens(lit("  ")).as("t_blank"))
+      .head()
+    assert(r.getSeq[String](0) == Seq("a b c"))
+    assert(r.getSeq[String](1) == Seq())
+    assert(r.getSeq[String](2) == Seq())
+  }
+
+  test("lcgInts: non-negative values even for ids beyond 2^31") {
+    val big = spark.range(4000000000L, 4000000100L)
+      .select((((col("id") % Gen.LcgDomain) * 2654435761L) % 5000000L).as("value"))
+    val vals = big.collect().map(_.getLong(0))
+    assert(vals.forall(v => v >= 0 && v < 5000000L))
+  }
+
+  test("fingerprint fold stays in positive i64 domain (overflow guard)") {
+    // worst-case intermediate: (FpMod-1)*31 + 1000002 must fit a Long
+    val worst = (graft.ops.TextStats.FpMod - 1)
+    assert(worst <= Long.MaxValue / 31 - 1000002)
+  }
+}
