@@ -67,7 +67,13 @@ object Dedup {
                    maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sig = minhashSignatures(docs, k, shingleN)
+    // Materialize signatures ONCE. The plan below references them four
+    // times (bucket counts, the guard join, both sides of the self-join);
+    // without a barrier each reference re-computes k md5 hashes per
+    // shingle AND whole-stage codegen compiles four copies of that
+    // expression tree (minutes of janino time for large k). At cluster
+    // scale you'd persist signatures to a table for the same reason.
+    val sig = minhashSignatures(docs, k, shingleN).localCheckpoint()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until r).map(j => col(s"mh${b * r + j}")): _*).as("bucket"))
@@ -108,9 +114,12 @@ object Dedup {
     */
   def jaccardRefine(docs: DataFrame, pairs: DataFrame, shingleN: Int,
                     minJaccard: Double): DataFrame = {
+    // Materialized once: referenced by both sides of the pair join (same
+    // plan-duplication and codegen-size rationale as in minhashPairs).
     val sets = docs.select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
+      .localCheckpoint()
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
