@@ -56,20 +56,33 @@ object SparkEntry {
   private val MaxBucket = 1000
   private val MinJaccard = 0.1
 
+  private val SessionGapMin = 30
+  private val EmbDim = 64
+  private val EmbMinCos = 0.4
+  private val FrameBytes = 32
+  private val FrameStride = 2
+
+  /** Mirror of the native MinHash31 signature: one h60 per shingle, k
+    * universal-hash mixes `((h % P) * a_i + b_i) % P`, minima per i. The
+    * a/b parameter lists are inlined as literals (same values
+    * [[graft.functions.MinHashUtil.params]] derives).
+    */
   private val sigCte: String = {
-    val mhCols = (0 until MinhashK).map { i =>
-      s"list_min(list_transform(s, x -> ${h60Sql(s"'$i:' || x")})) AS mh$i"
-    }.mkString(", ")
+    val (as, bs) = graft.functions.MinHashUtil.params(MinhashK)
+    val p = graft.functions.MinHashUtil.P
+    val aLits = as.mkString("[", ", ", "]")
+    val bLits = bs.mkString("[", ", ", "]")
     s"""toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
        |sh AS (SELECT doc_id, $shingleSql AS s FROM toks),
-       |sig AS (SELECT doc_id, $mhCols FROM sh WHERE len(s) > 0)""".stripMargin
+       |sig AS (SELECT doc_id, list_transform(range(1, ${MinhashK + 1}), i ->
+       |  list_min(list_transform(s, x -> ((${h60Sql("x")} % $p) * ($aLits)[i] + ($bLits)[i]) % $p))) AS sig
+       |  FROM sh WHERE len(s) > 0)""".stripMargin
   }
 
   private val pairsCte: String = {
     val r = MinhashK / MinhashBands
     val bandSelects = (0 until MinhashBands).map { b =>
-      val bucket = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
-        .mkString(" || ',' || ")
+      val bucket = s"array_to_string(sig[${b * r + 1}:${b * r + r}], ',')"
       s"SELECT doc_id, $b AS band, $bucket AS bucket FROM sig"
     }.mkString(" UNION ALL ")
     s"""buckets AS ($bandSelects),
@@ -197,6 +210,31 @@ object SparkEntry {
 
     "events_users" -> ((s, d) =>
       Events.userStats(Tables.events(s, d)).orderBy(col("user_id"))),
+
+    "sessions" -> ((s, d) =>
+      Events.sessionize(Tables.events(s, d), SessionGapMin)
+        .orderBy(col("user_id"), col("sid"))),
+
+    // -- embedding near-dup ------------------------------------------------
+    "emb_neardup" -> ((s, d) =>
+      EmbedDedup.nearDupPairs(emb(s, d), EmbDim, EmbMinCos)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // -- multimodal --------------------------------------------------------
+    "mm_meta" -> ((s, d) =>
+      Multimodal.mediaMeta(docs(s, d)).orderBy(col("doc_id"))),
+
+    "mm_frames" -> ((s, d) =>
+      Multimodal.frameSample(docs(s, d), FrameBytes, FrameStride)
+        .orderBy(col("doc_id"))),
+
+    // Batched partition-level decode+resize through the stub codec — the
+    // plumbing (binary payloads, batch iteration, map-only plan) is real;
+    // the codec is a deterministic fake, so this entry has no SQL oracle
+    // (driver records the weaker rows-only check).
+    "mm_resize" -> ((s, d) =>
+      Multimodal.decodeResize(docs(s, d), Multimodal.FakeCodec)
+        .orderBy(col("doc_id"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -256,7 +294,7 @@ object SparkEntry {
 
     "minhash_sig" ->
       s"""WITH $sigCte
-         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, sig FROM sig ORDER BY doc_id""".stripMargin,
 
     "minhash_pairs" ->
       s"""WITH $sigCte,
@@ -360,5 +398,70 @@ object SparkEntry {
         |CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "sessions" ->
+      s"""WITH x AS (SELECT user_id, event_id, ts, value,
+         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > ${SessionGapMin * 60000000L} THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+         |SELECT user_id, sid,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    "emb_neardup" -> embNearDupSql,
+
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  md5(text) AS digest,
+        |  (CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 1920) + 1 AS width,
+        |  (CAST(('0x' || substr(md5(text), 7, 6)) AS BIGINT) % 1080) + 1 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // text is ASCII-only in this corpus (verified octet_length = length for
+    // every row), so VARCHAR substring/length/md5 on `text` see exactly the
+    // bytes Spark's binary payload operators see.
+    "mm_frames" ->
+      s"""WITH p AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS bl FROM documents),
+         |f AS (SELECT doc_id, CAST(ceil(bl / $FrameBytes.0) AS BIGINT) AS n_frames, text FROM p)
+         |SELECT doc_id, n_frames,
+         |  CASE WHEN n_frames > 0 THEN
+         |    list_transform(range(0, (n_frames - 1) // $FrameStride + 1),
+         |      j -> md5(substring(text, CAST(j * $FrameStride * $FrameBytes + 1 AS INT), $FrameBytes)))
+         |  ELSE [] END AS frame_digests
+         |FROM f ORDER BY doc_id""".stripMargin,
   )
+
+  /** SRP-LSH near-dup oracle: hyperplane components are inlined as literal
+    * DOUBLE lists (the same values [[graft.ops.EmbedDedup.planeVal]]
+    * computes), so DuckDB regenerates identical signatures, candidate
+    * buckets, and exact-cosine refinements.
+    */
+  private def embNearDupSql: String = {
+    val pl = EmbedDedup.planes(EmbDim)
+    val r = EmbedDedup.Bits / EmbedDedup.Bands
+    def bitSql(b: Int): String = {
+      val lits = pl(b).mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(range(1, ${EmbDim + 1}), i -> e[i] * (CAST($lits AS DOUBLE[]))[i])) >= 0 THEN '1' ELSE '0' END"
+    }
+    val bandSelects = (0 until EmbedDedup.Bands).map { b =>
+      val bucket = (b * r until (b + 1) * r).map(bitSql).mkString(" || ")
+      s"SELECT vec_id AS id, $b AS band, $bucket AS bucket FROM c"
+    }.mkString(" UNION ALL ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |buckets AS ($bandSelects),
+       |small AS (SELECT band, bucket FROM buckets GROUP BY band, bucket HAVING count(*) <= $MaxBucket),
+       |b AS (SELECT buckets.* FROM buckets JOIN small USING (band, bucket)),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+       |n AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM c)
+       |SELECT id_a, id_b, cos_sim FROM (
+       |  SELECT cand.id_a, cand.id_b,
+       |    round(CASE WHEN a.nrm * b.nrm > 0 THEN ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) ELSE 0.0 END, 6) AS cos_sim
+       |  FROM cand JOIN n a ON a.vec_id = cand.id_a JOIN n b ON b.vec_id = cand.id_b)
+       |WHERE cos_sim >= $EmbMinCos ORDER BY id_a, id_b""".stripMargin
+  }
 }

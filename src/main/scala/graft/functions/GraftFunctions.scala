@@ -27,6 +27,15 @@ object GraftFunctions {
       }, "built-in")
     reg.createOrReplaceTempFunction("simhash60", (exprs: Seq[Expression]) =>
       SimHash60(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("h60", (exprs: Seq[Expression]) =>
+      H60(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash31", (exprs: Seq[Expression]) =>
+      exprs match {
+        case Seq(c, Literal(kk: Number, _)) if kk != null =>
+          MinHash31(c, kk.intValue())
+        case _ => throw new IllegalArgumentException(
+          "minhash31(shingles, k) takes (array<string>, int literal)")
+      }, "built-in")
     reg.createOrReplaceTempFunction("topk_by_score", (exprs: Seq[Expression]) =>
       exprs match {
         case Seq(s, i, Literal(kk: Number, _)) if kk != null =>

@@ -13,12 +13,19 @@ import org.apache.spark.sql.types._
 /** Runtime for [[SimHash60]] — static so generated code can call it. */
 object SimHashUtil {
 
+  /** Per-thread digest instance: `MessageDigest.getInstance` does a
+    * provider lookup per call — measurable at millions of hashes per task.
+    */
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** First 60 bits of md5(utf8(s)) as a non-negative long; identical to the
     * portable column hash `h60` (and to the DuckDB oracle's
     * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`).
     */
   def h60(bytes: Array[Byte]): Long = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
+    md.reset()
     ByteBuffer.wrap(md.digest(bytes)).getLong >>> 4
   }
 

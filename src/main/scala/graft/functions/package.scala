@@ -19,9 +19,20 @@ import org.apache.spark.sql.types.DecimalType
   */
 package object functions {
 
-  /** First 60 bits of md5(s), as a non-negative long. */
+  /** First 60 bits of md5(s), as a non-negative long. Native codegen'd
+    * expression (see [[H60]]) — same value as
+    * `conv(substring(md5(s), 1, 15), 16, 10)`, tens of times cheaper.
+    */
   def h60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      H60(org.apache.spark.sql.GraftColumnBridge.expression(c.cast("string"))))
+
+  /** k-function MinHash signature of a string-array column (see
+    * [[MinHash31]]).
+    */
+  def minhash31(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      MinHash31(org.apache.spark.sql.GraftColumnBridge.expression(c), k))
 
   /** Seeded variant: independent hash function per integer seed. */
   def h60Seeded(seed: Int, c: Column): Column =

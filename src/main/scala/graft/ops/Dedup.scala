@@ -45,17 +45,17 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
 
-  /** doc_id + MinHash signature (k seeded portable hashes over `shingleN`-
-    * word shingles). Documents with fewer than `shingleN` tokens drop out.
+  /** doc_id + MinHash signature: `sig` is an array of k universal-hash
+    * minima over `shingleN`-word shingles, computed by the native one-pass
+    * [[graft.functions.MinHash31]] expression (one md5 per shingle total,
+    * not one per hash function). Documents with fewer than `shingleN`
+    * tokens drop out.
     */
   def minhashSignatures(docs: DataFrame, k: Int, shingleN: Int): DataFrame = {
     val sh = shingles(tokens(col("text")), shingleN)
-    val sigCols = (0 until k).map { i =>
-      array_min(transform(col("sh"), s => h60Seeded(i, s))).as(s"mh$i")
-    }
     docs.select(col("doc_id"), sh.as("sh"))
       .where(size(col("sh")) > 0)
-      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), minhash31(col("sh"), k).as("sig"))
   }
 
   /** Candidate near-duplicate pairs via banded MinHash-LSH.
@@ -76,7 +76,7 @@ object Dedup {
     val sig = minhashSignatures(docs, k, shingleN).localCheckpoint()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws(",", (0 until r).map(j => col(s"mh${b * r + j}")): _*).as("bucket"))
+        concat_ws(",", slice(col("sig"), b * r + 1, r).cast("array<string>")).as("bucket"))
     }
     val buckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))

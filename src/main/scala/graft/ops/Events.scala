@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -32,6 +33,43 @@ object Events {
         sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"), col("sum_k"))
+
+  /** Gap-based sessionization (batch): consecutive events of a user belong
+    * to one session while the gap between them is ≤ `gapMinutes`; a larger
+    * gap starts a new session. Classic gaps-and-islands: a lag-window marks
+    * session breaks, a running sum numbers sessions, one aggregate folds
+    * each session.
+    *
+    * Scale: both windows partition by `user_id` — per-user event counts are
+    * bounded in practice (a user is not a corpus), so unlike a window over
+    * a tiny key space this does not concentrate the dataset on few tasks;
+    * the plan is one shuffle on user_id reused by both windows AND the
+    * final aggregate (Spark keeps the partitioning). The streaming
+    * restatement ([[graft.streaming.StreamOps.sessionize]]) computes the
+    * same sessions incrementally with `flatMapGroupsWithState`.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // µs precision on both sides of the oracle comparison (DuckDB
+    // epoch_us); unix_timestamp would floor to seconds and disagree with
+    // a fractional-second oracle at exact gap boundaries.
+    val gapUs = gapMinutes * 60000000L
+    val brk = when(
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > gapUs,
+      1L).otherwise(0L)
+    val sid = sum(brk).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    events
+      .withColumn("sid", sid)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"), col("sid"), col("session_start"),
+        col("session_end"), col("n_events"), col("total_value"))
+  }
 
   /** Per-user activity profile: event count, distinct active days, total
     * value — the "user feature" shape of a training-data pipeline.

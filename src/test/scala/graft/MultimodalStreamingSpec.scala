@@ -1,0 +1,173 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{EmbedDedup, Multimodal}
+import graft.streaming.StreamOps
+
+/** Local-Spark tests for the multimodal plumbing, SRP-LSH signatures, and
+  * the Structured Streaming surface (MemoryStream-driven).
+  */
+class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-mm-stream-test")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (1L, "tiny"),
+      (2L, "a" * 100))
+      .toDF("doc_id", "text")
+  }
+
+  test("mediaMeta: deterministic dims within bounds, digest matches md5 of text") {
+    val rows = Multimodal.mediaMeta(docsDf).orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("modality") == "image")
+    assert(rows(1).getAs[String]("modality") == "audio")
+    val text0 = "the quick brown fox jumps over the lazy dog and runs far away"
+    assert(r0.getAs[Long]("byte_len") == text0.getBytes("UTF-8").length.toLong)
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(text0.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r0.getAs[String]("digest") == expectMd5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("width") >= 1 && r.getAs[Long]("width") <= 1920)
+      assert(r.getAs[Long]("height") >= 1 && r.getAs[Long]("height") <= 1080)
+    }
+  }
+
+  test("frameSample: frame count and sampled digests for exact/ragged/short payloads") {
+    val rows = Multimodal.frameSample(docsDf, 32, 2).orderBy("doc_id").collect()
+    def digests(i: Int): Seq[String] =
+      rows(i).getSeq[String](rows(i).fieldIndex("frame_digests")).toSeq
+    // doc 0: 62 bytes -> 2 frames of 32 -> sampled indices {0} -> 1 digest
+    assert(rows(0).getAs[Long]("n_frames") == 2L)
+    assert(digests(0).length == 1)
+    // doc 1: 4 bytes -> 1 frame -> 1 digest, digest of whole payload
+    assert(rows(1).getAs[Long]("n_frames") == 1L)
+    val tinyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("tiny".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(digests(1) == Seq(tinyMd5))
+    // doc 2: 100 bytes -> 4 frames -> sampled {0, 2} -> 2 digests
+    assert(rows(2).getAs[Long]("n_frames") == 4L)
+    assert(digests(2).length == 2)
+  }
+
+  test("decodeResize: deterministic across runs, one row per doc, no shuffle in plan") {
+    val out = Multimodal.decodeResize(docsDf, Multimodal.FakeCodec, side = 4, batchSize = 2)
+    val a = out.orderBy("doc_id").collect()
+    val b = Multimodal.decodeResize(docsDf, Multimodal.FakeCodec, side = 4, batchSize = 64)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq, "batch size must not change results")
+    assert(a.length == 3)
+    assert(a.forall(_.getAs[Long]("thumb_checksum") >= 0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decodeResize must be map-only, got:\n$plan")
+  }
+
+  test("SRP signatures: bucket bit strings are deterministic and plane values portable") {
+    // plane values must derive from the portable h60 (matches SQL oracle)
+    val v = EmbedDedup.planeVal(0, 0)
+    assert(v >= -1.0 && v <= 1.0)
+    assert(v == (graft.functions.SimHashUtil.h60("p:0:0") % 2001L - 1000L) / 1000.0)
+    import spark.implicits._
+    val embs = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(1.0f)),        // identical -> identical signature
+      (2L, Array.fill(8)(-1.0f)))       // antipodal -> complementary bits
+      .toDF("vec_id", "embedding")
+    val sig = EmbedDedup.srpBuckets(embs, 8).orderBy("id", "band").collect()
+    val byId = sig.groupBy(_.getAs[Long]("id")).view
+      .mapValues(_.map(r => (r.getAs[Int]("band"), r.getAs[String]("bucket"))).sorted.toSeq)
+    assert(byId(0L) == byId(1L))
+    val flip = byId(2L).map { case (b, s) =>
+      (b, s.map(c => if (c == '1') '0' else '1'))
+    }
+    assert(byId(0L) == flip)
+    // identical vectors form a candidate pair with cosine 1.0
+    val pairs = EmbedDedup.nearDupPairs(embs, 8, 0.9).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L
+      && r.getAs[Double]("cos_sim") == 1.0))
+  }
+
+  test("streaming hourlyStats emits closed windows under watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.hourlyStatsStream(df, "0 seconds").writeStream
+      .format("memory").queryName("hourly_t").outputMode("append").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(10, 5), "click", 1.0), (t(10, 40), "click", 2.0), (t(10, 20), "view", 5.0))
+    q.processAllAvailable()
+    mem.addData((t(12, 1), "click", 9.0)) // watermark -> 12:01, closes hour 10
+    q.processAllAvailable()
+    val got = spark.table("hourly_t").orderBy("hour", "event_type").collect()
+    q.stop()
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq(("2024-01-01 10:00:00", "click", 2L, 3.0),
+          ("2024-01-01 10:00:00", "view", 1L, 5.0)))
+  }
+
+  test("streaming sessionize: gap closes a session, timeout closes on watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Evt]
+    val withWm = mem.toDS().withWatermark("ts", "0 seconds")
+    val q = StreamOps.sessionize(withWm, gapMinutes = 30).writeStream
+      .format("memory").queryName("sessions_t").outputMode("append").start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two events 10 min apart (one session), then an event 2h later
+    mem.addData(StreamOps.Evt(1L, ts(9, 0), 1.0), StreamOps.Evt(1L, ts(9, 10), 2.0))
+    q.processAllAvailable()
+    mem.addData(StreamOps.Evt(1L, ts(11, 0), 4.0)) // gap > 30min -> closes session 1
+    q.processAllAvailable()
+    // push watermark far ahead so the open session times out
+    mem.addData(StreamOps.Evt(2L, ts(15, 0), 8.0))
+    q.processAllAvailable()
+    mem.addData(StreamOps.Evt(2L, ts(23, 0), 0.5))
+    q.processAllAvailable()
+    val got = spark.table("sessions_t")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+    q.stop()
+    assert(got.contains((1L, ts(9, 0), ts(9, 10), 2L, 3.0)), s"got: ${got.mkString}")
+    assert(got.contains((1L, ts(11, 0), ts(11, 0), 1L, 4.0)), s"got: ${got.mkString}")
+    assert(got.contains((2L, ts(15, 0), ts(15, 0), 1L, 8.0)), s"got: ${got.mkString}")
+  }
+
+  test("batch sessionize agrees with streaming semantics on a closed history") {
+    import spark.implicits._
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      (1L, ts(9, 0), 1.0, 100L), (1L, ts(9, 10), 2.0, 101L), (1L, ts(11, 0), 4.0, 102L),
+      (2L, ts(15, 0), 8.0, 103L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val got = graft.ops.Events.sessionize(events, 30)
+      .orderBy("user_id", "sid").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
+        r.getAs[String]("session_end"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 09:00:00", "2024-01-01 09:10:00", 2L, 3.0),
+      (1L, "2024-01-01 11:00:00", "2024-01-01 11:00:00", 1L, 4.0),
+      (2L, "2024-01-01 15:00:00", "2024-01-01 15:00:00", 1L, 8.0)))
+  }
+}
