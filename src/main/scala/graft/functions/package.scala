@@ -45,13 +45,13 @@ package object functions {
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= lit(""))
 
   /** `n`-word shingles (space-joined) of a token array; empty when the
-    * document has fewer than `n` tokens.
+    * document has fewer than `n` tokens. Native single-pass expression —
+    * see [[Shingles]] for why the declarative `transform`+`slice` form is
+    * quadratic in tokens per row.
     */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array())
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Shingles(org.apache.spark.sql.GraftColumnBridge.expression(toks), n))
 
   /** Exact money arithmetic: cast through DECIMAL(18,2) so sums are
     * order-independent and bit-identical to the DuckDB oracle, then

@@ -52,8 +52,16 @@ object Dedup {
     * tokens drop out.
     */
   def minhashSignatures(docs: DataFrame, k: Int, shingleN: Int): DataFrame = {
+    // Hash-heavy map stage: if the source delivers fewer splits than the
+    // cluster has slots (single unsplittable file, small row-group count),
+    // fan out first — the tiny (doc_id, text) shuffle is paid once and the
+    // per-shingle hashing then uses every core. When the scan already
+    // parallelizes (the 100 TB case: thousands of splits), no-op.
+    val slots = docs.sparkSession.sparkContext.defaultParallelism
+    val base =
+      if (docs.rdd.getNumPartitions < slots / 2) docs.repartition(slots) else docs
     val sh = shingles(tokens(col("text")), shingleN)
-    docs.select(col("doc_id"), sh.as("sh"))
+    base.select(col("doc_id"), sh.as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), minhash31(col("sh"), k).as("sig"))
   }
@@ -114,9 +122,16 @@ object Dedup {
     */
   def jaccardRefine(docs: DataFrame, pairs: DataFrame, shingleN: Int,
                     minJaccard: Double): DataFrame = {
-    // Materialized once: referenced by both sides of the pair join (same
-    // plan-duplication and codegen-size rationale as in minhashPairs).
-    val sets = docs.select(col("doc_id"),
+    // Shingle sets are only needed for documents that appear in a
+    // candidate pair — a tiny subset of the corpus once LSH has pruned.
+    // Semi-join docs down to those ids BEFORE the (expensive) shingle
+    // re-tokenization: at 100 TB this turns a full-corpus pass into a
+    // candidates-only pass. Materialized once: referenced by both sides
+    // of the pair join (same rationale as in minhashPairs).
+    val candIds = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
       .localCheckpoint()
@@ -130,10 +145,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** LSH candidates refined to exact Jaccard — the composed near-dup op. */
+  /** LSH candidates refined to exact Jaccard — the composed near-dup op.
+    * The candidate pairs are materialized once (they are tiny after LSH);
+    * jaccardRefine references them twice (id extraction + the pair join),
+    * and without a barrier each reference would re-run the whole LSH
+    * pipeline.
+    */
   def nearDupPairs(docs: DataFrame, k: Int, bands: Int, shingleN: Int,
                    minJaccard: Double, maxBucket: Int = 1000): DataFrame =
-    jaccardRefine(docs, minhashPairs(docs, k, bands, shingleN, maxBucket),
+    jaccardRefine(docs,
+      minhashPairs(docs, k, bands, shingleN, maxBucket).localCheckpoint(),
       shingleN, minJaccard)
 
   /** Exact n-gram Jaccard over *rare* shingles: shingles occurring in more

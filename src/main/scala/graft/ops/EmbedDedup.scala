@@ -45,28 +45,26 @@ object EmbedDedup {
   def planes(dim: Int): Array[Array[Double]] =
     Array.tabulate(Bits, dim)(planeVal)
 
-  /** Sign bit of `emb · plane(b)` (1 when ≥ 0). Left-fold dot, matching
-    * [[Similarity.dot]] and the SQL oracle's `list_sum(list_transform(…))`.
-    */
-  private def signBit(emb: Column, plane: Array[Double]): Column =
-    when(Similarity.dot(emb, typedLit(plane.toSeq)) >= 0.0d, 1).otherwise(0)
-
   /** (id, band, bucket) rows: one row per band per vector; bucket is the
-    * band's bit string. Map-only (the explode multiplies rows by `Bands`,
-    * a constant, before the join shuffle).
+    * band's bit-string slice of the [[graft.functions.SrpBits]] signature
+    * (all `Bits` dot products in one native pass). Map-only (the explode
+    * multiplies rows by `Bands`, a constant, before the join shuffle).
     */
   def srpBuckets(embs: DataFrame, dim: Int,
                  idCol: String = "vec_id",
                  embCol: String = "embedding"): DataFrame = {
-    val pl = planes(dim)
     val r = Bits / Bands
-    val e = Similarity.asDouble(col(embCol))
+    val bits = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.SrpBits(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          Similarity.asDouble(col(embCol))),
+        planes(dim)))
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        concat((b * r until (b + 1) * r).map(i => signBit(e, pl(i)).cast("string")): _*)
-          .as("bucket"))
+        substring(col("bits"), b * r + 1, r).as("bucket"))
     }
-    embs.select(col(idCol).cast("long").as("id"), explode(array(bandCols: _*)).as("bb"))
+    embs.select(col(idCol).cast("long").as("id"), bits.as("bits"))
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
