@@ -1,18 +1,31 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.ops.HybridSort
 
-/** SQL registration for the engine's native expressions, so they are
-  * callable from `expr(...)` / `spark.sql(...)` like built-ins.
+/** SQL surface of the engine's native expressions. Two installation
+  * paths, same builders:
+  *
+  *  - [[GraftFunctions.register]]: imperative per-session registration
+  *    (used by the operators themselves);
+  *  - [[graft.GraftExtensions]]: declarative, via
+  *    `spark.sql.extensions=graft.GraftExtensions` — the idiomatic way to
+  *    ship the function library to a whole cluster (every session created
+  *    from that config, including Thrift/Connect sessions, gets the
+  *    functions without touching application code).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("hybrid_sort_array", (exprs: Seq[Expression]) =>
-      exprs match {
+
+  type Builder = Seq[Expression] => Expression
+
+  /** (name, usage, builder) for every engine function. */
+  val builders: Seq[(String, String, Builder)] = Seq(
+    ("hybrid_sort_array",
+      "hybrid_sort_array(arr[, threshold]) - sorts an int array with the quicksort+insertion hybrid",
+      (exprs: Seq[Expression]) => exprs match {
         case Seq(c) => HybridSortArray(c, HybridSort.DefaultThreshold)
         // Accept only a non-null integral literal threshold, checked here at
         // resolution time — anything else (NULL, strings, non-foldable
@@ -24,24 +37,45 @@ object GraftFunctions {
           s"hybrid_sort_array(arr[, threshold]): threshold must be an integer literal, got ${t.sql}")
         case _ => throw new IllegalArgumentException(
           "hybrid_sort_array(arr[, threshold]) takes 1 or 2 arguments")
-      }, "built-in")
-    reg.createOrReplaceTempFunction("simhash60", (exprs: Seq[Expression]) =>
-      SimHash60(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("h60", (exprs: Seq[Expression]) =>
-      H60(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash31", (exprs: Seq[Expression]) =>
-      exprs match {
+      }),
+    ("simhash60",
+      "simhash60(tokens) - 60-bit SimHash fingerprint of a string array",
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)),
+    ("h60",
+      "h60(str) - first 60 bits of md5(str) as a non-negative bigint",
+      (exprs: Seq[Expression]) => H60(exprs.head)),
+    ("minhash31",
+      "minhash31(shingles, k) - k-function MinHash signature as array<bigint>",
+      (exprs: Seq[Expression]) => exprs match {
         case Seq(c, Literal(kk: Number, _)) if kk != null =>
           MinHash31(c, kk.intValue())
         case _ => throw new IllegalArgumentException(
           "minhash31(shingles, k) takes (array<string>, int literal)")
-      }, "built-in")
-    reg.createOrReplaceTempFunction("topk_by_score", (exprs: Seq[Expression]) =>
-      exprs match {
+      }),
+    ("topk_by_score",
+      "topk_by_score(score, id, k) - bounded-heap top-k aggregate",
+      (exprs: Seq[Expression]) => exprs match {
         case Seq(s, i, Literal(kk: Number, _)) if kk != null =>
           TopKByScore(s, i, kk.intValue())
         case _ => throw new IllegalArgumentException(
           "topk_by_score(score, id, k) takes (double, bigint, int literal)")
-      }, "built-in")
+      }),
+  )
+
+  /** Imperative per-session registration. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, _, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
+
+  /** Declarative injection for `spark.sql.extensions`. */
+  def inject(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, usage, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", null, name, usage, ""),
+        b))
+    }
 }
