@@ -215,6 +215,24 @@ object SparkEntry {
       Events.sessionize(Tables.events(s, d), SessionGapMin)
         .orderBy(col("user_id"), col("sid"))),
 
+    // As-of (point-in-time) join: for each purchase, the user's latest
+    // click at-or-before it — the feature-store lookup shape.
+    "asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val c = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      AsOfJoin.join(p, c, "user_id", "ts", "ts", Seq("ts", "value"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+          col("value").as("p_value"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+          col("r_value").as("c_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // -- embedding near-dup ------------------------------------------------
     "emb_neardup" -> ((s, d) =>
       EmbedDedup.nearDupPairs(emb(s, d), EmbDim, EmbMinCos)
@@ -410,6 +428,18 @@ object SparkEntry {
          |  count(*) AS n_events,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    // ts truncated to µs in the CTE: Spark ingests the ns parquet column
+    // at µs precision, so the ASOF `>=` must compare at µs on both sides.
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, date_trunc('microseconds', ts) AS ts FROM events),
+        |p AS (SELECT user_id, event_id, ts, value FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max_by(value, event_id) AS value FROM e WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.user_id, p.event_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts, p.value AS p_value,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts, c.value AS c_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "emb_neardup" -> embNearDupSql,
 
