@@ -32,8 +32,16 @@ import graft.functions.SimHashUtil
   */
 object EmbedDedup {
 
-  val Bits = 16
-  val Bands = 4 // 4 bits per band
+  /** 4 bands × 8 bits: 256 buckets per band. Band width must scale with
+    * corpus size — with w-bit bands the expected bucket holds n/2^w
+    * vectors and candidate pairs grow as n²/2^w per band; 4-bit bands
+    * (16 buckets) already produce ~n²/32 pairs at n=2000, which made the
+    * exact-cosine refine the whole query. 8 bits keeps buckets sparse at
+    * test scale; at larger n, raise w (or bands) the same way MinHash-LSH
+    * banding is tuned.
+    */
+  val Bits = 32
+  val Bands = 4 // 8 bits per band
 
   /** Hyperplane component in [-1, 1] with 3 decimal digits — small exact
     * decimals so `emb * plane` products are bit-identical across engines.

@@ -33,9 +33,16 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays — native expression
+    * (see [[graft.functions.DotProduct]]), same left-fold value as
+    * `aggregate(zip_with(a, b, _*_), 0d, _+_)` at a fraction of the
+    * per-row cost.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** Cast float embedding to double once, so all downstream arithmetic is
     * double-precision in every engine.
