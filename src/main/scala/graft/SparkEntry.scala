@@ -137,6 +137,39 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // Rollup (grouping sets): per-(status, priority) totals plus the
+    // per-status and grand-total super-aggregates in one pass.
+    "rollup_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(col("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy(col("gid"), col("status"), col("priority"))),
+
+    // Set operations: customers ordering in both 1995 and 1996
+    // (INTERSECT) vs only in 1995 (EXCEPT).
+    "set_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def custsIn(y: Int) =
+        o.where(year(col("o_orderdate")) === y).select(col("o_custkey"))
+      val both = custsIn(1995).intersect(custsIn(1996))
+        .select(lit("both").as("tag"), col("o_custkey"))
+      val only95 = custsIn(1995).except(custsIn(1996))
+        .select(lit("only_1995").as("tag"), col("o_custkey"))
+      both.unionAll(only95).orderBy(col("tag"), col("o_custkey"))
+    }),
+
+    // Skew-safe exact distinct: dedupe on (key, value) first so no
+    // reducer holds a hot key's full value multiset.
+    "skew_distinct" -> ((s, d) =>
+      SkewAgg.distinctCount(li(s, d), "l_returnflag", "l_suppkey", "n_supp")
+        .orderBy(col("l_returnflag"))),
+
     // -- sort surface (the reference's core) -------------------------------
     "global_sort" -> ((s, d) =>
       Sorts.globalSort(li(s, d).select(sortCols.map(col): _*),
@@ -281,6 +314,28 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rollup_orders" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    "set_ops" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+        |UNION ALL
+        |SELECT 'only_1995' AS tag, o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "skew_distinct" ->
+      """SELECT l_returnflag, count(*) AS n_supp
+        |FROM (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "global_sort" ->
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem

@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-safe aggregation patterns.
+  *
+  * Plain `groupBy(hotKey).agg(...)` shuffles every row to one reducer per
+  * key — fine for combinable aggregates (sum/count get map-side partial
+  * aggregation) but a straggler factory for aggregates that must SEE all
+  * values per key (exact distinct, collect_list, exact percentiles) when
+  * the key domain is tiny or skewed (e.g. 3 return flags over 100 TB of
+  * lineitem).
+  */
+object SkewAgg {
+
+  /** Exact distinct count per key, restated as dedupe-then-count:
+    * the first shuffle keys on (key, value) — cardinality = distinct
+    * pairs, uniformly spread — and the second aggregates pre-deduped rows
+    * with map-side combine. No reducer ever holds a hot key's full value
+    * multiset, versus a naive per-key distinct-set aggregate. (This is
+    * the manual restatement of what Catalyst's Expand-based rewrite does
+    * for `countDistinct`; spelled out here as the composable pattern for
+    * aggregates the optimizer does NOT rewrite, e.g. collect_set size
+    * with filters, multi-stage sketches.)
+    */
+  def distinctCount(df: DataFrame, key: String, value: String,
+                    outCol: String): DataFrame =
+    df.select(col(key), col(value)).distinct()
+      .groupBy(col(key))
+      .agg(count(lit(1)).as(outCol))
+}
