@@ -186,6 +186,14 @@ object SparkEntry {
     "gen_sorted" -> ((s, d) =>
       Sorts.globalSort(Gen.lcgInts(s, 100000L), col("value"), col("id"))),
 
+    // Same rows via the DataSource V2 table (format "graft-gen") instead
+    // of spark.range — exercises the connector read path + pruning.
+    "gen_source" -> ((s, d) =>
+      Sorts.globalSort(
+        s.read.format("graft-gen")
+          .option("n", 100000L).option("bound", 5000000L).load(),
+        col("value"), col("id"))),
+
     "hybrid_sort" -> ((s, d) => {
       GraftFunctions.register(s)
       li(s, d).groupBy(col("l_orderkey"))
@@ -351,6 +359,10 @@ object SparkEntry {
 
     "gen_sorted" ->
       """SELECT ((id % 2147483647) * 2654435761) % 5000000 AS value, id
+        |FROM range(100000) t(id) ORDER BY value, id""".stripMargin,
+
+    "gen_source" ->
+      """SELECT id, ((id % 2147483647) * 2654435761) % 5000000 AS value
         |FROM range(100000) t(id) ORDER BY value, id""".stripMargin,
 
     "hybrid_sort" ->
