@@ -26,22 +26,28 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").limit(100).collect()
     }
     ops.Tables.events(spark, sfDir).limit(100).collect() // needs nanos conf
+    // Two timed runs per query, report the MIN: the host VM occasionally
+    // deschedules vCPUs for 30s+ windows, inflating whichever single
+    // stage is running; min-of-2 keeps one stall from masquerading as a
+    // query regression. Declared in the output ("agg":"min_of_2").
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -1.0)
+      }
+      val a = once()
+      val sec = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
+      (name, sec)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_2","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
