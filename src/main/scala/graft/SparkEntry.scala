@@ -244,6 +244,9 @@ object SparkEntry {
     "fingerprint" -> ((s, d) =>
       TextStats.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
 
+    "stopword_ratio" -> ((s, d) =>
+      TextStats.stopwordStats(docs(s, d)).orderBy(col("doc_id"))),
+
     // -- time series -------------------------------------------------------
     "events_hourly" -> ((s, d) =>
       Events.hourlyStats(Tables.events(s, d))
@@ -470,6 +473,18 @@ object SparkEntry {
          |hs AS (SELECT doc_id, list_transform(tk, t -> ${h60Sql("t")} % 1000003) AS h FROM toks)
          |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), h), (acc, x) -> (acc * 31 + x) % ${TextStats.FpMod}) AS fp
          |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "stopword_ratio" -> {
+      val stops = TextStats.LangProfiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents)
+         |SELECT doc_id, len(tk) AS n_tokens,
+         |  len(list_filter(tk, x -> list_contains([$stops], x))) AS n_stop,
+         |  CASE WHEN len(tk) > 0
+         |    THEN round(CAST(len(list_filter(tk, x -> list_contains([$stops], x))) AS DOUBLE) / len(tk), 4)
+         |    ELSE 0.0 END AS stop_ratio
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

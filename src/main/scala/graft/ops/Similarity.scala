@@ -124,24 +124,18 @@ object Similarity {
     val centRows = base.where(col(bId) % stride === 0)
       .select(col(bId).cast("long"), col(bEmb)).collect()
     require(centRows.nonEmpty, s"no centroids: no $bId divisible by $stride")
-    val cents = array(centRows.map { r =>
-      val emb = r.getSeq[Double](1)
-      val nrm = math.sqrt(emb.foldLeft(0.0d)((acc, x) => acc + x * x))
-      struct(lit(r.getLong(0)).as("cent_id"),
-        typedLit(emb).as("cent_emb"),
-        lit(nrm).as("cent_nrm"))
-    }: _*)
-    val withNrm = df.withColumn("_nrm", sqrt(dot(col(embName), col(embName))))
-    // round(…, 6) before the argmax so rank ties resolve identically to a
-    // SQL oracle that also ranks rounded similarities
-    val best = array_max(transform(cents, c =>
-      struct(
-        round(cosineFromNorms(dot(col(embName), c.getField("cent_emb")),
-          col("_nrm"), c.getField("cent_nrm")), 6).as("s"),
-        (-c.getField("cent_id")).as("nid"))))
+    val ids = centRows.map(_.getLong(0))
+    val embs = centRows.map(_.getSeq[Double](1).toArray)
+    val nrms = embs.map(e => math.sqrt(e.foldLeft(0.0d)((acc, x) => acc + x * x)))
+    // Native argmax over the embedded centroid table (rounded to 6dp,
+    // ties to the smaller id, zero norms → 0.0 — pinned to the oracle).
+    val cell = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(embName)),
+        ids, embs, nrms))
     val nrmName = if (idName == "query_id") "q_nrm" else "c_nrm"
-    withNrm.select(col(idName), col(embName),
-      (-best.getField("nid")).as("cell"), col("_nrm").as(nrmName))
+    df.withColumn("_nrm", sqrt(dot(col(embName), col(embName))))
+      .select(col(idName), col(embName), cell.as("cell"), col("_nrm").as(nrmName))
   }
 
   /** Per-query top-k by similarity (desc), deterministic tie-break on id.

@@ -76,6 +76,24 @@ object TextStats {
       round((lenScore + alphaRatio + wordScore) / 3.0d, 4).as("quality"))
   }
 
+  /** Stopword statistics: occurrence count (multiset, not distinct) of the
+    * combined stopword inventory and its ratio to total tokens — the
+    * classic fluency signal of a quality-filtering pass (natural prose has
+    * a stable stopword mass; keyword spam and boilerplate don't). Map-only.
+    */
+  def stopwordStats(docs: DataFrame): DataFrame = {
+    val allStops = LangProfiles.flatMap(_._2).distinct
+    val toks = tokens(col("text"))
+    val hits = size(filter(toks, t => array_contains(
+      array(allStops.map(lit): _*), t))).cast("long")
+    val n = size(toks).cast("long")
+    docs.select(col("doc_id"),
+      n.as("n_tokens"),
+      hits.as("n_stop"),
+      when(n > 0, round(hits.cast("double") / n.cast("double"), 4))
+        .otherwise(0.0d).as("stop_ratio"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the token stream: left fold
     * of `acc * 31 + (h60(token) mod 1000003)  (mod FpMod)`. Order-sensitive
     * (unlike a bag hash) so re-ordered text fingerprints differently;
