@@ -201,6 +201,17 @@ object SparkEntry {
         .orderBy(col("l_orderkey"))
     }),
 
+    // The reference's runtime-configurable threshold
+    // (`quickThreshold.c:188-191`): same answer for any threshold — the
+    // knob trades insertion-sort vs partition work, it never changes
+    // semantics. Runs with threshold 5 to exercise the non-default path.
+    "hybrid_sort_t5" -> ((s, d) => {
+      GraftFunctions.register(s)
+      li(s, d).groupBy(col("l_orderkey"))
+        .agg(expr("hybrid_sort_array(collect_list(l_suppkey), 5)").as("sorted_supps"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // -- dedup -------------------------------------------------------------
     "exact_dedup" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy(col("doc_id"))),
@@ -369,6 +380,10 @@ object SparkEntry {
         |FROM range(100000) t(id) ORDER BY value, id""".stripMargin,
 
     "hybrid_sort" ->
+      """SELECT l_orderkey, list_sort(list(l_suppkey)) AS sorted_supps
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "hybrid_sort_t5" ->
       """SELECT l_orderkey, list_sort(list(l_suppkey)) AS sorted_supps
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
