@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -26,7 +26,7 @@ case class NearestCentroid(child: Expression,
                            centIds: Array[Long],
                            centEmbs: Array[Array[Double]],
                            centNorms: Array[Double])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(centIds.length == centEmbs.length && centIds.length == centNorms.length
     && centIds.nonEmpty, "NearestCentroid: non-empty, aligned centroid arrays required")
@@ -39,8 +39,11 @@ case class NearestCentroid(child: Expression,
       s"nearest_centroid requires array<double>, got ${t.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val e = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    assign(input.asInstanceOf[ArrayData])
+
+  /** Public for generated code (referenced via addReferenceObj). */
+  def assign(e: ArrayData): Long = {
     val n = e.numElements()
     val v = new Array[Double](n)
     var i = 0
@@ -70,6 +73,11 @@ case class NearestCentroid(child: Expression,
       c += 1
     }
     bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nc", this, classOf[NearestCentroid].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.assign($c)")
   }
 
   override def prettyName: String = "nearest_centroid"

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,12 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * is bit-identical across engines.
   *
   * 100 TB shape: map-only over the corpus; the signature shuffles as a
-  * ≤ `Bits`-byte string. CodegenFallback — the per-row work is one native
-  * method call, so staying outside generated code costs one virtual call
-  * per row, not an interpreted expression tree.
+  * ≤ `Bits`-byte string. Codegen'd: generated code calls [[SrpBits.bits]]
+  * directly (the expression instance is attached via `addReferenceObj`).
   */
 case class SrpBits(child: Expression, planes: Array[Array[Double]])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -35,8 +34,11 @@ case class SrpBits(child: Expression, planes: Array[Array[Double]])
       s"srp_bits requires array<double>, got ${t.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    bits(input.asInstanceOf[ArrayData])
+
+  /** Public for generated code (referenced via addReferenceObj). */
+  def bits(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
     val out = new Array[Byte](planes.length)
     var b = 0
@@ -53,6 +55,11 @@ case class SrpBits(child: Expression, planes: Array[Array[Double]])
       b += 1
     }
     UTF8String.fromBytes(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srp", this, classOf[SrpBits].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.bits($c)")
   }
 
   override def prettyName: String = "srp_bits"
