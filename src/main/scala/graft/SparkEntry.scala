@@ -170,6 +170,23 @@ object SparkEntry {
       SkewAgg.distinctCount(li(s, d), "l_returnflag", "l_suppkey", "n_supp")
         .orderBy(col("l_returnflag"))),
 
+    // Value histogram: bounded-cardinality group-by (map-side combine
+    // collapses each bucket before the shuffle).
+    "price_histogram" -> ((s, d) =>
+      li(s, d).groupBy(floor(col("l_extendedprice") / 1000.0d).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("bucket"))),
+
+    // Skew-safe exact (lower) median via the value histogram: aggregate
+    // per (key, value) first — domain-bounded, hot-key-proof — then a
+    // cumulative-count threshold, instead of sorting every raw row of a
+    // hot key on one reducer.
+    "skew_median" -> ((s, d) =>
+      SkewAgg.histogramMedian(li(s, d), "l_returnflag", "l_quantity", "median_qty")
+        .orderBy(col("l_returnflag"))),
+
     // -- sort surface (the reference's core) -------------------------------
     "global_sort" -> ((s, d) =>
       Sorts.globalSort(li(s, d).select(sortCols.map(col): _*),
@@ -358,6 +375,20 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_supp
         |FROM (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "price_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket,
+        |count(*) AS n, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "skew_median" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |  sum(n) OVER (PARTITION BY l_returnflag ORDER BY l_quantity ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER (PARTITION BY l_returnflag) AS tot FROM c)
+        |SELECT l_returnflag, min(l_quantity) AS median_qty
+        |FROM t WHERE cum >= ceil(tot / 2.0) GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "global_sort" ->
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem

@@ -29,4 +29,29 @@ object SkewAgg {
     df.select(col(key), col(value)).distinct()
       .groupBy(col(key))
       .agg(count(lit(1)).as(outCol))
+
+  /** Exact lower median per key over a bounded-domain value column,
+    * computed from the per-(key, value) histogram: the first shuffle keys
+    * on (key, value) — domain-bounded and uniform — with map-side combine
+    * collapsing duplicates before any data moves; the windows then run
+    * over at most |domain| rows per key. Versus `percentile(value, 0.5)`,
+    * which ships every raw row of a hot key to one reducer. The lower
+    * median (smallest value whose cumulative count reaches ceil(n/2))
+    * avoids cross-engine interpolation ambiguity for even counts.
+    */
+  def histogramMedian(df: DataFrame, key: String, value: String,
+                      outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(key), col(value)).agg(count(lit(1)).as("n"))
+    val byKey = Window.partitionBy(col(key))
+    val cum = sum(col("n")).over(byKey.orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val tot = sum(col("n")).over(byKey)
+    counts
+      .withColumn("cum", cum)
+      .withColumn("tot", tot)
+      .where(col("cum") >= ceil(col("tot") / 2.0d))
+      .groupBy(col(key))
+      .agg(min(col(value)).as(outCol))
+  }
 }

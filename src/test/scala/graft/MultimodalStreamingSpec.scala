@@ -154,6 +154,42 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.contains((2L, ts(15, 0), ts(15, 0), 1L, 8.0)), s"got: ${got.mkString}")
   }
 
+  test("file-driven streaming: readStream over the events corpus matches batch hourly stats") {
+    // stream the sf0.001 events table as files and check the windowed agg
+    // equals the batch plan over the same data (same Catalyst window node)
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = graft.ops.Tables.events(spark, sfDir)
+      .select("ts", "event_type", "value")
+    // stage as a parquet dir Spark's file stream can ingest (µs timestamps)
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    batchEvents.write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(stage)
+    val q = StreamOps.hourlyStatsStream(stream, "0 seconds").writeStream
+      .format("memory").queryName("hourly_file_t").outputMode("append").start()
+    q.processAllAvailable()
+    // the watermark advances at the END of the data batch; closed windows
+    // flush in a follow-up no-data micro-batch — wait for it
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (spark.table("hourly_file_t").isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("hourly_file_t")
+      .select("hour", "event_type", "n_events", "sum_value")
+      .orderBy("hour", "event_type").collect().toSeq
+    val expectAll = graft.ops.Events.hourlyStats(batchEvents.withColumn("props", lit("{}")))
+      .select("hour", "event_type", "n_events", "sum_value")
+      .orderBy("hour", "event_type").collect().toSeq
+    // append mode withholds windows the watermark has not passed — the
+    // emitted set must be a prefix of the batch answer and cover all but
+    // the final open hour(s)
+    assert(got.nonEmpty && expectAll.startsWith(got))
+    assert(expectAll.size - got.size <= 5, s"${expectAll.size} batch vs ${got.size} emitted")
+  }
+
   test("batch sessionize agrees with streaming semantics on a closed history") {
     import spark.implicits._
     def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
