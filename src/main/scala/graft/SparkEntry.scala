@@ -127,6 +127,28 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape: 6-table star join. The fact scan (lineitem) joins
+    // the orders fact (shuffle join on orderkey) and BROADCASTS every
+    // dimension (supplier/customer/nation/region); the date filter pushes
+    // into the orders scan. Local-supplier semantics: customer and
+    // supplier share a nation.
+    "q5_local_supplier" -> ((s, d) => {
+      val rev = dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount")))
+      li(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .where(year(col("o_orderdate")) === 1996)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "window_top_orders" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -347,6 +369,19 @@ object SparkEntry {
         |SELECT o_orderkey, c_name, strftime(o_orderdate, '%Y-%m-%d') AS o_date, revenue
         |FROM rev JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE year(o_orderdate) = 1996 AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "window_top_orders" ->
       """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
