@@ -297,6 +297,13 @@ object SparkEntry {
     "stopword_ratio" -> ((s, d) =>
       TextStats.stopwordStats(docs(s, d)).orderBy(col("doc_id"))),
 
+    // Reproducible 10% corpus sample keyed on doc_id (same subset in any
+    // engine / any re-run — the train/holdout split primitive).
+    "doc_sample" -> ((s, d) =>
+      TextStats.hashSample(docs(s, d), "doc_id", "split1", 10, 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // -- time series -------------------------------------------------------
     "events_hourly" -> ((s, d) =>
       Events.hourlyStats(Tables.events(s, d))
@@ -566,6 +573,11 @@ object SparkEntry {
          |    ELSE 0.0 END AS stop_ratio
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    "doc_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${h60Sql("'split1:' || doc_id")} % 100 < 10
+         |ORDER BY doc_id""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

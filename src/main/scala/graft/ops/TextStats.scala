@@ -76,6 +76,19 @@ object TextStats {
       round((lenScore + alphaRatio + wordScore) / 3.0d, 4).as("quality"))
   }
 
+  /** Deterministic hash sample: keep a row iff
+    * `h60(salt:key) mod denom < keep`. Unlike `df.sample()` (RNG-and-
+    * partitioning dependent), the decision is a pure function of the key —
+    * re-runs, other engines, and incremental pipelines select the SAME
+    * subset, which is what corpus-curation sampling needs (train/holdout
+    * splits that survive reprocessing). Map-only at any scale.
+    */
+  def hashSample(df: DataFrame, keyCol: String, salt: String,
+                 keep: Int, denom: Int): DataFrame = {
+    require(keep >= 0 && keep <= denom && denom > 0)
+    df.where(pmod(h60(concat(lit(salt), lit(":"), col(keyCol))), lit(denom.toLong)) < keep)
+  }
+
   /** Stopword statistics: occurrence count (multiset, not distinct) of the
     * combined stopword inventory and its ratio to total tokens — the
     * classic fluency signal of a quality-filtering pass (natural prose has
