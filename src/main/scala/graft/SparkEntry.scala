@@ -297,6 +297,9 @@ object SparkEntry {
     "stopword_ratio" -> ((s, d) =>
       TextStats.stopwordStats(docs(s, d)).orderBy(col("doc_id"))),
 
+    "text_clean" -> ((s, d) =>
+      TextStats.cleanText(docs(s, d)).orderBy(col("doc_id"))),
+
     // Reproducible 10% corpus sample keyed on doc_id (same subset in any
     // engine / any re-run — the train/holdout split primitive).
     "doc_sample" -> ((s, d) =>
@@ -573,6 +576,14 @@ object SparkEntry {
          |    ELSE 0.0 END AS stop_ratio
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    "text_clean" ->
+      """SELECT doc_id,
+        |  CAST(length(c) AS BIGINT) AS clean_len, md5(c) AS clean_md5
+        |FROM (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', '', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

@@ -76,6 +76,20 @@ object TextStats {
       round((lenScore + alphaRatio + wordScore) / 3.0d, 4).as("quality"))
   }
 
+  /** Text normalization — the first stage of any curation pipeline:
+    * strip ASCII control characters, collapse whitespace runs to single
+    * spaces, trim. Map-only; emits the cleaned length and digest (the
+    * compact signals dedup/filter stages key on) rather than re-shipping
+    * the body.
+    */
+  def cleanText(docs: DataFrame): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(col("text"), "[\\x00-\\x1f]", ""), "\\s+", " "))
+    docs.select(col("doc_id"),
+      length(cleaned).cast("long").as("clean_len"),
+      md5(cleaned).as("clean_md5"))
+  }
+
   /** Deterministic hash sample: keep a row iff
     * `h60(salt:key) mod denom < keep`. Unlike `df.sample()` (RNG-and-
     * partitioning dependent), the decision is a pure function of the key —
