@@ -57,6 +57,7 @@ object SparkEntry {
   private val MinJaccard = 0.1
 
   private val SessionGapMin = 30
+  private val IvfCentroids = 16
   private val EmbDim = 64
   private val EmbMinCos = 0.4
   private val FrameBytes = 32
@@ -222,6 +223,39 @@ object SparkEntry {
       Sorts.topK(li(s, d).select(sortCols.map(col): _*), 100,
         col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
 
+    // The reference's file sink (O15, `QuickInsertionHeap.cu:118-131`):
+    // write range-partitioned sorted parquet, read the part files back in
+    // (file, offset) order with NO re-sort — matching the ORDER BY oracle
+    // proves the sink preserved global order end-to-end.
+    "sorted_sink" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sorted_sink").toString
+      Sorts.sortedSink(li(s, d).select(sortCols.map(col): _*), path,
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Sorts.readSortedSink(s, path)
+    }),
+
+    // Format surface round-trips (SURVEY §2.2 scans row): the same rows
+    // through a written CSV / JSON copy and back, against the parquet
+    // oracle — proves header/quoting/type inference plumbing.
+    "csv_roundtrip" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString
+      val nation = Tables.nation(s, d)
+      nation.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true").schema(nation.schema).csv(path)
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "json_roundtrip" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_json").toString
+      val supplier = Tables.supplier(s, d)
+      supplier.write.mode("overwrite").json(path)
+      s.read.schema(supplier.schema).json(path)
+        .orderBy(col("s_suppkey"))
+    }),
+
     "gen_sorted" -> ((s, d) =>
       Sorts.globalSort(Gen.lcgInts(s, 100000L), col("value"), col("id"))),
 
@@ -233,10 +267,14 @@ object SparkEntry {
           .option("n", 100000L).option("bound", 5000000L).load(),
         col("value"), col("id"))),
 
+    // The sorted array serializes to a CSV string: the driver's comparator
+    // hashes cells, and array cells are unhashable there — the VALUES are
+    // what's compared, the join is pure transport.
     "hybrid_sort" -> ((s, d) => {
       GraftFunctions.register(s)
       li(s, d).groupBy(col("l_orderkey"))
-        .agg(expr("hybrid_sort_array(collect_list(l_suppkey))").as("sorted_supps"))
+        .agg(expr("array_join(hybrid_sort_array(collect_list(l_suppkey)), ',')")
+          .as("sorted_supps"))
         .orderBy(col("l_orderkey"))
     }),
 
@@ -247,7 +285,8 @@ object SparkEntry {
     "hybrid_sort_t5" -> ((s, d) => {
       GraftFunctions.register(s)
       li(s, d).groupBy(col("l_orderkey"))
-        .agg(expr("hybrid_sort_array(collect_list(l_suppkey), 5)").as("sorted_supps"))
+        .agg(expr("array_join(hybrid_sort_array(collect_list(l_suppkey), 5), ',')")
+          .as("sorted_supps"))
         .orderBy(col("l_orderkey"))
     }),
 
@@ -259,7 +298,9 @@ object SparkEntry {
       Dedup.exactByDigest(docs(s, d)).orderBy(col("doc_id"))),
 
     "minhash_sig" -> ((s, d) =>
-      Dedup.minhashSignatures(docs(s, d), MinhashK, ShingleN).orderBy(col("doc_id"))),
+      Dedup.minhashSignatures(docs(s, d), MinhashK, ShingleN)
+        .select(col("doc_id"), array_join(col("sig"), ",").as("sig"))
+        .orderBy(col("doc_id"))),
 
     "minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), MinhashK, MinhashBands, ShingleN, MaxBucket)
@@ -278,7 +319,7 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))),
 
     "knn_ivf" -> ((s, d) =>
-      Similarity.ivfTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5, 100)
+      Similarity.ivfTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5, IvfCentroids)
         .orderBy(col("query_id"), col("rank"))),
 
     // -- text analysis -----------------------------------------------------
@@ -348,14 +389,21 @@ object SparkEntry {
 
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSample(docs(s, d), FrameBytes, FrameStride)
+        .withColumn("frame_digests", array_join(col("frame_digests"), ","))
         .orderBy(col("doc_id"))),
 
     // Batched partition-level decode+resize through the stub codec — the
-    // plumbing (binary payloads, batch iteration, map-only plan) is real;
-    // the codec is a deterministic fake, so this entry has no SQL oracle
-    // (driver records the weaker rows-only check).
+    // plumbing (binary payloads, batch iteration, map-only plan) is real.
+    // The stub codec is deterministic arithmetic over the payload bytes and
+    // the corpus is ASCII, so the result IS SQL-expressible: this entry
+    // carries a full DuckDB oracle (dims + resampled-thumbnail checksum).
+    // width/height cast to long: DuckDB length() arithmetic is BIGINT.
     "mm_resize" -> ((s, d) =>
       Multimodal.decodeResize(docs(s, d), Multimodal.FakeCodec)
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("thumb_checksum"))
         .orderBy(col("doc_id"))),
   )
 
@@ -447,6 +495,18 @@ object SparkEntry {
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
          |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin,
 
+    "sorted_sink" ->
+      s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
+         |ORDER BY l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
+
+    "csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+
     "gen_sorted" ->
       """SELECT ((id % 2147483647) * 2654435761) % 5000000 AS value, id
         |FROM range(100000) t(id) ORDER BY value, id""".stripMargin,
@@ -456,11 +516,11 @@ object SparkEntry {
         |FROM range(100000) t(id) ORDER BY value, id""".stripMargin,
 
     "hybrid_sort" ->
-      """SELECT l_orderkey, list_sort(list(l_suppkey)) AS sorted_supps
+      """SELECT l_orderkey, array_to_string(list_sort(list(l_suppkey)), ',') AS sorted_supps
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "hybrid_sort_t5" ->
-      """SELECT l_orderkey, list_sort(list(l_suppkey)) AS sorted_supps
+      """SELECT l_orderkey, array_to_string(list_sort(list(l_suppkey)), ',') AS sorted_supps
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "exact_dedup" ->
@@ -473,7 +533,7 @@ object SparkEntry {
 
     "minhash_sig" ->
       s"""WITH $sigCte
-         |SELECT doc_id, sig FROM sig ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, array_to_string(sig, ',') AS sig FROM sig ORDER BY doc_id""".stripMargin,
 
     "minhash_pairs" ->
       s"""WITH $sigCte,
@@ -509,7 +569,8 @@ object SparkEntry {
 
     "knn_ivf" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |cents AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id % 100 = 0),
+         |cents AS (SELECT vec_id AS cent_id, e AS ce FROM c
+         |  ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfCentroids),
          |assign AS (SELECT vec_id, e, cell FROM (
          |  SELECT c.vec_id, c.e, cents.cent_id AS cell,
          |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "cents.ce")} DESC, cents.cent_id ASC) AS rn
@@ -607,7 +668,7 @@ object SparkEntry {
       s"""WITH x AS (SELECT user_id, event_id, ts, value,
          |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > ${SessionGapMin * 60000000L} THEN 1 ELSE 0 END AS brk
          |  FROM events),
-         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+         |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM x)
          |SELECT user_id, sid,
          |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
@@ -645,11 +706,28 @@ object SparkEntry {
       s"""WITH p AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS bl FROM documents),
          |f AS (SELECT doc_id, CAST(ceil(bl / $FrameBytes.0) AS BIGINT) AS n_frames, text FROM p)
          |SELECT doc_id, n_frames,
-         |  CASE WHEN n_frames > 0 THEN
+         |  array_to_string(CASE WHEN n_frames > 0 THEN
          |    list_transform(range(0, (n_frames - 1) // $FrameStride + 1),
          |      j -> md5(substring(text, CAST(j * $FrameStride * $FrameBytes + 1 AS INT), $FrameBytes)))
-         |  ELSE [] END AS frame_digests
+         |  ELSE [] END, ',') AS frame_digests
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.FakeCodec + decodeResize exactly: dims are
+    // arithmetic on the payload length; the 8×8 nearest-neighbor thumbnail
+    // reads byte (y·w + x) mod len with y = (p/8)·h/8, x = (p%8)·w/8
+    // (integer division), and the checksum is the left fold
+    // (acc·131 + byte) mod 1e9+7. ASCII corpus ⇒ ascii(substring(text, i))
+    // sees exactly the UTF-8 payload byte Spark's codec sees.
+    "mm_resize" ->
+      """WITH p AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS bl FROM documents),
+        |d AS (SELECT doc_id, text, bl, bl % 61 + 4 AS width, (bl // 7) % 37 + 4 AS height FROM p),
+        |t AS (SELECT doc_id, width, height,
+        |  list_transform(range(0, 64), i -> CASE WHEN bl = 0 THEN 0
+        |    ELSE ascii(substring(text, CAST(((((i // 8) * height) // 8) * width + (((i % 8) * width) // 8)) % bl + 1 AS INT), 1)) END) AS px
+        |  FROM d)
+        |SELECT doc_id, width, height,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), px), (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS thumb_checksum
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 
   /** SRP-LSH near-dup oracle: hyperplane components are inlined as literal

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{h60, GraftFunctions}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -80,21 +80,26 @@ object Similarity {
     topPerKey(scored, k)
   }
 
-  /** IVF ANN: centroids are the corpus rows whose id is divisible by
-    * `centroidStride` (deterministic, engine-agnostic "training"). Every
-    * vector is assigned to its nearest centroid (its *cell*); a query is
-    * answered from its own cell only — approximate by construction.
+  /** IVF ANN: centroids are the `numCentroids` corpus rows ranking first by
+    * a deterministic hash of their id (engine-agnostic "training" — a
+    * hash-uniform K-row sample). Every vector is assigned to its nearest
+    * centroid (its *cell*); a query is answered from its own cell only —
+    * approximate by construction.
+    *
+    * The centroid count is a FIXED K, independent of corpus size: the
+    * driver-side centroid table and the per-row argmax both stay O(K) at
+    * any scale (a stride-based policy would grow them O(corpus)).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              centroidStride: Int,
+              numCentroids: Int,
               idCol: String = "vec_id",
               embCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
       asDouble(col(embCol)).as("c_emb"))
-    val cells = assignCells(c, "nbr_id", "c_emb", centroidStride)
+    val cells = assignCells(c, "nbr_id", "c_emb", numCentroids)
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       asDouble(col(embCol)).as("q_emb"))
-    val qCells = assignCells(q, "query_id", "q_emb", centroidStride,
+    val qCells = assignCells(q, "query_id", "q_emb", numCentroids,
       corpusForCentroids = Some(c))
     val scored = cells.join(broadcast(qCells), Seq("cell"))
       .where(col("query_id") =!= col("nbr_id"))
@@ -108,22 +113,30 @@ object Similarity {
     * centroid id; zero-norm rows deterministically land in the smallest
     * centroid id's cell.
     *
-    * The centroid set is collected to the driver (it is small by contract —
-    * an IVF coarse quantizer is O(√n) at most, and here a fixed stride) and
-    * embedded as an array literal, so assignment is a map-only projection:
-    * `array_max(transform(centroids, c -> struct(cos, -cent_id)))`. The big
-    * side is never joined, shuffled, or windowed. Centroid norms are
-    * precomputed driver-side with the same left-fold the column `dot` uses,
-    * so results are bit-identical to an all-column-expression plan.
+    * Centroid selection is a bounded hash-rank sample: the K corpus rows
+    * with the smallest `h60("cent:" || id)` (id tie-break). This plans as
+    * TakeOrderedAndProject — a bounded heap per task, K rows shuffled, K
+    * rows collected — so the driver-side table is provably O(K) no matter
+    * how large the corpus is, and selection stays deterministic and
+    * engine-portable (the oracle replays the same md5 ranking).
+    *
+    * The K centroids are embedded as an array literal, so assignment is a
+    * map-only projection — the big side is never joined, shuffled, or
+    * windowed. Centroid norms are precomputed driver-side with the same
+    * left-fold the column `dot` uses, so results are bit-identical to an
+    * all-column-expression plan.
     */
   private def assignCells(df: DataFrame, idName: String, embName: String,
-                          stride: Int,
+                          numCentroids: Int,
                           corpusForCentroids: Option[DataFrame] = None): DataFrame = {
     val base = corpusForCentroids.getOrElse(df)
     val Seq(bId, bEmb) = base.columns.take(2).toSeq
-    val centRows = base.where(col(bId) % stride === 0)
+    val centRows = base
+      .orderBy(h60(concat(lit("cent:"), col(bId).cast("string"))).asc,
+        col(bId).asc)
+      .limit(numCentroids)
       .select(col(bId).cast("long"), col(bEmb)).collect()
-    require(centRows.nonEmpty, s"no centroids: no $bId divisible by $stride")
+    require(centRows.nonEmpty, "no centroids: empty corpus")
     val ids = centRows.map(_.getLong(0))
     val embs = centRows.map(_.getSeq[Double](1).toArray)
     val nrms = embs.map(e => math.sqrt(e.foldLeft(0.0d)((acc, x) => acc + x * x)))

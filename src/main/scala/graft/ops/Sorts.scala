@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The reference's distributed pipeline — scatter → local hybrid sort →
   * k-way merge (`/root/reference/QuickInsertionHeap.c:197-215`) — restated
@@ -47,4 +47,21 @@ object Sorts {
     */
   def sortedSink(df: DataFrame, path: String, keys: Column*): Unit =
     globalSort(df, keys: _*).write.mode("overwrite").parquet(path)
+
+  /** Read a [[sortedSink]] directory back in (file, offset) order WITHOUT
+    * re-sorting: part files are named in partition-index order, which is
+    * range order, so reading each file as its own (order-preserving) scan
+    * and concatenating in filename order reproduces the global order iff
+    * the sink really wrote one. This is the verification read for the
+    * reference's file sink (`/root/reference/QuickInsertionHeap.cu:118-131`)
+    * — comparing it against an ORDER BY oracle proves sink order, which a
+    * plain `read.parquet(dir)` (unordered file listing) could not.
+    */
+  def readSortedSink(spark: SparkSession, path: String): DataFrame = {
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+    require(files.nonEmpty, s"no part files under $path")
+    files.map(f => spark.read.parquet(f)).reduce(_ unionAll _)
+  }
 }

@@ -28,7 +28,10 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // `div`, not `/`: Column `/` is double division, and ns epochs (~1.7e18)
+    // exceed double's 2^53 exact range — `/ 1000` would drift ±1µs on ~12%
+    // of rows, flipping formatted seconds / as-of boundaries on unlucky data.
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

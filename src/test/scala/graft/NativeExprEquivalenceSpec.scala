@@ -94,12 +94,22 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val df = spark.range(1000).select((col("id") * 7919L % 1000L).as("v"), col("id"))
     graft.ops.Sorts.sortedSink(df, dir, col("v"), col("id"))
-    val back = spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getLong(1)))
-    // re-reading without a sort gives partition-file order; verify multiset
-    // equality plus per-file sortedness via a sorted re-read
-    val sorted = spark.read.parquet(dir).orderBy("v", "id")
+    // (file, offset)-order read with NO re-sort must equal the global order
+    val back = graft.ops.Sorts.readSortedSink(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(back.toSet == sorted.toSet)
-    assert(sorted.toSeq == df.orderBy("v", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val expected = df.orderBy("v", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(back.toSeq == expected.toSeq)
+  }
+
+  test("ns→µs conversion is exact floor division beyond double's 2^53 range") {
+    import spark.implicits._
+    // ns epochs ~1.7e18: (x / 1000.0).toLong drifts ±1 on many of these;
+    // `div` must floor exactly for every low-bit pattern
+    val ns = (0L until 2000L).map(i => 1754947200000000000L + i * 1237L + i % 7)
+    val out = ns.toDF("ts").select(expr("ts div 1000").as("us")).as[Long].collect()
+    assert(out.toSeq == ns.map(_ / 1000L))
+    // and at least one of these values demonstrates the double-division bug
+    assert(ns.exists(x => (x / 1000.0d).toLong != x / 1000L))
   }
 }
