@@ -210,6 +210,61 @@ object SparkEntry {
       SkewAgg.histogramMedian(li(s, d), "l_returnflag", "l_quantity", "median_qty")
         .orderBy(col("l_returnflag"))),
 
+    // Pivot: long→wide reshape, one count column per order status. The
+    // value list is explicit (never inferred — inference is a full extra
+    // scan and a nondeterministic column order at scale).
+    "pivot_status" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Skew-safe salted shuffle join (see ops/SkewJoin.scala): hot supplier
+    // keys fan out over 16 reducers instead of one. shuffle_hash hint keeps
+    // the demo honest — at 100 TB the dim that needs salting is too big to
+    // broadcast, so the broadcast fallback Spark would pick here is exactly
+    // what salting exists to avoid.
+    "salted_join" -> ((s, d) => {
+      val fact = li(s, d).select(col("l_suppkey"), col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey")).hint("shuffle_hash")
+      SkewJoin.saltedEquiJoin(fact, dim, "l_suppkey", "s_suppkey",
+          xxhash64(col("l_orderkey")), 16)
+        .groupBy(col("s_nationkey"))
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // Co-located (bucketed) join: both sides written bucketed+sorted on the
+    // join key, so the SortMergeJoin reads bucket-aligned files and needs
+    // NO exchange and NO sort on either side — the 100 TB fact-fact join
+    // pattern (merge hint: a broadcast would bypass the bucketing demo).
+    "bucketed_join" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucketed").toString
+      Tables.orders(s, d).write.mode("overwrite").format("parquet")
+        .option("path", s"$base/orders_b")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_b")
+      Tables.customer(s, d).write.mode("overwrite").format("parquet")
+        .option("path", s"$base/customer_b")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_b")
+      s.table("graft_orders_b").hint("merge")
+        .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // -- sort surface (the reference's core) -------------------------------
     "global_sort" -> ((s, d) =>
       Sorts.globalSort(li(s, d).select(sortCols.map(col): _*),
@@ -482,6 +537,26 @@ object SparkEntry {
         |SELECT l_returnflag, min(l_quantity) AS median_qty
         |FROM t WHERE cum >= ceil(tot / 2.0) GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "salted_join" ->
+      """SELECT s_nationkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "global_sort" ->
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem

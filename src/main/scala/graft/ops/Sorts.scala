@@ -48,6 +48,13 @@ object Sorts {
   def sortedSink(df: DataFrame, path: String, keys: Column*): Unit =
     globalSort(df, keys: _*).write.mode("overwrite").parquet(path)
 
+  /** Print sink (reference O14: the stdout dumps at
+    * `/root/reference/SequentialQuickInsert.c:89-93` etc.) — bounded by
+    * design: at scale a full-table print is a driver OOM, so this takes n.
+    */
+  def printSink(df: DataFrame, n: Int = 20): Unit =
+    df.show(n, truncate = false)
+
   /** Read a [[sortedSink]] directory back in (file, offset) order WITHOUT
     * re-sorting: part files are named in partition-index order, which is
     * range order, so reading each file as its own (order-preserving) scan

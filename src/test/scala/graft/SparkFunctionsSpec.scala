@@ -129,4 +129,41 @@ class SparkFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val worst = (graft.ops.TextStats.FpMod - 1)
     assert(worst <= Long.MaxValue / 31 - 1000002)
   }
+
+  test("saltedEquiJoin equals the plain equi-join (salt never leaks)") {
+    val s = spark
+    import s.implicits._
+    // skewed: key 0 holds half the fact rows
+    val fact = Seq.tabulate(500)(i => (if (i % 2 == 0) 0L else i % 7L, i.toLong))
+      .toDF("k", "payload")
+    val dim = Seq.tabulate(7)(i => (i.toLong, s"d$i")).toDF("dk", "name")
+    val salted = graft.ops.SkewJoin
+      .saltedEquiJoin(fact, dim, "k", "dk", xxhash64(col("payload")), 8)
+    assert(salted.columns.toSeq == Seq("k", "payload", "dk", "name"))
+    val got = salted.orderBy("k", "payload").collect().toSeq
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .orderBy("k", "payload").collect().toSeq
+    assert(got == plain)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bspec").toString
+    Seq.tabulate(100)(i => (i.toLong, i * 2L)).toDF("k", "v").write
+      .mode("overwrite").format("parquet").option("path", s"$base/a")
+      .bucketBy(4, "k").sortBy("k").saveAsTable("t_bspec_a")
+    Seq.tabulate(100)(i => (i.toLong, i * 3L)).toDF("k2", "w").write
+      .mode("overwrite").format("parquet").option("path", s"$base/b")
+      .bucketBy(4, "k2").sortBy("k2").saveAsTable("t_bspec_b")
+    val joined = spark.table("t_bspec_a").hint("merge")
+      .join(spark.table("t_bspec_b"), col("k") === col("k2"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == 100)
+  }
+
+  test("printSink renders without error (reference O14)") {
+    graft.ops.Sorts.printSink(spark.range(3).toDF(), 3)
+  }
 }
