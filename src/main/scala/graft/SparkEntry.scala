@@ -58,6 +58,9 @@ object SparkEntry {
 
   private val SessionGapMin = 30
   private val IvfCentroids = 16
+  private val ChunkTokens = 64
+  private val ChunkOverlap = 16
+  private val TfidfK = 3
   private val EmbDim = 64
   private val EmbMinCos = 0.4
   private val FrameBytes = 32
@@ -396,6 +399,16 @@ object SparkEntry {
     "text_clean" -> ((s, d) =>
       TextStats.cleanText(docs(s, d)).orderBy(col("doc_id"))),
 
+    // Context-window chunking: 64-token windows, 16-token overlap.
+    "doc_chunks" -> ((s, d) =>
+      TextStats.chunk(docs(s, d), ChunkTokens, ChunkOverlap)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Top-3 TF-IDF terms per document.
+    "tfidf_top" -> ((s, d) =>
+      TextStats.tfidfTopTerms(docs(s, d), TfidfK)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // Reproducible 10% corpus sample keyed on doc_id (same subset in any
     // engine / any re-run — the train/holdout split primitive).
     "doc_sample" -> ((s, d) =>
@@ -720,6 +733,29 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', '', 'g'), '\s+', ' ', 'g')) AS c
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "doc_chunks" -> {
+      val stride = ChunkTokens - ChunkOverlap
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |n AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+         |ch AS (SELECT doc_id, tk, unnest(range(0, (n - 1) // $stride + 1)) AS chunk_id FROM n)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(tk[chunk_id * $stride + 1 : chunk_id * $stride + $ChunkTokens]) AS BIGINT) AS n_tokens,
+         |  array_to_string(tk[chunk_id * $stride + 1 : chunk_id * $stride + $ChunkTokens], ' ') AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
+    "tfidf_top" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS tfidf
+         |  FROM tf JOIN dfq USING (term), tot)
+         |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tfidf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn FROM scored)
+         |WHERE rn <= $TfidfK ORDER BY doc_id, rank""".stripMargin,
 
     "doc_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

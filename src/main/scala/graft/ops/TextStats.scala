@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -136,5 +137,49 @@ object TextStats {
     docs.select(col("doc_id"),
       aggregate(hashed, lit(0L),
         (acc, h) => (acc * 31L + h) % FpMod).as("fp"))
+  }
+
+  /** Split each document into overlapping token windows — the
+    * context-window chunking every LLM training/RAG pipeline runs before
+    * tokenized packing or embedding. Window w covers tokens
+    * [w·(chunk−overlap), w·(chunk−overlap)+chunk); the last window may be
+    * short. Map-only: one explode per doc, bounded by doc length — no
+    * shuffle, no state; at 100 TB this runs at scan speed and the output
+    * partitioning follows the input's.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0, "need chunkTokens > overlap >= 0")
+    val stride = chunkTokens - overlap
+    val lastChunk = ((size(col("tk")) - 1) / lit(stride)).cast("int")
+    val sliced = slice(col("tk"), col("chunk_id") * stride + 1, lit(chunkTokens))
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), lastChunk)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(sliced).cast("long").as("n_tokens"),
+        array_join(sliced, " ").as("chunk_text"))
+  }
+
+  /** Top-k terms per document by TF-IDF. Two hash-aggregates (term counts
+    * per doc, then document frequency FROM the already-aggregated tf — the
+    * raw token stream is never re-shuffled), a shuffle join on term, and a
+    * per-doc window bounded by doc length. The corpus size enters as a
+    * broadcast 1-row aggregate, never a driver action. 6dp rounding before
+    * ranking keeps ln() cross-engine comparable.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
 }

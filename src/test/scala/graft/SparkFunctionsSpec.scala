@@ -166,4 +166,44 @@ class SparkFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("printSink renders without error (reference O14)") {
     graft.ops.Sorts.printSink(spark.range(3).toDF(), 3)
   }
+
+  test("chunk: window count, overlap, and short-tail behavior") {
+    val s = spark
+    import s.implicits._
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "one two"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.chunk(df, 8, 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 3 has no tokens -> no chunks; doc 2 -> one short chunk
+    assert(out.count(_._1 == 3L) == 0)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "one two")))
+    // doc 1: stride 6 over 100 tokens -> 17 windows, tail holds 4 tokens
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length == 17)
+    assert(d1.head._4.startsWith("t1 t2"))
+    assert(d1.last == ((1L, 16L, 4L, "t97 t98 t99 t100")))
+    // consecutive full windows share exactly the 2-token overlap
+    val w0 = d1(0)._4.split(" ")
+    val w1 = d1(1)._4.split(" ")
+    assert(w0.takeRight(2).toSeq == w1.take(2).toSeq)
+  }
+
+  test("tfidf: rare terms outrank ubiquitous ones; k bounds output") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "common rare common xyz"),
+      (2L, "common common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.tfidfTopTerms(df, 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.count(_._1 == 1L) == 2)
+    // doc 1's top terms are its unique words, never the everywhere-word
+    val top1 = out.filter(_._1 == 1L).map(_._3).toSet
+    assert(top1 == Set("rare", "xyz"))
+    // "common" appears in all docs -> idf = ln(1) = 0 -> never rank 1
+    assert(!out.filter(_._2 == 1L).map(_._3).contains("common"))
+  }
 }
