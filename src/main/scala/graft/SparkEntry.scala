@@ -268,6 +268,23 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Partition pruning: hive-style partitioned layout, filter on the
+    // partition column becomes a PartitionFilter — non-matching directories
+    // are never listed or read. At 100 TB this is the difference between
+    // scanning one status partition and scanning the table.
+    "partitioned_scan" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_part").toString
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(base)
+      s.read.parquet(base)
+        .where(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // -- sort surface (the reference's core) -------------------------------
     "global_sort" -> ((s, d) =>
       Sorts.globalSort(li(s, d).select(sortCols.map(col): _*),
@@ -570,6 +587,12 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "partitioned_scan" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "global_sort" ->
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem

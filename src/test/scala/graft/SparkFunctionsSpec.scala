@@ -163,6 +163,20 @@ class SparkFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == 100)
   }
 
+  test("partition filter prunes non-matching directories from the scan") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pspec").toString
+    spark.range(300).select(col("id"), (col("id") % 3).as("p"))
+      .write.mode("overwrite").partitionBy("p").parquet(base)
+    val pruned = spark.read.parquet(base).where(col("p") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // the filter must reach the partition layer, not sit in a post-scan Filter
+    assert(!plan.contains("PartitionFilters: []"), plan)
+    assert(pruned.count() == 100)
+  }
+
   test("printSink renders without error (reference O14)") {
     graft.ops.Sorts.printSink(spark.range(3).toDF(), 3)
   }
