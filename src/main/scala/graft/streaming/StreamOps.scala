@@ -35,6 +35,18 @@ object StreamOps {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the incremental twin of
+    * [[graft.ops.Dedup.exactByDigest]]: keep the first occurrence of each
+    * key, with the seen-keys state BOUNDED by the event-time watermark
+    * (`dropDuplicates` alone would grow state forever on an unbounded
+    * corpus stream). The state store holds only the key columns — dedup a
+    * document stream on its digest, never on the body.
+    */
+  def dedupStream(rows: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    rows.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ----------------------------------------------------- sessionization
 
   final case class Evt(user_id: Long, ts: Timestamp, value: Double)

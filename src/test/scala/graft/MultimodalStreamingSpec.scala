@@ -206,4 +206,26 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "2024-01-01 11:00:00", "2024-01-01 11:00:00", 1L, 4.0),
       (2L, "2024-01-01 15:00:00", "2024-01-01 15:00:00", 1L, 8.0)))
   }
+
+  test("streaming dedup keeps the first occurrence; watermark bounds state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val df = mem.toDF().toDF("ts", "digest", "doc_id")
+    // 1-hour watermark: duplicates within the hour are suppressed; the
+    // seen-keys state is evicted (bounded) once the watermark passes
+    val q = StreamOps.dedupStream(df, Seq("digest"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_t").outputMode("append").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // d1 arrives three times in-window, d2 once
+    mem.addData((t(10, 0), "d1", 1L), (t(10, 1), "d1", 2L), (t(10, 2), "d2", 3L))
+    q.processAllAvailable()
+    mem.addData((t(10, 3), "d1", 4L))
+    q.processAllAvailable()
+    val got = spark.table("dedup_t").orderBy("digest")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    q.stop()
+    // exactly one row per digest, and it is the FIRST-seen doc_id
+    assert(got.toSeq == Seq(("d1", 1L), ("d2", 3L)))
+  }
 }
