@@ -392,6 +392,13 @@ object SparkEntry {
     "simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d)).orderBy(col("doc_id"))),
 
+    // Connected components over the LSH candidate pairs: each involved doc
+    // labeled with its cluster's smallest doc_id.
+    "dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(
+        Dedup.minhashPairs(docs(s, d), MinhashK, MinhashBands, ShingleN, MaxBucket))
+        .orderBy(col("doc_id"))),
+
     // -- similarity search -------------------------------------------------
     "knn_bruteforce" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5)
@@ -419,6 +426,10 @@ object SparkEntry {
 
     "text_clean" -> ((s, d) =>
       TextStats.cleanText(docs(s, d)).orderBy(col("doc_id"))),
+
+    // PII-style redaction: match counts + digest of the redacted body.
+    "redact" -> ((s, d) =>
+      TextStats.redact(docs(s, d)).orderBy(col("doc_id"))),
 
     // Context-window chunking: 64-token windows, 16-token overlap.
     "doc_chunks" -> ((s, d) =>
@@ -672,6 +683,31 @@ object SparkEntry {
          |  CASE WHEN list_sum(list_transform(h, x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
          |  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM hs ORDER BY doc_id""".stripMargin,
+
+    // WITH RECURSIVE transitive closure = the oracle's exact connected
+    // components; the engine's bounded label propagation must agree.
+    "dup_clusters" ->
+      s"""WITH RECURSIVE $sigCte,
+         |$pairsCte,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, min(label) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "redact" -> {
+      import TextStats.{EmailRe, LongNumRe, UrlRe}
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '$LongNumRe')) AS BIGINT) AS n_longnums,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'), '$LongNumRe', '<NUM>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "knn_bruteforce" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

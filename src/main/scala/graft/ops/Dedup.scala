@@ -185,4 +185,40 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Canonical duplicate-cluster labels: every document that appears in a
+    * near-dup pair gets the smallest doc_id of its connected component —
+    * the "keep one doc per duplicate cluster" step that turns pairwise
+    * candidates into a deduplicated corpus.
+    *
+    * Pregel-style min-label propagation: each iteration is one distributed
+    * join + min-aggregate (labels flow one hop), so the iteration count is
+    * the component diameter — LSH dup clusters are near-cliques, so 2-3 in
+    * practice, bounded by `maxIter`. The driver loop only coordinates; all
+    * data movement is joins on the (small) pair set, never the corpus.
+    * `localCheckpoint` cuts the growing lineage each round (at cluster
+    * scale, a reliable-storage checkpoint does the same job).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("cluster_id"))
+      val next = labels.unionAll(prop)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .where(col("cluster_id") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
 }

@@ -139,6 +139,31 @@ object TextStats {
         (acc, h) => (acc * 31L + h) % FpMod).as("fp"))
   }
 
+  /** Redaction patterns — shared with the SQL oracle verbatim, so they are
+    * deliberately limited to syntax Java regex and RE2 interpret
+    * identically (no backrefs, no lookaround).
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongNumRe = "[0-9]{6,}"
+
+  /** PII-style redaction — the curation pass that strips emails, URLs, and
+    * long digit runs before training. Map-only: emits the per-doc match
+    * counts (the filter signals) and the digest of the redacted body
+    * (downstream dedup keys on it) instead of re-shipping the text.
+    * Replacement order (email → url → num) is fixed and mirrored in the
+    * oracle.
+    */
+  def redact(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      EmailRe, "<EMAIL>"), UrlRe, "<URL>"), LongNumRe, "<NUM>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
+      md5(redacted).as("redacted_md5"))
+  }
+
   /** Split each document into overlapping token windows — the
     * context-window chunking every LLM training/RAG pipeline runs before
     * tokenized packing or embedding. Window w covers tokens
