@@ -57,6 +57,13 @@ object SparkEntry {
   private val MinJaccard = 0.1
 
   private val SessionGapMin = 30
+  /** CMS probe terms: frequent corpus tokens + one absent term (shows the
+    * sketch's only-overcounts contract on a zero-truth key).
+    */
+  private val CmsProbes = Seq("scan", "join", "hash", "window", "order", "the", "xyzzy")
+  /** Stratified keep-rates (percent) per language; unlisted → default. */
+  private val MixRates = Seq("en" -> 50, "de" -> 25, "fr" -> 10)
+  private val MixDefaultPct = 5
   private val IvfCentroids = 16
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
@@ -483,6 +490,89 @@ object SparkEntry {
       EmbedDedup.nearDupPairs(emb(s, d), EmbDim, EmbMinCos)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // -- sketches ----------------------------------------------------------
+    // HyperLogLog-style distinct users per event type: 64 integer registers
+    // per group, merged map-side — the bounded-memory cardinality shape for
+    // 100 TB (exact count alongside, for the driver's cross-check).
+    "approx_distinct" -> ((s, d) =>
+      Sketches.hllDistinct(
+          Tables.events(s, d).select(col("event_type"), col("user_id")),
+          "event_type", "user_id")
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"))),
+
+    // Count-min point-frequency estimates for probe tokens over the token
+    // stream (d=3 rows × w=128 slots), alongside the exact counts.
+    "cms_freq" -> ((s, d) =>
+      Sketches.cmsFrequency(
+          docs(s, d).select(explode(graft.functions.tokens(col("text"))).as("token")),
+          "token", CmsProbes)
+        .orderBy(col("term"))),
+
+    // -- range join --------------------------------------------------------
+    // Interval-containment join restated as a day-bucket equi-join (the
+    // scalable form — a raw BETWEEN join has no equi-key and plans as a
+    // nested loop). Intervals: every 97th order's [orderdate, +1..28d].
+    "range_join" -> ((s, d) => {
+      val iv = Tables.orders(s, d)
+        .where(pmod(col("o_orderkey"), lit(97L)) === 0)
+        .select(col("o_orderkey").as("interval_id"),
+          col("o_orderdate").as("lo"),
+          (col("o_orderdate") +
+            expr("make_dt_interval(cast(o_orderkey % 28 + 1 as int))")).as("hi"))
+      val pts = li(s, d).select(col("l_shipdate"), col("l_quantity"))
+      RangeJoin.pointInInterval(pts, iv, "l_shipdate", "lo", "hi")
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("interval_id"))
+    }),
+
+    // -- quality / mixing --------------------------------------------------
+    // Duplicate-shingle ratio per doc: the cheap boilerplate/degenerate-
+    // generation gate that runs before any dedup pass.
+    "repetition" -> ((s, d) =>
+      TextStats.repetition(docs(s, d)).orderBy(col("doc_id"))),
+
+    // Per-language deterministic keep-rates — the corpus-mixing primitive
+    // (same subset in any engine / re-run; rate lookup folds into a CASE).
+    "stratified_sample" -> ((s, d) =>
+      TextStats.stratifiedSample(docs(s, d), "lang", "doc_id", "mix",
+          MixRates, MixDefaultPct)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // -- streaming (bounded-stream execution, driver-verified) -------------
+    // The watermarked hourly windows of StreamOps run over the events
+    // parquet AS A STREAM (Trigger.AvailableNow) to completion; complete-
+    // mode final state equals the batch aggregate whatever the micro-batch
+    // split, which is exactly what the oracle checks.
+    "stream_hourly" -> ((s, d) => {
+      val agg = streaming.StreamOps.hourlyStatsStream(
+        streaming.StreamOps.eventsStream(s, d))
+      streaming.StreamOps.runToCompletion(s, agg)
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Streaming dedup on the document digest through the PARQUET sink
+    // (append mode, checkpointed, exactly-once file commits) — the
+    // production shape of an incremental corpus-dedup pass. Only the
+    // digest is projected: the first-occurrence row is arrival-order-
+    // dependent, the distinct digest set is not.
+    "stream_dedup" -> ((s, d) => {
+      val path = s"$d/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream.schema(schema)
+        .parquet(streaming.StreamOps.stageDir(path))
+        // synthetic arrival time, offset past epoch 0: the initial
+        // watermark IS 0, and a row landing exactly on it counts as late
+        .select(md5(col("text")).as("digest"),
+          timestamp_micros(col("doc_id") + 1000000L).as("ts"))
+      val dd = streaming.StreamOps.dedupStream(stream, Seq("digest"), "ts")
+        .select(col("digest"))
+      streaming.StreamOps.runToParquet(s, dd).orderBy(col("digest"))
+    }),
+
     // -- multimodal --------------------------------------------------------
     "mm_meta" -> ((s, d) =>
       Multimodal.mediaMeta(docs(s, d)).orderBy(col("doc_id"))),
@@ -863,6 +953,87 @@ object SparkEntry {
         |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "emb_neardup" -> embNearDupSql,
+
+    // Mirrors Sketches.hllDistinct register-for-register: bucket = h60 mod
+    // 64, rank = trailing-zero rank of the remaining 54 bits (55 when 0),
+    // harmonic mean in exact integer arithmetic, ONE double division at the
+    // end (numerator literals multiplied in the same left-assoc order).
+    "approx_distinct" -> {
+      val p55 = 1L << 55
+      s"""WITH hx AS (SELECT event_type, ${h60Sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |b AS (SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM hx),
+         |r AS (SELECT event_type, bucket,
+         |  CASE WHEN w = 0 THEN 55 ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho FROM b),
+         |mx AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY event_type, bucket),
+         |z AS (SELECT event_type, sum(CAST(1 AS BIGINT) << (55 - mj)) AS zp, count(*) AS np
+         |  FROM mx GROUP BY event_type),
+         |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |  FROM events GROUP BY event_type),
+         |raw AS (SELECT event_type, np,
+         |  CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST($p55 AS DOUBLE)
+         |    / (zp + (64 - np) * $p55) AS r FROM z)
+         |SELECT raw.event_type, exact_distinct,
+         |  round(CASE WHEN r <= 160.0 AND (64 - np) > 0
+         |    THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / (64 - np))
+         |    ELSE r END, 2) AS hll_estimate
+         |FROM raw JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
+    },
+
+    "cms_freq" -> {
+      val probeLits = CmsProbes.map(t => s"'$t'").mkString(", ")
+      val d = Sketches.CmsDepth
+      val w = Sketches.CmsWidth
+      s"""WITH toks AS (SELECT unnest($toksSql) AS item FROM documents),
+         |e AS (SELECT item, unnest(range(0, $d)) AS r FROM toks),
+         |entries AS (SELECT r, ${h60Sql("CAST(r AS VARCHAR) || ':' || item")} % $w AS slot FROM e),
+         |counters AS (SELECT r, slot, count(*) AS c FROM entries GROUP BY r, slot),
+         |probes AS (SELECT unnest([$probeLits]) AS term),
+         |ps AS (SELECT term, unnest(range(0, $d)) AS r FROM probes),
+         |pslots AS (SELECT term, r, ${h60Sql("CAST(r AS VARCHAR) || ':' || term")} % $w AS slot FROM ps),
+         |est AS (SELECT term, min(coalesce(c, CAST(0 AS BIGINT))) AS cms_estimate
+         |  FROM pslots LEFT JOIN counters USING (r, slot) GROUP BY term),
+         |truth AS (SELECT item AS term, count(*) AS true_count FROM toks GROUP BY item)
+         |SELECT term, cms_estimate, coalesce(true_count, CAST(0 AS BIGINT)) AS true_count
+         |FROM est LEFT JOIN truth USING (term) ORDER BY term""".stripMargin
+    },
+
+    // The oracle states the range join declaratively (BETWEEN); the engine
+    // answers it with the day-bucket equi-join — same result set.
+    "range_join" ->
+      """WITH iv AS (SELECT o_orderkey AS interval_id, o_orderdate AS lo,
+        |  o_orderdate + to_days(CAST(o_orderkey % 28 + 1 AS INTEGER)) AS hi
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT interval_id, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN iv ON l_shipdate >= lo AND l_shipdate <= hi
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
+    "repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sh AS (SELECT doc_id, $shingleSql AS s FROM toks)
+         |SELECT doc_id, len(s) AS n_shingles, len(list_distinct(s)) AS n_distinct,
+         |  CASE WHEN len(s) > 0
+         |    THEN round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 4)
+         |    ELSE 0.0 END AS rep_ratio
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "stratified_sample" -> {
+      val cases = MixRates.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }.mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${h60Sql("'mix:' || doc_id")} % 100 < (CASE $cases ELSE $MixDefaultPct END)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Streaming complete-mode final state == the batch aggregate.
+    "stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |count(*) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS digest FROM documents
+        |ORDER BY digest""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Mergeable sketch aggregates — the cardinality / frequency summaries a
+  * 100 TB pipeline keeps instead of exact state. Both sketches here are
+  * pure hash-aggregates built from deterministic, engine-portable
+  * arithmetic (md5-based [[graft.functions.h60]], integer shifts), so an
+  * independent SQL oracle reproduces them bit-for-bit — unlike
+  * `approx_count_distinct`, whose HLL++ register layout is
+  * implementation-defined per engine.
+  *
+  * Scale shape: a sketch is a bounded set of (bucket → small int) registers
+  * per group. Registers merge associatively (max for HLL, sum for CMS), so
+  * Spark's partial aggregation collapses every partition's registers
+  * map-side — the shuffle carries at most `m` rows per group per task no
+  * matter how many raw rows streamed in. That is the whole point at 100 TB:
+  * cardinality/frequency of a trillion rows in O(groups · m) memory.
+  */
+object Sketches {
+
+  /** Registers per HLL sketch (power of two). 64 gives ~13% standard
+    * error — a routing/monitoring-grade estimate at 64 longs per group.
+    */
+  val HllBuckets = 64
+
+  /** Bits of h60 left after the bucket index (60 - log2(64)). */
+  private val HllValueBits = 54
+
+  /** alpha_m * m^2 * 2^(HllValueBits+1) for m=64 — the estimator numerator,
+    * precomputed once; the oracle inlines the identical literal product in
+    * the identical order.
+    */
+  private val HllAlpha = 0.709d
+
+  /** HyperLogLog-style distinct-count estimate of `valCol` per `keyCol`,
+    * alongside the exact count for reference.
+    *
+    * Register construction uses the *trailing*-zero rank of the hash
+    * remainder (Flajolet–Martin style: `rho = tz(w) + 1`, `w = 0` maps to
+    * the max rank) — same estimator family as leading-zero HLL, chosen
+    * because `w & -w` isolates the lowest set bit as an exact power of two,
+    * so `log2` of it is exact in double arithmetic in every engine.
+    *
+    * The harmonic mean is computed in INTEGER arithmetic: each register
+    * contributes `2^(maxRank - M_j)` (a long; at most m·2^maxRank ≈ 2^60),
+    * summed exactly, with empty registers contributing `2^maxRank` — one
+    * double division at the very end. No float summation order anywhere.
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val m = HllBuckets
+    val maxRank = HllValueBits + 1 // rank when w == 0 (no set bit observed)
+    val regs = df
+      .select(col(keyCol).as("key"), h60(col(valCol).cast("string")).as("h"))
+      .select(col("key"), pmod(col("h"), lit(m.toLong)).as("bucket"),
+        expr(s"h div $m").as("w"))
+      .select(col("key"), col("bucket"),
+        when(col("w") === 0, lit(maxRank))
+          .otherwise(log2(col("w").bitwiseAND(-col("w"))).cast("int") + 1)
+          .as("rho"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    val z = regs.groupBy(col("key"))
+      .agg(sum(expr(s"shiftleft(cast(1 as bigint), $maxRank - mj)")).as("zp"),
+        count(lit(1)).as("np"))
+    val exact = df.groupBy(col(keyCol).as("key"))
+      .agg(count_distinct(col(valCol)).as("exact_distinct"))
+    val pow2MaxRank = math.pow(2.0d, maxRank) // exact: power of two
+    val raw = lit(HllAlpha) * lit(m.toDouble * m) * lit(pow2MaxRank) /
+      (col("zp") + (lit(m.toLong) - col("np")) * lit(pow2MaxRank.toLong))
+    // Small-range (linear-counting) correction — raw HLL biases high below
+    // ~2.5m; with V empty registers the occupancy estimate m·ln(m/V) is the
+    // standard replacement. ln() is the one transcendental in the engine's
+    // oracle surface; 2dp rounding absorbs any last-ulp libm difference.
+    val empty = lit(m.toLong) - col("np")
+    val est = when(raw <= lit(2.5d * m) && empty > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / empty)).otherwise(raw)
+    z.join(exact, "key")
+      .select(col("key"), col("exact_distinct"),
+        round(est, 2).as("hll_estimate"))
+  }
+
+  /** Count-min sketch depth (independent hash rows) and width (slots per
+    * row). 3×128 bounds the overestimate at ~2% of total mass with 3
+    * chances to dodge collisions — monitoring-grade for a token stream.
+    */
+  val CmsDepth = 3
+  val CmsWidth = 128
+
+  /** Build a count-min sketch over the exploded `itemCol` of `df`, then
+    * answer point-frequency queries for `probes`, alongside the exact
+    * counts.
+    *
+    * Sketch = groupBy (row, slot) count, where slot = h60(row:item) mod
+    * width — d·w counters total, updated by one narrow explode (factor d)
+    * and one map-side-combined aggregate. The estimate for an item is the
+    * MIN over its d counters (each counter only ever overcounts). Probing
+    * joins the d·|probes| (row, slot) pairs against the counter table —
+    * both sides tiny, the raw stream is touched exactly once.
+    */
+  def cmsFrequency(df: DataFrame, itemCol: String,
+                   probes: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(itemCol).as("item"))
+    val entries = items
+      .select(col("item"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .select(col("r"),
+        pmod(h60(concat(col("r").cast("string"), lit(":"), col("item"))),
+          lit(CmsWidth.toLong)).as("slot"))
+    val counters = entries.groupBy(col("r"), col("slot"))
+      .agg(count(lit(1)).as("c"))
+    val probeSlots = probes.toDF("term")
+      .select(col("term"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .select(col("term"), col("r"),
+        pmod(h60(concat(col("r").cast("string"), lit(":"), col("term"))),
+          lit(CmsWidth.toLong)).as("slot"))
+    val est = probeSlots.join(counters, Seq("r", "slot"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
+    val truth = items.groupBy(col("item").as("term"))
+      .agg(count(lit(1)).as("true_count"))
+    est.join(truth, Seq("term"), "left")
+      .select(col("term"), col("cms_estimate"),
+        coalesce(col("true_count"), lit(0L)).as("true_count"))
+  }
+}

@@ -186,6 +186,43 @@ object TextStats {
         array_join(sliced, " ").as("chunk_text"))
   }
 
+  /** Repetition ratio: the fraction of a document's 3-gram shingles that
+    * are duplicates of an earlier shingle in the same document —
+    * `1 − distinct/total`. Boilerplate, keyword stuffing, and degenerate
+    * generation loops all score high; natural prose scores near 0. Map-only
+    * (the shingle set never leaves its row), so at 100 TB it runs at scan
+    * speed — the standard cheap quality gate before any dedup pass.
+    */
+  def repetition(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(tokens(col("text")), shingleN)
+    docs.select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"),
+        when(size(col("sh")) > 0,
+          round(lit(1.0d) - size(array_distinct(col("sh"))).cast("double")
+            / size(col("sh")).cast("double"), 4))
+          .otherwise(0.0d).as("rep_ratio"))
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep rates (percent,
+    * with a default for unlisted strata) over the same pure-function-of-key
+    * predicate as [[hashSample]] — the corpus-MIXING primitive: up-weight
+    * one language/source, down-weight another, reproducibly. Map-only (the
+    * rate lookup folds into a CASE expression, no join), so at 100 TB it
+    * composes with the scan like any filter; the same row set is selected
+    * by any engine and any re-run.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       salt: String, ratesPct: Seq[(String, Int)],
+                       defaultPct: Int): DataFrame = {
+    require((defaultPct +: ratesPct.map(_._2)).forall(p => p >= 0 && p <= 100))
+    val keep = ratesPct.foldRight(lit(defaultPct): Column) { case ((v, pct), acc) =>
+      when(col(stratumCol) === v, lit(pct)).otherwise(acc)
+    }
+    df.where(pmod(h60(concat(lit(salt), lit(":"), col(keyCol))), lit(100L)) < keep)
+  }
+
   /** Top-k terms per document by TF-IDF. Two hash-aggregates (term counts
     * per doc, then document frequency FROM the already-aggregated tf — the
     * raw token stream is never re-shuffled), a shuffle join on term, and a

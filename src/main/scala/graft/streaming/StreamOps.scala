@@ -4,9 +4,9 @@ import java.sql.Timestamp
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.functions._
 
@@ -46,6 +46,77 @@ object StreamOps {
                   watermarkDelay: String = "1 hour"): DataFrame =
     rows.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  // ------------------------------------------- bounded-stream execution
+
+  /** Stage a path as a file-stream source directory. The file source
+    * monitors a DIRECTORY of arriving files (the landing-dir contract);
+    * the test corpus is a single parquet file, so link it into a fresh
+    * directory — zero-copy, and the same shape a production ingest sees.
+    */
+  def stageDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) path
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft_src")
+      java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+      dir.toString
+    }
+  }
+
+  /** Open the events parquet directory as a STREAM with the same µs
+    * timestamp normalization [[graft.ops.Tables.events]] applies on the
+    * batch path (the ns column is read as long, then floor-divided —
+    * `div`, never `/`, see the batch-side comment).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema // ts: LongType (nanos)
+    spark.readStream.schema(schema).parquet(stageDir(path))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming aggregate over the bounded file source to completion
+    * (`Trigger.AvailableNow`) and return the final result table.
+    *
+    * Output goes through the memory sink in COMPLETE mode: the final state
+    * covers every input row regardless of how the source split the files
+    * into micro-batches, so the result equals the batch aggregate — the
+    * determinism the driver's oracle needs. The memory sink is the test
+    * transport only: it materializes the (aggregated, small) result on the
+    * driver, exactly like any `collect()`-based check; a production run
+    * writes the same query to a real sink in update/append mode.
+    */
+  def runToCompletion(spark: SparkSession, agg: DataFrame): DataFrame = {
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Run a streaming (append-mode) transform over a bounded file source to
+    * completion, writing PARQUET — the production sink shape: exactly-once
+    * file commits via the checkpoint/commit log, resumable by checkpoint.
+    * Returns the written rows read back.
+    */
+  def runToParquet(spark: SparkSession, out: DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val q = out.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(out.schema).parquet(s"$base/data")
+  }
 
   // ----------------------------------------------------- sessionization
 

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{RangeJoin, Sketches, TextStats}
+
+/** Sketch aggregates (HLL distinct, count-min frequency), the bucketed
+  * range join vs its naive BETWEEN reference, and the stratified /
+  * repetition text operators added in round 4.
+  */
+class SketchRangeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-sketch-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("hllDistinct: estimate within 3 standard errors of exact, exact column exact") {
+    val sp = spark; import sp.implicits._
+    // two keys with very different cardinalities
+    val df = (1 to 2000).map(i => ("big", i.toLong)) ++
+      (1 to 50).flatMap(i => Seq.fill(4)(("small", i.toLong)))
+    val out = Sketches.hllDistinct(df.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("big")._1 == 2000L)
+    assert(out("small")._1 == 50L)
+    // m=64 → standard error ~1.04/sqrt(64) = 13%; allow 3σ
+    val (_, estBig) = out("big")
+    assert(math.abs(estBig - 2000.0) / 2000.0 < 0.39, s"estBig=$estBig")
+    // small range hits the linear-counting correction — tighter than raw
+    val (_, estSmall) = out("small")
+    assert(math.abs(estSmall - 50.0) / 50.0 < 0.35, s"estSmall=$estSmall")
+  }
+
+  test("hllDistinct is insensitive to duplication factor and row order") {
+    val sp = spark; import sp.implicits._
+    val once = (1 to 300).map(i => ("k", i.toLong))
+    val dup = scala.util.Random.shuffle(once ++ once ++ once)
+    val a = Sketches.hllDistinct(once.toDF("k", "v"), "k", "v").collect().head.getDouble(2)
+    val b = Sketches.hllDistinct(dup.toDF("k", "v"), "k", "v").collect().head.getDouble(2)
+    assert(a == b)
+  }
+
+  test("cmsFrequency: never undercounts, exact for most probes, 0-truth for absent") {
+    val sp = spark; import sp.implicits._
+    val items = Seq.fill(100)("alpha") ++ Seq.fill(10)("beta") ++
+      (1 to 200).map(i => s"noise$i")
+    val out = Sketches.cmsFrequency(items.toDF("item"), "item",
+        Seq("alpha", "beta", "absent"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { case (t, (est, truth)) =>
+      assert(est >= truth, s"$t: CMS undercounted $est < $truth")
+    }
+    assert(out("alpha")._2 == 100L)
+    assert(out("beta")._2 == 10L)
+    assert(out("absent")._2 == 0L)
+  }
+
+  test("range join: bucketed equi-join equals the naive BETWEEN join") {
+    val sp = spark; import sp.implicits._
+    val iv = Seq(
+      (1L, "2020-01-01 12:00:00", "2020-01-03 06:00:00"), // spans 3 days
+      (2L, "2020-01-02 00:00:00", "2020-01-02 00:00:00"), // instant
+      (3L, "2020-03-01 00:00:00", "2020-03-10 00:00:00")  // no points
+    ).toDF("interval_id", "lo_s", "hi_s")
+      .select(col("interval_id"), to_timestamp(col("lo_s")).as("lo"),
+        to_timestamp(col("hi_s")).as("hi"))
+    val pts = Seq(
+      (10L, "2020-01-01 11:59:59"), // before iv1
+      (11L, "2020-01-01 12:00:00"), // on iv1.lo (inclusive)
+      (12L, "2020-01-02 00:00:00"), // inside iv1, == iv2 both bounds
+      (13L, "2020-01-03 06:00:00"), // on iv1.hi (inclusive)
+      (14L, "2020-01-03 06:00:01")  // past iv1
+    ).toDF("pt_id", "ts_s")
+      .select(col("pt_id"), to_timestamp(col("ts_s")).as("ts"))
+    val got = RangeJoin.pointInInterval(pts, iv, "ts", "lo", "hi")
+      .select(col("pt_id"), col("interval_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.join(iv, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select(col("pt_id"), col("interval_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got == Set((11L, 1L), (12L, 1L), (12L, 2L), (13L, 1L)))
+  }
+
+  test("repetition: degenerate loop scores high, varied text scores 0") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val out = TextStats.repetition(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1L)._2 > 0.8) // 6 identical shingles of 6 → 1 - 1/6
+    assert(out(2L)._2 == 0.0)
+    assert(out(3L)._1 == 0L && out(3L)._2 == 0.0) // <n tokens → no shingles
+  }
+
+  test("stratifiedSample: deterministic, per-stratum rates honored") {
+    val sp = spark; import sp.implicits._
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zz"))
+      .toDF("id", "lang")
+    def run() = TextStats.stratifiedSample(df, "lang", "id", "s",
+      Seq("en" -> 50), 5).collect().map(_.getLong(0)).toSet
+    val a = run()
+    assert(a == run()) // pure function of key
+    val langs = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val en = a.count(id => langs(id) == "en").toDouble / 2000
+    val zz = a.count(id => langs(id) == "zz").toDouble / 2000
+    assert(math.abs(en - 0.5) < 0.06, s"en rate $en")
+    assert(math.abs(zz - 0.05) < 0.03, s"zz rate $zz")
+  }
+
+  test("streaming hourly (availableNow, complete mode) equals the batch aggregate") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = streaming.StreamOps.runToCompletion(spark,
+        streaming.StreamOps.hourlyStatsStream(
+          streaming.StreamOps.eventsStream(spark, d)))
+      .orderBy(col("hour"), col("event_type")).collect()
+    val batch = graft.ops.Events.hourlyStats(graft.ops.Tables.events(spark, d))
+      .select(col("hour"), col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type")).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getString(0) == b.getString(0))
+      assert(s.getString(1) == b.getString(1))
+      assert(s.getLong(2) == b.getLong(2))
+      assert(s.getDouble(3) == b.getDouble(3))
+    }
+  }
+}
