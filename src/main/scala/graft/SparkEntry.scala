@@ -102,6 +102,18 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** Shared IVF cell-assignment CTEs (hash-ranked fixed-K centroids +
+    * nearest-centroid argmax) — used by both `knn_ivf` and `kmeans_step`.
+    */
+  private lazy val ivfAssignCte: String =
+    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, e AS ce FROM c
+       |  ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfCentroids),
+       |assign AS (SELECT vec_id, e, cell FROM (
+       |  SELECT c.vec_id, c.e, cents.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "cents.ce")} DESC, cents.cent_id ASC) AS rn
+       |  FROM c, cents) WHERE rn = 1)""".stripMargin
+
   private val sortCols =
     Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
 
@@ -414,6 +426,13 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5, IvfCentroids)
         .orderBy(col("query_id"), col("rank"))),
+
+    // One distributed Lloyd iteration: map-only nearest-centroid assign,
+    // then the centroid update as a single map-side-combined hash-aggregate
+    // (decimal component sums — order-independent, oracle-replayable).
+    "kmeans_step" -> ((s, d) =>
+      Similarity.kmeansStep(emb(s, d), IvfCentroids)
+        .orderBy(col("cell"), col("dim"))),
 
     // -- text analysis -----------------------------------------------------
     "token_counts" -> ((s, d) =>
@@ -809,19 +828,21 @@ object SparkEntry {
          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "knn_ivf" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |cents AS (SELECT vec_id AS cent_id, e AS ce FROM c
-         |  ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfCentroids),
-         |assign AS (SELECT vec_id, e, cell FROM (
-         |  SELECT c.vec_id, c.e, cents.cent_id AS cell,
-         |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "cents.ce")} DESC, cents.cent_id ASC) AS rn
-         |  FROM c, cents) WHERE rn = 1),
+      s"""WITH $ivfAssignCte,
          |q AS (SELECT * FROM assign WHERE vec_id < 8),
          |scored AS (SELECT q.vec_id AS query_id, a.vec_id AS nbr_id, ${cosSql("q.e", "a.e")} AS cos_sim
          |  FROM q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id)
          |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn FROM scored)
          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "kmeans_step" ->
+      s"""WITH $ivfAssignCte,
+         |px AS (SELECT cell, i AS dim, e[i] AS v FROM assign, range(1, ${EmbDim + 1}) t(i)),
+         |g AS (SELECT cell, dim, count(*) AS n_members, sum(CAST(v AS DECIMAL(28,12))) AS s
+         |  FROM px GROUP BY cell, dim)
+         |SELECT cell, dim, n_members, round(CAST(s AS DOUBLE) / n_members, 6) AS mean_val
+         |FROM g ORDER BY cell, dim""".stripMargin,
 
     "token_counts" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,

@@ -109,6 +109,36 @@ object Similarity {
     topPerKey(scored, k)
   }
 
+  /** One distributed Lloyd (k-means) iteration over the embedding corpus:
+    * assign every vector to its nearest current centroid (the same map-only
+    * native argmax [[ivfTopK]] uses — no join, no shuffle of the corpus),
+    * then recompute each cell's mean, one output row per (cell, dimension).
+    *
+    * The centroid-update aggregate is the scale shape that matters: the
+    * corpus explodes into (cell, dim, component) and collapses through ONE
+    * hash-aggregate with map-side combine — shuffle volume is
+    * O(cells × dims × tasks), independent of corpus size. Component sums
+    * run in DECIMAL so accumulation order cannot perturb the mean (double
+    * summation is order-sensitive; decimal is exact), with a single
+    * double division at the end — bit-identical in any engine, which is
+    * how the oracle replays the iteration.
+    */
+  def kmeansStep(corpus: DataFrame, numCentroids: Int,
+                 idCol: String = "vec_id",
+                 embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+      asDouble(col(embCol)).as("e"))
+    val assigned = assignCells(c, "id", "e", numCentroids)
+    assigned.select(col("cell"), posexplode(col("e")))
+      .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("v"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("s"))
+      .select(col("cell"), col("dim"), col("n_members"),
+        round(col("s").cast("double") / col("n_members"), 6).as("mean_val"))
+  }
+
   /** Nearest-centroid (max cosine) cell id per row; ties broken by smaller
     * centroid id; zero-norm rows deterministically land in the smallest
     * centroid id's cell.

@@ -124,6 +124,26 @@ class SketchRangeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(zz - 0.05) < 0.03, s"zz rate $zz")
   }
 
+  test("kmeansStep: k=1 gives the global per-dim mean; cells partition the corpus") {
+    val sp = spark; import sp.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 6.0f)), (3L, Seq(5.0f, 10.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val one = graft.ops.Similarity.kmeansStep(df, 1)
+      .orderBy(col("dim")).collect()
+    assert(one.length == 2)
+    assert(one(0).getLong(2) == 3L && one(1).getLong(2) == 3L)
+    assert(one(0).getDouble(3) == 3.0) // (1+3+5)/3
+    assert(one(1).getDouble(3) == 6.0) // (2+6+10)/3
+    val two = graft.ops.Similarity.kmeansStep(df, 2).collect()
+    // every cell×dim row carries that cell's member count; cells partition
+    val perCell = two.groupBy(_.getLong(0)).map { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).distinct.length == 1)
+      rs.head.getLong(2)
+    }
+    assert(perCell.sum == 3L)
+  }
+
   test("streaming hourly (availableNow, complete mode) equals the batch aggregate") {
     val d = "/root/testdata/sf0.001"
     val streamed = streaming.StreamOps.runToCompletion(spark,
