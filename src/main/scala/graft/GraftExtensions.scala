@@ -14,12 +14,15 @@ import graft.functions.GraftFunctions
   * Thrift server — resolves the engine's native functions
   * (`h60`, `minhash31`, `simhash60`, `hybrid_sort_array`,
   * `topk_by_score`) like built-ins, with no per-application
-  * `GraftFunctions.register` call. This is the standard
-  * `SparkSessionExtensions` mechanism, the same hook a custom Rule or
-  * SparkStrategy would use; the engine currently needs only function
-  * injection (see SURVEY §4 — zero custom planner rules required).
+  * `GraftFunctions.register` call, and the optimizer gains
+  * [[graft.plans.RangeJoinBucketize]] — naive interval-containment joins
+  * are rewritten to the scalable day-bucket equi-join automatically.
+  * (Reference parity itself needs zero custom rules, SURVEY §4; the rule
+  * serves the extended 100 TB surface.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketize)
+  }
 }

@@ -547,6 +547,29 @@ object SparkEntry {
         .orderBy(col("interval_id"))
     }),
 
+    // The same range join written NAIVELY (raw BETWEEN predicate, no
+    // bucketing) with the RangeJoinBucketize optimizer rule installed:
+    // the rule rewrites the nested-loop plan into the day-bucket hash
+    // join automatically — the cluster-wide path (GraftExtensions), here
+    // via the per-session experimental hook. Same oracle as range_join.
+    "range_join_auto" -> ((s, d) => {
+      if (!s.experimental.extraOptimizations.contains(plans.RangeJoinBucketize))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.RangeJoinBucketize
+      val iv = Tables.orders(s, d)
+        .where(pmod(col("o_orderkey"), lit(97L)) === 0)
+        .select(col("o_orderkey").as("interval_id"),
+          col("o_orderdate").as("lo"),
+          (col("o_orderdate") +
+            expr("make_dt_interval(cast(o_orderkey % 28 + 1 as int))")).as("hi"))
+      li(s, d).select(col("l_shipdate"), col("l_quantity"))
+        .join(iv, col("l_shipdate") >= col("lo") && col("l_shipdate") <= col("hi"))
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("interval_id"))
+    }),
+
     // -- quality / mixing --------------------------------------------------
     // Duplicate-shingle ratio per doc: the cheap boilerplate/degenerate-
     // generation gate that runs before any dedup pass.
@@ -1021,6 +1044,15 @@ object SparkEntry {
     // The oracle states the range join declaratively (BETWEEN); the engine
     // answers it with the day-bucket equi-join — same result set.
     "range_join" ->
+      """WITH iv AS (SELECT o_orderkey AS interval_id, o_orderdate AS lo,
+        |  o_orderdate + to_days(CAST(o_orderkey % 28 + 1 AS INTEGER)) AS hi
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT interval_id, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN iv ON l_shipdate >= lo AND l_shipdate <= hi
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
+    "range_join_auto" ->
       """WITH iv AS (SELECT o_orderkey AS interval_id, o_orderdate AS lo,
         |  o_orderdate + to_days(CAST(o_orderkey % 28 + 1 AS INTEGER)) AS hi
         |  FROM orders WHERE o_orderkey % 97 = 0)

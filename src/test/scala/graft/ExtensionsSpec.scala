@@ -49,4 +49,49 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.getSeq[org.apache.spark.sql.Row](agg.fieldIndex("top"))
       .map(_.getAs[Long]("nbr_id")).toSeq == Seq(11L, 10L))
   }
+
+  test("RangeJoinBucketize: naive BETWEEN join plans as hash join, same rows") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val iv = Seq(
+      (1L, "2020-01-01 12:00:00", "2020-01-03 06:00:00"),
+      (2L, "2020-01-02 00:00:00", "2020-01-02 00:00:00"),
+      (9L, "2020-02-02 00:00:00", "2020-02-01 00:00:00") // malformed lo>hi
+    ).toDF("interval_id", "lo_s", "hi_s")
+      .select(col("interval_id"), to_timestamp(col("lo_s")).as("lo"),
+        to_timestamp(col("hi_s")).as("hi"))
+    val pts = Seq(
+      (10L, "2020-01-01 11:59:59"), (11L, "2020-01-01 12:00:00"),
+      (12L, "2020-01-02 00:00:00"), (13L, "2020-01-03 06:00:00"),
+      (14L, "2020-02-01 12:00:00")
+    ).toDF("pt_id", "ts_s")
+      .select(col("pt_id"), to_timestamp(col("ts_s")).as("ts"))
+    // the NAIVE range join — no equi key, would be a nested loop
+    val joined = pts.join(iv, col("ts") >= col("lo") && col("ts") <= col("hi"))
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"),
+      s"rule did not fire:\n$phys")
+    assert(phys.contains("HashJoin") || phys.contains("SortMergeJoin"),
+      s"no equi join in:\n$phys")
+    val got = joined.select(col("pt_id"), col("interval_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((11L, 1L), (12L, 1L), (12L, 2L), (13L, 1L)))
+    // schema unchanged by the rewrite
+    assert(joined.columns.toSeq ==
+      Seq("pt_id", "ts", "interval_id", "lo", "hi"))
+  }
+
+  test("RangeJoinBucketize leaves equi and non-range joins alone") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "va")
+    val b = Seq((1L, 100L), (3L, 300L)).toDF("k2", "vb")
+    val equi = a.join(b, col("k") === col("k2"))
+    assert(!equi.queryExecution.optimizedPlan.toString.contains("_graft_"))
+    assert(equi.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // non-timestamp range: not our pattern, untouched (stays nested loop)
+    val rng = a.join(b, col("va") >= col("k2") && col("va") <= col("vb"))
+    assert(!rng.queryExecution.optimizedPlan.toString.contains("_graft_"))
+    assert(rng.collect().length == 4) // both va fall in both [k2, vb] ranges
+  }
 }
