@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DayTimeIntervalType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, TimestampNTZType, TimestampType}
+import org.apache.spark.unsafe.types.CalendarInterval
 
 /** Optimizer rule: bucketize interval-containment joins.
   *
@@ -29,8 +30,8 @@ import org.apache.spark.sql.types.{ArrayType, DayTimeIntervalType, TimestampType
   * `sequence` call would instead error on a negative range).
   *
   * Fires only on: inner join, no existing cross-side equi-conjunct, all
-  * three range operands TimestampType attributes. Idempotent — the
-  * rewritten join has an equi-conjunct, so it no longer matches.
+  * three range operands timestamp attributes (LTZ or NTZ). Idempotent —
+  * the rewritten join has an equi-conjunct, so it no longer matches.
   *
   * Installed cluster-wide by [[graft.GraftExtensions]]
   * (`injectOptimizerRule`) or per-session via
@@ -67,8 +68,13 @@ object RangeJoinBucketize extends Rule[LogicalPlan] {
 
     // normalize each conjunct to (ts, bound, isLower): ts >= lo / lo <= ts
     // → lower; ts <= hi / hi >= ts → upper. Attributes + timestamps only.
+    // both timestamp flavors qualify (parquet without UTC adjustment reads
+    // as TIMESTAMP_NTZ); a mixed pair would carry analyzer casts and not
+    // match as raw attributes, so same-type is implied per comparison
+    def isTs(dt: DataType): Boolean =
+      dt == TimestampType || dt == TimestampNTZType
     def tsAttr(e: Expression): Option[AttributeReference] = e match {
-      case a: AttributeReference if a.dataType == TimestampType => Some(a)
+      case a: AttributeReference if isTs(a.dataType) => Some(a)
       case _ => None
     }
     val bounds = cs.flatMap {
@@ -95,20 +101,21 @@ object RangeJoinBucketize extends Rule[LogicalPlan] {
     }
     pair.map { case (ts, lo, hi) =>
       val tz = Some(conf.sessionLocalTimeZone)
-      def day(e: Expression): Expression =
-        TruncTimestamp(Literal("DAY"), e, tz)
+      // DATE is the day bucket: well-defined for both timestamp flavors
+      // (LTZ truncates in the session zone — same zone on both sides of
+      // the join, so bucket membership is consistent)
+      def day(e: Expression): Expression = Cast(e, DateType, tz)
 
       val (ptSide, ivSide, ptOnLeft) =
         if (lOut.contains(ts)) (left, right, true) else (right, left, false)
 
       // interval side: one row per touched day (NULL sequence → 0 rows)
-      val oneDay = Literal.create(java.time.Duration.ofDays(1),
-        DayTimeIntervalType())
+      val oneDay = Literal(new CalendarInterval(0, 1, 0L))
       val seq = Sequence(day(lo), day(hi), Some(oneDay), tz)
       val guarded = If(LessThanOrEqual(lo, hi), seq,
-        Literal.create(null, ArrayType(TimestampType, containsNull = false)))
+        Literal.create(null, ArrayType(DateType, containsNull = false)))
       val gen = Explode(guarded)
-      val genDay = AttributeReference("_graft_iv_day", TimestampType,
+      val genDay = AttributeReference("_graft_iv_day", DateType,
         nullable = gen.elementSchema.head.nullable)()
       val ivPlan = Generate(gen, unrequiredChildIndex = Nil, outer = false,
         qualifier = None, generatorOutput = Seq(genDay), child = ivSide)
