@@ -102,6 +102,35 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** Shared LSH connected-components CTEs (recursive transitive closure
+    * over the banded candidate pairs) — used by `dup_clusters` and
+    * `dedup_keep_best`. Must follow a WITH RECURSIVE keyword.
+    */
+  private lazy val clustersCte: String =
+    s"""$sigCte,
+       |$pairsCte,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |clus AS (SELECT id AS doc_id, min(label) AS cluster_id
+       |  FROM reach GROUP BY id)""".stripMargin
+
+  /** The quality-score SELECT body (no ORDER BY) — the `quality` oracle
+    * and the `dedup_keep_best` scoring CTE share it verbatim.
+    */
+  private val qualitySelect: String =
+    """SELECT doc_id, round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+      |  + (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)
+      |  + (CASE WHEN mw >= 3.0 AND mw <= 10.0 THEN 1.0 WHEN mw > 0.0 THEN 0.5 ELSE 0.0 END)) / 3.0, 4) AS quality
+      |FROM (SELECT doc_id, text,
+      |  CASE WHEN len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) > 0
+      |    THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+      |    ELSE 0.0 END AS mw
+      |  FROM documents)""".stripMargin
+
   /** Shared IVF cell-assignment CTEs (hash-ranked fixed-K centroids +
     * nearest-centroid argmax) — used by both `knn_ivf` and `kmeans_step`.
     */
@@ -417,6 +446,15 @@ object SparkEntry {
       Dedup.dupClusters(
         Dedup.minhashPairs(docs(s, d), MinhashK, MinhashBands, ShingleN, MaxBucket))
         .orderBy(col("doc_id"))),
+
+    // Canonical-doc selection: per near-dup cluster keep the best-quality
+    // member — the terminal step of the dedup pipeline.
+    "dedup_keep_best" -> ((s, d) =>
+      Dedup.keepBest(
+          Dedup.dupClusters(
+            Dedup.minhashPairs(docs(s, d), MinhashK, MinhashBands, ShingleN, MaxBucket)),
+          TextStats.qualityScore(docs(s, d)))
+        .orderBy(col("cluster_id"))),
 
     // -- similarity search -------------------------------------------------
     "knn_bruteforce" -> ((s, d) =>
@@ -819,16 +857,21 @@ object SparkEntry {
     // WITH RECURSIVE transitive closure = the oracle's exact connected
     // components; the engine's bounded label propagation must agree.
     "dup_clusters" ->
-      s"""WITH RECURSIVE $sigCte,
-         |$pairsCte,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
-         |reach(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
-         |SELECT id AS doc_id, min(label) AS cluster_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clustersCte
+         |SELECT doc_id, cluster_id FROM clus ORDER BY doc_id""".stripMargin,
+
+    // clusters → per-cluster best-quality member (the canonical doc).
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $clustersCte,
+         |q AS ($qualitySelect),
+         |j AS (SELECT clus.cluster_id, clus.doc_id, q.quality
+         |  FROM clus JOIN q USING (doc_id)),
+         |w AS (SELECT cluster_id, doc_id, quality,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+         |  row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rn
+         |  FROM j)
+         |SELECT cluster_id, doc_id AS keep_doc_id, quality AS best_quality, n_members
+         |FROM w WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "redact" -> {
       import TextStats.{EmailRe, LongNumRe, UrlRe}
@@ -894,16 +937,7 @@ object SparkEntry {
          |FROM hits ORDER BY doc_id""".stripMargin
     },
 
-    "quality" ->
-      """SELECT doc_id, round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-        |  + (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)
-        |  + (CASE WHEN mw >= 3.0 AND mw <= 10.0 THEN 1.0 WHEN mw > 0.0 THEN 0.5 ELSE 0.0 END)) / 3.0, 4) AS quality
-        |FROM (SELECT doc_id, text,
-        |  CASE WHEN len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) > 0
-        |    THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
-        |    ELSE 0.0 END AS mw
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+    "quality" -> s"$qualitySelect\nORDER BY doc_id",
 
     "fingerprint" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),

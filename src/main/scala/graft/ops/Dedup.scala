@@ -221,4 +221,25 @@ object Dedup {
     }
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
+
+  /** Canonical-document selection — the terminal step of a near-dup
+    * pipeline: within each duplicate cluster keep the best-scoring member
+    * (quality desc, doc_id as the deterministic tie-break). One shuffle on
+    * cluster_id; window partitions are bounded by cluster size, which the
+    * LSH `maxBucket` guard already caps upstream — no hot-key hazard.
+    *
+    * @param clusters (doc_id, cluster_id) as produced by [[dupClusters]]
+    * @param scored   (doc_id, quality) per-document scores
+    */
+  def keepBest(clusters: DataFrame, scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+    clusters.join(scored, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(w).cast("long"))
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("quality").desc, col("doc_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+        col("quality").as("best_quality"), col("n_members"))
+  }
 }
