@@ -417,7 +417,36 @@ object SparkEntry {
         .orderBy(col("l_orderkey"))
     }),
 
+    // Window-function breadth: per customer, gap to the previous order
+    // (lag), spend decile (ntile), and rank fraction (cume_dist).
+    "order_gaps" -> ((s, d) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val bySpend = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(byDate)).cast("long").as("days_since_prev"),
+          ntile(10).over(bySpend).cast("long").as("spend_decile"),
+          round(cume_dist().over(bySpend), 6).as("spend_cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // -- dedup -------------------------------------------------------------
+    // Incremental corpus update: only docs of the incoming batch whose
+    // digest is NOT already in the base corpus survive — one anti-join on
+    // 16-byte digests (never on bodies), the nightly-ingest dedup shape.
+    "incr_dedup" -> ((s, d) => {
+      val digests = docs(s, d)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      val base = digests.where(col("doc_id") < 400)
+      val incoming = digests.where(col("doc_id") >= 400)
+      incoming.join(base.select(col("digest")), Seq("digest"), "left_anti")
+        .select(col("doc_id"), col("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     "exact_dedup" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -818,6 +847,23 @@ object SparkEntry {
     "hybrid_sort_t5" ->
       """SELECT l_orderkey, array_to_string(list_sort(list(l_suppkey)), ',') AS sorted_supps
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |    o_orderdate) AS BIGINT) AS days_since_prev,
+        |  CAST(ntile(10) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS spend_decile,
+        |  round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS spend_cume
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "incr_dedup" ->
+      """WITH dg AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        |base AS (SELECT digest FROM dg WHERE doc_id < 400),
+        |inc AS (SELECT * FROM dg WHERE doc_id >= 400)
+        |SELECT doc_id, digest FROM inc
+        |WHERE digest NOT IN (SELECT digest FROM base)
+        |ORDER BY doc_id""".stripMargin,
 
     "exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
