@@ -261,6 +261,13 @@ object SparkEntry {
       SkewAgg.histogramMedian(li(s, d), "l_returnflag", "l_quantity", "median_qty")
         .orderBy(col("l_returnflag"))),
 
+    // Exact p50/p90/p99 per key off the histogram CDF — one bounded
+    // (key, value) shuffle, all quantiles in a single pass.
+    "approx_quantiles" -> ((s, d) =>
+      SkewAgg.histogramQuantiles(li(s, d), "l_returnflag", "l_quantity",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy(col("l_returnflag"))),
+
     // Pivot: long→wide reshape, one count column per order status. The
     // value list is explicit (never inferred — inference is a full extra
     // scan and a nondeterministic column order at scale).
@@ -431,6 +438,27 @@ object SparkEntry {
           ntile(10).over(bySpend).cast("long").as("spend_decile"),
           round(cume_dist().over(bySpend), 6).as("spend_cume"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Bloom pre-filter for the incremental ingest: the base corpus
+    // publishes a 1 KB bit filter; every incoming doc gets a MAYBE (all
+    // probe bits set) or a definite NEW — no false negatives, so only
+    // maybes need the exact anti-join. actual_dup shown alongside
+    // (false positives = bloom_maybe 1, actual_dup 0).
+    "bloom_prefilter" -> ((s, d) => {
+      val digests = docs(s, d)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      val base = digests.where(col("doc_id") < 400)
+      val incoming = digests.where(col("doc_id") >= 400)
+      val bloom = Sketches.bloomBuild(base.select(col("digest")), "digest")
+      val probed = Sketches.bloomProbe(bloom, incoming, "doc_id", "digest")
+      val actual = incoming.join(base.select(col("digest")).distinct()
+            .withColumn("_in_base", lit(1L)), Seq("digest"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_in_base"), lit(0L)).as("actual_dup"))
+      probed.join(actual, "doc_id")
+        .select(col("doc_id"), col("bloom_maybe"), col("actual_dup"))
+        .orderBy(col("doc_id"))
     }),
 
     // -- dedup -------------------------------------------------------------
@@ -782,6 +810,17 @@ object SparkEntry {
         |FROM t WHERE cum >= ceil(tot / 2.0) GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    "approx_quantiles" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |  sum(n) OVER (PARTITION BY l_returnflag ORDER BY l_quantity ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER (PARTITION BY l_returnflag) AS tot FROM c)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cum >= ceil(tot * 0.5) THEN l_quantity END) AS p50,
+        |  min(CASE WHEN cum >= ceil(tot * 0.9) THEN l_quantity END) AS p90,
+        |  min(CASE WHEN cum >= ceil(tot * 0.99) THEN l_quantity END) AS p99
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "pivot_status" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
@@ -856,6 +895,25 @@ object SparkEntry {
         |  CAST(ntile(10) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS spend_decile,
         |  round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS spend_cume
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "bloom_prefilter" -> {
+      val m = Sketches.BloomBits
+      val k = Sketches.BloomHashes
+      val h = h60Sql("CAST(r AS VARCHAR) || ':' || digest")
+      s"""WITH dg AS (SELECT doc_id, md5(text) AS digest FROM documents),
+         |base AS (SELECT digest FROM dg WHERE doc_id < 400),
+         |inc AS (SELECT doc_id, digest FROM dg WHERE doc_id >= 400),
+         |bb AS (SELECT idx // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) AS bits
+         |  FROM (SELECT $h % $m AS idx FROM base, range(0, $k) t(r)) GROUP BY 1),
+         |pr AS (SELECT doc_id, $h % $m AS idx FROM inc, range(0, $k) t(r)),
+         |hits AS (SELECT doc_id,
+         |  CASE WHEN (coalesce(bits, 0) & (CAST(1 AS BIGINT) << CAST(idx % 32 AS INT))) <> 0 THEN 1 ELSE 0 END AS hit
+         |  FROM pr LEFT JOIN bb ON pr.idx // 32 = bb.word),
+         |mb AS (SELECT doc_id, CAST(min(hit) AS BIGINT) AS bloom_maybe FROM hits GROUP BY doc_id),
+         |act AS (SELECT doc_id, CAST(CASE WHEN digest IN (SELECT digest FROM base) THEN 1 ELSE 0 END AS BIGINT) AS actual_dup FROM inc)
+         |SELECT mb.doc_id, bloom_maybe, actual_dup
+         |FROM mb JOIN act USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
 
     "incr_dedup" ->
       """WITH dg AS (SELECT doc_id, md5(text) AS digest FROM documents),

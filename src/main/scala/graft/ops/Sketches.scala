@@ -83,6 +83,56 @@ object Sketches {
         round(est, 2).as("hll_estimate"))
   }
 
+  /** Bloom filter geometry: m bits packed into m/32 words, k hash probes.
+    * 1024 bits / 3 hashes ≈ 2% false positives at 100 keys — the
+    * demonstration scale; production sizes m to the base-set cardinality
+    * (the shape is unchanged, the filter stays a few KB per million keys).
+    */
+  val BloomBits = 1024
+  val BloomHashes = 3
+
+  /** Build a Bloom filter over `keyCol`: one row per 32-bit word (32,
+    * not 64: a shift into a 64-bit sign bit is an overflow error in some
+    * engines, and the oracle replays these shifts literally),
+    * `bit_or`-merged. The whole filter is ≤ m/32 rows — the broadcastable
+    * membership summary a 100 TB incremental-ingest pipeline ships to the
+    * incoming batch instead of the full key set ([[bloomProbe]] is the
+    * consumer; pairs with the exact anti-join which then runs only on the
+    * maybe-dups).
+    */
+  def bloomBuild(keys: DataFrame, keyCol: String): DataFrame =
+    keys
+      .select(col(keyCol).as("k"),
+        explode(sequence(lit(0), lit(BloomHashes - 1))).as("r"))
+      .select(pmod(h60(concat(col("r").cast("string"), lit(":"), col("k"))),
+        lit(BloomBits.toLong)).as("idx"))
+      .select(expr("idx div 32").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(idx % 32 as int))").as("mask"))
+      .groupBy(col("word"))
+      .agg(bit_or(col("mask")).as("bits"))
+
+  /** Probe the filter: a key is a MAYBE (1) iff all k probe bits are set;
+    * 0 is a definite miss — no false negatives, so `bloom_maybe = 0` rows
+    * can skip the exact dedup join entirely. The filter side is tiny and
+    * broadcast; the probe is map-only per incoming row.
+    */
+  def bloomProbe(bloom: DataFrame, keys: DataFrame, idCol: String,
+                 keyCol: String): DataFrame =
+    keys
+      .select(col(idCol), col(keyCol).as("k"),
+        explode(sequence(lit(0), lit(BloomHashes - 1))).as("r"))
+      .select(col(idCol),
+        pmod(h60(concat(col("r").cast("string"), lit(":"), col("k"))),
+          lit(BloomBits.toLong)).as("idx"))
+      .select(col(idCol), expr("idx div 32").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(idx % 32 as int))").as("mask"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .select(col(idCol),
+        when((coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask"))) =!= 0, 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy(col(idCol))
+      .agg(min(col("hit")).as("bloom_maybe"))
+
   /** Count-min sketch depth (independent hash rows) and width (slots per
     * row). 3×128 bounds the overestimate at ~2% of total mass with 3
     * chances to dodge collisions — monitoring-grade for a token stream.

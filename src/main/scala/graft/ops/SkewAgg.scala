@@ -54,4 +54,32 @@ object SkewAgg {
       .groupBy(col(key))
       .agg(min(col(value)).as(outCol))
   }
+
+  /** Exact lower quantiles per key from the same per-(key, value)
+    * histogram CDF as [[histogramMedian]] — one (key, value)-keyed shuffle
+    * with map-side combine, then all requested quantiles read off the
+    * cumulative counts in a single pass: quantile q = the smallest value
+    * whose cumulative count reaches ceil(q·n). At 100 TB this replaces a
+    * `percentile(...)` that would ship every raw row of a hot key to one
+    * reducer; the histogram is bounded by the value DOMAIN, not the row
+    * count. Lower-quantile semantics (no interpolation) keep the result
+    * engine-portable.
+    */
+  def histogramQuantiles(df: DataFrame, key: String, value: String,
+                         quantiles: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantiles.nonEmpty && quantiles.forall { case (_, q) => q > 0 && q <= 1 })
+    val counts = df.groupBy(col(key), col(value)).agg(count(lit(1)).as("n"))
+    val byKey = Window.partitionBy(col(key))
+    val cum = sum(col("n")).over(byKey.orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val aggs = quantiles.map { case (name, q) =>
+      min(when(col("cum") >= ceil(col("tot") * q), col(value))).as(name)
+    }
+    counts
+      .withColumn("cum", cum)
+      .withColumn("tot", sum(col("n")).over(byKey))
+      .groupBy(col(key))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

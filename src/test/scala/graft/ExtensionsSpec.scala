@@ -81,6 +81,23 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("pt_id", "ts", "interval_id", "lo", "hi"))
   }
 
+  test("RangeJoinBucketize fires on TIMESTAMP_NTZ (the parquet-corpus flavor)") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val iv = Seq((1L, "2020-01-01 12:00:00", "2020-01-03 06:00:00"))
+      .toDF("interval_id", "lo_s", "hi_s")
+      .select(col("interval_id"),
+        expr("CAST(lo_s AS TIMESTAMP_NTZ)").as("lo"),
+        expr("CAST(hi_s AS TIMESTAMP_NTZ)").as("hi"))
+    val pts = Seq((10L, "2020-01-02 00:00:00"), (11L, "2020-01-04 00:00:00"))
+      .toDF("pt_id", "ts_s")
+      .select(col("pt_id"), expr("CAST(ts_s AS TIMESTAMP_NTZ)").as("ts"))
+    val joined = pts.join(iv, col("ts") >= col("lo") && col("ts") <= col("hi"))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("_graft_"),
+      "rule did not fire on NTZ")
+    assert(joined.select(col("pt_id")).collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
   test("RangeJoinBucketize leaves equi and non-range joins alone") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._

@@ -69,6 +69,24 @@ class SketchRangeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("absent")._2 == 0L)
   }
 
+  test("bloom filter: no false negatives; misses are definite") {
+    val sp = spark; import sp.implicits._
+    val base = (1 to 200).map(i => s"key$i").toDF("k")
+    val bloom = Sketches.bloomBuild(base, "k")
+    // every base key must probe as maybe (no false negatives)
+    val baseProbe = Sketches.bloomProbe(bloom,
+        base.withColumn("id", col("k")), "id", "k")
+      .collect().map(_.getLong(1))
+    assert(baseProbe.forall(_ == 1L))
+    // fresh keys: mostly definite misses at this fill factor, and any
+    // maybe is a (rare) false positive — never the other way around
+    val fresh = (1 to 200).map(i => s"other$i").toDF("k")
+    val freshMaybe = Sketches.bloomProbe(bloom,
+        fresh.withColumn("id", col("k")), "id", "k")
+      .collect().count(_.getLong(1) == 1L)
+    assert(freshMaybe < 100, s"false-positive rate implausible: $freshMaybe/200")
+  }
+
   test("range join: bucketed equi-join equals the naive BETWEEN join") {
     val sp = spark; import sp.implicits._
     val iv = Seq(
