@@ -57,6 +57,8 @@ object SparkEntry {
   private val MinJaccard = 0.1
 
   private val SessionGapMin = 30
+  private val PqSubs = 8
+  private val PqK = 16
   /** CMS probe terms: frequent corpus tokens + one absent term (shows the
     * sketch's only-overcounts contract on a zero-truth key).
     */
@@ -521,6 +523,13 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5, IvfCentroids)
         .orderBy(col("query_id"), col("rank"))),
+
+    // Product-quantization encode: 64-dim vector → 8 sub-space codes
+    // against the deterministic hash-ranked codebook — map-only embedding
+    // compression (the RAM-resident-ANN-index step).
+    "pq_encode" -> ((s, d) =>
+      Similarity.pqEncode(emb(s, d), PqSubs, PqK)
+        .orderBy(col("vec_id"))),
 
     // One distributed Lloyd iteration: map-only nearest-centroid assign,
     // then the centroid update as a single map-side-combined hash-aggregate
@@ -1006,6 +1015,8 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn FROM scored)
          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "pq_encode" -> pqEncodeSql,
+
     "kmeans_step" ->
       s"""WITH $ivfAssignCte,
          |px AS (SELECT cell, i AS dim, e[i] AS v FROM assign, range(1, ${EmbDim + 1}) t(i)),
@@ -1265,6 +1276,35 @@ object SparkEntry {
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), px), (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS thumb_checksum
         |FROM t ORDER BY doc_id""".stripMargin,
   )
+
+  /** PQ-encode oracle: replays the codebook selection (same hash-ranked
+    * rows the engine collects), then for each sub-space an EXPLICIT
+    * left-associated sum of squared differences — the same arithmetic in
+    * the same order as the Spark expression tree, so distances (and hence
+    * argmin codes) are bit-identical.
+    */
+  private def pqEncodeSql: String = {
+    val subDim = EmbDim / PqSubs
+    val distSelects = (0 until PqSubs).map { s =>
+      val terms = (0 until subDim).map { i =>
+        val p = s * subDim + i + 1
+        s"(c.e[$p] - cents.ce[$p]) * (c.e[$p] - cents.ce[$p])"
+      }.mkString(" + ")
+      s"SELECT c.vec_id, $s AS s, cents.j, $terms AS d FROM c, cents"
+    }.mkString(" UNION ALL ")
+    val codeCols = (0 until PqSubs).map { s =>
+      s"CAST(max(CASE WHEN s = $s THEN j END) AS BIGINT) AS c$s"
+    }.mkString(", ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents AS (SELECT row_number() OVER (ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS j, e AS ce
+       |  FROM c ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $PqK),
+       |dists AS ($distSelects),
+       |pick AS (SELECT vec_id, s, j FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM dists)
+       |  WHERE rn = 1)
+       |SELECT vec_id, $codeCols
+       |FROM pick GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
 
   /** SRP-LSH near-dup oracle: hyperplane components are inlined as literal
     * DOUBLE lists (the same values [[graft.ops.EmbedDedup.planeVal]]

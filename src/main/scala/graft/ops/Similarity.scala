@@ -139,6 +139,50 @@ object Similarity {
         round(col("s").cast("double") / col("n_members"), 6).as("mean_val"))
   }
 
+  /** Product-quantization encode: split the embedding into `subs` equal
+    * sub-vectors and replace each with the index of its nearest codebook
+    * entry (squared L2, ties to the smaller index) — `subs` small codes
+    * instead of the full vector, the compression step that lets an ANN
+    * index hold 100 TB of embeddings in RAM (64 floats → 8 codes here).
+    *
+    * The codebook is the same bounded hash-ranked row sample the IVF
+    * coarse quantizer uses (deterministic, O(k) driver state, replayable
+    * by the SQL oracle). Encoding is a PURE map-only projection: every
+    * distance is an explicit left-associated sum of `subDim` squared
+    * differences against literal codebook components — no join, no
+    * shuffle, no higher-order functions — and the argmin is `array_min`
+    * over (distance, index) structs, so identical arithmetic in any
+    * engine picks identical codes.
+    */
+  def pqEncode(corpus: DataFrame, subs: Int, k: Int,
+               idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as(idCol),
+      asDouble(col(embCol)).as("e"))
+    val centRows = c
+      .orderBy(h60(concat(lit("cent:"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+      .limit(k)
+      .select(col("e")).collect()
+    require(centRows.nonEmpty, "no codebook rows: empty corpus")
+    val cents = centRows.map(_.getSeq[Double](0).toArray)
+    val dim = cents.head.length
+    require(dim % subs == 0, s"dim $dim not divisible into $subs sub-vectors")
+    val subDim = dim / subs
+    val codeCols = (0 until subs).map { s =>
+      val structs = cents.indices.map { j =>
+        val dist = (0 until subDim).map { i =>
+          val pos = s * subDim + i
+          val diff = element_at(col("e"), pos + 1) - lit(cents(j)(pos))
+          diff * diff
+        }.reduceLeft(_ + _)
+        struct(dist.as("d"), lit(j.toLong).as("j"))
+      }
+      array_min(array(structs: _*)).getField("j").as(s"c$s")
+    }
+    c.select(col(idCol) +: codeCols: _*)
+  }
+
   /** Nearest-centroid (max cosine) cell id per row; ties broken by smaller
     * centroid id; zero-norm rows deterministically land in the smallest
     * centroid id's cell.

@@ -162,6 +162,26 @@ class SketchRangeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perCell.sum == 3L)
   }
 
+  test("pqEncode: codes in range, codebook rows encode to themselves exactly") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextFloat())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.pqEncode(df, subs = 4, k = 8)
+      .orderBy(col("vec_id")).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      (1 to 4).foreach(c => assert(r.getLong(c) >= 0 && r.getLong(c) < 8))
+    }
+    // a codebook member's distance to itself is 0 in every sub-space, so
+    // its codes must be a codebook index consistently reachable — and two
+    // identical vectors always get identical codes
+    val dup = df.unionAll(df.where(col("vec_id") === 5).withColumn("vec_id", lit(99L)))
+    val enc = graft.ops.Similarity.pqEncode(dup, subs = 4, k = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(enc(5L) == enc(99L))
+  }
+
   test("streaming hourly (availableNow, complete mode) equals the batch aggregate") {
     val d = "/root/testdata/sf0.001"
     val streamed = streaming.StreamOps.runToCompletion(spark,
