@@ -157,18 +157,29 @@ object Similarity {
   def pqEncode(corpus: DataFrame, subs: Int, k: Int,
                idCol: String = "vec_id",
                embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).cast("long").as(idCol),
-      asDouble(col(embCol)).as("e"))
-    val centRows = c
-      .orderBy(h60(concat(lit("cent:"), col(idCol).cast("string"))).asc,
-        col(idCol).asc)
-      .limit(k)
-      .select(col("e")).collect()
-    require(centRows.nonEmpty, "no codebook rows: empty corpus")
-    val cents = centRows.map(_.getSeq[Double](0).toArray)
-    val dim = cents.head.length
-    require(dim % subs == 0, s"dim $dim not divisible into $subs sub-vectors")
-    val subDim = dim / subs
+    val (c, cents) = pqPrep(corpus, subs, k, idCol, embCol)
+    val codes = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqCodes(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("e")),
+        cents, subs))
+    val codeCols = (0 until subs).map(s =>
+      element_at(col("codes"), s + 1).as(s"c$s"))
+    c.withColumn("codes", codes)
+      .select(col(idCol) +: codeCols: _*)
+  }
+
+  /** Declarative restatement of [[pqEncode]]'s per-row encoding —
+    * `array_min` over (distance, index) structs with explicit
+    * left-associated squared-difference sums. Value-equivalent to the
+    * native [[graft.functions.PqCodes]] path (pinned by
+    * `NativeExprEquivalenceSpec`) but ~1k expression nodes per row; kept
+    * as the executable specification, not the production path.
+    */
+  def pqEncodeDeclarative(corpus: DataFrame, subs: Int, k: Int,
+                          idCol: String = "vec_id",
+                          embCol: String = "embedding"): DataFrame = {
+    val (c, cents) = pqPrep(corpus, subs, k, idCol, embCol)
+    val subDim = cents.head.length / subs
     val codeCols = (0 until subs).map { s =>
       val structs = cents.indices.map { j =>
         val dist = (0 until subDim).map { i =>
@@ -181,6 +192,25 @@ object Similarity {
       array_min(array(structs: _*)).getField("j").as(s"c$s")
     }
     c.select(col(idCol) +: codeCols: _*)
+  }
+
+  /** Shared PQ preparation: normalized corpus + deterministic hash-ranked
+    * codebook (the same bounded selection the IVF coarse quantizer uses).
+    */
+  private def pqPrep(corpus: DataFrame, subs: Int, k: Int,
+                     idCol: String, embCol: String): (DataFrame, Array[Array[Double]]) = {
+    val c = corpus.select(col(idCol).cast("long").as(idCol),
+      asDouble(col(embCol)).as("e"))
+    val centRows = c
+      .orderBy(h60(concat(lit("cent:"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+      .limit(k)
+      .select(col("e")).collect()
+    require(centRows.nonEmpty, "no codebook rows: empty corpus")
+    val cents = centRows.map(_.getSeq[Double](0).toArray)
+    require(cents.head.length % subs == 0,
+      s"dim ${cents.head.length} not divisible into $subs sub-vectors")
+    (c, cents)
   }
 
   /** Nearest-centroid (max cosine) cell id per row; ties broken by smaller

@@ -89,6 +89,19 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"row=$r"))
   }
 
+  test("PqCodes == declarative array_min over (distance, index) structs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i => (i, Seq.fill(16)(rnd.nextFloat()))) ++
+      Seq((60L, Seq.fill(16)(0.0f))) // zero vector edge
+    val df = vecs.toDF("vec_id", "embedding")
+    val native = graft.ops.Similarity.pqEncode(df, subs = 4, k = 8)
+      .orderBy(col("vec_id")).collect().map(_.toSeq)
+    val decl = graft.ops.Similarity.pqEncodeDeclarative(df, subs = 4, k = 8)
+      .orderBy(col("vec_id")).collect().map(_.toSeq)
+    assert(native.toSeq == decl.toSeq)
+  }
+
   test("sortedSink round-trip: files concatenated in order give the global order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
