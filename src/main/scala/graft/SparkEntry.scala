@@ -531,6 +531,13 @@ object SparkEntry {
       Similarity.pqEncode(emb(s, d), PqSubs, PqK)
         .orderBy(col("vec_id"))),
 
+    // PQ-ADC approximate top-k: corpus scanned as 8-byte codes, query
+    // distance tables broadcast as literals — the RAM-resident ANN probe.
+    "knn_pq" -> ((s, d) =>
+      Similarity.pqTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5,
+          PqSubs, PqK)
+        .orderBy(col("query_id"), col("rank"))),
+
     // One distributed Lloyd iteration: map-only nearest-centroid assign,
     // then the centroid update as a single map-side-combined hash-aggregate
     // (decimal component sums — order-independent, oracle-replayable).
@@ -1017,6 +1024,8 @@ object SparkEntry {
 
     "pq_encode" -> pqEncodeSql,
 
+    "knn_pq" -> knnPqSql,
+
     "kmeans_step" ->
       s"""WITH $ivfAssignCte,
          |px AS (SELECT cell, i AS dim, e[i] AS v FROM assign, range(1, ${EmbDim + 1}) t(i)),
@@ -1283,7 +1292,11 @@ object SparkEntry {
     * the same order as the Spark expression tree, so distances (and hence
     * argmin codes) are bit-identical.
     */
-  private def pqEncodeSql: String = {
+  /** Shared PQ CTEs: codebook (hash-ranked rows with 0-based index j),
+    * per-(vector, sub-space, codebook-entry) squared-L2 distances as
+    * explicit left-associated sums, and the argmin code pick.
+    */
+  private lazy val pqCte: String = {
     val subDim = EmbDim / PqSubs
     val distSelects = (0 until PqSubs).map { s =>
       val terms = (0 until subDim).map { i =>
@@ -1292,18 +1305,45 @@ object SparkEntry {
       }.mkString(" + ")
       s"SELECT c.vec_id, $s AS s, cents.j, $terms AS d FROM c, cents"
     }.mkString(" UNION ALL ")
-    val codeCols = (0 until PqSubs).map { s =>
-      s"CAST(max(CASE WHEN s = $s THEN j END) AS BIGINT) AS c$s"
-    }.mkString(", ")
-    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cents AS (SELECT row_number() OVER (ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS j, e AS ce
        |  FROM c ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $PqK),
        |dists AS ($distSelects),
        |pick AS (SELECT vec_id, s, j FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM dists)
-       |  WHERE rn = 1)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqEncodeSql: String = {
+    val codeCols = (0 until PqSubs).map { s =>
+      s"CAST(max(CASE WHEN s = $s THEN j END) AS BIGINT) AS c$s"
+    }.mkString(", ")
+    s"""WITH $pqCte
        |SELECT vec_id, $codeCols
        |FROM pick GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** PQ-ADC search oracle: query-side distance TABLES are the same dists
+    * rows restricted to the query vectors; the asymmetric distance of a
+    * corpus vector is the left-associated sum of its codes' table entries
+    * (pivoted to columns so the addition order matches the Spark
+    * expression chain exactly).
+    */
+  private def knnPqSql: String = {
+    val dCols = (0 until PqSubs).map { s =>
+      s"max(CASE WHEN qd.s = $s THEN qd.d END) AS d$s"
+    }.mkString(", ")
+    val adcSum = (0 until PqSubs).map(s => s"d$s").mkString(" + ")
+    s"""WITH $pqCte,
+       |qd AS (SELECT vec_id, s, j, d FROM dists WHERE vec_id < 8),
+       |wide AS (SELECT qd.vec_id AS query_id, x.vec_id AS nbr_id, $dCols
+       |  FROM pick x JOIN qd ON qd.s = x.s AND qd.j = x.j
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT query_id, nbr_id, round($adcSum, 6) AS adc
+       |  FROM wide WHERE query_id <> nbr_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, nbr_id ASC) AS rn FROM scored)
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** SRP-LSH near-dup oracle: hyperplane components are inlined as literal

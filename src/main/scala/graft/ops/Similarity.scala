@@ -168,6 +168,69 @@ object Similarity {
       .select(col(idCol) +: codeCols: _*)
   }
 
+  /** PQ asymmetric-distance (ADC) top-k: the full product-quantization
+    * search path. The corpus is encoded to `subs` codes (native
+    * [[graft.functions.PqCodes]], map-only); each query precomputes a
+    * `subs × k` distance TABLE against the codebook driver-side (k·dim
+    * work, query count is small by contract — the same broadcast-small
+    * pattern as the IVF centroids); a corpus vector's approximate
+    * distance is then `subs` literal-array lookups summed — no embedding
+    * is ever re-read, which is the point: at 100 TB the scan touches
+    * 8-byte codes, not 256-byte vectors. Per-query top-k via the
+    * bounded-heap `topk_by_score` aggregate (score = −distance), k rows
+    * per task into the shuffle.
+    *
+    * ADC sums are left-associated and rounded to 6dp before ranking so
+    * the SQL oracle ranks identical values.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+             subs: Int, k: Int,
+             idCol: String = "vec_id",
+             embCol: String = "embedding"): DataFrame = {
+    val (c, cents) = pqPrep(corpus, subs, k, idCol, embCol)
+    val subDim = cents.head.length / subs
+    val codes = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqCodes(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("e")),
+        cents, subs))
+    val qRows = queries
+      .select(col(idCol).cast("long"), asDouble(col(embCol))).collect()
+    require(qRows.nonEmpty, "no query vectors")
+    val perQuery = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qe = r.getSeq[Double](1).toArray
+      val dt = Array.tabulate(subs) { s =>
+        Array.tabulate(cents.length) { j =>
+          var acc = 0.0d
+          var i = 0
+          while (i < subDim) {
+            val d = qe(s * subDim + i) - cents(j)(s * subDim + i)
+            acc += d * d
+            i += 1
+          }
+          acc
+        }
+      }
+      val adc = (0 until subs).map { s =>
+        element_at(lit(dt(s)),
+          (element_at(col("codes"), s + 1) + 1).cast("int"))
+      }.reduceLeft(_ + _)
+      struct(lit(qid).as("query_id"), round(adc, 6).as("adc"))
+    }
+    val scored = c.withColumn("codes", codes)
+      .select(col(idCol).as("nbr_id"),
+        explode(array(perQuery.toIndexedSeq: _*)).as("qa"))
+      .select(col("qa.query_id").as("query_id"), col("nbr_id"),
+        col("qa.adc").as("adc"))
+      .where(col("query_id") =!= col("nbr_id"))
+    GraftFunctions.register(scored.sparkSession)
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(-adc, nbr_id, $topK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nbr_id").as("nbr_id"), (-col("col.cos_sim")).as("adc"))
+  }
+
   /** Declarative restatement of [[pqEncode]]'s per-row encoding —
     * `array_min` over (distance, index) structs with explicit
     * left-associated squared-difference sums. Value-equivalent to the
