@@ -371,6 +371,23 @@ object SparkEntry {
       Sorts.readSortedSink(s, path)
     }),
 
+    // DataSource V2 WRITE path: every task reduces its split to O(1)
+    // commutative state (count + xor of key digests), the driver-side
+    // commit combines the WriterCommitMessages and publishes atomically —
+    // the exactly-once distributed-write pattern. The digest is over keys
+    // (not formatted rows) so the oracle recomputes it engine-portably.
+    "digest_sink" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_digest").toString
+      li(s, d)
+        .select(h60(concat(
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))).as("digest"))
+        .write.format("graft-digest").option("path", path)
+        .mode("overwrite").save()
+      sources.DigestSink.result(s, path)
+    }),
+
     // Format surface round-trips (SURVEY §2.2 scans row): the same rows
     // through a written CSV / JSON copy and back, against the parquet
     // oracle — proves header/quoting/type inference plumbing.
@@ -878,6 +895,11 @@ object SparkEntry {
     "sorted_sink" ->
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
          |ORDER BY l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
+
+    "digest_sink" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  bit_xor(${h60Sql("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")}) AS xor_digest
+         |FROM lineitem""".stripMargin,
 
     "csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -40,4 +40,28 @@ class GenSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gen(0L).count() == 0L)
     assert(gen(1L).collect().map(_.getAs[Long]("id")).toSeq == Seq(0L))
   }
+
+  test("graft-digest sink: task xors combine to the exact corpus digest") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val vals = Seq(3L, 5L, 9L, 3L, 1024L, -7L)
+    val path = java.nio.file.Files.createTempDirectory("digest_test").toString
+    vals.toDF("digest").repartition(3) // several tasks → several commit msgs
+      .write.format("graft-digest").option("path", path)
+      .mode("overwrite").save()
+    val row = graft.sources.DigestSink.result(sp, path).collect().head
+    assert(row.getAs[Long]("n_rows") == vals.length.toLong)
+    assert(row.getAs[Long]("xor_digest") == vals.reduce(_ ^ _))
+    // rerun overwrites atomically with the same result
+    vals.toDF("digest").write.format("graft-digest").option("path", path)
+      .mode("overwrite").save()
+    assert(graft.sources.DigestSink.result(sp, path).collect().head
+      .getAs[Long]("xor_digest") == vals.reduce(_ ^ _))
+    // input contract: exactly one LongType column
+    intercept[Exception] {
+      Seq((1L, 2L)).toDF("a", "b").write.format("graft-digest")
+        .option("path", path).mode("overwrite").save()
+    }
+  }
 }
