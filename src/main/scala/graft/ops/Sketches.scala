@@ -100,12 +100,13 @@ object Sketches {
     * consumer; pairs with the exact anti-join which then runs only on the
     * maybe-dups).
     */
-  def bloomBuild(keys: DataFrame, keyCol: String): DataFrame =
+  def bloomBuild(keys: DataFrame, keyCol: String,
+                 bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame =
     keys
       .select(col(keyCol).as("k"),
-        explode(sequence(lit(0), lit(BloomHashes - 1))).as("r"))
+        explode(sequence(lit(0), lit(hashes - 1))).as("r"))
       .select(pmod(h60(concat(col("r").cast("string"), lit(":"), col("k"))),
-        lit(BloomBits.toLong)).as("idx"))
+        lit(bits.toLong)).as("idx"))
       .select(expr("idx div 32").as("word"),
         expr("shiftleft(cast(1 as bigint), cast(idx % 32 as int))").as("mask"))
       .groupBy(col("word"))
@@ -117,13 +118,14 @@ object Sketches {
     * broadcast; the probe is map-only per incoming row.
     */
   def bloomProbe(bloom: DataFrame, keys: DataFrame, idCol: String,
-                 keyCol: String): DataFrame =
+                 keyCol: String,
+                 bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame =
     keys
       .select(col(idCol), col(keyCol).as("k"),
-        explode(sequence(lit(0), lit(BloomHashes - 1))).as("r"))
+        explode(sequence(lit(0), lit(hashes - 1))).as("r"))
       .select(col(idCol),
         pmod(h60(concat(col("r").cast("string"), lit(":"), col("k"))),
-          lit(BloomBits.toLong)).as("idx"))
+          lit(bits.toLong)).as("idx"))
       .select(col(idCol), expr("idx div 32").as("word"),
         expr("shiftleft(cast(1 as bigint), cast(idx % 32 as int))").as("mask"))
       .join(broadcast(bloom), Seq("word"), "left")
