@@ -227,6 +227,19 @@ object SparkEntry {
           col("n_orders"), col("sum_price"))
         .orderBy(col("gid"), col("status"), col("priority"))),
 
+    // CUBE: all 2^k grouping-set combinations (rollup's hierarchical
+    // subset is covered by rollup_orders) in one pass.
+    "cube_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"))
+        .select(col("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"))
+        .orderBy(col("gid"), col("status"), col("priority"))),
+
     // Set operations: customers ordering in both 1995 and 1996
     // (INTERSECT) vs only in 1995 (EXCEPT).
     "set_ops" -> ((s, d) => {
@@ -814,6 +827,14 @@ object SparkEntry {
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    "cube_orders" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
 
     "set_ops" ->

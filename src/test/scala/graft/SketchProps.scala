@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{RangeJoin, Sketches}
+
+/** Randomized invariants (seeded, 5 cases each) for the round-4
+  * primitives: the count-min sketch can only overcount, the Bloom filter
+  * has no false negatives, and the bucketed range join equals the naive
+  * BETWEEN join on random interval/point sets with every interval
+  * boundary included as a point (edge coverage).
+  */
+class SketchProps extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-sketch-props")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("CMS: estimate >= true count for every probe, random multisets") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(101)
+    (1 to 5).foreach { _ =>
+      val items = List.fill(80)(
+        if (rnd.nextBoolean()) s"hot${rnd.nextInt(8)}" else s"cold${rnd.nextInt(500)}")
+      val probes = items.distinct.take(5) :+ "never-seen"
+      val out = Sketches.cmsFrequency(items.toDF("item"), "item", probes)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(out.length == probes.distinct.length)
+      out.foreach { case (t, est, truth) =>
+        assert(est >= truth, s"undercount for $t: $est < $truth")
+        assert(truth == items.count(_ == t).toLong)
+      }
+    }
+  }
+
+  test("Bloom: every inserted key probes as maybe, random key sets") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(202)
+    (1 to 5).foreach { _ =>
+      val keys = List.fill(60)(rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString).distinct
+      val df = keys.toDF("k")
+      val bloom = Sketches.bloomBuild(df, "k")
+      val probe = Sketches.bloomProbe(bloom, df.withColumn("id", col("k")), "id", "k")
+      assert(probe.collect().forall(_.getLong(1) == 1L))
+    }
+  }
+
+  test("range join: bucketed == naive BETWEEN on random intervals/points") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(303)
+    val base = 1500000000L // 2017-07-14, epoch seconds
+    (1 to 5).foreach { _ =>
+      val ivs = List.fill(6) {
+        val lo = base + (rnd.nextDouble() * 20 * 86400).toLong
+        (lo, lo + (rnd.nextDouble() * 5 * 86400).toLong)
+      }.distinct
+      val pts = List.fill(40)(base + (rnd.nextDouble() * 26 * 86400).toLong)
+      // every interval boundary is also a point: inclusive-edge coverage
+      val allPts = (pts ++ ivs.flatMap(i => Seq(i._1, i._2))).distinct
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("interval_id", "lo_s", "hi_s")
+        .select(col("interval_id"),
+          timestamp_seconds(col("lo_s")).as("lo"),
+          timestamp_seconds(col("hi_s")).as("hi"))
+      val p = allPts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("pt_id", "ts_s")
+        .select(col("pt_id"), timestamp_seconds(col("ts_s")).as("ts"))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("pt_id"), col("interval_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bucketed = pairs(RangeJoin.pointInInterval(p, iv, "ts", "lo", "hi"))
+      val naive = pairs(p.join(iv,
+        col("ts") >= col("lo") && col("ts") <= col("hi")))
+      assert(bucketed == naive)
+    }
+  }
+}
