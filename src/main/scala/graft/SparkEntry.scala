@@ -756,6 +756,22 @@ object SparkEntry {
       streaming.StreamOps.runToParquet(s, dd).orderBy(col("digest"))
     }),
 
+    // Stream-stream inner join (event-time range bounds + watermarked
+    // state eviction on both sides) run as a bounded stream: inner joins
+    // emit on match, so the result set equals the batch join.
+    "stream_join" -> ((s, d) => {
+      val ev = streaming.StreamOps.eventsStream(s, d)
+      val out = streaming.StreamOps.purchaseClickJoin(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") === "click"))
+        .select(col("p_user").as("user_id"), col("p_event_id"),
+          col("c_event_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+          date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"))
+      streaming.StreamOps.runToParquet(s, out)
+        .orderBy(col("user_id"), col("p_event_id"), col("c_event_id"))
+    }),
+
     // -- multimodal --------------------------------------------------------
     "mm_meta" -> ((s, d) =>
       Multimodal.mediaMeta(docs(s, d)).orderBy(col("doc_id"))),
@@ -1288,6 +1304,17 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS digest FROM documents
         |ORDER BY digest""".stripMargin,
+
+    "stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+        |p AS (SELECT user_id, event_id AS p_event_id, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_event_id, ts AS c_ts FROM e WHERE event_type = 'click')
+        |SELECT p.user_id AS user_id, p_event_id, c_event_id,
+        |  strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+        |ORDER BY user_id, p_event_id, c_event_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,

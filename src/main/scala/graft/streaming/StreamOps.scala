@@ -118,6 +118,28 @@ object StreamOps {
     spark.read.schema(out.schema).parquet(s"$base/data")
   }
 
+  /** Stream-stream INNER join with event-time range bounds — the
+    * enrichment join of a live pipeline (each purchase picks up the same
+    * user's clicks from the preceding hour). Both sides carry watermarks
+    * and the join condition bounds the click time relative to the
+    * purchase time, so each side's buffered state is EVICTED once the
+    * other side's watermark passes the bound — bounded state on an
+    * unbounded stream. Inner join emits on match (no watermark wait), so
+    * a bounded run produces exactly the batch join's row set.
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_event_id"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("interval 1 hour") &&
+      col("c_ts") <= col("p_ts"))
+  }
+
   // ----------------------------------------------------- sessionization
 
   final case class Evt(user_id: Long, ts: Timestamp, value: Double)
