@@ -756,6 +756,30 @@ object SparkEntry {
       streaming.StreamOps.runToParquet(s, dd).orderBy(col("digest"))
     }),
 
+    // flatMapGroupsWithState sessionization run as a bounded stream. The
+    // staged source is ONE file → ONE micro-batch, and the watermark
+    // delay exceeds the corpus time span, so the trailing no-data batch
+    // fires no event-time timeouts: the emitted set is deterministically
+    // every session CLOSED by a later event — all sessions except each
+    // user's final (still-open) one — which is exactly what the oracle
+    // states. total_value is omitted: its double accumulation follows
+    // arrival order among equal-timestamp events, which the shuffle does
+    // not pin.
+    "stream_sessions" -> ((s, d) => {
+      import s.implicits._
+      val ev = streaming.StreamOps.eventsStream(s, d)
+        .select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", "87600 hours")
+        .as[streaming.StreamOps.Evt]
+      val sess = streaming.StreamOps.sessionize(ev, SessionGapMin).toDF()
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+      streaming.StreamOps.runToParquet(s, sess)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Stream-stream inner join (event-time range bounds + watermarked
     // state eviction on both sides) run as a bounded stream: inner joins
     // emit on match, so the result set equals the batch join.
@@ -1304,6 +1328,21 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS digest FROM documents
         |ORDER BY digest""".stripMargin,
+
+    "stream_sessions" ->
+      s"""WITH x AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
+         |  CASE WHEN epoch_us(date_trunc('microseconds', ts)) - lag(epoch_us(date_trunc('microseconds', ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) > ${SessionGapMin * 60000000L} THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM x),
+         |agg AS (SELECT user_id, sid,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         |  count(*) AS n_events
+         |  FROM s GROUP BY user_id, sid),
+         |mx AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id)
+         |SELECT agg.user_id AS user_id, session_start, session_end, n_events
+         |FROM agg JOIN mx USING (user_id) WHERE sid < last_sid
+         |ORDER BY user_id, session_start""".stripMargin,
 
     "stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
