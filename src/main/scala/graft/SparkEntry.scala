@@ -253,6 +253,20 @@ object SparkEntry {
       both.unionAll(only95).orderBy(col("tag"), col("o_custkey"))
     }),
 
+    // FULL OUTER join: customers active in either year, with zero-filled
+    // counts — the churn/retention comparison shape.
+    "full_outer" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def perYear(y: Int, out: String) =
+        o.where(year(col("o_orderdate")) === y)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as(out))
+      perYear(1995, "n95").join(perYear(1996, "n96"), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n95"), lit(0L)).as("n95"),
+          coalesce(col("n96"), lit(0L)).as("n96"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Skew-safe exact distinct: dedupe on (key, value) first so no
     // reducer holds a hot key's full value multiset.
     "skew_distinct" -> ((s, d) =>
@@ -884,6 +898,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'only_1995' AS tag, o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
         |ORDER BY tag, o_custkey""".stripMargin,
+
+    "full_outer" ->
+      """WITH y95 AS (SELECT o_custkey, count(*) AS n95 FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+        |y96 AS (SELECT o_custkey, count(*) AS n96 FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+        |SELECT COALESCE(y95.o_custkey, y96.o_custkey) AS o_custkey,
+        |  COALESCE(n95, 0) AS n95, COALESCE(n96, 0) AS n96
+        |FROM y95 FULL JOIN y96 ON y95.o_custkey = y96.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "skew_distinct" ->
       """SELECT l_returnflag, count(*) AS n_supp
