@@ -637,6 +637,18 @@ object SparkEntry {
     "events_users" -> ((s, d) =>
       Events.userStats(Tables.events(s, d)).orderBy(col("user_id"))),
 
+    // Nested-aggregation surface: per-user event-type histogram collected
+    // into ONE sorted CSV cell (collect_list is unordered by contract —
+    // sort_array pins the order before serialization).
+    "user_type_profile" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_list(
+          concat(col("event_type"), lit(":"), col("n")))), ",").as("profile"))
+        .orderBy(col("user_id"))),
+
     "sessions" -> ((s, d) =>
       Events.sessionize(Tables.events(s, d), SessionGapMin)
         .orderBy(col("user_id"), col("sid"))),
@@ -1234,6 +1246,12 @@ object SparkEntry {
         |CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "user_type_profile" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type || ':' || CAST(n AS VARCHAR)) AS profile
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "sessions" ->
       s"""WITH x AS (SELECT user_id, event_id, ts, value,
