@@ -67,6 +67,8 @@ object SparkEntry {
   private val MixRates = Seq("en" -> 50, "de" -> 25, "fr" -> 10)
   private val MixDefaultPct = 5
   private val IvfCentroids = 16
+  private val DecontamN = 4
+  private val BenchSource = "src0"
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
   private val TfidfK = 3
@@ -558,6 +560,14 @@ object SparkEntry {
             Dedup.minhashPairs(docs(s, d), MinhashK, MinhashBands, ShingleN, MaxBucket)),
           TextStats.qualityScore(docs(s, d)))
         .orderBy(col("cluster_id"))),
+
+    // Benchmark decontamination: corpus docs sharing any 4-gram with the
+    // held-out eval set (source src0) — broadcast semi-join on gram hashes.
+    "decontaminate" -> ((s, d) =>
+      Decontaminate.flagOverlap(
+          docs(s, d).where(col("source") =!= BenchSource),
+          docs(s, d).where(col("source") === BenchSource), DecontamN)
+        .orderBy(col("doc_id"))),
 
     // -- similarity search -------------------------------------------------
     "knn_bruteforce" -> ((s, d) =>
@@ -1109,6 +1119,20 @@ object SparkEntry {
          |  FROM j)
          |SELECT cluster_id, doc_id AS keep_doc_id, quality AS best_quality, n_members
          |FROM w WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // n-gram overlap vs the held-out eval source; join on gram strings
+    // (the engine joins on h60(gram) — collision-free at test scale).
+    "decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, source, list_distinct(CASE WHEN len(tk) >= $DecontamN
+         |  THEN list_transform(range(1, len(tk) - ${DecontamN - 2}), i -> array_to_string(tk[i:i+${DecontamN - 1}], ' '))
+         |  ELSE [] END) AS grams FROM toks),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = '$BenchSource'),
+         |corp AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g WHERE source <> '$BenchSource'),
+         |hits AS (SELECT doc_id, n_grams, count(*) AS n_hits FROM corp JOIN bench USING (gram) GROUP BY 1, 2)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / n_grams, 4) AS contamination
+         |FROM hits ORDER BY doc_id""".stripMargin,
 
     "redact" -> {
       import TextStats.{EmailRe, LongNumRe, UrlRe}
