@@ -384,6 +384,13 @@ object SparkEntry {
       Sorts.partitionSort(li(s, d).select(sortCols.map(col): _*), 8,
         col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))),
 
+    // Distributed ROW_NUMBER: contiguous 0-based index in key order via
+    // range-scatter + per-partition offsets (never a one-partition window).
+    "global_index" -> ((s, d) =>
+      Sorts.globalIndex(li(s, d).select(sortCols.map(col): _*),
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("idx"))),
+
     "top_k" -> ((s, d) =>
       Sorts.topK(li(s, d).select(sortCols.map(col): _*), 100,
         col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
@@ -625,6 +632,12 @@ object SparkEntry {
     // Context-window chunking: 64-token windows, 16-token overlap.
     "doc_chunks" -> ((s, d) =>
       TextStats.chunk(docs(s, d), ChunkTokens, ChunkOverlap)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Chunk-level exact dedup: earliest (doc_id, chunk_id) kept per
+    // distinct chunk body — catches boilerplate shared across documents.
+    "chunk_dedup" -> ((s, d) =>
+      Dedup.chunkDedup(TextStats.chunk(docs(s, d), ChunkTokens, ChunkOverlap))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
     // Top-3 TF-IDF terms per document.
@@ -993,6 +1006,11 @@ object SparkEntry {
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
          |ORDER BY l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
 
+    "global_index" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS BIGINT) AS idx,
+         |  ${sortCols.mkString(", ")} FROM lineitem
+         |ORDER BY idx""".stripMargin,
+
     "top_k" ->
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
          |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin,
@@ -1239,6 +1257,20 @@ object SparkEntry {
          |  CAST(len(tk[chunk_id * $stride + 1 : chunk_id * $stride + $ChunkTokens]) AS BIGINT) AS n_tokens,
          |  array_to_string(tk[chunk_id * $stride + 1 : chunk_id * $stride + $ChunkTokens], ' ') AS chunk_text
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
+    "chunk_dedup" -> {
+      val stride = ChunkTokens - ChunkOverlap
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |n AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+         |ch AS (SELECT doc_id, tk, unnest(range(0, (n - 1) // $stride + 1)) AS chunk_id FROM n),
+         |cx AS (SELECT doc_id, chunk_id,
+         |  md5(array_to_string(tk[chunk_id * $stride + 1 : chunk_id * $stride + $ChunkTokens], ' ')) AS chunk_md5 FROM ch)
+         |SELECT doc_id, chunk_id, chunk_md5, n_copies FROM (
+         |  SELECT doc_id, chunk_id, chunk_md5,
+         |    row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY chunk_md5) AS BIGINT) AS n_copies
+         |  FROM cx) WHERE rn = 1 ORDER BY doc_id, chunk_id""".stripMargin
     },
 
     "tfidf_top" ->

@@ -45,6 +45,25 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
 
+  /** Chunk-level exact dedup (keep-first): over an exploded chunk table
+    * (doc_id, chunk_id, chunk_text), group chunks by their md5 digest and
+    * keep the earliest (doc_id, chunk_id) occurrence — the sub-document
+    * analog of [[exactByDigest]], catching boilerplate paragraphs shared
+    * across otherwise-distinct pages (headers, license blocks, nav bars).
+    * One hash-aggregate whose shuffle rows are (16-byte digest, two ids):
+    * chunk bodies never move, so at 100 TB this costs one digest scan +
+    * one small shuffle regardless of chunk size.
+    */
+  def chunkDedup(chunks: DataFrame): DataFrame =
+    chunks.select(md5(col("chunk_text")).as("chunk_md5"),
+        col("doc_id"), col("chunk_id"))
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keep"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep.doc_id").as("doc_id"),
+        col("keep.chunk_id").as("chunk_id"),
+        col("chunk_md5"), col("n_copies"))
+
   /** doc_id + MinHash signature: `sig` is an array of k universal-hash
     * minima over `shingleN`-word shingles, computed by the native one-pass
     * [[graft.functions.MinHash31]] expression (one md5 per shingle total,

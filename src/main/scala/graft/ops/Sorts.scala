@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** The reference's distributed pipeline — scatter → local hybrid sort →
   * k-way merge (`/root/reference/QuickInsertionHeap.c:197-215`) — restated
@@ -47,6 +48,29 @@ object Sorts {
     */
   def sortedSink(df: DataFrame, path: String, keys: Column*): Unit =
     globalSort(df, keys: _*).write.mode("overwrite").parquet(path)
+
+  /** Contiguous global row index 0..N-1 in key order — the scale-safe form
+    * of `ROW_NUMBER() OVER (ORDER BY …)`. The window form plans as a
+    * SINGLE-partition sort (every row through one task — the same
+    * bottleneck as the reference's rank-0 merge); this one range-scatters,
+    * sorts within partitions, then assigns `partition offset + local
+    * position` via zipWithIndex, whose first phase materializes only ONE
+    * COUNT PER PARTITION on the driver — O(P), not O(N). Costs a second
+    * pass over the sorted data (persist upstream if the input is hot).
+    * `keys` must pin a TOTAL order (include a tiebreaker): rows tied on
+    * all keys may land in either partition of a range boundary, making
+    * their relative index nondeterministic.
+    */
+  def globalIndex(df: DataFrame, keys: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val sorted = partitionSort(df, p, keys: _*)
+    val schema = StructType(
+      StructField("idx", LongType, nullable = false) +: sorted.schema.fields)
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      Row.fromSeq(i +: row.toSeq)
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
 
   /** Print sink (reference O14: the stdout dumps at
     * `/root/reference/SequentialQuickInsert.c:89-93` etc.) — bounded by
