@@ -69,6 +69,10 @@ object SparkEntry {
   private val IvfCentroids = 16
   private val DecontamN = 4
   private val BenchSource = "src0"
+  private val BmTerms = Seq("sort", "merge", "spark")
+  private val BmK = 20
+  private val BmK1 = 1.2
+  private val BmB = 0.75
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
   private val TfidfK = 3
@@ -644,6 +648,12 @@ object SparkEntry {
     "tfidf_top" -> ((s, d) =>
       TextStats.tfidfTopTerms(docs(s, d), TfidfK)
         .orderBy(col("doc_id"), col("rank"))),
+
+    // BM25 retrieval: top-20 docs for a fixed query — map-only tf columns,
+    // one broadcast stats row, TakeOrderedAndProject. No token shuffle.
+    "bm25_search" -> ((s, d) =>
+      TextStats.bm25(docs(s, d), BmTerms, BmK, BmK1, BmB)
+        .orderBy(col("bm25").desc, col("doc_id"))),
 
     // Reproducible 10% corpus sample keyed on doc_id (same subset in any
     // engine / any re-run — the train/holdout split primitive).
@@ -1257,6 +1267,27 @@ object SparkEntry {
          |  CAST(len(tk[chunk_id * $stride + 1 : chunk_id * $stride + $ChunkTokens]) AS BIGINT) AS n_tokens,
          |  array_to_string(tk[chunk_id * $stride + 1 : chunk_id * $stride + $ChunkTokens], ' ') AS chunk_text
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
+    // Mirrors TextStats.bm25 exactly: same constant folding (k1+1, 1-b
+    // precomputed), same expression grouping, so doubles match bitwise.
+    "bm25_search" -> {
+      val tfCols = BmTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$i"
+      }.mkString(", ")
+      val dfCols = BmTerms.indices.map(i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+      val score = BmTerms.indices.map { i =>
+        s"ln((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5) + 1.0)" +
+          s" * (CAST(tf_$i AS DOUBLE) * ${BmK1 + 1.0})" +
+          s" / (CAST(tf_$i AS DOUBLE) + $BmK1 * (${1.0 - BmB} + $BmB * CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols FROM t),
+         |s AS (SELECT count(*) AS n_docs, sum(dl) AS tot, $dfCols FROM f),
+         |sc AS (SELECT doc_id, round($score, 6) AS bm25 FROM f, s)
+         |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT $BmK""".stripMargin
     },
 
     "chunk_dedup" -> {

@@ -223,6 +223,50 @@ object TextStats {
     df.where(pmod(h60(concat(lit(salt), lit(":"), col(keyCol))), lit(100L)) < keep)
   }
 
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval scorer of a data-curation search pass (and the
+    * classical IR baseline RAG pipelines rank against).
+    *
+    * Shape: per-doc term frequencies are MAP-ONLY columns (one
+    * `size(filter(tokens))` per query term — queries are a handful of
+    * terms, so this is a fixed-width projection, never an explode+shuffle);
+    * corpus statistics (N, Σdl, per-term document frequencies) reduce to
+    * ONE broadcast row; the final top-k is `TakeOrderedAndProject`. Net
+    * cost at 100 TB: one scan + one 1-row aggregate — no token shuffle.
+    * Scoring is a fixed-order double expression over exact integer inputs,
+    * so an independent SQL engine reproduces it bit-for-bit (no
+    * shuffle-order-dependent float sums).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val toks = tokens(col("text"))
+    val withTf = docs.select(
+      col("doc_id") +: size(toks).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$i")
+        }: _*)
+    val stats = withTf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+    val n = col("n_docs").cast("double")
+    val avgdl = col("tot").cast("double") / n
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val dfc = col(s"df_$i").cast("double")
+      val idf = log((n - dfc + 0.5d) / (dfc + 0.5d) + 1.0d)
+      idf * (tf * (k1 + 1.0d)) /
+        (tf + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+      .where(col("bm25") > 0d)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Top-k terms per document by TF-IDF. Two hash-aggregates (term counts
     * per doc, then document frequency FROM the already-aggregated tf — the
     * raw token stream is never re-shuffled), a shuffle join on term, and a
