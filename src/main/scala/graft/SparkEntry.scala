@@ -69,6 +69,7 @@ object SparkEntry {
   private val IvfCentroids = 16
   private val DecontamN = 4
   private val BenchSource = "src0"
+  private val EpochRepeats = Seq("en" -> 3, "de" -> 2)
   private val BmTerms = Seq("sort", "merge", "spark")
   private val BmK = 20
   private val BmK1 = 1.2
@@ -649,6 +650,11 @@ object SparkEntry {
       TextStats.tfidfTopTerms(docs(s, d), TfidfK)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // Training-mix epoch expansion: per-lang repeat factors, map-only.
+    "epoch_upsample" -> ((s, d) =>
+      TextStats.epochUpsample(docs(s, d), "lang", EpochRepeats, 1)
+        .orderBy(col("doc_id"), col("epoch"))),
+
     // BM25 retrieval: top-20 docs for a fixed query — map-only tf columns,
     // one broadcast stats row, TakeOrderedAndProject. No token shuffle.
     "bm25_search" -> ((s, d) =>
@@ -685,6 +691,19 @@ object SparkEntry {
     "sessions" -> ((s, d) =>
       Events.sessionize(Tables.events(s, d), SessionGapMin)
         .orderBy(col("user_id"), col("sid"))),
+
+    // Typed JSON surface: schema-projected from_json parse + per-type agg.
+    "props_extract" -> ((s, d) =>
+      Events.propsStats(Tables.events(s, d)).orderBy(col("event_type"))),
+
+    // Markov bigrams: per-user consecutive event-type transition counts.
+    "event_bigrams" -> ((s, d) =>
+      Events.transitions(Tables.events(s, d))
+        .orderBy(col("from_type"), col("to_type"))),
+
+    // Feature normalization: per-type z-score from exact decimal moments.
+    "value_zscore" -> ((s, d) =>
+      Events.valueZscore(Tables.events(s, d)).orderBy(col("event_id"))),
 
     // As-of (point-in-time) join: for each purchase, the user's latest
     // click at-or-before it — the feature-store lookup shape.
@@ -1269,6 +1288,14 @@ object SparkEntry {
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
     },
 
+    "epoch_upsample" -> {
+      val reps = EpochRepeats.map { case (l, n) => s"WHEN lang = '$l' THEN $n" }
+        .mkString("CASE ", " ", " ELSE 1 END")
+      s"""SELECT doc_id, lang,
+         |  CAST(unnest(generate_series(1, $reps)) AS BIGINT) AS epoch
+         |FROM documents ORDER BY doc_id, epoch""".stripMargin
+    },
+
     // Mirrors TextStats.bm25 exactly: same constant folding (k1+1, 1-b
     // precomputed), same expression grouping, so doubles match bitwise.
     "bm25_search" -> {
@@ -1351,6 +1378,32 @@ object SparkEntry {
          |  count(*) AS n_events,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back so dtypes hash equal.
+    "props_extract" ->
+      """WITH x AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(*) AS n, count(k) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "event_bigrams" ->
+      """WITH x AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        |FROM x WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    // Mirrors Events.valueZscore: exact DECIMAL moments, then the same
+    // fixed-order double expression — bit-identical across engines.
+    "value_zscore" ->
+      """WITH st AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS s,
+        |  sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type,
+        |  CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+        |    THEN round((value - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4)
+        |    ELSE 0.0 END AS z
+        |FROM events e JOIN st USING (event_type) ORDER BY event_id""".stripMargin,
 
     // ts truncated to µs in the CTE: Spark ingests the ns parquet column
     // at µs precision, so the ASOF `>=` must compare at µs on both sides.

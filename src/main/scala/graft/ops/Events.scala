@@ -79,4 +79,60 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         countDistinct(to_date(col("ts"))).as("n_days"),
         sum(dec2(col("value"))).cast("double").as("total_value"))
+
+  /** Typed JSON projection + aggregate: `props` is parsed ONCE per row via
+    * `from_json` with an explicit schema (at scale, schema-projected
+    * parsing beats repeated `get_json_object` calls — one parse, pruned to
+    * the referenced fields), then a per-type integer aggregate. Map-side
+    * combine; the shuffle carries one row per event_type.
+    */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"), lit("k LONG")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  /** First-order event-type transition counts (Markov bigrams): per-user
+    * lag pairs the consecutive event types, then one hash-aggregate counts
+    * each (from, to) edge. One shuffle on user_id (the window), one tiny
+    * grouped shuffle — the sequence-mining primitive behind funnel and
+    * next-action analyses.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(byUser).as("prev"))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("prev").as("from_type"), col("event_type").as("to_type"),
+        col("n"))
+  }
+
+  /** Per-type z-score of `value` — the feature-normalization pass. Group
+    * moments come from EXACT decimal sums (order-independent, so any
+    * engine reproduces them bit-for-bit); mean/variance/z are then a
+    * fixed-order double expression. Two-pass shape: one tiny stats
+    * aggregate (rows = |event_type|, broadcast back), one map-only scoring
+    * pass — at 100 TB the data crosses the wire zero times.
+    */
+  def valueZscore(events: DataFrame): DataFrame = {
+    val stats = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).as("s"),
+        sum(dec2(col("value")) * dec2(col("value"))).as("s2"))
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val mean = sD / nD
+    val variance = (col("s2").cast("double") - sD * sD / nD) / nD
+    events.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        when(variance > 0d, round((col("value") - mean) / sqrt(variance), 4))
+          .otherwise(0.0d).as("z"))
+  }
 }

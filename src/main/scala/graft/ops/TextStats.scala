@@ -267,6 +267,25 @@ object TextStats {
       .limit(k)
   }
 
+  /** Epoch up-sampling — the corpus-mixing step that REPEATS high-value
+    * strata (e.g. books × 3, web × 1) to hit a target training mixture.
+    * Map-only: the per-stratum repeat count folds into a CASE expression
+    * and each row explodes into `repeats` epoch-tagged copies; no join, no
+    * shuffle, output partitioning follows the scan. The epoch column is
+    * what downstream shuffling/packing keys on so repeated copies don't
+    * sit adjacent in the training stream.
+    */
+  def epochUpsample(df: DataFrame, stratumCol: String,
+                    repeatsFor: Seq[(String, Int)], defaultRepeats: Int): DataFrame = {
+    require((defaultRepeats +: repeatsFor.map(_._2)).forall(_ >= 0))
+    val reps = repeatsFor.foldRight(lit(defaultRepeats): Column) { case ((v, n), acc) =>
+      when(col(stratumCol) === v, lit(n)).otherwise(acc)
+    }
+    df.select(col("doc_id"), col(stratumCol),
+        explode(sequence(lit(1), reps)).as("epoch"))
+      .select(col("doc_id"), col(stratumCol), col("epoch").cast("long").as("epoch"))
+  }
+
   /** Top-k terms per document by TF-IDF. Two hash-aggregates (term counts
     * per doc, then document frequency FROM the already-aggregated tf — the
     * raw token stream is never re-shuffled), a shuffle join on term, and a
