@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Decontaminate, Dedup, Events, Sorts, TextStats}
+
+/** Round-4 pipeline operators: decontamination, chunk dedup, global row
+  * indexing, BM25, event transitions / JSON stats / z-score, and epoch
+  * up-sampling.
+  */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-pipeline-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("decontaminate: flags exactly the docs sharing an n-gram with the benchmark") {
+    val sp = spark; import sp.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx alpha beta gamma delta yy"), // contains the bench 4-gram
+      (2L, "alpha beta gamma other words here"), // only a 3-gram overlap
+      (3L, "totally unrelated content right here")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.flagOverlap(corpus, bench, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L))
+  }
+
+  test("chunkDedup keeps the earliest (doc_id, chunk_id) per distinct chunk body") {
+    val sp = spark; import sp.implicits._
+    val chunks = Seq(
+      (1L, 0L, "shared boilerplate"), (1L, 1L, "unique one"),
+      (2L, 0L, "shared boilerplate"), (3L, 5L, "shared boilerplate"),
+      (3L, 6L, "unique two")
+    ).toDF("doc_id", "chunk_id", "chunk_text")
+    val out = Dedup.chunkDedup(chunks).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out == Map((1L, 0L) -> 3L, (1L, 1L) -> 1L, (3L, 6L) -> 1L))
+  }
+
+  test("globalIndex assigns the contiguous 0-based rank of the total key order") {
+    val sp = spark; import sp.implicits._
+    val n = 10000
+    // duplicate-heavy primary key + unique tiebreaker, scattered partitions
+    val df = (0 until n).map(i => ((i * 7919) % 97, i.toLong))
+      .toDF("k", "id").repartition(7)
+    val out = Sorts.globalIndex(df, col("k"), col("id"))
+      .orderBy("idx").collect()
+    val expected = (0 until n).map(i => ((i * 7919) % 97, i.toLong))
+      .sortBy(t => (t._1, t._2))
+    assert(out.length == n)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i.toLong)
+      assert((r.getInt(1), r.getLong(2)) == expected(i))
+    }
+  }
+
+  test("bm25: more matches rank higher; docs without query terms are dropped") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "sort sort sort filler filler"),
+      (2L, "sort filler filler filler filler"),
+      (3L, "no relevant words at all")
+    ).toDF("doc_id", "text")
+    val out = TextStats.bm25(docs, Seq("sort"), 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 dropped
+    assert(out(0).getDouble(1) > out(1).getDouble(1))
+  }
+
+  test("transitions counts consecutive per-user event-type pairs") {
+    val sp = spark; import sp.implicits._
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (2L, 20L, 1L, "b"), (3L, 30L, 1L, "a"),
+      (4L, 10L, 2L, "a"), (5L, 20L, 2L, "b")
+    ).toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Events.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
+  test("propsStats parses typed JSON and counts missing fields") {
+    val sp = spark; import sp.implicits._
+    val ev = Seq(
+      ("x", """{"k": 5}"""), ("x", """{"k": 7}"""), ("x", """{"other": 1}""")
+    ).toDF("event_type", "props")
+    val r = Events.propsStats(ev).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      == ((3L, 2L, 12L, 5L, 7L)))
+  }
+
+  test("valueZscore standardizes within each event type") {
+    val sp = spark; import sp.implicits._
+    val ev = Seq(
+      (1L, "x", 1.0), (2L, "x", 2.0), (3L, "x", 3.0), // mean 2, var 2/3
+      (4L, "y", 5.0) // single row: zero variance -> z = 0
+    ).toDF("event_id", "event_type", "value")
+    val out = Events.valueZscore(ev).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sd = math.sqrt(2.0 / 3.0)
+    assert(math.abs(out(1L) - (-1.0 / sd)) < 1e-3)
+    assert(out(2L) == 0.0 && out(4L) == 0.0)
+    assert(math.abs(out(3L) - 1.0 / sd) < 1e-3)
+  }
+
+  test("epochUpsample repeats each row its stratum's epoch count") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "en"), (2L, "de"), (3L, "fr")).toDF("doc_id", "lang")
+    val out = TextStats.epochUpsample(docs, "lang", Seq("en" -> 3, "de" -> 2), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.count(_._1 == 1L) == 3 && out.count(_._1 == 2L) == 2
+      && out.count(_._1 == 3L) == 1)
+    assert(out.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+}
