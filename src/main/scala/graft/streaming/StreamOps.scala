@@ -77,6 +77,23 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** A stateful streaming query creates one state-store instance per
+    * shuffle partition PER stateful operator, each with its own checkpoint
+    * files every micro-batch — at a bounded test volume that fixed cost
+    * dwarfs the data. The partition count is frozen into the checkpoint at
+    * FIRST start, so the bounded runners below pin a small count for the
+    * query's lifetime and restore the session setting afterwards. A
+    * production deployment sizes this to the live key cardinality instead
+    * (state partitions, unlike batch shuffles, cannot be changed later
+    * without rebuilding state — size generously there).
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming aggregate over the bounded file source to completion
     * (`Trigger.AvailableNow`) and return the final result table.
     *
@@ -88,15 +105,18 @@ object StreamOps {
     * driver, exactly like any `collect()`-based check; a production run
     * writes the same query to a real sink in update/append mode.
     */
-  def runToCompletion(spark: SparkSession, agg: DataFrame): DataFrame = {
+  def runToCompletion(spark: SparkSession, agg: DataFrame,
+                      statePartitions: Int = 8): DataFrame = {
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, statePartitions) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -105,16 +125,19 @@ object StreamOps {
     * file commits via the checkpoint/commit log, resumable by checkpoint.
     * Returns the written rows read back.
     */
-  def runToParquet(spark: SparkSession, out: DataFrame): DataFrame = {
+  def runToParquet(spark: SparkSession, out: DataFrame,
+                   statePartitions: Int = 8): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    val q = out.writeStream
-      .outputMode(OutputMode.Append)
-      .format("parquet")
-      .option("path", s"$base/data")
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, statePartitions) {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.schema(out.schema).parquet(s"$base/data")
   }
 
