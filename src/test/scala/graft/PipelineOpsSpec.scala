@@ -118,6 +118,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(3L) - 1.0 / sd) < 1e-3)
   }
 
+  test("decontaminate plans the benchmark side as a broadcast semi-join") {
+    val sp = spark; import sp.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "xx alpha beta gamma delta yy")).toDF("doc_id", "text")
+    val plan = Decontaminate.flagOverlap(corpus, bench, 4)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark grams must broadcast (corpus never shuffles on grams):\n$plan")
+  }
+
+  test("bm25 top-k plans as TakeOrderedAndProject, never a global sort") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "sort merge")).toDF("doc_id", "text")
+    val plan = TextStats.bm25(docs, Seq("sort"), 5)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("epochUpsample repeats each row its stratum's epoch count") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "en"), (2L, "de"), (3L, "fr")).toDF("doc_id", "lang")
