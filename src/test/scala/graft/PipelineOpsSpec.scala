@@ -130,7 +130,10 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("bm25 top-k plans as TakeOrderedAndProject, never a global sort") {
     val sp = spark; import sp.implicits._
-    val docs = Seq((1L, "sort merge")).toDF("doc_id", "text")
+    // Needs more input rows than k: with maxRows <= k Catalyst correctly
+    // eliminates the Sort and Limit and no top-k operator remains to assert.
+    val docs = (1L to 20L).map(i => (i, s"sort merge $i"))
+      .toDF("doc_id", "text")
     val plan = TextStats.bm25(docs, Seq("sort"), 5)
       .queryExecution.sparkPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
