@@ -14,15 +14,19 @@ import graft.functions.GraftFunctions
   * Thrift server — resolves the engine's native functions
   * (`h60`, `minhash31`, `simhash60`, `hybrid_sort_array`,
   * `topk_by_score`) like built-ins, with no per-application
-  * `GraftFunctions.register` call, and the optimizer gains
+  * `GraftFunctions.register` call, the optimizer gains
   * [[graft.plans.RangeJoinBucketize]] — naive interval-containment joins
-  * are rewritten to the scalable day-bucket equi-join automatically.
-  * (Reference parity itself needs zero custom rules, SURVEY §4; the rule
-  * serves the extended 100 TB surface.)
+  * are rewritten to the scalable day-bucket equi-join automatically — and
+  * the planner gains [[graft.plans.HybridSortStrategy]], which maps the
+  * engine's [[graft.plans.HybridSortPlan]] logical node to its physical
+  * operator. (Reference parity itself needs zero custom rules, SURVEY §4;
+  * the extensions serve the extended 100 TB surface and the algorithm-level
+  * parity operator.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketize)
+    ext.injectPlannerStrategy(_ => graft.plans.HybridSortStrategy)
   }
 }

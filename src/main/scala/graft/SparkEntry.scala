@@ -389,6 +389,14 @@ object SparkEntry {
       Sorts.partitionSort(li(s, d).select(sortCols.map(col): _*), 8,
         col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))),
 
+    // The engine's OWN physical operator (HybridSortPlan logical node →
+    // HybridSortStrategy → HybridSortExec): range-scatter + per-partition
+    // hybrid quicksort/insertion sort — the reference's full pipeline as a
+    // planner extension rather than an orderBy rewrite.
+    "hybrid_sort_exec" -> ((s, d) =>
+      Sorts.hybridSortExec(li(s, d).select(sortCols.map(col): _*), 25,
+        "l_extendedprice", "l_orderkey", "l_linenumber")),
+
     // Distributed ROW_NUMBER: contiguous 0-based index in key order via
     // range-scatter + per-partition offsets (never a one-partition window).
     "global_index" -> ((s, d) =>
@@ -1032,6 +1040,10 @@ object SparkEntry {
          |ORDER BY l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
 
     "partition_sort" ->
+      s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
+         |ORDER BY l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
+
+    "hybrid_sort_exec" ->
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
          |ORDER BY l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
 

@@ -138,4 +138,56 @@ object HybridSort {
     if (c.length > 1) sortRangeL(c, 0, c.length - 1, threshold)
     c
   }
+
+  // ---- generic (Ordering-driven; the row-sort leg of the physical
+  // operator graft.plans.HybridSortExec — same algorithm, comparator
+  // supplied by Catalyst's generated row ordering) ----
+  def insertionSortO[T](a: Array[T], left: Int, right: Int,
+                        ord: Ordering[T]): Unit = {
+    var i = left + 1
+    while (i <= right) {
+      val key = a(i)
+      var j = i - 1
+      while (j >= left && ord.gt(a(j), key)) { a(j + 1) = a(j); j -= 1 }
+      a(j + 1) = key
+      i += 1
+    }
+  }
+
+  private def partitionO[T](a: Array[T], low: Int, high: Int,
+                            ord: Ordering[T]): Int = {
+    val pivot = a(high)
+    var i = low - 1
+    var j = low
+    while (j < high) {
+      if (ord.lt(a(j), pivot)) {
+        i += 1
+        val t = a(i); a(i) = a(j); a(j) = t
+      }
+      j += 1
+    }
+    val t = a(i + 1); a(i + 1) = a(high); a(high) = t
+    i + 1
+  }
+
+  def sortRangeO[T](a: Array[T], low0: Int, high0: Int, ord: Ordering[T],
+                    threshold: Int = DefaultThreshold): Unit = {
+    var low = low0
+    var high = high0
+    while (low < high) {
+      if (high - low < threshold) {
+        insertionSortO(a, low, high, ord)
+        low = high
+      } else {
+        val p = partitionO(a, low, high, ord)
+        if (p - low < high - p) {
+          sortRangeO(a, low, p - 1, ord, threshold)
+          low = p + 1
+        } else {
+          sortRangeO(a, p + 1, high, ord, threshold)
+          high = p - 1
+        }
+      }
+    }
+  }
 }

@@ -72,6 +72,31 @@ object Sorts {
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Global sort through the engine's OWN physical operator
+    * ([[graft.plans.HybridSortExec]]): range-scatter shuffle (required
+    * distribution) + per-partition hybrid quicksort/insertion-sort — the
+    * reference's algorithm planned as a first-class Catalyst node instead
+    * of `orderBy`. Keys are resolved by name against the input and sorted
+    * ascending (the reference's only order). See the operator's Scaladoc
+    * for the in-memory-partition caveat vs Tungsten's spilling SortExec.
+    */
+  def hybridSortExec(df: DataFrame, threshold: Int, keys: String*): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    require(keys.nonEmpty)
+    val spark = df.sparkSession
+    GraftColumnBridge.addStrategy(spark, graft.plans.HybridSortStrategy)
+    val analyzed = df.queryExecution.analyzed
+    val order = keys.map { k =>
+      val attr = analyzed.output.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(
+          s"hybridSortExec: no column '$k' in [${analyzed.output.map(_.name).mkString(", ")}]"))
+      SortOrder(attr, Ascending)
+    }
+    GraftColumnBridge.ofRows(spark,
+      graft.plans.HybridSortPlan(order, threshold, global = true, analyzed))
+  }
+
   /** Print sink (reference O14: the stdout dumps at
     * `/root/reference/SequentialQuickInsert.c:89-93` etc.) — bounded by
     * design: at scale a full-table print is a driver OOM, so this takes n.
