@@ -70,6 +70,8 @@ object SparkEntry {
   private val DecontamN = 4
   private val BenchSource = "src0"
   private val EpochRepeats = Seq("en" -> 3, "de" -> 2)
+  private val PackCapacity = 256L
+  private val PackShards = 8
   private val BmTerms = Seq("sort", "merge", "spark")
   private val BmK = 20
   private val BmK1 = 1.2
@@ -458,6 +460,14 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    "orc_roundtrip" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString
+      val part = Tables.part(s, d)
+      part.write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy(col("p_partkey"))
+    }),
+
     "gen_sorted" -> ((s, d) =>
       Sorts.globalSort(Gen.lcgInts(s, 100000L), col("value"), col("id"))),
 
@@ -662,6 +672,12 @@ object SparkEntry {
     "epoch_upsample" -> ((s, d) =>
       TextStats.epochUpsample(docs(s, d), "lang", EpochRepeats, 1)
         .orderBy(col("doc_id"), col("epoch"))),
+
+    // Sequence packing: docs → fixed-capacity context windows via hash
+    // shard + running token total (one shuffle, O(1) window state).
+    "seq_pack" -> ((s, d) =>
+      TextStats.seqPack(docs(s, d), PackCapacity, PackShards)
+        .orderBy(col("doc_id"))),
 
     // BM25 retrieval: top-20 docs for a fixed query — map-only tf columns,
     // one broadcast stats row, TakeOrderedAndProject. No token shuffle.
@@ -1069,6 +1085,10 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
 
+    "orc_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
     "json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
@@ -1307,6 +1327,19 @@ object SparkEntry {
          |  CAST(unnest(generate_series(1, $reps)) AS BIGINT) AS epoch
          |FROM documents ORDER BY doc_id, epoch""".stripMargin
     },
+
+    "seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    ${h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST((cum - n_tokens) // $PackCapacity AS BIGINT) AS seq
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // Mirrors TextStats.bm25 exactly: same constant folding (k1+1, 1-b
     // precomputed), same expression grouping, so doubles match bitwise.

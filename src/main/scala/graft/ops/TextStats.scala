@@ -286,6 +286,35 @@ object TextStats {
       .select(col("doc_id"), col(stratumCol), col("epoch").cast("long").as("epoch"))
   }
 
+  /** Sequence packing — assign documents to fixed-capacity training
+    * sequences (context windows), the step between corpus cleaning and
+    * batch assembly. Exact greedy bin-packing is inherently sequential, so
+    * the scalable form shards first: docs hash-shard on doc_id (shard
+    * count ≈ cluster parallelism bounds every window's state), then within
+    * a shard a running token total assigns each doc to sequence
+    * `preceding_cum div capacity` — contiguous fill, at most one
+    * under-filled boundary sequence per shard. ONE shuffle (on shard);
+    * the window scans each shard's stream once with O(1) state. Fill
+    * fraction ≥ 1 - max_doc/capacity per non-final sequence, the same
+    * bound the sequential greedy gives. Oversized docs (> capacity) get a
+    * sequence of their own rather than erroring — the downstream
+    * truncation policy owns that decision.
+    */
+  def seqPack(docs: DataFrame, capacity: Long, shards: Int): DataFrame = {
+    require(capacity > 0 && shards > 0)
+    val base = docs.select(col("doc_id"),
+      pmod(h60(concat(lit("pack:"), col("doc_id").cast("string"))),
+        lit(shards.toLong)).as("shard"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // integral div — the fill is exact long arithmetic in any engine
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $capacity").as("seq"))
+  }
+
   /** Top-k terms per document by TF-IDF. Two hash-aggregates (term counts
     * per doc, then document frequency FROM the already-aggregated tf — the
     * raw token stream is never re-shuffled), a shuffle join on term, and a

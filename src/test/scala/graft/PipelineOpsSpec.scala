@@ -139,6 +139,17 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("seqPack: contiguous fill in doc_id order within a shard") {
+    val sp = spark; import sp.implicits._
+    // one shard so the fill sequence is fully deterministic here
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"))
+      .toDF("doc_id", "text")
+    val out = TextStats.seqPack(docs, 4L, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // token counts 3,2,4,1 → preceding cum 0,3,5,9 → seq 0,0,1,2 at cap 4
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+  }
+
   test("epochUpsample repeats each row its stratum's epoch count") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "en"), (2L, "de"), (3L, "fr")).toDF("doc_id", "lang")
