@@ -387,6 +387,15 @@ object SparkEntry {
       Sorts.globalSort(li(s, d).select(sortCols.map(col): _*),
         col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))),
 
+    // Z-order layout: cluster the table by the Morton interleave of two
+    // dimensions so scans filtering on EITHER dimension prune files.
+    "zorder_layout" -> ((s, d) =>
+      Layout.zorderCluster(
+        li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+        pmod(col("l_partkey"), lit(1024L)),
+        pmod(col("l_suppkey"), lit(1024L)), bits = 10)),
+
     "partition_sort" -> ((s, d) =>
       Sorts.partitionSort(li(s, d).select(sortCols.map(col): _*), 8,
         col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))),
@@ -1062,6 +1071,16 @@ object SparkEntry {
     "hybrid_sort_exec" ->
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
          |ORDER BY l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
+
+    "zorder_layout" -> {
+      val z = (0 until 10).map { i =>
+        s"((((l_partkey % 1024) >> $i) & 1) << ${2 * i + 1}) + " +
+          s"((((l_suppkey % 1024) >> $i) & 1) << ${2 * i})"
+      }.mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST($z AS BIGINT) AS zval
+         |FROM lineitem ORDER BY zval""".stripMargin
+    },
 
     "global_index" ->
       s"""SELECT CAST(row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS BIGINT) AS idx,

@@ -150,6 +150,21 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("zValue interleaves bits: a at odd positions, b at even") {
+    val sp = spark; import sp.implicits._
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))).sum
+    val cases = Seq((5L, 3L), (0L, 0L), (1023L, 0L), (0L, 1023L),
+      (682L, 341L), (1L, 1L))
+    val df = cases.toDF("a", "b")
+    val got = ops.Layout.zorderCluster(df, col("a"), col("b"), bits = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((a, b) <- cases)
+      assert(got((a, b)) == ref(a, b, 10), s"z($a,$b)")
+    assert(ref(5L, 3L, 3) == 39L) // hand-checked: 101 ⋈ 011 = 100111
+  }
+
   test("epochUpsample repeats each row its stratum's epoch count") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "en"), (2L, "de"), (3L, "fr")).toDF("doc_id", "lang")
