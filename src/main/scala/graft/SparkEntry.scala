@@ -548,6 +548,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Reconciliation: symmetric diff of two table copies by key, payloads
+    // reduced to 60-bit digests map-side (shuffle carries key+digest only).
+    // The B side is a deterministic perturbation: ~1% dropped, ~1% edited,
+    // ~1% extra keys.
+    "table_diff" -> ((s, d) => {
+      val a = Tables.customer(s, d)
+      val b = a.where(pmod(col("c_custkey"), lit(97L)) =!= 0)
+        .withColumn("c_name",
+          when(pmod(col("c_custkey"), lit(89L)) === 0,
+            concat(col("c_name"), lit("*"))).otherwise(col("c_name")))
+        .unionByName(a.where(pmod(col("c_custkey"), lit(101L)) === 0)
+          .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+      Reconcile.tableDiff(a, b, "c_custkey", Seq("c_name", "c_nationkey"))
+        .orderBy(col("key"))
+    }),
+
+    // SCD type-2 versioning: fold two deterministic update batches into
+    // the dimension; one row per (key, version) with validity ranges.
+    "scd2_merge" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val u1 = cust.where(pmod(col("c_custkey"), lit(13L)) === 0)
+        .withColumn("c_name", concat(col("c_name"), lit("+v2")))
+        .withColumn("eff", lit(1000L))
+      val u2 = cust.where(pmod(col("c_custkey"), lit(26L)) === 0)
+        .withColumn("c_name", concat(col("c_name"), lit("+v3")))
+        .withColumn("eff", lit(2000L))
+      Reconcile.scd2(cust, u1.unionByName(u2), "c_custkey", "eff",
+          Seq("c_name", "c_nationkey"))
+        .orderBy(col("c_custkey"), col("version"))
+    }),
+
     // -- dedup -------------------------------------------------------------
     // Incremental corpus update: only docs of the incoming batch whose
     // digest is NOT already in the base corpus survive — one anti-join on
@@ -1107,6 +1139,47 @@ object SparkEntry {
     "orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "table_diff" -> {
+      val dig = h60Sql("coalesce(CAST(c_name AS VARCHAR),'') || " +
+        "coalesce(CAST(c_nationkey AS VARCHAR),'')")
+      s"""WITH b0 AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN c_custkey % 89 = 0 THEN c_name || '*' ELSE c_name END AS c_name,
+         |    c_nationkey
+         |  FROM customer WHERE c_custkey % 97 <> 0
+         |  UNION ALL
+         |  SELECT c_custkey + 1000000, c_name, c_nationkey
+         |  FROM customer WHERE c_custkey % 101 = 0),
+         |pa AS (SELECT c_custkey AS key, $dig AS dig_a FROM customer),
+         |pb AS (SELECT c_custkey AS key, $dig AS dig_b FROM b0)
+         |SELECT key,
+         |  CASE WHEN dig_b IS NULL THEN 'only_a'
+         |       WHEN dig_a IS NULL THEN 'only_b'
+         |       ELSE 'differs' END AS status
+         |FROM pa FULL OUTER JOIN pb USING (key)
+         |WHERE dig_a IS NULL OR dig_b IS NULL OR dig_a <> dig_b
+         |ORDER BY key""".stripMargin
+    },
+
+    "scd2_merge" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_name || '+v2' AS c_name, c_nationkey,
+        |    1000 AS valid_from
+        |  FROM customer WHERE c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name || '+v3', c_nationkey, 2000
+        |  FROM customer WHERE c_custkey % 26 = 0),
+        |allv AS (
+        |  SELECT c_custkey, c_name, c_nationkey, 0 AS valid_from FROM customer
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(row_number() OVER w - 1 AS BIGINT) AS version,
+        |  CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(lead(valid_from) OVER w AS BIGINT) AS valid_to
+        |FROM allv
+        |WINDOW w AS (PARTITION BY c_custkey ORDER BY valid_from)
+        |ORDER BY c_custkey, version""".stripMargin,
 
     "json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Decontaminate, Dedup, Events, Sorts, TextStats}
+import graft.ops.{Decontaminate, Dedup, Events, Reconcile, Sorts, TextStats}
 
 /** Round-4 pipeline operators: decontamination, chunk dedup, global row
   * indexing, BM25, event transitions / JSON stats / z-score, and epoch
@@ -148,6 +148,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     // token counts 3,2,4,1 → preceding cum 0,3,5,9 → seq 0,0,1,2 at cap 4
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("tableDiff classifies only_a / only_b / differs and hides equal rows") {
+    val sp = spark; import sp.implicits._
+    val a = Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30))
+      .toDF("k", "name", "v")
+    val b = Seq((2L, "y", 20), (3L, "zz", 30), (4L, "w", 40))
+      .toDF("k", "name", "v")
+    val out = Reconcile.tableDiff(a, b, "k", Seq("name", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "only_a", 3L -> "differs", 4L -> "only_b"))
+  }
+
+  test("scd2 assigns versions in effective order with adjacent validity") {
+    val sp = spark; import sp.implicits._
+    val base = Seq((1L, "a", 5), (2L, "b", 6)).toDF("k", "name", "v")
+    val upd = Seq((1L, "a2", 5, 100L), (1L, "a3", 5, 200L))
+      .toDF("k", "name", "v", "eff")
+    val out = Reconcile.scd2(base, upd, "k", "eff", Seq("name", "v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getString(1), r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5)))
+      .toMap
+    assert(out((1L, 0L)) == (("a", 0L, 100L)))
+    assert(out((1L, 1L)) == (("a2", 100L, 200L)))
+    assert(out((1L, 2L)) == (("a3", 200L, -1L))) // open-ended
+    assert(out((2L, 0L)) == (("b", 0L, -1L)))
   }
 
   test("zValue interleaves bits: a at odd positions, b at even") {
