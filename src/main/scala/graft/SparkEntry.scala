@@ -757,6 +757,11 @@ object SparkEntry {
       Events.sessionize(Tables.events(s, d), SessionGapMin)
         .orderBy(col("user_id"), col("sid"))),
 
+    // Typed Dataset surface: case-class Encoders + custom Aggregator
+    // (map-side-combined partial aggregation, unlike mapGroups).
+    "typed_user_stats" -> ((s, d) =>
+      Typed.userSummary(Tables.events(s, d)).orderBy(col("user_id"))),
+
     // Typed JSON surface: schema-projected from_json parse + per-type agg.
     "props_extract" -> ((s, d) =>
       Events.propsStats(Tables.events(s, d)).orderBy(col("event_type"))),
@@ -1161,6 +1166,12 @@ object SparkEntry {
          |WHERE dig_a IS NULL OR dig_b IS NULL OR dig_a <> dig_b
          |ORDER BY key""".stripMargin
     },
+
+    "typed_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+        |  max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "scd2_merge" ->
       """WITH upd AS (
