@@ -944,6 +944,28 @@ object SparkEntry {
         .orderBy(col("user_id"), col("p_event_id"), col("c_event_id"))
     }),
 
+    // Stream-static enrichment: each micro-batch broadcast-joins the
+    // static dimension — no state store, the streaming cousin of the
+    // dim-join every fact stream needs.
+    "stream_static_join" -> ((s, d) => {
+      val ev = streaming.StreamOps.eventsStream(s, d)
+        .where(col("event_type") === "purchase")
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val out = ev.join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_nationkey"),
+          col("value"))
+      streaming.StreamOps.runToParquet(s, out).orderBy(col("event_id"))
+    }),
+
+    // foreachBatch into the engine's V2 digest sink, one idempotent
+    // commit dir per batchId; per-batch digests combine associatively.
+    "stream_foreach_digest" -> ((s, d) => {
+      val ev = streaming.StreamOps.eventsStream(s, d)
+        .select(h60(col("event_id").cast("string")).as("digest"))
+      streaming.StreamOps.foreachBatchDigest(s, ev)
+    }),
+
     // -- multimodal --------------------------------------------------------
     "mm_meta" -> ((s, d) =>
       Multimodal.mediaMeta(docs(s, d)).orderBy(col("doc_id"))),
@@ -1682,6 +1704,16 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
         |ORDER BY user_id, p_event_id, c_event_id""".stripMargin,
+
+    "stream_static_join" ->
+      """SELECT event_id, user_id, c_nationkey, value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "stream_foreach_digest" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  bit_xor(${h60Sql("CAST(event_id AS VARCHAR)")}) AS xor_digest
+         |FROM events""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,

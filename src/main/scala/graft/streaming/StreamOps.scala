@@ -141,6 +141,39 @@ object StreamOps {
     spark.read.schema(out.schema).parquet(s"$base/data")
   }
 
+  /** `foreachBatch` with an idempotent side sink — the bridge to writers
+    * that only exist for batch (here the engine's own `graft-digest` V2
+    * sink). Each micro-batch commits into a directory KEYED BY batchId, so
+    * a replayed batch (failure recovery re-runs the last epoch) overwrites
+    * its own directory instead of double-counting — idempotence is what
+    * upgrades foreachBatch's at-least-once delivery to exactly-once
+    * results. The per-batch digests then combine associatively (sum of
+    * counts, xor of xors), exactly like the sink's own task-level commit
+    * messages — a two-level version of the same distributed-commit shape.
+    * Returns the combined (n_rows, xor_digest) row.
+    */
+  def foreachBatchDigest(spark: SparkSession, digests: DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_fbd").toString
+    val q = digests.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.format("graft-digest")
+          .option("path", s"$base/batch_$batchId")
+          .mode("overwrite").save()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n_rows", LongType, nullable = false),
+      StructField("xor_digest", LongType, nullable = false)))
+    spark.read.schema(schema).json(s"$base/batch_*/digest.json")
+      .agg(sum(col("n_rows")).cast("long").as("n_rows"),
+        expr("bit_xor(xor_digest)").as("xor_digest"))
+  }
+
   /** Stream-stream INNER join with event-time range bounds — the
     * enrichment join of a live pipeline (each purchase picks up the same
     * user's clicks from the preceding hour). Both sides carry watermarks

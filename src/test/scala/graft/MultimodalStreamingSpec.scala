@@ -207,6 +207,31 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "2024-01-01 15:00:00", "2024-01-01 15:00:00", 1L, 8.0)))
   }
 
+  test("foreachBatchDigest: per-batch V2 digest commits combine to the batch answer") {
+    import graft.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = StreamOps.eventsStream(spark, sfDir)
+      .select(h60(col("event_id").cast("string")).as("digest"))
+    val got = StreamOps.foreachBatchDigest(spark, ev).collect()(0)
+    val batch = graft.ops.Tables.events(spark, sfDir)
+      .select(h60(col("event_id").cast("string")).as("digest"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(digest)").as("x")).collect()(0)
+    assert(got.getLong(0) == batch.getLong(0), "row count")
+    assert(got.getLong(1) == batch.getLong(1), "xor digest")
+  }
+
+  test("stream-static broadcast join matches the batch join") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("stream_static_join")(spark, sfDir).collect()
+    val ev = graft.ops.Tables.events(spark, sfDir).where(col("event_type") === "purchase")
+    val cust = graft.ops.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val expect = ev.join(cust, col("user_id") === col("c_custkey"))
+      .select("event_id", "user_id", "c_nationkey", "value")
+      .orderBy("event_id").collect()
+    assert(got.length == expect.length && got.toSeq == expect.toSeq)
+  }
+
   test("streaming dedup keeps the first occurrence; watermark bounds state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
