@@ -680,6 +680,25 @@ object SparkEntry {
     "quality" -> ((s, d) =>
       TextStats.qualityScore(docs(s, d)).orderBy(col("doc_id"))),
 
+    // Quantile gate: keep each language's top quality quartile. The cut
+    // is a per-stratum percent_rank over a fully-pinned order (score,
+    // then doc_id), so the kept set is deterministic under ties — the
+    // curation filter that keeps "best N%" PER LANGUAGE instead of
+    // letting high-resource languages crowd out the rest.
+    "quality_filter" -> ((s, d) => {
+      val q = TextStats.qualityScore(docs(s, d))
+      val dl = docs(s, d).select(col("doc_id"), col("lang"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality"), col("doc_id"))
+      q.join(dl, "doc_id")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          percent_rank().over(w).as("pr0"))
+        .where(col("pr0") >= 0.75)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          round(col("pr0"), 6).as("pr"))
+        .orderBy(col("doc_id"))
+    }),
+
     "fingerprint" -> ((s, d) =>
       TextStats.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -756,6 +775,21 @@ object SparkEntry {
     "sessions" -> ((s, d) =>
       Events.sessionize(Tables.events(s, d), SessionGapMin)
         .orderBy(col("user_id"), col("sid"))),
+
+    // RANGE-frame rolling window: per event, the same user's activity in
+    // the trailing hour — frame bounds are an event-time interval, not a
+    // row count (ROWS frames under-count sparse users and over-count
+    // bursts). One shuffle on user_id; exact decimal sum inside the frame.
+    "rolling_1h" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(dec2(col("value"))).over(w).cast("double").as("sum_1h"))
+        .orderBy(col("event_id"))
+    }),
 
     // Typed Dataset surface: case-class Encoders + custom Aggregator
     // (map-side-combined partial aggregation, unlike mapGroups).
@@ -1408,6 +1442,14 @@ object SparkEntry {
 
     "quality" -> s"$qualitySelect\nORDER BY doc_id",
 
+    "quality_filter" ->
+      s"""WITH q AS ($qualitySelect),
+         |r AS (SELECT d.doc_id, d.lang, q.quality,
+         |  percent_rank() OVER (PARTITION BY d.lang ORDER BY q.quality, d.doc_id) AS pr0
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id)
+         |SELECT doc_id, lang, quality, round(pr0, 6) AS pr
+         |FROM r WHERE pr0 >= 0.75 ORDER BY doc_id""".stripMargin,
+
     "fingerprint" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |hs AS (SELECT doc_id, list_transform(tk, t -> ${h60Sql("t")} % 1000003) AS h FROM toks)
@@ -1548,6 +1590,14 @@ object SparkEntry {
          |  count(*) AS n_events,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    "rolling_1h" ->
+      """SELECT event_id, user_id, count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // sum(BIGINT) is HUGEINT in DuckDB — cast back so dtypes hash equal.
     "props_extract" ->
