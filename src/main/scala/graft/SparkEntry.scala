@@ -728,6 +728,12 @@ object SparkEntry {
       TextStats.tfidfTopTerms(docs(s, d), TfidfK)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // Unigram-LM surprisal: corpus-trained term probabilities, per-doc
+    // mean -ln p(term) — the model-based quality score, fold-order-safe
+    // via 6-dp-quantized exact decimal sums.
+    "unigram_surprisal" -> ((s, d) =>
+      TextStats.unigramSurprisal(docs(s, d)).orderBy(col("doc_id"))),
+
     // Training-mix epoch expansion: per-lang repeat factors, map-only.
     "epoch_upsample" -> ((s, d) =>
       TextStats.epochUpsample(docs(s, d), "lang", EpochRepeats, 1)
@@ -831,6 +837,12 @@ object SparkEntry {
     "emb_neardup" -> ((s, d) =>
       EmbedDedup.nearDupPairs(emb(s, d), EmbDim, EmbMinCos)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Per-dimension corpus moments: posexplode + ONE dim-keyed aggregate
+    // (map-side combine leaves O(tasks × dims) shuffle rows) — the
+    // normalization stats computed before whitening/quantizing vectors.
+    "emb_stats" -> ((s, d) =>
+      Similarity.embStats(emb(s, d)).orderBy(col("dim"))),
 
     // -- sketches ----------------------------------------------------------
     // HyperLogLog-style distinct users per event type: 64 integer registers
@@ -1555,6 +1567,20 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn FROM scored)
          |WHERE rn <= $TfidfK ORDER BY doc_id, rank""".stripMargin,
 
+    "unigram_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM tok),
+         |x AS (SELECT doc_id, tf,
+         |  tf * CAST(round(-ln(cnt / tot), 6) AS DECIMAL(18,6)) AS c
+         |  FROM tf JOIN tc USING (term), tot),
+         |g AS (SELECT doc_id, sum(tf) AS n_tokens, sum(c) AS s FROM x GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_surprisal
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "doc_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${h60Sql("'split1:' || doc_id")} % 100 < 10
@@ -1638,6 +1664,16 @@ object SparkEntry {
         |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "emb_neardup" -> embNearDupSql,
+
+    "emb_stats" ->
+      s"""WITH c AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |px AS (SELECT i AS dim, CAST(e[i] AS DECIMAL(18,6)) AS v
+         |  FROM c, range(1, ${EmbDim + 1}) t(i)),
+         |g AS (SELECT dim, count(*) AS n, sum(v) AS s, sum(v * v) AS s2
+         |  FROM px GROUP BY dim)
+         |SELECT dim, n, round(CAST(s AS DOUBLE) / n, 6) AS mean_val,
+         |  round(sqrt(greatest(0.0, (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)), 6) AS std_val
+         |FROM g ORDER BY dim""".stripMargin,
 
     // Mirrors Sketches.hllDistinct register-for-register: bucket = h60 mod
     // 64, rank = trailing-zero rank of the remaining 54 bits (55 when 0),

@@ -318,6 +318,38 @@ object Similarity {
       .select(col(idName), col(embName), cell.as("cell"), col("_nrm").as(nrmName))
   }
 
+  /** Per-dimension corpus moments (count / mean / std) over an embedding
+    * column — the feature-normalization statistics an embedding pipeline
+    * computes before whitening or quantizing. `posexplode` turns the
+    * vectors into (dim, value) pairs map-side, and ONE hash-aggregate on
+    * the dimension id does the rest (64 groups for a 64-dim corpus, so
+    * map-side combine reduces each task to 64 rows regardless of corpus
+    * size — the shuffle is O(tasks × dims), not O(rows)).
+    *
+    * Moments are exact DECIMAL sums of the values quantized to 6 dp
+    * (DECIMAL(18,6): cast rounding is HALF_UP in both Spark and DuckDB,
+    * and the squared sum DECIMAL(37,12) stays inside 38-digit precision),
+    * converted to double only in the final mean/std expressions — the
+    * same engine-portable pattern as [[graft.ops.Events.valueZscore]].
+    */
+  def embStats(corpus: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val stats = corpus
+      .select(posexplode(asDouble(col(embCol))))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        col("col").cast(dec6).as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("s2"))
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val variance = (col("s2").cast("double") - sD * sD / nD) / nD
+    stats.select(col("dim"), col("n"),
+      round(sD / nD, 6).as("mean_val"),
+      round(sqrt(greatest(lit(0.0d), variance)), 6).as("std_val"))
+  }
+
   /** Per-query top-k by similarity (desc), deterministic tie-break on id.
     * Bounded-heap aggregate with map-side partial aggregation — see
     * [[graft.functions.TopKByScore]].

@@ -336,4 +336,33 @@ object TextStats {
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** Unigram language-model surprisal per document — the model-based
+    * quality signal: train a unigram LM on the corpus itself (term counts
+    * over total tokens, one aggregate) and score each document by its
+    * mean per-token surprisal `-ln p(term)`. Boilerplate and templated
+    * text (common tokens) scores low; rare-token noise scores high —
+    * the distribution's tails are what a curation pass inspects.
+    *
+    * Scale shape: the LM "training" is one term-keyed hash-aggregate; the
+    * scoring join keys on term (tf rows, not token occurrences — each
+    * (doc, term) pair once). Per-term contributions are quantized to 6 dp
+    * and summed as exact DECIMALs so the doc score is independent of fold
+    * order — the float-sum determinism trap of distributed scoring.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tc = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).cast("double").as("tot"))
+    tf.join(tc, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * round(-log(col("cnt") / col("tot")), 6).cast(dec6)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("c")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens"), 6).as("avg_surprisal"))
+  }
 }
