@@ -488,6 +488,18 @@ object SparkEntry {
           .option("n", 100000L).option("bound", 5000000L).load(),
         col("value"), col("id"))),
 
+    // V2 filter pushdown: the id-range predicate reaches the source and
+    // prunes GENERATION (never materialized, any executor) — 10k of 1M
+    // ids produced; plan-asserted in GenSourceSpec.
+    "gen_pruned" -> ((s, d) =>
+      s.read.format("graft-gen")
+        .option("n", 1000000L).option("bound", 1000000L).load()
+        .where(col("id") >= 250000L && col("id") < 260000L)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))),
+
     // The sorted array serializes to a CSV string: the driver's comparator
     // hashes cells, and array cells are unhashable there — the VALUES are
     // what's compared, the join is pure transport.
@@ -1271,6 +1283,12 @@ object SparkEntry {
     "gen_source" ->
       """SELECT id, ((id % 2147483647) * 2654435761) % 5000000 AS value
         |FROM range(100000) t(id) ORDER BY value, id""".stripMargin,
+
+    "gen_pruned" ->
+      """SELECT count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_value,
+        |  min(v) AS min_value, max(v) AS max_value
+        |FROM (SELECT ((id % 2147483647) * 2654435761) % 1000000 AS v
+        |  FROM range(250000, 260000) t(id))""".stripMargin,
 
     "hybrid_sort" ->
       """SELECT l_orderkey, array_to_string(list_sort(list(l_suppkey)), ',') AS sorted_supps

@@ -30,8 +30,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * partition emits its own id range with O(1) state, nothing ever
   * materializes on the driver, so the same source serves 1e3 rows and
   * 1e12. Column pruning is pushed into the reader (a `value`-only scan
-  * never materializes ids), demonstrating the V2 pushdown surface on the
-  * engine's one "table format".
+  * never materializes ids), and `id`-range predicates prune the generated
+  * range itself (the V2 analog of partition pruning: excluded ids are
+  * never produced on any executor) — demonstrating both V2 pushdown
+  * surfaces on the engine's one "table format".
   */
 class GenDataSource extends TableProvider with DataSourceRegister {
 
@@ -74,37 +76,76 @@ private[sources] class GenTable(n: Long, bound: Long, parts: Int)
 }
 
 private[sources] class GenScanBuilder(n: Long, bound: Long, parts: Int)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources._
 
   private var required: StructType = GenDataSource.Schema
+  private var lo: Long = 0L        // inclusive generated-id lower bound
+  private var hi: Long = n         // exclusive generated-id upper bound
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
-    override def toBatch: Batch = this
-
-    override def planInputPartitions(): Array[InputPartition] = {
-      val per = math.max(1L, (n + parts - 1) / parts)
-      (0L until n by per).map(s => GenRange(s, math.min(s + per, n)): InputPartition).toArray
+  /** Range predicates on `id` prune the GENERATED range itself — the V2
+    * analog of partition pruning: a filtered scan never materializes the
+    * excluded ids on any executor (vs. generate-then-discard). Everything
+    * else stays with Spark as a residual filter.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
+           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
+           EqualTo("id", _: Long) | IsNotNull("id") => true
+      case _ => false
     }
+    accepted.foreach {
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long)           => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1)
+      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _                                 => () // IsNotNull: non-null column, no-op
+    }
+    pushed = accepted
+    residual
+  }
 
-    override def createReaderFactory(): PartitionReaderFactory = {
-      val cols = required.fieldNames.toSeq
-      val b = bound
-      (partition: InputPartition) => {
-        val GenRange(start, end) = partition
-        new PartitionReader[InternalRow] {
-          private var id = start - 1
-          override def next(): Boolean = { id += 1; id < end }
-          override def get(): InternalRow =
-            InternalRow.fromSeq(cols.map {
-              case "id" => id
-              case "value" => GenDataSource.lcg(id, b)
-            })
-          override def close(): Unit = ()
-        }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GenScan(required, math.max(0L, lo), math.min(n, hi), bound, parts)
+}
+
+private[sources] class GenScan(required: StructType, lo: Long, hi: Long,
+                               bound: Long, parts: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  // Surfaced in `.explain` so plan tests can assert the pruned range.
+  override def description(): String = s"graft-gen-scan[$lo,$hi)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val span = math.max(0L, hi - lo)
+    val per = math.max(1L, (span + parts - 1) / parts)
+    (lo until hi by per).map(s => GenRange(s, math.min(s + per, hi)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cols = required.fieldNames.toSeq
+    val b = bound
+    (partition: InputPartition) => {
+      val GenRange(start, end) = partition
+      new PartitionReader[InternalRow] {
+        private var id = start - 1
+        override def next(): Boolean = { id += 1; id < end }
+        override def get(): InternalRow =
+          InternalRow.fromSeq(cols.map {
+            case "id" => id
+            case "value" => GenDataSource.lcg(id, b)
+          })
+        override def close(): Unit = ()
       }
     }
   }

@@ -36,6 +36,29 @@ class GenSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().length == 100)
   }
 
+  test("graft-gen: id-range filters prune the generated range") {
+    import org.apache.spark.sql.functions._
+    val df = gen(1000000L).where(col("id") >= 250000L && col("id") < 250010L)
+    // the pruned range is visible in the scan description...
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-gen-scan[250000,250010)"),
+      s"expected pruned scan range in:\n$plan")
+    // ...and the values are the correct ones for those ids
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 10)
+    assert(rows.head.getAs[Long]("id") == 250000L)
+    assert(rows.forall(r => r.getAs[Long]("value") ==
+      ((r.getAs[Long]("id") % 2147483647L) * 2654435761L) % 5000000L))
+    // equality pins a single id; unsupported predicates stay residual
+    val one = gen(1000L).where(col("id") === 77L)
+    assert(one.queryExecution.executedPlan.toString.contains("graft-gen-scan[77,78)"))
+    assert(one.collect().map(_.getAs[Long]("id")).toSeq == Seq(77L))
+    val res = gen(1000L).where(col("value") > 100L) // value filter: residual
+    assert(res.queryExecution.executedPlan.toString.contains("graft-gen-scan[0,1000)"))
+    // contradictory bounds produce an empty (not negative) range
+    assert(gen(1000L).where(col("id") > 500L && col("id") < 100L).count() == 0L)
+  }
+
   test("graft-gen: empty and single-row edges") {
     assert(gen(0L).count() == 0L)
     assert(gen(1L).collect().map(_.getAs[Long]("id")).toSeq == Seq(0L))
