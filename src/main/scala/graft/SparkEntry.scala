@@ -78,6 +78,7 @@ object SparkEntry {
   private val BmB = 0.75
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
+  private val PmiMinCount = 5
   private val TfidfK = 3
   private val EmbDim = 64
   private val EmbMinCos = 0.4
@@ -745,6 +746,11 @@ object SparkEntry {
     // via 6-dp-quantized exact decimal sums.
     "unigram_surprisal" -> ((s, d) =>
       TextStats.unigramSurprisal(docs(s, d)).orderBy(col("doc_id"))),
+
+    // Collocation mining: adjacent-bigram PMI over the token stream.
+    "pmi_bigrams" -> ((s, d) =>
+      TextStats.pmiBigrams(docs(s, d), PmiMinCount)
+        .orderBy(col("a"), col("b"))),
 
     // Training-mix epoch expansion: per-lang repeat factors, map-only.
     "epoch_upsample" -> ((s, d) =>
@@ -1598,6 +1604,24 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  round(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_surprisal
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "pmi_bigrams" ->
+      s"""WITH toks AS (SELECT $toksSql AS tk FROM documents),
+         |bg0 AS (SELECT CASE WHEN len(tk) >= 2
+         |  THEN list_transform(range(1, len(tk)), i -> struct_pack(a := tk[i], b := tk[i+1]))
+         |  ELSE [] END AS ps FROM toks),
+         |bg AS (SELECT unnest(ps, recursive := true) FROM bg0),
+         |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b HAVING count(*) >= $PmiMinCount),
+         |uni AS (SELECT unnest(tk) AS t FROM toks),
+         |ug AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+         |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bg),
+         |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM ug)
+         |SELECT cab.a, cab.b, cab.cab,
+         |  round(ln((cab.cab / nb) / ((ua.c / nu) * (ub.c / nu))), 6) AS pmi
+         |FROM cab
+         |JOIN ug ua ON ua.t = cab.a
+         |JOIN ug ub ON ub.t = cab.b, nb, nu
+         |ORDER BY a, b""".stripMargin,
 
     "doc_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

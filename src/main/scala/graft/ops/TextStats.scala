@@ -350,6 +350,39 @@ object TextStats {
     * and summed as exact DECIMALs so the doc score is independent of fold
     * order — the float-sum determinism trap of distributed scoring.
     */
+  /** Pointwise-mutual-information collocations: adjacent token bigrams
+    * scored by `ln(p(a,b) / (p(a) p(b)))` — high-PMI pairs are phrases
+    * ("new york"), low-PMI pairs are coincidences; the collocation-mining
+    * pass of corpus analysis.
+    *
+    * Scale shape: bigram and unigram counting are map-only explodes into
+    * hash-aggregates (map-side combined); the `minCount` filter cuts the
+    * candidate set BEFORE the two unigram-count joins, and the totals ride
+    * along as broadcast one-row tables. PMI from integer counts rounds at
+    * 6 dp after a fixed expression order — engine-portable like the
+    * TF-IDF scoring above.
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Int): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("tk"))
+    val pairs = toks.select(explode(expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS a, tk[i+1] AS b)) ELSE array() END"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minCount)
+    val uni = toks.select(explode(col("tk")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nBig = pairs.agg(count(lit(1)).cast("double").as("nb"))
+    val nUni = uni.agg(sum(col("c")).cast("double").as("nu"))
+    cab
+      .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(nBig)).crossJoin(broadcast(nUni))
+      .select(col("a"), col("b"), col("cab"),
+        round(log((col("cab") / col("nb")) /
+          ((col("ca") / col("nu")) * (col("cb") / col("nu")))), 6).as("pmi"))
+  }
+
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
