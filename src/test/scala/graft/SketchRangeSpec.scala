@@ -114,6 +114,37 @@ class SketchRangeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((11L, 1L), (12L, 1L), (12L, 2L), (13L, 1L)))
   }
 
+  test("range join: two-level rollup equals join-then-aggregate, mid-day bounds") {
+    val sp = spark; import sp.implicits._
+    // intervals with mid-day lo/hi (boundary days NOT fully contained),
+    // a single-day interval, a two-day one (no interior), and a long one
+    val iv = Seq(
+      (1L, "2020-01-01 12:00:00", "2020-01-06 06:00:00"), // 4 interior days
+      (2L, "2020-01-03 08:00:00", "2020-01-03 18:00:00"), // single day
+      (3L, "2020-01-04 23:00:00", "2020-01-05 01:00:00"), // two days, no interior
+      (4L, "2020-02-01 00:00:00", "2020-02-09 00:00:00")  // no points
+    ).toDF("interval_id", "lo_s", "hi_s")
+      .select(col("interval_id"), to_timestamp(col("lo_s")).as("lo"),
+        to_timestamp(col("hi_s")).as("hi"))
+    // points every 5 hours over 8 days, value = hour index
+    val pts = sp.range(40).select(
+      (to_timestamp(lit("2020-01-01 00:00:00")) +
+        expr("make_dt_interval(0, cast(id * 5 as int))")).as("ts"),
+      col("id").cast("decimal(18,2)").as("v"))
+    val expected = RangeJoin.pointInInterval(pts, iv, "ts", "lo", "hi")
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("v")).as("val_sum"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDecimal(2).doubleValue()))).toMap
+    val got = RangeJoin.countSumByInterval(pts, iv, "ts", "lo", "hi", col("v"))
+      .select(col("interval_id"), col("n_items"), col("val_sum"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDecimal(2).doubleValue()))).toMap
+    assert(got == expected)
+    assert(got.contains(1L) && got.contains(2L) && got.contains(3L))
+    assert(!got.contains(4L)) // pointless interval absent on both paths
+  }
+
   test("repetition: degenerate loop scores high, varied text scores 0") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
