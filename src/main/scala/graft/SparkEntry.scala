@@ -213,6 +213,39 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q4 shape (order-priority checking): orders with at least one
+    // LATE line item (shipped >60 days after the order date), counted by
+    // priority. The EXISTS plans as a LeftSemi join — each order emits at
+    // most once no matter how many lines are late, and the probe side
+    // carries only (orderkey, shipdate). The corpus has no
+    // commit/receipt dates, so lateness is vs o_orderdate + 60 days.
+    "q4_priority" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .where(year(col("o_orderdate")) === 1996)
+      val lateLines = li(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(lateLines,
+          col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q6 shape (forecasting revenue change): a single filter-agg whose
+    // predicates must all reach the parquet scan (shipdate range, discount
+    // band, quantity cap land in PushedFilters; ReadSchema is 4 columns).
+    // The simplest query in the suite and the purest pushdown check.
+    "q6_forecast" -> ((s, d) =>
+      li(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(dec2(col("l_extendedprice")) * rate2(col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     "window_top_orders" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -306,6 +339,15 @@ object SparkEntry {
       SkewAgg.histogramQuantiles(li(s, d), "l_returnflag", "l_quantity",
           Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
         .orderBy(col("l_returnflag"))),
+
+    // Pairwise Pearson correlations of 4 numeric columns in ONE pass:
+    // all k(k+1)/2+2k+1 sufficient statistics in a single O(1)-state
+    // map-side-combined aggregate (exact decimal sums → deterministic
+    // doubles), never a per-pair scan.
+    "corr_matrix" -> ((s, d) =>
+      Stats.corrMatrix(li(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))),
 
     // Pivot: long→wide reshape, one count column per order status. The
     // value list is explicit (never inferred — inference is a full extra
@@ -769,6 +811,14 @@ object SparkEntry {
       TextStats.bm25(docs(s, d), BmTerms, BmK, BmK1, BmB)
         .orderBy(col("bm25").desc, col("doc_id"))),
 
+    // Inverted-index build: term → exact df + BOUNDED posting list (the 20
+    // lowest doc_ids). Per-doc term dedup is map-side (array_distinct
+    // before the explode); postings use the bounded-heap topk_by_score
+    // aggregate, never collect_list — a stopword's postings stay O(k).
+    "inverted_index" -> ((s, d) =>
+      TextStats.invertedIndex(docs(s, d), minDf = 5, maxPostings = 20)
+        .orderBy(col("term"))),
+
     // Reproducible 10% corpus sample keyed on doc_id (same subset in any
     // engine / any re-run — the train/holdout split primitive).
     "doc_sample" -> ((s, d) =>
@@ -870,6 +920,19 @@ object SparkEntry {
       Sketches.hllDistinct(
           Tables.events(s, d).select(col("event_type"), col("user_id")),
           "event_type", "user_id")
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"))),
+
+    // Sketch MERGEABILITY — the property that makes sketches the right
+    // state at 100 TB: per-(type, hour) HLL registers (what a pipeline
+    // persists as each hour lands) rolled up to per-type estimates with
+    // max-per-bucket, never re-reading raw rows. The merged estimate is
+    // identical to approx_distinct's direct one (max-of-max = max).
+    "hll_merge" -> ((s, d) =>
+      Sketches.hllMergeDistinct(
+          Tables.events(s, d).select(col("event_type"), col("user_id"),
+            date_trunc("HOUR", col("ts")).as("hour")),
+          "event_type", "hour", "user_id")
         .withColumnRenamed("key", "event_type")
         .orderBy(col("event_type"))),
 
@@ -1091,6 +1154,25 @@ object SparkEntry {
         |WHERE year(o_orderdate) = 1996 AND r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
     "window_top_orders" ->
       """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1159,6 +1241,27 @@ object SparkEntry {
         |  min(CASE WHEN cum >= ceil(tot * 0.9) THEN l_quantity END) AS p90,
         |  min(CASE WHEN cum >= ceil(tot * 0.99) THEN l_quantity END) AS p99
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Mirrors Stats.corrMatrix: identical exact-decimal sums, identical
+    // double formula and operation order, so values match bit-for-bit.
+    "corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def d2c(c: String) = s"CAST($c AS DECIMAL(18,2))"
+      def dbl(e: String) = s"CAST($e AS DOUBLE)"
+      val sums = cs.map(c => s"sum(${d2c(c)}) AS s_$c").mkString(", ")
+      val sqs = cs.map(c => s"sum(${d2c(c)} * ${d2c(c)}) AS ss_$c").mkString(", ")
+      val ps = for { i <- cs.indices; j <- cs.indices if i < j } yield (cs(i), cs(j))
+      val sps = ps.map { case (a, b) =>
+        s"sum(${d2c(a)} * ${d2c(b)}) AS sp_${a}_$b" }.mkString(", ")
+      val rows = ps.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+          s"round((${dbl("n")} * ${dbl(s"sp_${a}_$b")} - ${dbl(s"s_$a")} * ${dbl(s"s_$b")}) / " +
+          s"sqrt((${dbl("n")} * ${dbl(s"ss_$a")} - ${dbl(s"s_$a")} * ${dbl(s"s_$a")}) * " +
+          s"(${dbl("n")} * ${dbl(s"ss_$b")} - ${dbl(s"s_$b")} * ${dbl(s"s_$b")})), 6) AS corr FROM q"
+      }.mkString(" UNION ALL ")
+      s"WITH q AS (SELECT count(*) AS n, $sums, $sqs, $sps FROM lineitem) " +
+        s"$rows ORDER BY col_a, col_b"
+    },
 
     "pivot_status" ->
       """SELECT o_orderpriority,
@@ -1568,6 +1671,14 @@ object SparkEntry {
          |ORDER BY bm25 DESC, doc_id LIMIT $BmK""".stripMargin
     },
 
+    "inverted_index" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |t AS (SELECT DISTINCT doc_id, unnest(tk) AS term FROM toks),
+         |g AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |  list_sort(list(doc_id)) AS ids FROM t GROUP BY term)
+         |SELECT term, df, array_to_string(ids[1:20], ',') AS postings
+         |FROM g WHERE df >= 5 ORDER BY term""".stripMargin,
+
     "chunk_dedup" -> {
       val stride = ChunkTokens - ChunkOverlap
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -1743,6 +1854,33 @@ object SparkEntry {
          |    THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / (64 - np))
          |    ELSE r END, 2) AS hll_estimate
          |FROM raw JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
+    },
+
+    "hll_merge" -> {
+      val p55 = 1L << 55
+      s"""WITH hx AS (SELECT event_type, date_trunc('hour', ts) AS slice,
+         |  ${h60Sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |b AS (SELECT event_type, slice, h % 64 AS bucket, h // 64 AS w FROM hx),
+         |r AS (SELECT event_type, slice, bucket,
+         |  CASE WHEN w = 0 THEN 55 ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho FROM b),
+         |sl AS (SELECT event_type, slice, bucket, max(rho) AS mj
+         |  FROM r GROUP BY event_type, slice, bucket),
+         |ns AS (SELECT event_type, CAST(count(DISTINCT slice) AS BIGINT) AS n_slices
+         |  FROM sl GROUP BY event_type),
+         |mx AS (SELECT event_type, bucket, max(mj) AS mj FROM sl GROUP BY event_type, bucket),
+         |z AS (SELECT event_type, sum(CAST(1 AS BIGINT) << (55 - mj)) AS zp, count(*) AS np
+         |  FROM mx GROUP BY event_type),
+         |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |  FROM events GROUP BY event_type),
+         |raw AS (SELECT event_type, np,
+         |  CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST($p55 AS DOUBLE)
+         |    / (zp + (64 - np) * $p55) AS r FROM z)
+         |SELECT raw.event_type, n_slices, exact_distinct,
+         |  round(CASE WHEN r <= 160.0 AND (64 - np) > 0
+         |    THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / (64 - np))
+         |    ELSE r END, 2) AS hll_estimate
+         |FROM raw JOIN ns USING (event_type) JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin
     },
 
     "cms_freq" -> {

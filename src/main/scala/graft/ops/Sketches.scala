@@ -51,23 +51,45 @@ object Sketches {
     * double division at the very end. No float summation order anywhere.
     */
   def hllDistinct(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
-    val m = HllBuckets
-    val maxRank = HllValueBits + 1 // rank when w == 0 (no set bit observed)
-    val regs = df
-      .select(col(keyCol).as("key"), h60(col(valCol).cast("string")).as("h"))
-      .select(col("key"), pmod(col("h"), lit(m.toLong)).as("bucket"),
-        expr(s"h div $m").as("w"))
-      .select(col("key"), col("bucket"),
-        when(col("w") === 0, lit(maxRank))
-          .otherwise(log2(col("w").bitwiseAND(-col("w"))).cast("int") + 1)
-          .as("rho"))
-      .groupBy(col("key"), col("bucket"))
-      .agg(max(col("rho")).as("mj"))
-    val z = regs.groupBy(col("key"))
-      .agg(sum(expr(s"shiftleft(cast(1 as bigint), $maxRank - mj)")).as("zp"),
-        count(lit(1)).as("np"))
     val exact = df.groupBy(col(keyCol).as("key"))
       .agg(count_distinct(col(valCol)).as("exact_distinct"))
+    hllEstimate(hllRegisters(df, Seq(keyCol), valCol), Seq("key"))
+      .join(exact, "key")
+      .select(col("key"), col("exact_distinct"), col("hll_estimate"))
+  }
+
+  /** HLL registers `(groupCols..., bucket, mj)` — the persistable sketch
+    * state at the given grouping granularity. First column of `groupCols`
+    * comes out renamed `key`.
+    */
+  private def hllRegisters(df: DataFrame, groupCols: Seq[String],
+                           valCol: String): DataFrame = {
+    val m = HllBuckets
+    val maxRank = HllValueBits + 1 // rank when w == 0 (no set bit observed)
+    val keys = col(groupCols.head).as("key") +: groupCols.tail.map(col)
+    val outKeys = col("key") +: groupCols.tail.map(col)
+    df.select(keys :+ h60(col(valCol).cast("string")).as("h"): _*)
+      .select(outKeys :+ pmod(col("h"), lit(m.toLong)).as("bucket") :+
+        expr(s"h div $m").as("w"): _*)
+      .select(outKeys :+ col("bucket") :+
+        when(col("w") === 0, lit(maxRank))
+          .otherwise(log2(col("w").bitwiseAND(-col("w"))).cast("int") + 1)
+          .as("rho"): _*)
+      .groupBy(outKeys :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("mj"))
+  }
+
+  /** Estimate cardinality from registers, one row per `keys` group:
+    * exact-integer harmonic mean, one double division, linear-counting
+    * small-range correction (see [[hllDistinct]] doc). Output:
+    * `(keys..., hll_estimate)`.
+    */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    val m = HllBuckets
+    val maxRank = HllValueBits + 1
+    val z = regs.groupBy(keys.map(col): _*)
+      .agg(sum(expr(s"shiftleft(cast(1 as bigint), $maxRank - mj)")).as("zp"),
+        count(lit(1)).as("np"))
     val pow2MaxRank = math.pow(2.0d, maxRank) // exact: power of two
     val raw = lit(HllAlpha) * lit(m.toDouble * m) * lit(pow2MaxRank) /
       (col("zp") + (lit(m.toLong) - col("np")) * lit(pow2MaxRank.toLong))
@@ -78,9 +100,35 @@ object Sketches {
     val empty = lit(m.toLong) - col("np")
     val est = when(raw <= lit(2.5d * m) && empty > 0,
       lit(m.toDouble) * log(lit(m.toDouble) / empty)).otherwise(raw)
-    z.join(exact, "key")
-      .select(col("key"), col("exact_distinct"),
-        round(est, 2).as("hll_estimate"))
+    z.select(keys.map(col) :+ round(est, 2).as("hll_estimate"): _*)
+  }
+
+  /** The property that makes sketches worth keeping at 100 TB: registers
+    * built at a FINE granularity (per `sliceCol` — hour, day, file, shard)
+    * merge up to any coarser rollup with `max` per bucket, without
+    * re-reading the raw data. This computes per-(key, slice) sketches —
+    * what a pipeline would persist as each increment lands — then derives
+    * the per-key estimate purely from those registers. `max` is
+    * associative/commutative and max-of-max = max over the union, so the
+    * merged estimate is IDENTICAL to [[hllDistinct]] run directly on the
+    * raw rows (asserted in tests), while touching only
+    * O(keys · slices · m) register rows.
+    *
+    * Output: `(key, n_slices, exact_distinct, hll_estimate)`.
+    */
+  def hllMergeDistinct(df: DataFrame, keyCol: String, sliceCol: String,
+                       valCol: String): DataFrame = {
+    val slices = hllRegisters(df, Seq(keyCol, sliceCol), valCol)
+    val nSlices = slices.groupBy(col("key"))
+      .agg(count_distinct(col(sliceCol)).as("n_slices"))
+    val merged = slices.groupBy(col("key"), col("bucket"))
+      .agg(max(col("mj")).as("mj"))
+    val exact = df.groupBy(col(keyCol).as("key"))
+      .agg(count_distinct(col(valCol)).as("exact_distinct"))
+    hllEstimate(merged, Seq("key"))
+      .join(nSlices, "key").join(exact, "key")
+      .select(col("key"), col("n_slices"), col("exact_distinct"),
+        col("hll_estimate"))
   }
 
   /** Bloom filter geometry: m bits packed into m/32 words, k hash probes.

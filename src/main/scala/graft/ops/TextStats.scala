@@ -383,6 +383,33 @@ object TextStats {
           ((col("ca") / col("nu")) * (col("cb") / col("nu")))), 6).as("pmi"))
   }
 
+  /** Distributed inverted-index build: term → document frequency + a
+    * BOUNDED posting list (the `maxPostings` lowest doc_ids, ascending).
+    *
+    * Per-doc term dedup happens map-side (`array_distinct` before the
+    * explode — no (doc, term) shuffle), so the single term-keyed aggregate
+    * is the only exchange. The posting list uses the bounded-heap
+    * `topk_by_score` aggregate (score = −doc_id), NOT `collect_list`: a
+    * stopword's posting accumulator would otherwise hold every matching
+    * doc_id in memory — the classic index-build OOM at corpus scale. df
+    * stays exact alongside the capped postings. Doc ids must stay below
+    * 2^53 (score travels as double); the corpus generator's ids do.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 5,
+                    maxPostings: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        expr(s"topk_by_score(cast(-doc_id as double), doc_id, $maxPostings)")
+          .as("top"))
+      .where(col("df") >= minDf)
+      .select(col("term"), col("df"),
+        array_join(expr("transform(top, x -> x.nbr_id)"), ",").as("postings"))
+  }
+
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{RangeJoin, Sketches, TextStats}
+import graft.ops.{RangeJoin, Sketches, Stats, TextStats}
 
 /** Sketch aggregates (HLL distinct, count-min frequency), the bucketed
   * range join vs its naive BETWEEN reference, and the stratified /
@@ -52,6 +52,21 @@ class SketchRangeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a = Sketches.hllDistinct(once.toDF("k", "v"), "k", "v").collect().head.getDouble(2)
     val b = Sketches.hllDistinct(dup.toDF("k", "v"), "k", "v").collect().head.getDouble(2)
     assert(a == b)
+  }
+
+  test("hllMergeDistinct: sliced-then-merged estimate equals the direct one") {
+    val sp = spark; import sp.implicits._
+    // values scattered across 7 slices, some present in several slices
+    val df = (1 to 900).map(i => ("k", s"slice${i % 7}", (i % 400).toLong))
+      .toDF("k", "slice", "v")
+    val direct = Sketches.hllDistinct(df, "k", "v")
+      .collect().head
+    val merged = Sketches.hllMergeDistinct(df, "k", "slice", "v")
+      .collect().head
+    assert(merged.getLong(1) == 7L)                        // n_slices
+    assert(merged.getLong(2) == direct.getLong(1))         // exact
+    assert(merged.getDouble(3) == direct.getDouble(2),     // estimate ==
+      s"merged=${merged.getDouble(3)} direct=${direct.getDouble(2)}")
   }
 
   test("cmsFrequency: never undercounts, exact for most probes, 0-truth for absent") {
@@ -143,6 +158,33 @@ class SketchRangeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
     assert(got.contains(1L) && got.contains(2L) && got.contains(3L))
     assert(!got.contains(4L)) // pointless interval absent on both paths
+  }
+
+  test("invertedIndex: exact df, postings capped and ascending, minDf honored") {
+    val sp = spark; import sp.implicits._
+    // "common" in every doc (df=30, capped postings), "rare" in 2 (below minDf)
+    val docs = (1L to 30L).map { i =>
+      (i, if (i <= 2) "common rare word" + i else "common word" + i)
+    }.toDF("doc_id", "text")
+    val out = TextStats.invertedIndex(docs, minDf = 3, maxPostings = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out("common") == (30L, "1,2,3,4,5")) // exact df, capped ascending
+    assert(!out.contains("rare"))               // df=2 < minDf=3
+    assert(!out.exists(_._1.startsWith("word"))) // each word<i> is df=1
+  }
+
+  test("corrMatrix: perfectly correlated, anti-correlated, and self-checked pairs") {
+    val sp = spark; import sp.implicits._
+    val df = (1 to 200).map { i =>
+      (i.toDouble, 2.0 * i + 5.0, 100.0 - i.toDouble, (i % 7).toDouble)
+    }.toDF("x", "y", "z", "w")
+    val out = Stats.corrMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("x", "y")) == 1.0)   // exact linear
+    assert(out(("x", "z")) == -1.0)  // exact inverse
+    assert(out(("y", "z")) == -1.0)
+    assert(math.abs(out(("x", "w"))) < 0.1) // near-independent
+    assert(out.size == 6)
   }
 
   test("repetition: degenerate loop scores high, varied text scores 0") {
