@@ -912,6 +912,13 @@ object SparkEntry {
     "emb_stats" -> ((s, d) =>
       Similarity.embStats(emb(s, d)).orderBy(col("dim"))),
 
+    // Embedding outlier QA: per-vector max |z| against broadcast per-dim
+    // moments — stats side O(dims), corpus never shuffled for the join,
+    // per-vector regroup collapsed map-side.
+    "emb_outliers" -> ((s, d) =>
+      Similarity.embOutliers(emb(s, d), zThreshold = 3.0)
+        .orderBy(col("vec_id"))),
+
     // -- sketches ----------------------------------------------------------
     // HyperLogLog-style distinct users per event type: 64 integer registers
     // per group, merged map-side — the bounded-memory cardinality shape for
@@ -1099,6 +1106,12 @@ object SparkEntry {
     // -- multimodal --------------------------------------------------------
     "mm_meta" -> ((s, d) =>
       Multimodal.mediaMeta(docs(s, d)).orderBy(col("doc_id"))),
+
+    // Integrity quarantine gate before decode work: map-only checks
+    // (empty / too_small / len_mismatch / embedded_nul) in codegen.
+    "mm_quarantine" -> ((s, d) =>
+      Multimodal.quarantine(docs(s, d), minBytes = 16)
+        .orderBy(col("doc_id"))),
 
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSample(docs(s, d), FrameBytes, FrameStride)
@@ -1831,6 +1844,25 @@ object SparkEntry {
          |  round(sqrt(greatest(0.0, (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)), 6) AS std_val
          |FROM g ORDER BY dim""".stripMargin,
 
+    // Mirrors Similarity.embOutliers: same 6-dp quantization and stats
+    // rounding as emb_stats, same z formula/order, flag from the rounded max.
+    "emb_outliers" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |px AS (SELECT vec_id, i AS dim, CAST(e[i] AS DECIMAL(18,6)) AS v
+         |  FROM c, range(1, ${EmbDim + 1}) t(i)),
+         |g AS (SELECT dim, count(*) AS n, sum(v) AS s, sum(v * v) AS s2
+         |  FROM px GROUP BY dim),
+         |st AS (SELECT dim, round(CAST(s AS DOUBLE) / n, 6) AS mean_val,
+         |  round(sqrt(greatest(0.0, (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)), 6) AS std_val
+         |  FROM g),
+         |z AS (SELECT vec_id,
+         |  CASE WHEN std_val > 0 THEN abs(CAST(v AS DOUBLE) - mean_val) / std_val
+         |       ELSE 0.0 END AS z
+         |  FROM px JOIN st USING (dim)),
+         |m AS (SELECT vec_id, round(max(z), 4) AS max_absz FROM z GROUP BY vec_id)
+         |SELECT vec_id, max_absz, max_absz > 3.0 AS outlier
+         |FROM m ORDER BY vec_id""".stripMargin,
+
     // Mirrors Sketches.hllDistinct register-for-register: bucket = h60 mod
     // 64, rank = trailing-zero rank of the remaining 54 bits (55 when 0),
     // harmonic mean in exact integer arithmetic, ONE double division at the
@@ -1991,6 +2023,22 @@ object SparkEntry {
         |  md5(text) AS digest,
         |  (CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 1920) + 1 AS width,
         |  (CAST(('0x' || substr(md5(text), 7, 6)) AS BIGINT) % 1080) + 1 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_quarantine" ->
+      """SELECT doc_id,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
+        |       WHEN octet_length(encode(text)) < 16 THEN 'too_small'
+        |       WHEN octet_length(encode(text)) < n_chars THEN 'len_mismatch'
+        |       WHEN contains(text, chr(0)) THEN 'embedded_nul'
+        |       ELSE 'ok' END AS status,
+        |  (CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
+        |       WHEN octet_length(encode(text)) < 16 THEN 'too_small'
+        |       WHEN octet_length(encode(text)) < n_chars THEN 'len_mismatch'
+        |       WHEN contains(text, chr(0)) THEN 'embedded_nul'
+        |       ELSE 'ok' END) = 'ok' AS usable
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // text is ASCII-only in this corpus (verified octet_length = length for

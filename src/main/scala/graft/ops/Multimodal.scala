@@ -27,11 +27,11 @@ object Multimodal {
     * pipelines read payloads from parquet/avro binary columns — the
     * downstream operators are agnostic to where the bytes came from.
     */
-  def withPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
+  def withPayload(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    docs.select(col("doc_id") +: keep.map(col) :+
+      encode(col("text"), "UTF-8").as("payload") :+
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"))
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"): _*)
 
   /** Hex prefix of the payload digest as a bigint (metadata derivation). */
   private def digestBits(payload: org.apache.spark.sql.Column, from: Int, len: Int) =
@@ -49,6 +49,35 @@ object Multimodal {
       md5(col("payload")).as("digest"),
       (digestBits(col("payload"), 1, 6) % 1920L + 1L).as("width"),
       (digestBits(col("payload"), 7, 6) % 1080L + 1L).as("height"))
+
+  /** Payload quarantine: map-only integrity gating before any decode work
+    * is spent — the first stage of a multimodal ingest at 100 TB, where a
+    * corrupt payload that reaches the codec fleet wastes the most expensive
+    * resource. Checks, first failure wins:
+    *
+    *  - `empty`        zero bytes
+    *  - `too_small`    below any plausible container header
+    *  - `len_mismatch` declared character count exceeds the byte length
+    *                   (impossible for valid UTF-8 — a truncated payload)
+    *  - `embedded_nul` NUL byte inside a text-declared payload
+    *  - `ok`           passes all checks
+    *
+    * Pure per-row projection: no shuffle, payload never leaves its
+    * partition, and the cheap checks run in whole-stage codegen so the
+    * quarantine gate adds ~nothing to the scan.
+    */
+  def quarantine(docs: DataFrame, minBytes: Int = 16): DataFrame = {
+    val p = withPayload(docs, keep = Seq("n_chars"))
+    val byteLen = length(col("payload")).cast("long")
+    p.select(col("doc_id"), col("modality"), byteLen.as("byte_len"),
+        when(byteLen === 0, "empty")
+          .when(byteLen < minBytes, "too_small")
+          .when(byteLen < col("n_chars"), "len_mismatch")
+          .when(locate("\u0000", col("payload").cast("string")) > 0,
+            "embedded_nul")
+          .otherwise("ok").as("status"))
+      .withColumn("usable", col("status") === "ok")
+  }
 
   /** Frame sampling: treat the payload as fixed-`frameBytes` frames, keep
     * every `stride`-th frame, and emit each kept frame's digest. This is

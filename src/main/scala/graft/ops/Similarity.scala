@@ -350,6 +350,40 @@ object Similarity {
       round(sqrt(greatest(lit(0.0d), variance)), 6).as("std_val"))
   }
 
+  /** Feature-QA outlier flagging: per-vector max |z| against the per-dim
+    * corpus moments of [[embStats]].
+    *
+    * The stats side is O(dims) rows — broadcast — so the corpus is never
+    * shuffled for the join; the per-vector regroup after the posexplode is
+    * collapsed map-side (a vector's dims never leave their partition), so
+    * the one shuffle carries O(vectors) rows, not O(vectors × dims).
+    * Zero-variance dims contribute z = 0 (a constant column is not
+    * evidence of a broken vector). Determinism: values quantized to 6-dp
+    * decimals, stats are 6-dp-rounded doubles, z evaluated in double with
+    * a fixed operation order, max is order-free — identical in any engine.
+    *
+    * Output: `(vec_id, max_absz, outlier)` with `outlier` decided on the
+    * 4-dp-rounded max so the flag can never straddle a last-ulp boundary.
+    */
+  def embOutliers(corpus: DataFrame, zThreshold: Double = 3.0,
+                  embCol: String = "embedding"): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val stats = embStats(corpus, embCol)
+    val px = corpus
+      .select(col("vec_id"), posexplode(asDouble(col(embCol))))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").cast(dec6).as("v"))
+    px.join(broadcast(stats), "dim")
+      .select(col("vec_id"),
+        when(col("std_val") > 0,
+          abs(col("v").cast("double") - col("mean_val")) / col("std_val"))
+          .otherwise(lit(0.0d)).as("z"))
+      .groupBy(col("vec_id"))
+      .agg(round(max(col("z")), 4).as("max_absz"))
+      .select(col("vec_id"), col("max_absz"),
+        (col("max_absz") > zThreshold).as("outlier"))
+  }
+
   /** Per-query top-k by similarity (desc), deterministic tie-break on id.
     * Bounded-heap aggregate with map-side partial aggregation — see
     * [[graft.functions.TopKByScore]].

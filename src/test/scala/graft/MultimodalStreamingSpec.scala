@@ -53,6 +53,24 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quarantine: each corruption class flagged, first failing check wins") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "", 0L),                                        // empty
+      (2L, "tiny", 4L),                                    // too_small
+      (3L, "long enough but claims more chars", 999L),     // len_mismatch
+      (4L, "has a NUL \u0000 byte embedded in the text", 10L), // embedded_nul
+      (5L, "a perfectly healthy payload of normal size", 42L) // ok
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Multimodal.quarantine(docs, minBytes = 16)
+      .collect().map(r => r.getLong(0) -> (r.getString(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ("empty", false))
+    assert(out(2L) == ("too_small", false))
+    assert(out(3L) == ("len_mismatch", false))
+    assert(out(4L) == ("embedded_nul", false))
+    assert(out(5L) == ("ok", true))
+  }
+
   test("frameSample: frame count and sampled digests for exact/ragged/short payloads") {
     val rows = Multimodal.frameSample(docsDf, 32, 2).orderBy("doc_id").collect()
     def digests(i: Int): Seq[String] =
