@@ -10,15 +10,22 @@ import org.apache.spark.sql.functions._
   * engine's `global_sort` (range scatter + per-partition sort), driven to
   * a noop sink so the FULL sort executes with zero sink cost.
   *
-  *   sbt "runMain graft.Scale [nRows]"      (default 200,000,000)
+  *   sbt "runMain graft.Scale [nRows]"        (default 200,000,000)
+  *   sbt "runMain graft.Scale dedup [nDocs]"  (default 5,000,000)
   *
-  * Prints one JSON line: seconds for global_sort and top_k at n rows —
-  * local-mode evidence that the plan shapes hold orders of magnitude past
-  * the reference's ceiling; on a real cluster the same plans scale out by
-  * partition count.
+  * `dedup` mode drives the MinHash-LSH near-dup pipeline (the same
+  * operators as the `minhash_pairs` query, same k/bands) over synthetic
+  * documents with a planted 5% near-duplicate rate — each planted doc
+  * copies its base's 12 tokens with exactly one perturbed, so candidate
+  * recall is testable and the hashing/banding/self-join cost is real.
+  *
+  * Prints one JSON line — local-mode evidence that the plan shapes hold
+  * orders of magnitude past the reference's ceiling; on a real cluster
+  * the same plans scale out by partition count.
   */
 object Scale {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dedup")) return dedupMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -48,6 +55,50 @@ object Scale {
         .write.format("noop").mode("overwrite").save()
     }
     println(f"""{"n_rows":$n,"global_sort_sec":$sortSec%.1f,"top_k_sec":$topkSec%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  private def dedupMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 5000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Synthetic corpus: 12 tokens per doc from hash arithmetic. Docs with
+    // id % 20 == 1 are PLANTED near-dups: they copy doc id-1's token base
+    // and perturb exactly one position, leaving shingle Jaccard ≈ 0.5-0.7.
+    val nTok = 12
+    val base = when(pmod(col("id"), lit(20L)) === 1, col("id") - 1)
+      .otherwise(col("id"))
+    // md5-derived tokens: affine formulas (base*a + j*b mod p) leave
+    // shift-structure — doc pairs whose id difference maps one token
+    // sequence onto another share most shingles and flood the LSH with
+    // systematic twins. Hashing (base, j) kills the linear structure.
+    val toks = (0 until nTok).map { j =>
+      when(pmod(col("id"), lit(20L)) === 1 && pmod(col("id"), lit(nTok.toLong)) === j,
+        concat(lit("z"), pmod(col("id"), lit(997L)).cast("string")))
+        .otherwise(concat(lit("w"),
+          substring(md5(concat(base.cast("string"), lit(s"_$j"))), 1, 8)))
+    }
+    def docs = spark.range(n)
+      .repartition(cpus.toInt * 2)
+      .select(col("id").as("doc_id"), concat_ws(" ", toks: _*).as("text"))
+
+    // warm-up off the clock
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+
+    val t0 = System.nanoTime()
+    // same operators and parameters as the verified minhash_pairs query
+    val pairs = ops.Dedup.minhashPairs(docs, k = 6, bands = 3, shingleN = 3)
+    val found = pairs.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val planted = n / 20
+    println(f"""{"mode":"dedup","n_docs":$n,"planted_neardups":$planted,"lsh_pairs_found":$found,"seconds":$sec%.1f,"docs_per_sec":${n / sec}%.0f,"cpus":$cpus}""")
     spark.stop()
   }
 }
