@@ -729,6 +729,11 @@ object SparkEntry {
     "token_counts" -> ((s, d) =>
       TextStats.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
 
+    // Tokenizer-vocabulary build: top-256 corpus tokens by count with
+    // ranks — one map-side-combined aggregate + TakeOrderedAndProject.
+    "vocab_topk" -> ((s, d) =>
+      TextStats.vocabTopK(docs(s, d), 256).orderBy(col("rank"))),
+
     "lang_id" -> ((s, d) =>
       TextStats.langId(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -882,6 +887,22 @@ object SparkEntry {
     // Feature normalization: per-type z-score from exact decimal moments.
     "value_zscore" -> ((s, d) =>
       Events.valueZscore(Tables.events(s, d)).orderBy(col("event_id"))),
+
+    // Cohort retention matrix: first-seen-day cohorts × day offset — all
+    // user-keyed aggregates sharing one partitioning; final group
+    // cardinality is days², independent of corpus size.
+    "cohort_retention" -> ((s, d) =>
+      Events.cohortRetention(Tables.events(s, d))
+        .withColumn("cohort_day", date_format(col("cohort_day"), "yyyy-MM-dd"))
+        .orderBy(col("cohort_day"), col("day_offset"))),
+
+    // Ordered conversion funnel (view → click → purchase, each step
+    // strictly after the user's earliest previous step): min-timestamp
+    // aggregates chained by user-keyed joins — one timestamp of state per
+    // user per stage, no per-user sequence materialization.
+    "funnel_steps" -> ((s, d) =>
+      Events.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
+        .orderBy(col("step"))),
 
     // As-of (point-in-time) join: for each purchase, the user's latest
     // click at-or-before it — the feature-store lookup shape.
@@ -1568,6 +1589,13 @@ object SparkEntry {
          |SELECT cell, dim, n_members, round(CAST(s AS DOUBLE) / n_members, 6) AS mean_val
          |FROM g ORDER BY cell, dim""".stripMargin,
 
+    "vocab_topk" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+         |  term, cnt
+         |FROM c ORDER BY cnt DESC, term LIMIT 256""".stripMargin,
+
     "token_counts" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,
          |len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
@@ -1819,6 +1847,31 @@ object SparkEntry {
         |    THEN round((value - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4)
         |    ELSE 0.0 END AS z
         |FROM events e JOIN st USING (event_type) ORDER BY event_id""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day - cohort_day AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+        |FROM act JOIN fs USING (user_id)
+        |GROUP BY fs.cohort_day, day - cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // ts truncated to µs so strict `>` compares at Spark's ingest precision.
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+        |u1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN u1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+        |u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN u2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |    CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3))
+        |ORDER BY step""".stripMargin,
 
     // ts truncated to µs in the CTE: Spark ingests the ns parquet column
     // at µs precision, so the ASOF `>=` must compare at µs on both sides.

@@ -121,6 +121,62 @@ object Events {
     * aggregate (rows = |event_type|, broadcast back), one map-only scoring
     * pass — at 100 TB the data crosses the wire zero times.
     */
+  /** Cohort retention: users grouped by first-seen day, activity counted
+    * per (cohort day, day offset) — the engagement matrix behind every
+    * retention curve.
+    *
+    * Scale shape: both the first-seen reduction and the per-day activity
+    * dedup are user-keyed aggregates with map-side combine; the join that
+    * tags activity with its cohort is user-keyed too, so all three steps
+    * share one hash partitioning. The final (cohort, offset) aggregate has
+    * days² group cardinality — trivially small at any corpus size. No
+    * windows over raw history, no distinct over the full table.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    activity.join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  /** Ordered conversion funnel: how many users completed each step of
+    * `steps`, where step i+1 must occur STRICTLY AFTER the user's earliest
+    * completion of step i.
+    *
+    * Each stage is `min(ts)` per user filtered against the previous
+    * stage's timestamp — a user-keyed aggregate joined back user-keyed, so
+    * the chain reuses one partitioning and never materializes per-user
+    * event sequences (no collect_list, no session window over raw rows).
+    * State per user per stage: one timestamp.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val stageTs = steps.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
+      case (prev, (step, i)) =>
+        val base = prev match {
+          case None => events.where(col("event_type") === step)
+          case Some(p) =>
+            events.join(p.select(col("user_id"), col(s"t${i - 1}")), "user_id")
+              .where(col("event_type") === step && col("ts") > col(s"t${i - 1}"))
+        }
+        val cur = base.groupBy(col("user_id")).agg(min(col("ts")).as(s"t$i"))
+        Some(prev.fold(cur)(p => p.join(cur, Seq("user_id"), "left")))
+    }.get
+    val counts = stageTs.agg(
+      steps.indices.map(i => count(col(s"t$i")).as(s"n$i")).head,
+      steps.indices.map(i => count(col(s"t$i")).as(s"n$i")).tail: _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (step, i) =>
+        struct(lit(i + 1).cast("long").as("step"), lit(step).as("step_name"),
+          col(s"n$i").as("n_users"))
+      }: _*)).as("f"))
+      .select(col("f.step"), col("f.step_name"), col("f.n_users"))
+  }
+
   def valueZscore(events: DataFrame): DataFrame = {
     val stats = events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

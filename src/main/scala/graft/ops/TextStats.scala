@@ -383,6 +383,21 @@ object TextStats {
           ((col("ca") / col("nu")) * (col("cb") / col("nu")))), 6).as("pmi"))
   }
 
+  /** Tokenizer-vocabulary build: the `k` highest-count corpus tokens with
+    * their ranks. One token-keyed hash-aggregate (map-side combined), then
+    * `orderBy(...).limit(k)` — Spark's `TakeOrderedAndProject`, a bounded
+    * heap per partition — so only k rows per task ever move; the
+    * rank window runs over the already-k-row result, not the corpus.
+    */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    counts.orderBy(col("cnt").desc, col("term").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+      .select(col("rank"), col("term"), col("cnt"))
+  }
+
   /** Distributed inverted-index build: term → document frequency + a
     * BOUNDED posting list (the `maxPostings` lowest doc_ids, ascending).
     *
