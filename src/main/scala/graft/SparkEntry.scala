@@ -246,6 +246,116 @@ object SparkEntry {
             .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))),
 
+    // TPC-H Q2 shape (correlated scalar subquery): parts priced at the
+    // minimum retail price of their type. The correlated `= (SELECT min
+    // ...)` rewrites to a per-type aggregate BROADCAST back onto the part
+    // scan — one tiny build side, no window, no self-shuffle.
+    "q2_min_price" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val minByType = p.groupBy(col("p_type"))
+        .agg(min(col("p_retailprice")).as("min_price"))
+      p.join(broadcast(minByType), Seq("p_type"))
+        .where(col("p_retailprice") === col("min_price"))
+        .select(col("p_type"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_type"), col("p_partkey"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    // per customer over a quarter-window. Fact-fact shuffle join on
+    // orderkey with the date filter pushed into the orders scan; customer
+    // and nation broadcast; top-20 via TakeOrderedAndProject so only 20
+    // rows per task reach the driver.
+    "q10_returns" -> ((s, d) => {
+      val rev = dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount")))
+      li(s, d).where(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+            .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape (promotion effect): conditional aggregation — the
+    // promo share of one year's revenue in a single pass over the join.
+    // Part broadcasts; both sums come out of ONE aggregate (no second
+    // scan for the denominator); exact decimal sums, double only in the
+    // final ratio.
+    "q14_promo" -> ((s, d) => {
+      val rev = dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount")))
+      li(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(dec2(lit(0))))
+            .cast("double").as("promo_rev"),
+          sum(rev).cast("double").as("total_rev"),
+          count(lit(1)).as("n_items"))
+        .select(
+          (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_share"),
+          col("promo_rev"), col("total_rev"), col("n_items"))
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    // counts per (brand, type, size) with a NOT-IN exclusion. The NOT IN
+    // plans as a broadcast anti-join (supplier is tiny); part broadcasts
+    // onto the fact scan; count(DISTINCT) is Spark's two-phase
+    // expand+aggregate — no windows, one key shuffle.
+    "q16_supplier_cnt" -> ((s, d) => {
+      val negBal = Tables.supplier(s, d)
+        .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+      li(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .where(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25))
+        .join(broadcast(negBal), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): orders whose total
+    // quantity clears a threshold — the IN-(GROUP BY ... HAVING)
+    // subquery. Plans as an aggregate on the fact, filtered, then joined
+    // back; customer broadcasts. The HAVING filter runs where the
+    // aggregate lands, so only qualifying orderkeys cross the wire.
+    "q18_large_orders" -> ((s, d) => {
+      val bigOrders = li(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .where(col("sum_qty") > 300)
+      bigOrders
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicate): an
+    // OR-of-ANDs across both join sides. The p_brand/p_size legs sit on
+    // the broadcast build side and the l_quantity bands on the probe, so
+    // the disjunction evaluates inside the join's generated code — no
+    // union-of-three-scans, one pass over the fact.
+    "q19_disjunctive" -> ((s, d) => {
+      val q = col("l_quantity")
+      val sz = col("p_size")
+      li(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && q.between(1, 20) && sz.between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && q.between(10, 30) && sz.between(1, 25)) ||
+          (col("p_brand") === "Brand#3" && q.between(20, 40) && sz.between(1, 35)))
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "window_top_orders" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1206,6 +1316,65 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q2_min_price" ->
+      """SELECT p_type, p_partkey, p_name, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type)
+        |ORDER BY p_type, p_partkey""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q14_promo" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_rev,
+        |    count(*) AS n_items
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
+        |SELECT 100.0 * promo_rev / total_rev AS promo_share, promo_rev, total_rev, n_items
+        |FROM a""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey ASC""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 25)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 35)""".stripMargin,
 
     "window_top_orders" ->
       """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
