@@ -844,6 +844,11 @@ object SparkEntry {
     "vocab_topk" -> ((s, d) =>
       TextStats.vocabTopK(docs(s, d), 256).orderBy(col("rank"))),
 
+    // Pretraining mixture weights: per-source token shares smoothed with
+    // a sqrt temperature and renormalized (exact-decimal denominator).
+    "source_mix" -> ((s, d) =>
+      TextStats.sourceMix(docs(s, d)).orderBy(col("source"))),
+
     "lang_id" -> ((s, d) =>
       TextStats.langId(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -1035,6 +1040,13 @@ object SparkEntry {
     // -- embedding near-dup ------------------------------------------------
     "emb_neardup" -> ((s, d) =>
       EmbedDedup.nearDupPairs(emb(s, d), EmbDim, EmbMinCos)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SemDeDup shape: coarse k-means cells (the IVF quantizer), exact
+    // cosine only WITHIN a cell — the cluster-then-compare semantic-dedup
+    // path, complementary to the SRP-LSH route of emb_neardup.
+    "semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(emb(s, d), IvfCentroids, EmbMinCos)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Per-dimension corpus moments: posexplode + ONE dim-keyed aggregate
@@ -1758,6 +1770,20 @@ object SparkEntry {
          |SELECT cell, dim, n_members, round(CAST(s AS DOUBLE) / n_members, 6) AS mean_val
          |FROM g ORDER BY cell, dim""".stripMargin,
 
+    "source_mix" ->
+      s"""WITH tok AS (SELECT source, len($toksSql) AS n FROM documents),
+         |g AS (SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM tok GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM g),
+         |w AS (SELECT source, n_docs, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+         |    CAST(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS DECIMAL(18,15)) AS w
+         |  FROM g, t),
+         |d AS (SELECT sum(w) AS denom FROM w)
+         |SELECT source, n_docs, n_tokens, round(share, 6) AS share,
+         |  round(CAST(w AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS mix_weight
+         |FROM w, d ORDER BY source""".stripMargin,
+
     "vocab_topk" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
          |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
@@ -2055,6 +2081,14 @@ object SparkEntry {
         |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "emb_neardup" -> embNearDupSql,
+
+    "semantic_dedup" ->
+      s"""WITH $ivfAssignCte
+         |SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.e", "b.e")} AS cos_sim
+         |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.e", "b.e")} >= $EmbMinCos
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "emb_stats" ->
       s"""WITH c AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

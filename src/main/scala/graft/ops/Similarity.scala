@@ -318,6 +318,39 @@ object Similarity {
       .select(col(idName), col(embName), cell.as("cell"), col("_nrm").as(nrmName))
   }
 
+  /** SemDeDup-shape semantic deduplication: coarse-quantize the corpus
+    * into `numCentroids` k-means cells (the same deterministic hash-ranked
+    * centroid table and map-only argmax the IVF index uses), then compare
+    * EXACTLY — but only within a cell. Pairs with cosine ≥ `minCosine`
+    * are the semantic duplicates; cross-cell pairs are never examined,
+    * which is the algorithm's documented recall trade, not a shortcut.
+    *
+    * Scale shape: cell assignment is map-only (no join, no shuffle of the
+    * corpus); the one shuffle is the self-join's hash partitioning on
+    * `cell`. Within-cell work is O(Σ|cell|²), so K must grow with the
+    * corpus to keep cells bounded (SemDeDup runs ~100k clusters at
+    * billion-doc scale for exactly this reason) — K is a knob, the plan
+    * shape is constant. Norms are computed once per row before the join,
+    * so the pair comparison is a dot product, not three.
+    */
+  def semanticDedup(corpus: DataFrame, numCentroids: Int, minCosine: Double,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+      asDouble(col(embCol)).as("e"))
+    val assigned = assignCells(c, "id", "e", numCentroids)
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("e").as("ea"), col("c_nrm").as("na"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("e").as("eb"), col("c_nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        round(cosineFromNorms(dot(col("ea"), col("eb")),
+          col("na"), col("nb")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= minCosine)
+  }
+
   /** Per-dimension corpus moments (count / mean / std) over an embedding
     * column — the feature-normalization statistics an embedding pipeline
     * computes before whitening or quantizing. `posexplode` turns the

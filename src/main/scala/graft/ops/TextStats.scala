@@ -383,6 +383,37 @@ object TextStats {
           ((col("ca") / col("nu")) * (col("cb") / col("nu")))), 6).as("pmi"))
   }
 
+  /** Pretraining source-mixture weights: each source's token share of the
+    * corpus, smoothed with a square-root temperature (share^(1/2), the
+    * standard upsample-the-tail reweighting) and renormalized to sum to 1.
+    *
+    * Two aggregates over |sources| rows — the per-source token counts
+    * (map-side combined, one shuffle of O(tasks × sources) rows) and the
+    * one-row totals, both broadcast back. Determinism across engines: the
+    * share is a double division of exact longs, the smoothed weights are
+    * quantized to DECIMAL(18,15) so the renormalization DENOMINATOR is an
+    * exact order-free sum (a double sum would depend on reduce order),
+    * and the final weight is one double division, rounded to 6dp.
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val dec15 = org.apache.spark.sql.types.DecimalType(18, 15)
+    val g = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val w = g.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+      .withColumn("w", sqrt(col("share")).cast(dec15))
+    val denom = w.agg(sum(col("w")).as("denom"))
+    w.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("w").cast("double") / col("denom").cast("double"), 6)
+          .as("mix_weight"))
+  }
+
   /** Tokenizer-vocabulary build: the `k` highest-count corpus tokens with
     * their ranks. One token-keyed hash-aggregate (map-side combined), then
     * `orderBy(...).limit(k)` — Spark's `TakeOrderedAndProject`, a bounded
