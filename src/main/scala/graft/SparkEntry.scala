@@ -1774,15 +1774,13 @@ object SparkEntry {
       s"""WITH tok AS (SELECT source, len($toksSql) AS n FROM documents),
          |g AS (SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
          |  FROM tok GROUP BY source),
-         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM g),
          |w AS (SELECT source, n_docs, n_tokens,
-         |    CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
-         |    CAST(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS DECIMAL(18,15)) AS w
-         |  FROM g, t),
-         |d AS (SELECT sum(w) AS denom FROM w)
+         |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS share,
+         |    CAST(sqrt(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)) AS DECIMAL(18,15)) AS w
+         |  FROM g)
          |SELECT source, n_docs, n_tokens, round(share, 6) AS share,
-         |  round(CAST(w AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS mix_weight
-         |FROM w, d ORDER BY source""".stripMargin,
+         |  round(CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE), 6) AS mix_weight
+         |FROM w ORDER BY source""".stripMargin,
 
     "vocab_topk" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),

@@ -401,17 +401,19 @@ object TextStats {
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
-    val tot = g.agg(sum(col("n_tokens")).as("tot_tokens"))
-    val w = g.crossJoin(broadcast(tot))
-      .withColumn("share",
-        col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+    // The totals are unpartitioned window sums over the ALREADY-REDUCED
+    // per-source rows (|sources| of them — a one-partition window here is
+    // O(sources), not O(corpus)); the alternative, joining g against
+    // agg(g), recomputes the corpus aggregate once per branch.
+    val all = Window.partitionBy()
+    g.withColumn("share",
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(all).cast("double"))
       .withColumn("w", sqrt(col("share")).cast(dec15))
-    val denom = w.agg(sum(col("w")).as("denom"))
-    w.crossJoin(broadcast(denom))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("share"), 6).as("share"),
-        round(col("w").cast("double") / col("denom").cast("double"), 6)
-          .as("mix_weight"))
+        round(col("w").cast("double") /
+          sum(col("w")).over(all).cast("double"), 6).as("mix_weight"))
   }
 
   /** Tokenizer-vocabulary build: the `k` highest-count corpus tokens with
