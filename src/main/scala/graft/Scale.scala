@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
 object Scale {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dedup")) return dedupMain(args.drop(1))
+    if (args.headOption.contains("events")) return eventsMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -55,6 +56,61 @@ object Scale {
         .write.format("noop").mode("overwrite").save()
     }
     println(f"""{"n_rows":$n,"global_sort_sec":$sortSec%.1f,"top_k_sec":$topkSec%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Event-analytics family at volume: gap sessionization, the ordered
+    * conversion funnel, and cohort retention over synthetic events
+    * (~200 events/user across a 30-day span). All three are user-keyed
+    * shapes — windows and aggregates partition on `user_id`, so per-task
+    * state is bounded by one user's history no matter the corpus size.
+    *
+    * Generation is overflow-safe integer mixing only (multipliers chosen
+    * so id × k < 2^63 for id ≤ 1e9 — the same discipline as
+    * [[graft.ops.Gen]]); each timed query regenerates the frame, so the
+    * per-query cost comparison is apples-to-apples.
+    */
+  private def eventsMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val users = math.max(1L, n / 200)
+    val spanSec = 30L * 24 * 3600
+    val baseUs = 1767225600000000L // 2026-01-01 UTC
+    val mix1 = pmod(col("id") * 2654435761L, lit(1048573L))
+    def events = spark.range(n)
+      .repartition(cpus.toInt * 2)
+      .select(
+        col("id").as("event_id"),
+        pmod(col("id") * 2654435761L, lit(users)).as("user_id"),
+        timestamp_micros(lit(baseUs) +
+          pmod(col("id") * 2654435761L, lit(spanSec)) * 1000000L +
+          pmod(mix1 * 48271L, lit(1000000L))).as("ts"),
+        when(pmod(mix1 * 16807L, lit(10L)) < 6, "view")
+          .when(pmod(mix1 * 16807L, lit(10L)) < 9, "click")
+          .otherwise("purchase").as("event_type"),
+        (pmod(mix1 * 69621L, lit(10000L)) / lit(100.0)).as("value"))
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val sessionsSec = time(noop(ops.Events.sessionize(events, 30)))
+    val funnelSec = time(noop(ops.Events.funnel(events,
+      Seq("view", "click", "purchase"))))
+    val cohortSec = time(noop(ops.Events.cohortRetention(events)))
+    println(f"""{"mode":"events","n_rows":$n,"n_users":$users,"sessions_sec":$sessionsSec%.1f,"funnel_sec":$funnelSec%.1f,"cohort_sec":$cohortSec%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 

@@ -125,49 +125,55 @@ object Events {
     * per (cohort day, day offset) — the engagement matrix behind every
     * retention curve.
     *
-    * Scale shape: both the first-seen reduction and the per-day activity
-    * dedup are user-keyed aggregates with map-side combine; the join that
-    * tags activity with its cohort is user-keyed too, so all three steps
-    * share one hash partitioning. The final (cohort, offset) aggregate has
-    * days² group cardinality — trivially small at any corpus size. No
-    * windows over raw history, no distinct over the full table.
+    * Scale shape: the corpus collapses ONCE, map-side, through the
+    * (user, day) distinct (partial aggregation dedups before the
+    * shuffle); everything after runs on ≤ users × active-days rows. The
+    * cohort day is a min-window over that reduced frame's user
+    * partitioning — per-partition state is one user's distinct days, and
+    * because the rows are already (user, day)-distinct, the final
+    * (cohort, offset) aggregate is a plain count: no corpus-level
+    * count_distinct expand, no join. Final group cardinality is days² —
+    * trivially small at any corpus size.
     */
   def cohortRetention(events: DataFrame): DataFrame = {
-    val firstSeen = events.groupBy(col("user_id"))
-      .agg(min(to_date(col("ts"))).as("cohort_day"))
-    val activity = events
+    val ud = events
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-    activity.join(firstSeen, "user_id")
+    ud.withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
       .groupBy(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
-      .agg(count_distinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Ordered conversion funnel: how many users completed each step of
     * `steps`, where step i+1 must occur STRICTLY AFTER the user's earliest
     * completion of step i.
     *
-    * Each stage is `min(ts)` per user filtered against the previous
-    * stage's timestamp — a user-keyed aggregate joined back user-keyed, so
-    * the chain reuses one partitioning and never materializes per-user
-    * event sequences (no collect_list, no session window over raw rows).
-    * State per user per stage: one timestamp.
+    * Each stage is a conditional-min WINDOW over the same user
+    * partitioning — `t_i = min(ts | type = step_i ∧ ts > t_{i-1})` — so
+    * the whole k-step chain is ONE shuffle of the (user, type, ts)
+    * projection followed by k stacked window passes and a user-keyed
+    * reduction that reuses the partitioning: no per-stage re-scan, no
+    * join chain, no per-user sequence materialization. State per user
+    * per stage: one timestamp.
     */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty)
-    val stageTs = steps.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
-      case (prev, (step, i)) =>
-        val base = prev match {
-          case None => events.where(col("event_type") === step)
-          case Some(p) =>
-            events.join(p.select(col("user_id"), col(s"t${i - 1}")), "user_id")
-              .where(col("event_type") === step && col("ts") > col(s"t${i - 1}"))
-        }
-        val cur = base.groupBy(col("user_id")).agg(min(col("ts")).as(s"t$i"))
-        Some(prev.fold(cur)(p => p.join(cur, Seq("user_id"), "left")))
-    }.get
-    val counts = stageTs.agg(
+    val w = Window.partitionBy(col("user_id"))
+    val staged = steps.zipWithIndex.foldLeft(
+      events.select(col("user_id"), col("event_type"), col("ts"))) {
+      case (df, (step, i)) =>
+        val cond =
+          if (i == 0) col("event_type") === step
+          else col("event_type") === step && col("ts") > col(s"t${i - 1}")
+        df.withColumn(s"t$i", min(when(cond, col("ts"))).over(w))
+    }
+    // one row per user (every row of a user carries identical t_i)
+    val perUser = staged.groupBy(col("user_id")).agg(
+      steps.indices.map(i => max(col(s"t$i")).as(s"t$i")).head,
+      steps.indices.map(i => max(col(s"t$i")).as(s"t$i")).tail: _*)
+    val counts = perUser.agg(
       steps.indices.map(i => count(col(s"t$i")).as(s"n$i")).head,
       steps.indices.map(i => count(col(s"t$i")).as(s"n$i")).tail: _*)
     counts.select(explode(array(steps.zipWithIndex.map { case (step, i) =>
