@@ -356,6 +356,65 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q12 shape (shipping priority classes): fact-fact shuffle join
+    // with BOTH aggregation legs as conditional sums in one pass — the
+    // date filter pushes into the lineitem scan, and the join carries
+    // only (orderkey, priority).
+    "q12_priority_class" -> ((s, d) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_cnt"),
+          sum(when(high, 0L).otherwise(1L)).as("low_cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): the `= (SELECT max(...))` scalar
+    // subquery over an aggregate. Revenue reduces once per supplier; the
+    // max is an unpartitioned window over THAT reduced frame (|suppliers|
+    // rows — not the corpus), so the fact is scanned exactly once and
+    // nothing joins against a recomputed aggregate.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = li(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount"))))
+          .cast("double").as("total_rev"))
+      rev.withColumn("max_rev", max(col("total_rev")).over(Window.partitionBy()))
+        .where(col("total_rev") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): a scalar-average filter
+    // plus a NOT EXISTS anti-join. The threshold is ONE broadcast row
+    // (exact decimal sum / count, so the > comparison is engine-portable
+    // to the last ulp); the anti-join build side is the filtered urgent
+    // orders; output is a tiny segment rollup.
+    "q22_idle_customers" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val avgRow = c.where(col("c_acctbal") > 0)
+        .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      val urgent = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(avgRow))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(broadcast(urgent), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("totbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "window_top_orders" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1387,6 +1446,38 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 15)
         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 25)
         |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 35)""".stripMargin,
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN r ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH t AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totbal
+        |FROM customer, t
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "window_top_orders" ->
       """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
