@@ -27,6 +27,7 @@ object Scale {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dedup")) return dedupMain(args.drop(1))
     if (args.headOption.contains("events")) return eventsMain(args.drop(1))
+    if (args.headOption.contains("ann")) return annMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -111,6 +112,73 @@ object Scale {
       Seq("view", "click", "purchase"))))
     val cohortSec = time(noop(ops.Events.cohortRetention(events)))
     println(f"""{"mode":"events","n_rows":$n,"n_users":$users,"sessions_sec":$sessionsSec%.1f,"funnel_sec":$funnelSec%.1f,"cohort_sec":$cohortSec%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Similarity family at volume: brute-force kNN (8 queries), SemDeDup
+    * semantic dedup (cells scaled with n), and PQ encoding over synthetic
+    * 64-dim embeddings. Vectors with id % 50 == 1 are PLANTED near-dups
+    * (copy of id-1 with one component shifted by 0.01 — cosine ≈ 0.9999),
+    * so the semantic-dedup count is checkable: nearly every planted pair
+    * should land in its base's cell and clear the 0.9 floor, and almost
+    * nothing else should.
+    *
+    * Components are md5-hash-derived uniforms in [-1, 1]: a linear
+    * congruential mix (id·k1 + j·k2 mod p) leaves affine structure —
+    * (x+c) mod p is piecewise-linear in x, so ~20% of vector pairs
+    * exceed |cos| 0.4 and the dedup count explodes (measured: 133M
+    * "pairs" at 200k vectors). Hashing (id, j) kills the correlation;
+    * unrelated 64-dim cosines concentrate at N(0, 1/64) and the only
+    * pairs above the floor are the planted ones.
+    */
+  private def annMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val dim = 64
+    // cells scale with n (bounded cell size is what makes SemDeDup's
+    // within-cell compare tractable); capped so the literal-centroid
+    // argmax stays O(1k·dim) per row
+    val cells = math.max(256, math.min(1024, (n / 1000).toInt))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val planted = pmod(col("id"), lit(50L)) === 1
+    val base = when(planted, col("id") - 1).otherwise(col("id"))
+    val comp = transform(sequence(lit(0), lit(dim - 1)), j =>
+      ((pmod(graft.functions.h60(
+          concat(base.cast("string"), lit("_"), j.cast("string"))),
+        lit(2000003L)) - 1000000L) / lit(1000000.0) +
+        when(planted && j === pmod(col("id"), lit(dim.toLong)), 0.01)
+          .otherwise(0.0)).cast("float"))
+    def embs = spark.range(n)
+      .repartition(cpus.toInt * 2)
+      .select(col("id").as("vec_id"), comp.as("embedding"))
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val knnSec = time(noop(ops.Similarity.bruteForceTopK(
+      embs, embs.where(col("vec_id") < 8), k = 10)))
+    var pairs = 0L
+    // 0.9 floor: same-cell conditioning lifts random-pair cosines well
+    // above the population N(0, 1/dim), so a production-grade floor is
+    // what separates planted dups (cos ≈ 0.9999) from cell noise
+    val semSec = time {
+      pairs = ops.Similarity.semanticDedup(embs, cells, minCosine = 0.9).count()
+    }
+    val pqSec = time(noop(ops.Similarity.pqEncode(embs, subs = 8, k = 16)))
+    val plantedPairs = n / 50
+    println(f"""{"mode":"ann","n_vectors":$n,"dim":$dim,"knn8_sec":$knnSec%.1f,"semdedup_sec":$semSec%.1f,"semdedup_pairs":$pairs,"planted_neardups":$plantedPairs,"pq_encode_sec":$pqSec%.1f,"cells":$cells,"cpus":$cpus}""")
     spark.stop()
   }
 
