@@ -531,6 +531,22 @@ object SparkEntry {
           coalesce(col("P"), lit(0L)).as("n_p"))
         .orderBy(col("o_orderpriority"))),
 
+    // The inverse reshape of pivot_status: wide→long via `unpivot`
+    // (Spark's native Unpivot node — a map-only row expansion, no
+    // shuffle until the ORDER BY; the melt step every feature matrix
+    // needs before a long-format aggregate).
+    "unpivot_prices" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(sum(dec2(col("l_extendedprice"))).cast("double").as("gross"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount"))))
+            .cast("double").as("net"),
+          sum(dec2(col("l_extendedprice")) * rate2(col("l_tax")))
+            .cast("double").as("tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("gross"), col("net"), col("tax")),
+          "measure", "amount")
+        .orderBy(col("l_returnflag"), col("measure"))),
+
     // Skew-safe salted shuffle join (see ops/SkewJoin.scala): hot supplier
     // keys fan out over 16 reducers instead of one. shuffle_hash hint keeps
     // the demo honest — at 100 TB the dim that needs salting is too big to
@@ -1575,6 +1591,18 @@ object SparkEntry {
         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "unpivot_prices" ->
+      """WITH g AS (SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS net,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS tax
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, amount FROM (
+        |  SELECT l_returnflag, 'gross' AS measure, gross AS amount FROM g
+        |  UNION ALL SELECT l_returnflag, 'net', net FROM g
+        |  UNION ALL SELECT l_returnflag, 'tax', tax FROM g)
+        |ORDER BY l_returnflag, measure""".stripMargin,
 
     "salted_join" ->
       """SELECT s_nationkey,
