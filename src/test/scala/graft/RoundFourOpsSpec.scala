@@ -97,6 +97,36 @@ class RoundFourOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("srcB") == ((16L, 0.64, 0.571429)))
   }
 
+  test("funnel plan: one user-keyed shuffle, no joins, no re-scan chain") {
+    val sp = spark; import sp.implicits._
+    val events = Seq((1L, "view", ts("2026-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val plan = Events.funnel(events, Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"funnel must not plan joins:\n$plan")
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userShuffles == 1,
+      s"expected exactly 1 user_id shuffle, got $userShuffles:\n$plan")
+  }
+
+  test("cohortRetention plan: no join, no count_distinct expand") {
+    val sp = spark; import sp.implicits._
+    val events = Seq((1L, ts("2026-01-01 10:00:00"))).toDF("user_id", "ts")
+    val plan = Events.cohortRetention(events)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"cohort must not plan a join:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"cohort must not plan a count_distinct Expand:\n$plan")
+  }
+
+  test("sourceMix plan: the corpus is scanned exactly once") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a b", "srcA")).toDF("doc_id", "text", "source")
+    val plan = TextStats.sourceMix(docs).queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$plan")
+  }
+
   test("semanticDedup pairs only within a cell and above the cosine floor") {
     val sp = spark; import sp.implicits._
     // two identical vectors (cos 1.0), one orthogonal, one diagonal
