@@ -427,6 +427,38 @@ object SparkEntry {
 
     // Rollup (grouping sets): per-(status, priority) totals plus the
     // per-status and grand-total super-aggregates in one pass.
+    // Explicit GROUPING SETS through the SQL front door (rollup/cube
+    // cover the sugar forms; this is the arbitrary-sets API, driven via
+    // spark.sql over a temp view — one Expand + one aggregate, same
+    // physical shape as rollup).
+    "grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin)
+    }),
+
+    // The reference's literal O15 sink format — newline-delimited text
+    // (`QuickInsertionHeap.cu:118-131` writes sorted ints one per line):
+    // write tab-framed lines, read them back with the text source, and
+    // re-derive the typed columns by splitting at the first tab.
+    "text_roundtrip" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_text").toString
+      docs(s, d)
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(
+          split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\t", 2).getItem(1).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "rollup_orders" -> ((s, d) =>
       Tables.orders(s, d)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -1500,6 +1532,18 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    "text_roundtrip" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""".stripMargin,
 
     "rollup_orders" ->
       """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
