@@ -127,6 +127,58 @@ class RoundFourOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$plan")
   }
 
+  test("funnel equals a naive per-user fold on random event sets") {
+    val sp = spark; import sp.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val rnd = new scala.util.Random(202)
+    (1 to 5).foreach { _ =>
+      val events = List.fill(200)((
+        rnd.nextInt(12).toLong,
+        steps(rnd.nextInt(3)),
+        // coarse second grid on purpose: simultaneous events must tie-fail
+        ts(f"2026-01-01 10:00:${rnd.nextInt(30)}%02d")))
+      // naive reference: per user, sequentially find min ts per step with
+      // each step strictly after the previous step's chosen ts
+      val expected = steps.indices.map { i =>
+        events.groupBy(_._1).values.count { evts =>
+          var prev = Option.empty[Long]
+          var ok = true
+          (0 to i).foreach { s =>
+            if (ok) {
+              val cands = evts.filter(e => e._2 == steps(s) &&
+                prev.forall(p => e._3.getTime > p)).map(_._3.getTime)
+              if (cands.isEmpty) ok = false else prev = Some(cands.min)
+            }
+          }
+          ok
+        }.toLong
+      }
+      val out = Events.funnel(events.toDF("user_id", "event_type", "ts"), steps)
+        .collect().sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+      assert(out == expected, s"events=$events")
+    }
+  }
+
+  test("cohortRetention equals a naive grouping on random event sets") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(303)
+    (1 to 5).foreach { _ =>
+      val events = List.fill(150)((
+        rnd.nextInt(10).toLong,
+        ts(f"2026-01-${rnd.nextInt(9) + 1}%02d 0${rnd.nextInt(10)}:00:00")))
+      val days = events.map { case (u, t) => (u, t.toLocalDateTime.toLocalDate) }
+      val cohort = days.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val expected = days.distinct
+        .groupBy { case (u, d) =>
+          (cohort(u).toString, d.toEpochDay - cohort(u).toEpochDay) }
+        .view.mapValues(_.size.toLong).toMap
+      val out = Events.cohortRetention(events.toDF("user_id", "ts"))
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+      assert(out == expected, s"events=$events")
+    }
+  }
+
   test("semanticDedup pairs only within a cell and above the cosine floor") {
     val sp = spark; import sp.implicits._
     // two identical vectors (cos 1.0), one orthogonal, one diagonal
