@@ -260,6 +260,32 @@ object SparkEntry {
         .orderBy(col("p_type"), col("p_partkey"))
     }),
 
+    // TPC-H Q7 shape (volume shipping): trade between two nations in both
+    // directions. The nation dimension joins TWICE in different roles
+    // (supplier's vs customer's), and the two-nation restriction is a
+    // disjunctive CROSS-SIDE pair condition evaluated inside the join —
+    // all dims broadcast, the only shuffle is the fact-fact orderkey join
+    // and the final (nation, nation, year) aggregate.
+    "q7_nation_volume" -> ((s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val rev = dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount")))
+      li(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
     // TPC-H Q10 shape (returned-item reporting): revenue lost to returns
     // per customer over a quarter-window. Fact-fact shuffle join on
     // orderkey with the date filter pushed into the orders scan; customer
@@ -1441,6 +1467,21 @@ object SparkEntry {
         |FROM part p
         |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type)
         |ORDER BY p_type, p_partkey""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
