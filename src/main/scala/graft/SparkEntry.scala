@@ -306,6 +306,25 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q13 shape (customer distribution): a LEFT OUTER join whose
+    // non-equi predicate lives in the ON clause (filtering the right side
+    // without dropping unmatched customers — a WHERE would), then TWO
+    // stacked aggregations: orders-per-customer, customers-per-count.
+    // count(o_orderkey) over the null-extended rows gives zero-order
+    // customers their c_count = 0 row.
+    "q13_order_counts" -> ((s, d) => {
+      val perCust = Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT",
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // TPC-H Q14 shape (promotion effect): conditional aggregation — the
     // promo share of one year's revenue in a single pass over the join.
     // Part broadcasts; both sums come out of ONE aggregate (no second
@@ -1495,6 +1514,15 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q13_order_counts" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM co
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q14_promo" ->
       """WITH a AS (
