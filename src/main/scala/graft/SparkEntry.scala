@@ -364,6 +364,28 @@ object SparkEntry {
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
     }),
 
+    // TPC-H Q17 shape (small-quantity revenue): a correlated average
+    // subquery against the FACT itself — per-part mean quantity reduced
+    // once (exact decimal sum / count, so the 0.2·avg threshold is
+    // bit-identical in any engine), joined back on partkey next to the
+    // brand-filtered part broadcast. The fact is scanned twice by
+    // definition (the subquery aggregates ALL parts' lines, the outer
+    // only the brand's); no window, no nested loop.
+    "q17_small_quantity" -> ((s, d) => {
+      val caps = li(s, d)
+        .groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.2) * (sum(dec2(col("l_quantity"))).cast("double") /
+          count(lit(1)))).as("qty_cap"))
+      li(s, d)
+        .join(broadcast(Tables.part(s, d).where(col("p_brand") === "Brand#3")),
+          col("l_partkey") === col("p_partkey"))
+        .join(caps, col("l_partkey") === col("t_partkey"))
+        .where(col("l_quantity") < col("qty_cap"))
+        .agg((sum(dec2(col("l_extendedprice"))).cast("double") / 7.0)
+            .as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
     // TPC-H Q18 shape (large-volume customers): orders whose total
     // quantity clears a threshold — the IN-(GROUP BY ... HAVING)
     // subquery. Plans as an aggregate on the fact, filtered, then joined
@@ -1171,6 +1193,18 @@ object SparkEntry {
       Events.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
         .orderBy(col("step"))),
 
+    // MapType surface: the props JSON parsed as a DYNAMIC map (no schema
+    // pinned per key, unlike props_extract's typed struct), exploded to
+    // (key, value) pairs, aggregated per key — the schema-on-read path
+    // for property bags whose key set isn't known at plan time.
+    "props_map" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(explode(from_json(col("props"), "map<string,bigint>",
+          Map.empty[String, String])).as(Seq("prop_key", "prop_val")))
+        .groupBy(col("prop_key"))
+        .agg(count(lit(1)).as("n"), sum(col("prop_val")).as("total"))
+        .orderBy(col("prop_key"))),
+
     // As-of (point-in-time) join: for each purchase, the user's latest
     // click at-or-before it — the feature-store lookup shape.
     "asof_join" -> ((s, d) => {
@@ -1544,6 +1578,18 @@ object SparkEntry {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH t AS (
+        |  SELECT l_partkey AS t_partkey,
+        |    0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS qty_cap
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN t ON t_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND l_quantity < qty_cap""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (
@@ -2297,6 +2343,12 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3))
         |ORDER BY step""".stripMargin,
+
+    "props_map" ->
+      """WITH kv AS (SELECT unnest(json_keys(props)) AS prop_key, props FROM events)
+        |SELECT prop_key, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$."' || prop_key || '"') AS BIGINT)) AS BIGINT) AS total
+        |FROM kv GROUP BY prop_key ORDER BY prop_key""".stripMargin,
 
     // ts truncated to µs in the CTE: Spark ingests the ns parquet column
     // at µs precision, so the ASOF `>=` must compare at µs on both sides.
