@@ -286,6 +286,64 @@ object SparkEntry {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    // TPC-H Q8 shape (national market share): one nation's share of a
+    // region's revenue per year — a 7-table join where nation joins in
+    // BOTH roles and the share is a conditional/total sum ratio from ONE
+    // aggregate (exact decimal sums, double only in the final division).
+    "q8_market_share" -> ((s, d) => {
+      val rev = dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount")))
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+      li(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+        .join(broadcast(Tables.region(s, d)), col("n1_region") === col("r_regionkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_3", rev)
+              .otherwise(dec2(lit(0)))).cast("double") /
+            sum(rev).cast("double"), 6).as("mkt_share"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): a DOUBLE
+    // correlated existential — the late line must have company on the
+    // order (EXISTS another supplier's line → LeftSemi self-join) but be
+    // the only late one (NOT EXISTS another supplier's late line →
+    // LeftAnti self-join). Both self-joins key on l_orderkey, so the
+    // probe/build sides share one hash partitioning; the base projection
+    // is computed once per side from a 3-column slice of the fact.
+    "q21_waiting_supplier" -> ((s, d) => {
+      val late = col("l_shipdate") > col("o_orderdate") + expr("interval 60 days")
+      val l1 = li(s, d)
+        .join(Tables.orders(s, d).where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
+      val lateLines = l1.where(col("is_late"))
+      val others = l1.select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("o2_supp"))
+      val lateOthers = lateLines
+        .select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("o3_supp"))
+      lateLines
+        .join(others,
+          col("l_orderkey") === col("o2_key") && col("l_suppkey") =!= col("o2_supp"),
+          "left_semi")
+        .join(lateOthers,
+          col("l_orderkey") === col("o3_key") && col("l_suppkey") =!= col("o3_supp"),
+          "left_anti")
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count_distinct(col("l_orderkey")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(10)
+    }),
+
     // TPC-H Q10 shape (returned-item reporting): revenue lost to returns
     // per customer over a quarter-window. Fact-fact shuffle join on
     // orderkey with the date filter pushed into the orders scan; customer
@@ -1535,6 +1593,39 @@ object SparkEntry {
         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS mkt_share,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, CAST(count(DISTINCT lt.l_orderkey) AS BIGINT) AS numwait
+        |FROM l1 lt JOIN supplier ON lt.l_suppkey = s_suppkey
+        |WHERE lt.is_late
+        |  AND EXISTS (SELECT 1 FROM l1 l2
+        |    WHERE l2.l_orderkey = lt.l_orderkey AND l2.l_suppkey <> lt.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+        |    WHERE l3.l_orderkey = lt.l_orderkey AND l3.l_suppkey <> lt.l_suppkey
+        |      AND l3.is_late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
 
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
