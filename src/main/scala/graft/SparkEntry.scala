@@ -1414,6 +1414,23 @@ object SparkEntry {
     // production shape of an incremental corpus-dedup pass. Only the
     // digest is projected: the first-occurrence row is arrival-order-
     // dependent, the distinct digest set is not.
+    // Complete-mode streaming TOP-K: sorting a streaming Dataset is only
+    // legal after an aggregation in complete mode — this exercises that
+    // surface (orderBy + limit over the running token counts; the final
+    // memory-sink table is the full-input top-20, equal to the batch
+    // vocabulary head).
+    "stream_vocab" -> ((s, d) => {
+      val path = s"$d/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream.schema(schema)
+        .parquet(streaming.StreamOps.stageDir(path))
+      val top = stream.select(explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(20)
+      streaming.StreamOps.runToCompletion(s, top)
+        .orderBy(col("cnt").desc, col("term").asc)
+    }),
+
     "stream_dedup" -> ((s, d) => {
       val path = s"$d/documents.parquet"
       val schema = s.read.parquet(path).schema
@@ -2604,6 +2621,11 @@ object SparkEntry {
         |count(*) AS n_events,
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "stream_vocab" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+         |SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
 
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS digest FROM documents
