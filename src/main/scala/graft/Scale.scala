@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   * engine's `global_sort` (range scatter + per-partition sort), driven to
   * a noop sink so the FULL sort executes with zero sink cost.
   *
-  *   sbt "runMain graft.Scale [nRows]"        (default 200,000,000)
-  *   sbt "runMain graft.Scale dedup [nDocs]"  (default 5,000,000)
+  *   sbt "runMain graft.Scale [nRows]"          (default 200,000,000)
+  *   sbt "runMain graft.Scale dedup [nDocs]"    (default 5,000,000)
+  *   sbt "runMain graft.Scale events [nRows]"   (default 100,000,000)
+  *   sbt "runMain graft.Scale ann [nVecs]"      (default 2,000,000)
+  *   sbt "runMain graft.Scale joins [nLine]"    (default 200,000,000)
+  *   sbt "runMain graft.Scale range [nPts] [nIv]" (default 50M × 1M)
+  *   sbt "runMain graft.Scale stream [nRows]"   (default 100,000,000)
   *
   * `dedup` mode drives the MinHash-LSH near-dup pipeline (the same
   * operators as the `minhash_pairs` query, same k/bands) over synthetic
@@ -28,6 +33,9 @@ object Scale {
     if (args.headOption.contains("dedup")) return dedupMain(args.drop(1))
     if (args.headOption.contains("events")) return eventsMain(args.drop(1))
     if (args.headOption.contains("ann")) return annMain(args.drop(1))
+    if (args.headOption.contains("joins")) return joinsMain(args.drop(1))
+    if (args.headOption.contains("range")) return rangeMain(args.drop(1))
+    if (args.headOption.contains("stream")) return streamMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -83,21 +91,7 @@ object Scale {
     spark.sparkContext.setLogLevel("ERROR")
 
     val users = math.max(1L, n / 200)
-    val spanSec = 30L * 24 * 3600
-    val baseUs = 1767225600000000L // 2026-01-01 UTC
-    val mix1 = pmod(col("id") * 2654435761L, lit(1048573L))
-    def events = spark.range(n)
-      .repartition(cpus.toInt * 2)
-      .select(
-        col("id").as("event_id"),
-        pmod(col("id") * 2654435761L, lit(users)).as("user_id"),
-        timestamp_micros(lit(baseUs) +
-          pmod(col("id") * 2654435761L, lit(spanSec)) * 1000000L +
-          pmod(mix1 * 48271L, lit(1000000L))).as("ts"),
-        when(pmod(mix1 * 16807L, lit(10L)) < 6, "view")
-          .when(pmod(mix1 * 16807L, lit(10L)) < 9, "click")
-          .otherwise("purchase").as("event_type"),
-        (pmod(mix1 * 69621L, lit(10000L)) / lit(100.0)).as("value"))
+    def events = synthEvents(spark, n, users, cpus.toInt)
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
@@ -179,6 +173,224 @@ object Scale {
     val pqSec = time(noop(ops.Similarity.pqEncode(embs, subs = 8, k = 16)))
     val plantedPairs = n / 50
     println(f"""{"mode":"ann","n_vectors":$n,"dim":$dim,"knn8_sec":$knnSec%.1f,"semdedup_sec":$semSec%.1f,"semdedup_pairs":$pairs,"planted_neardups":$plantedPairs,"pq_encode_sec":$pqSec%.1f,"cells":$cells,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Synthetic event frame shared by the `events` and `stream` modes:
+    * ~200 events/user over a 30-day span. Overflow-safe integer mixing
+    * only (id × 2654435761 < 2^63 for id ≤ 3.4e9 — the same discipline
+    * as [[graft.ops.Gen]]).
+    */
+  private def synthEvents(spark: SparkSession, n: Long, users: Long,
+                          cpus: Int): org.apache.spark.sql.DataFrame = {
+    val spanSec = 30L * 24 * 3600
+    val baseUs = 1767225600000000L // 2026-01-01 UTC
+    val mix1 = pmod(col("id") * 2654435761L, lit(1048573L))
+    spark.range(n)
+      .repartition(cpus * 2)
+      .select(
+        col("id").as("event_id"),
+        pmod(col("id") * 2654435761L, lit(users)).as("user_id"),
+        timestamp_micros(lit(baseUs) +
+          pmod(col("id") * 2654435761L, lit(spanSec)) * 1000000L +
+          pmod(mix1 * 48271L, lit(1000000L))).as("ts"),
+        when(pmod(mix1 * 16807L, lit(10L)) < 6, "view")
+          .when(pmod(mix1 * 16807L, lit(10L)) < 9, "click")
+          .otherwise("purchase").as("event_type"),
+        (pmod(mix1 * 69621L, lit(10000L)) / lit(100.0)).as("value"))
+  }
+
+  /** Star-schema joins at volume — the relational surface's scale
+    * evidence. Synthetic TPC-H-shaped tables (lineitem n rows, orders
+    * n/4, customer n/400, nation 25) built from overflow-safe hash
+    * mixing, then the engine's q3 and q5 plan shapes run end-to-end:
+    *
+    *  - q3 shape: date-filtered orders shuffle-joined to lineitem on
+    *    order_id, hash-aggregated per order, bounded-heap top-10. Both
+    *    sides are facts — this is THE shuffle that dominates at 100 TB;
+    *    AQE coalesces/splits its partitions at runtime.
+    *  - q5 shape: the same fact-fact shuffle plus customer and nation
+    *    joined WITHOUT shuffling the fact side (explicit `broadcast()`,
+    *    the engine's dimension-join discipline), aggregated per nation.
+    *
+    * Exact decimal sums (the engine's money discipline) — doubles only
+    * in the final projection.
+    */
+  private def joinsMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val nOrd = math.max(1L, n / 4)
+    val nCust = math.max(1L, n / 400)
+    val mixL = pmod(col("id") * 2654435761L, lit(1048573L))
+    // each order has exactly 4 lines (id div 4): order keys are dense, so
+    // the join hits every build row — no free anti-join shortcuts
+    def lineitem = spark.range(n)
+      .repartition(cpus.toInt * 2)
+      .select(
+        (col("id") / 4L).cast("long").as("order_id"),
+        (pmod(mixL * 16807L, lit(1000000L)) / lit(100.0))
+          .cast("decimal(18,2)").as("price"),
+        pmod(mixL, lit(50L)).cast("int").as("qty"))
+    val mixO = pmod(col("id") * 48271L, lit(2147483647L))
+    def orders = spark.range(nOrd)
+      .repartition(cpus.toInt * 2)
+      .select(
+        col("id").as("order_id"),
+        pmod(col("id") * 2654435761L, lit(nCust)).as("cust_id"),
+        pmod(mixO, lit(2466L)).cast("int").as("order_day"))
+    def customer = spark.range(nCust)
+      .select(col("id").as("cust_id"),
+        pmod(col("id") * 69621L, lit(25L)).cast("int").as("nation_id"))
+    def nation = spark.range(25L)
+      .select(col("id").cast("int").as("nation_id"),
+        concat(lit("nation_"), col("id")).as("nation_name"))
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // q3 shape: fact-fact shuffle join + per-order aggregate + top-10.
+    // The date filter keeps ~25% of orders and is pushed below the join.
+    val q3Sec = time(noop(
+      lineitem.join(orders.where(col("order_day") < 616), "order_id")
+        .groupBy(col("order_id"))
+        .agg(sum(col("price")).as("revenue"))
+        .orderBy(col("revenue").desc, col("order_id"))
+        .limit(10)))
+
+    // q5 shape: one fact-fact shuffle; dimensions broadcast — the fact
+    // side is never reshuffled after the order_id exchange.
+    val q5Sec = time(noop(
+      lineitem.join(orders, "order_id")
+        .join(broadcast(customer), "cust_id")
+        .join(broadcast(nation), "nation_id")
+        .groupBy(col("nation_name"))
+        .agg(sum(col("price")).cast("double").as("revenue"))
+        .orderBy(col("nation_name"))))
+
+    println(f"""{"mode":"joins","n_lineitem":$n,"n_orders":$nOrd,"n_customer":$nCust,"q3_shape_sec":$q3Sec%.1f,"q5_shape_sec":$q5Sec%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Interval-containment range join at volume — evidence that the
+    * day-bucketized equi-join restatement ([[graft.ops.RangeJoin]], the
+    * verified `range_join` / `range_join_auto` queries) scales where the
+    * naive BNLJ cannot: 50M points × 1M intervals is 5·10^13 pair
+    * comparisons naively; bucketized it is a linear-volume hash join.
+    * Every point hits ~avg-interval-coverage intervals, so the matched
+    * row count is checkable against the expected density.
+    */
+  private def rangeMain(args: Array[String]): Unit = {
+    val nPts = if (args.nonEmpty) args(0).toLong else 50000000L
+    val nIv = if (args.length > 1) args(1).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 4-year span, 0-10 min interval widths: expected intervals covering a
+    // random point = nIv · avgWidth / span ≈ 2.4 at the defaults, so the
+    // matched-row volume stays LINEAR in |points| (output ≈ 2.4·nPts) and
+    // the run measures the join, not quadratic result materialization.
+    // Σ interval-days ≈ 1.01 per interval — the bounded fan-out that keeps
+    // the explode linear.
+    val spanSec = 1461L * 24 * 3600
+    val baseUs = 1767225600000000L // 2026-01-01 UTC
+    def points = spark.range(nPts)
+      .repartition(cpus.toInt * 2)
+      .select(
+        col("id").as("point_id"),
+        timestamp_micros(lit(baseUs) +
+          pmod(col("id") * 2654435761L, lit(spanSec)) * 1000000L).as("ts"),
+        pmod(col("id") * 48271L, lit(10000L)).cast("decimal(18,2)").as("value"))
+    def intervals = spark.range(nIv)
+      .select(
+        col("id").as("interval_id"),
+        timestamp_micros(lit(baseUs) +
+          pmod(col("id") * 2654435761L, lit(spanSec - 600L)) * 1000000L).as("lo"))
+      .withColumn("hi", timestamp_micros(
+        unix_micros(col("lo")) + pmod(col("interval_id") * 16807L, lit(600L)) * 1000000L))
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+
+    var matched = 0L
+    val joinSec = time {
+      matched = ops.RangeJoin.pointInInterval(points, intervals, "ts", "lo", "hi").count()
+    }
+    val aggSec = time {
+      ops.RangeJoin.countSumByInterval(points, intervals, "ts", "lo", "hi", col("value"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"""{"mode":"range","n_points":$nPts,"n_intervals":$nIv,"matched_rows":$matched,"point_in_interval_sec":$joinSec%.1f,"count_sum_sec":$aggSec%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Structured Streaming at volume: the watermarked hourly-window
+    * aggregate (the verified `stream_hourly` query) driven over n
+    * synthetic events as a BOUNDED FILE STREAM in multiple micro-batches
+    * (`maxFilesPerTrigger` splits the landing dir), with final state
+    * checked EQUAL to the batch aggregate over the same frame. State is
+    * O(open windows × event types) — bounded regardless of n — so the
+    * run evidences the streaming machinery (file source, state store,
+    * micro-batch planner) at corpus scale, not just at the fixture size.
+    */
+  private def streamMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val users = math.max(1L, n / 200)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_scale").toString
+    val events = synthEvents(spark, n, users, cpus.toInt)
+    val genSec = {
+      val t0 = System.nanoTime()
+      events.write.mode("overwrite").parquet(dir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", math.max(1, nFiles / 8))
+      .parquet(dir)
+    val result = streaming.StreamOps.runToCompletion(spark,
+      streaming.StreamOps.hourlyStatsStream(stream), statePartitions = cpus.toInt)
+      .cache()
+    val rows = result.count()
+    val streamSec = (System.nanoTime() - t0) / 1e9
+
+    // parity: streaming final state == batch aggregate over the same frame
+    // (same transform — on a batch read the watermark node is eliminated
+    // and this is a plain hash aggregate)
+    val batch = streaming.StreamOps.hourlyStatsStream(spark.read.parquet(dir))
+    val diff = result.unionAll(batch).groupBy(result.columns.map(col): _*)
+      .count().where(col("count") =!= 2).count()
+    println(f"""{"mode":"stream","n_events":$n,"n_files":$nFiles,"hourly_rows":$rows,"batch_parity":${diff == 0},"stream_sec":$streamSec%.1f,"gen_write_sec":$genSec%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 
