@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the shipped queries' scale
+  * invariants — the properties that make the plans survive a 100× data
+  * scale-up, asserted on the REAL `SparkEntry.queries` entries over the
+  * sf0.001 fixture. Fixture-size-dependent choices (e.g. which side
+  * broadcasts at tiny SF) are deliberately NOT asserted; only the
+  * invariants that must hold at any scale are:
+  *
+  *  - no BroadcastNestedLoopJoin / CartesianProduct anywhere (the
+  *    O(n·m) cliff — a range predicate that misses its equi-key
+  *    restatement would plan one silently);
+  *  - selective predicates reach the parquet scan as PushedFilters;
+  *  - top-k queries plan the bounded-heap TakeOrderedAndProject, never
+  *    a global sort + limit;
+  *  - single-partitioning shapes (as-of join) stay join-free.
+  */
+class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-plan-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // formatted mode: scan metadata (PushedFilters, ReadSchema) untruncated
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def assertNoLoopJoin(name: String): Unit = {
+    val p = plan(name)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"$name plans a nested-loop join — O(n*m) at scale:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"$name plans a cartesian product:\n$p")
+  }
+
+  test("q1_pricing: column pruning — only the 5 needed columns are read") {
+    val p = plan("q1_pricing")
+    assert(p.contains("ReadSchema") && !p.contains("l_shipdate"),
+      s"q1 must not read columns it does not use:\n$p")
+  }
+
+  test("q6_forecast: every predicate is pushed to the parquet scan") {
+    val p = plan("q6_forecast")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThan(l_quantity").foreach { f =>
+      assert(p.contains(f), s"q6 predicate $f must reach the scan:\n$p")
+    }
+  }
+
+  test("q3_top_revenue: bounded-heap top-k, no global sort+limit") {
+    val p = plan("q3_top_revenue")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q3 top-10 must be TakeOrderedAndProject:\n$p")
+    assertNoLoopJoin("q3_top_revenue")
+  }
+
+  test("q5_local_supplier: all joins are hash joins, region filter pushed") {
+    assertNoLoopJoin("q5_local_supplier")
+    val p = plan("q5_local_supplier")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"region filter must reach the region scan:\n$p")
+  }
+
+  test("q19_disjunctive: OR-of-ANDs join stays a hash equi-join") {
+    assertNoLoopJoin("q19_disjunctive")
+  }
+
+  test("range_join: bucketized restatement plans no nested-loop join") {
+    assertNoLoopJoin("range_join")
+  }
+
+  test("range_join_auto: the optimizer rule rewrites the raw BETWEEN join") {
+    // the query itself installs RangeJoinBucketize in the session
+    assertNoLoopJoin("range_join_auto")
+  }
+
+  test("knn_bruteforce: corpus is never sort-merge shuffled; top-k is a partial aggregate") {
+    val p = plan("knn_bruteforce")
+    assert(!p.contains("SortMergeJoin"),
+      s"kNN must broadcast the query side, never shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"kNN cartesian:\n$p")
+    assert(p.contains("topk_by_score"),
+      s"kNN must reduce via the bounded-heap topk_by_score aggregate:\n$p")
+  }
+
+  test("minhash_pairs: LSH candidate generation is an equi-join") {
+    assertNoLoopJoin("minhash_pairs")
+  }
+
+  test("asof_join: union + ordered window, no join operator at all") {
+    val p = plan("asof_join")
+    assert(!p.contains("Join"), s"as-of must stay join-free:\n$p")
+  }
+
+  test("sessions: exactly one user-keyed exchange feeds windows and aggregate") {
+    val p = plan("sessions")
+    assert(!p.contains("Join"), s"sessions must not join:\n$p")
+    val shuffles = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"sessions must reuse ONE user_id partitioning, got $shuffles:\n$p")
+  }
+}
