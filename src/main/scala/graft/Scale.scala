@@ -34,6 +34,7 @@ object Scale {
     if (args.headOption.contains("events")) return eventsMain(args.drop(1))
     if (args.headOption.contains("ann")) return annMain(args.drop(1))
     if (args.headOption.contains("joins")) return joinsMain(args.drop(1))
+    if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     if (args.headOption.contains("range")) return rangeMain(args.drop(1))
     if (args.headOption.contains("stream")) return streamMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
@@ -280,6 +281,88 @@ object Scale {
         .orderBy(col("nation_name"))))
 
     println(f"""{"mode":"joins","n_lineitem":$n,"n_orders":$nOrd,"n_customer":$nCust,"q3_shape_sec":$q3Sec%.1f,"q5_shape_sec":$q5Sec%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Skewed-join mitigation at volume: a fact table where ONE key holds
+    * 20% of all rows, joined to a dimension too large to broadcast
+    * (10M rows × ~70-byte payload). Three executions of the same join:
+    *
+    *  1. unmitigated — AQE skew handling OFF: the hot key's rows (half
+    *    the fact) land on a single reducer, whose lone task bounds the
+    *    job (the 100 TB cliff, measured);
+    *  2. AQE skew-join — Spark splits the oversized partition at runtime
+    *    (the engine's default posture);
+    *  3. salted — [[graft.ops.SkewJoin.saltedEquiJoin]] (the verified
+    *    `salted_join` operator): deterministic fan-out of the hot key
+    *    over 8 reducers, for when the skew is known ahead of time. The
+    *    salt count prices the trade: the dim side is duplicated nSalts×,
+    *    so salting pays when hot-key volume ≫ nSalts·|dim| — a medium
+    *    dim and single-digit salts, not a huge dim and many salts.
+    *
+    * All three produce the same aggregate (asserted), so the timing
+    * difference is purely the mitigation.
+    */
+  private def skewMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000000L
+    val nDim = if (args.length > 1) args(1).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val mixF = pmod(col("id") * 2654435761L, lit(1048573L))
+    // key 0 takes HALF the fact; the rest spread uniformly. The hot-key
+    // volume has to dwarf a normal reducer's share for the demo to mean
+    // anything: a mildly hot key finishes inside one task anyway, and
+    // mitigation overhead would dominate the measurement.
+    def fact = spark.range(n)
+      .repartition(cpus.toInt * 2)
+      .select(
+        when(pmod(mixF, lit(2L)) === 0, 0L)
+          .otherwise(pmod(col("id") * 48271L, lit(nDim))).as("key"),
+        pmod(mixF * 16807L, lit(10000L)).as("v"),
+        // ~45-byte row payload: the hot partition must sort/hold real
+        // bytes, not just 16-byte keys — without it a 100M-row straggler
+        // streams through a probe in seconds and no mitigation matters
+        md5(col("id").cast("string")).as("fpay"))
+    // ~70-byte payload keeps the dim above any broadcast threshold
+    def dim = spark.range(nDim)
+      .repartition(cpus.toInt)
+      .select(col("id").as("dkey"),
+        concat(lit("attr_"), md5(col("id").cast("string")),
+          md5((col("id") + 1L).cast("string"))).as("payload"))
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+
+    def agg(joined: org.apache.spark.sql.DataFrame): Long =
+      joined.select(sum(col("v"))).collect()(0).getLong(0)
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    var sumUnmitigated = 0L
+    val unmitigatedSec = time {
+      sumUnmitigated = agg(fact.join(dim, col("key") === col("dkey")))
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    var sumAqe = 0L
+    val aqeSec = time {
+      sumAqe = agg(fact.join(dim, col("key") === col("dkey")))
+    }
+    var sumSalted = 0L
+    val saltedSec = time {
+      sumSalted = agg(ops.SkewJoin.saltedEquiJoin(fact, dim, "key", "dkey",
+        xxhash64(col("v")), nSalts = 8))
+    }
+    require(sumUnmitigated == sumAqe && sumAqe == sumSalted,
+      s"mitigations changed the answer: $sumUnmitigated / $sumAqe / $sumSalted")
+    println(f"""{"mode":"skew","n_fact":$n,"n_dim":$nDim,"hot_key_share":0.5,"unmitigated_sec":$unmitigatedSec%.1f,"aqe_skew_sec":$aqeSec%.1f,"salted_sec":$saltedSec%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 
