@@ -53,6 +53,41 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map((1L, 0L) -> 3L, (1L, 1L) -> 1L, (3L, 6L) -> 1L))
   }
 
+  test("dupClusters equals union-find components on random pair sets") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(404)
+    (1 to 3).foreach { _ =>
+      val edges = List.fill(50) {
+        val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // naive union-find reference: component label = smallest member id
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val out = Dedup.dupClusters(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == expected, s"components differ for edges $edges")
+    }
+  }
+
+  test("dupClusters propagates across a long path graph (worst-case diameter)") {
+    val sp = spark; import sp.implicits._
+    // a 31-node chain: diameter 30, far beyond the near-clique shapes LSH
+    // emits — exercises the multi-hop iteration bound
+    val edges = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (0L to 30L).map(_ -> 0L).toMap)
+  }
+
   test("globalIndex assigns the contiguous 0-based rank of the total key order") {
     val sp = spark; import sp.implicits._
     val n = 10000
