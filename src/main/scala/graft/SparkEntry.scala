@@ -1106,6 +1106,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-domain cap: at most 25 docs per source, best-quality-first —
+    // the bounded-heap alternative to a window top-N (a hot domain costs
+    // O(k) heap state per task, never a one-reducer sort of its rows).
+    "group_cap" -> ((s, d) =>
+      TextStats.groupCap(docs(s, d), 25).orderBy(col("doc_id"))),
+
     "fingerprint" -> ((s, d) =>
       TextStats.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -2211,6 +2217,14 @@ object SparkEntry {
          |  FROM documents d JOIN q ON d.doc_id = q.doc_id)
          |SELECT doc_id, lang, quality, round(pr0, 6) AS pr
          |FROM r WHERE pr0 >= 0.75 ORDER BY doc_id""".stripMargin,
+
+    "group_cap" ->
+      s"""WITH q AS ($qualitySelect),
+         |r AS (SELECT d.doc_id, d.source, q.quality,
+         |  row_number() OVER (PARTITION BY d.source ORDER BY q.quality DESC, d.doc_id) AS rn
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id)
+         |SELECT doc_id, source, quality FROM r WHERE rn <= 25
+         |ORDER BY doc_id""".stripMargin,
 
     "fingerprint" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -64,7 +64,7 @@ object TextStats {
     * length score (penalizes both single-char noise and unbroken blobs).
     * Rounded to 4dp so double arithmetic compares across engines.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame, passThrough: Seq[String] = Nil): DataFrame = {
     val len = length(col("text")).cast("double")
     val nToks = size(tokens(col("text"))).cast("double")
     val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
@@ -73,8 +73,27 @@ object TextStats {
     val meanWord = when(nToks > 0, alpha / nToks).otherwise(0.0d)
     val wordScore = when(meanWord >= 3.0d && meanWord <= 10.0d, 1.0d)
       .otherwise(when(meanWord > 0.0d, 0.5d).otherwise(0.0d))
-    docs.select(col("doc_id"),
-      round((lenScore + alphaRatio + wordScore) / 3.0d, 4).as("quality"))
+    docs.select(col("doc_id") +: passThrough.map(col) :+
+      round((lenScore + alphaRatio + wordScore) / 3.0d, 4).as("quality"): _*)
+  }
+
+  /** Per-source document cap — "at most k docs per domain", the curation
+    * step that stops one domain from dominating a training mixture.
+    * Selection is (quality desc, doc_id asc) per source via the
+    * bounded-heap `topk_by_score` aggregate, NOT a window: partial
+    * aggregation reduces every map task to ≤ k rows per source BEFORE
+    * the shuffle, so a hot domain with 10^9 docs costs O(k) heap state
+    * per task instead of concentrating its full row set on one reducer
+    * for sorting. Output: (doc_id, source, quality) of the kept docs.
+    */
+  def groupCap(docs: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    qualityScore(docs, Seq("source"))
+      .groupBy(col("source"))
+      .agg(expr(s"topk_by_score(quality, doc_id, $k)").as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("e.nbr_id").as("doc_id"), col("source"),
+        col("e.cos_sim").as("quality"))
   }
 
   /** Text normalization — the first stage of any curation pipeline:

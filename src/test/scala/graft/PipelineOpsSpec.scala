@@ -53,6 +53,21 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map((1L, 0L) -> 3L, (1L, 1L) -> 1L, (3L, 6L) -> 1L))
   }
 
+  test("groupCap keeps at most k docs per source, best quality first, id tie-break") {
+    val sp = spark; import sp.implicits._
+    // srcA: 3 docs, identical quality for 1 and 2 (same text) — the cap
+    // of 2 must keep the smaller ids; srcB under the cap keeps everything
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank today", "srcA"),
+      (2L, "The quick brown fox jumps over the lazy dog near the river bank today", "srcA"),
+      (3L, "x", "srcA"),
+      (4L, "Some reasonable sentence with several alphabetic words inside it", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = TextStats.groupCap(docs, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "srcA", 2L -> "srcA", 4L -> "srcB"))
+  }
+
   test("dupClusters equals union-find components on random pair sets") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(404)
