@@ -109,6 +109,25 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), s"as-of must stay join-free:\n$p")
   }
 
+  test("corpus-wide sweep: no cartesian products; nested-loop joins only against bounded broadcasts") {
+    // Queries where a BroadcastNestedLoopJoin is the DESIGNED plan: the
+    // build side is a bounded broadcast — a 1-row global-stats aggregate
+    // (bm25/tfidf/surprisal/PMI totals, q22's scalar average) or the
+    // fixed k-row query set (kNN). Anything else planning a BNLJ (or any
+    // query planning a CartesianProduct) is a scale regression.
+    val boundedBnlj = Set("bm25_search", "knn_bruteforce", "pmi_bigrams",
+      "q22_idle_customers", "tfidf_top", "unigram_surprisal")
+    val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
+    val offenders = names.flatMap { n =>
+      val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") && !boundedBnlj(n)
+      if (cart || bnlj) Some(s"$n${if (cart) " [cartesian]" else " [unlisted BNLJ]"}")
+      else None
+    }
+    assert(offenders.isEmpty, s"scale-unsafe join plans: $offenders")
+  }
+
   test("sessions: exactly one user-keyed exchange feeds windows and aggregate") {
     val p = plan("sessions")
     assert(!p.contains("Join"), s"sessions must not join:\n$p")
