@@ -65,7 +65,32 @@ object Scale {
       ops.Sorts.topK(gen, 100, col("value").desc, col("id"))
         .write.format("noop").mode("overwrite").save()
     }
-    println(f"""{"n_rows":$n,"global_sort_sec":$sortSec%.1f,"top_k_sec":$topkSec%.1f,"cpus":$cpus}""")
+    // the custom physical operator (HybridSortExec: range scatter via
+    // EnsureRequirements + per-partition literal quicksort/insertion
+    // hybrid) over the same frame — the reference's algorithm head-to-head
+    // against Tungsten's sort at 50x the reference's published ceiling.
+    // The literal operator materializes each partition as a row array and
+    // cannot spill (reference parity — the reference sorts in-RAM arrays,
+    // `SequentialQuickInsert.c:40-52`), so the partition count must size
+    // partitions to heap: 256 range partitions keep ~n/256 rows per task.
+    // Exactly the discipline a 100 TB run applies via
+    // spark.sql.shuffle.partitions; Tungsten's sort above needs none of
+    // this because it spills. AQE coalescing must be OFF for this plan:
+    // it merges partitions by SERIALIZED shuffle bytes (64 MB advisory),
+    // but a no-spill operator's live-heap footprint is ~8x its shuffle
+    // bytes, so byte-sized coalescing re-creates the OOM the partition
+    // count was chosen to avoid.
+    val hybridSec = time {
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try ops.Sorts.hybridSortExec(gen.select("value"), 25, "value")
+        .write.format("noop").mode("overwrite").save()
+      finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      }
+    }
+    println(f"""{"n_rows":$n,"global_sort_sec":$sortSec%.1f,"top_k_sec":$topkSec%.1f,"hybrid_exec_sec":$hybridSec%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 
