@@ -31,7 +31,12 @@ import graft.ops.HybridSort
   * the reference's own in-memory contract (`malloc` of the full chunk,
   * `QuickInsertionHeap.c:181`) — so unlike `SortExec` (Tungsten
   * `UnsafeExternalSorter`) it cannot spill. Partitions must fit in executor
-  * memory; size `spark.sql.shuffle.partitions` accordingly. The production
+  * memory; size `spark.sql.shuffle.partitions` accordingly — and note AQE
+  * partition coalescing merges by SERIALIZED shuffle bytes (64 MB
+  * advisory), while this operator's live-heap footprint is ~8× its
+  * shuffle bytes, so disable coalescing (or shrink the advisory size)
+  * when running it at volume (measured: 200M rows OOM a 8g heap under
+  * coalescing, run clean at 256 pinned partitions — `graft.Scale`). The production
   * default remains [[graft.ops.Sorts.globalSort]]; this operator exists for
   * algorithm-level parity and as the engine's planner-extension showcase
   * (logical node + strategy + exec, injected via [[graft.GraftExtensions]]).
