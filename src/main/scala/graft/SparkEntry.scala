@@ -76,6 +76,12 @@ object SparkEntry {
   private val BmK = 20
   private val BmK1 = 1.2
   private val BmB = 0.75
+  private val WsK = 50
+  private val WsM = 1L << 20
+  private val DupSpanN = 8
+  private val RrfPool = 50
+  private val RrfK = 20
+  private val RrfC = 60
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
   private val PmiMinCount = 5
@@ -142,6 +148,49 @@ object SparkEntry {
       |    THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
       |    ELSE 0.0 END AS mw
       |  FROM documents)""".stripMargin
+
+  /** Lang-ID SQL fragments (per-language hit columns, first-seen-argmax
+    * prediction CASE, greatest hit count) — shared by the `lang_id` and
+    * `lang_confusion` oracles. Mirrors TextStats.langId's reduceLeft with
+    * strict `>` (earlier profile wins ties).
+    */
+  private lazy val (langHitCols, langPredExpr, langGreatest): (String, String, String) = {
+    val profs = TextStats.LangProfiles
+    val hitCols = profs.map { case (lang, words) =>
+      s"len(list_intersect(list_distinct(tk), [${words.map(w => s"'$w'").mkString(", ")}])) AS h_$lang"
+    }.mkString(", ")
+    val langs = profs.map(_._1)
+    val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      s"WHEN ${rest.map(r => s"h_$l >= h_$r").mkString(" AND ")} THEN '$l'"
+    }.mkString(" ")
+    val greatest = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+    (hitCols,
+      s"CASE WHEN $greatest = 0 THEN 'und' ELSE (CASE $caseChain ELSE '${langs.last}' END) END",
+      greatest)
+  }
+
+  /** BM25 scored-docs CTE chain (toks → per-doc tf/dl → corpus stats →
+    * 6dp-rounded score as `sc(doc_id, bm25)`) — shared verbatim by the
+    * `bm25_search` and `rrf_fusion` oracles so the scores are one
+    * expression in both.
+    */
+  private lazy val bmScoredCte: String = {
+    val tfCols = BmTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(", ")
+    val dfCols = BmTerms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val score = BmTerms.indices.map { i =>
+      s"ln((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5) + 1.0)" +
+        s" * (CAST(tf_$i AS DOUBLE) * ${BmK1 + 1.0})" +
+        s" / (CAST(tf_$i AS DOUBLE) + $BmK1 * (${1.0 - BmB} + $BmB * CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    }.mkString(" + ")
+    s"""t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols FROM t),
+       |s AS (SELECT count(*) AS n_docs, sum(dl) AS tot, $dfCols FROM f),
+       |sc AS (SELECT doc_id, round($score, 6) AS bm25 FROM f, s)""".stripMargin
+  }
 
   /** Shared IVF cell-assignment CTEs (hash-ranked fixed-K centroids +
     * nearest-centroid argmax) — used by both `knn_ivf` and `kmeans_step`.
@@ -1184,6 +1233,48 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // A-ES weighted sampling without replacement: char count as the
+    // importance weight, selection via TakeOrderedAndProject on the
+    // deterministic exponential variate — k rows per task, no shuffle.
+    "weighted_sample" -> ((s, d) =>
+      TextStats.weightedSample(docs(s, d), "doc_id", "n_chars", "ws1", WsK)
+        .orderBy(col("samp_key"), col("doc_id"))),
+
+    // Substring-level duplication: fraction of each doc's 8-gram
+    // positions whose gram appears in another document (the
+    // exact-substring-dedup signal; grams travel as 8-byte digests).
+    "dup_spans" -> ((s, d) =>
+      TextStats.dupSpans(docs(s, d), DupSpanN).orderBy(col("doc_id"))),
+
+    // Hybrid-retrieval rank fusion: BM25 top pool × quality-prior top
+    // pool merged by reciprocal rank — the rank-space combiner that
+    // needs no score calibration. Pools are k-row frames, so the fusion
+    // join is broadcast-sized regardless of corpus size; the pool
+    // windows run over already-limited inputs, never the corpus.
+    "rrf_fusion" -> ((s, d) => {
+      val b = TextStats.bm25(docs(s, d), BmTerms, RrfPool, BmK1, BmB)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val q = TextStats.qualityScore(docs(s, d))
+        .orderBy(col("quality").desc, col("doc_id")).limit(RrfPool)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("quality").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      TextStats.rrfFuse(b, q, RrfK, RrfC)
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
+    // Classifier-evaluation surface: confusion matrix of the n-gram
+    // language-ID heuristic against the corpus's labeled lang — ONE
+    // map-only pass (label rides through the langId projection) into a
+    // |langs|² aggregate; no self-join.
+    "lang_confusion" -> ((s, d) =>
+      TextStats.langId(docs(s, d), passThrough = Seq("lang"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
     // -- time series -------------------------------------------------------
     "events_hourly" -> ((s, d) =>
       Events.hourlyStats(Tables.events(s, d))
@@ -2188,25 +2279,20 @@ object SparkEntry {
          |length(text) AS len
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "lang_id" -> {
-      val profs = TextStats.LangProfiles
-      val hitCols = profs.map { case (lang, words) =>
-        s"len(list_intersect(list_distinct(tk), [${words.map(w => s"'$w'").mkString(", ")}])) AS h_$lang"
-      }.mkString(", ")
-      // first-seen argmax over profile order (mirrors reduceLeft with strict >)
-      val langs = profs.map(_._1)
-      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
-        val rest = langs.drop(i + 1)
-        s"WHEN ${rest.map(r => s"h_$l >= h_$r").mkString(" AND ")} THEN '$l'"
-      }.mkString(" ")
-      val greatest = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+    "lang_id" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |hits AS (SELECT doc_id, $hitCols FROM toks)
-         |SELECT doc_id,
-         |  CASE WHEN $greatest = 0 THEN 'und' ELSE (CASE $caseChain ELSE '${langs.last}' END) END AS lang_pred,
-         |  $greatest AS lang_hits
-         |FROM hits ORDER BY doc_id""".stripMargin
-    },
+         |hits AS (SELECT doc_id, $langHitCols FROM toks)
+         |SELECT doc_id, $langPredExpr AS lang_pred, $langGreatest AS lang_hits
+         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    // Confusion matrix of the language-ID heuristic vs the labeled lang:
+    // the same prediction expression, grouped.
+    "lang_confusion" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+         |hits AS (SELECT doc_id, lang, $langHitCols FROM toks),
+         |p AS (SELECT lang, $langPredExpr AS lang_pred FROM hits)
+         |SELECT lang, lang_pred, count(*) AS n FROM p
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
     "quality" -> s"$qualitySelect\nORDER BY doc_id",
 
@@ -2286,24 +2372,28 @@ object SparkEntry {
 
     // Mirrors TextStats.bm25 exactly: same constant folding (k1+1, 1-b
     // precomputed), same expression grouping, so doubles match bitwise.
-    "bm25_search" -> {
-      val tfCols = BmTerms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$i"
-      }.mkString(", ")
-      val dfCols = BmTerms.indices.map(i =>
-        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
-      val score = BmTerms.indices.map { i =>
-        s"ln((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5) + 1.0)" +
-          s" * (CAST(tf_$i AS DOUBLE) * ${BmK1 + 1.0})" +
-          s" / (CAST(tf_$i AS DOUBLE) + $BmK1 * (${1.0 - BmB} + $BmB * CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
-      }.mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols FROM t),
-         |s AS (SELECT count(*) AS n_docs, sum(dl) AS tot, $dfCols FROM f),
-         |sc AS (SELECT doc_id, round($score, 6) AS bm25 FROM f, s)
+    "bm25_search" ->
+      s"""WITH $bmScoredCte
          |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
-         |ORDER BY bm25 DESC, doc_id LIMIT $BmK""".stripMargin
-    },
+         |ORDER BY bm25 DESC, doc_id LIMIT $BmK""".stripMargin,
+
+    // RRF hybrid fusion: the bm25 CTE chain (pool of $RrfPool) full-outer
+    // joined with the quality-prior pool; per-leg contribution is one
+    // IEEE double division of exact integers, summed then rounded.
+    "rrf_fusion" ->
+      s"""WITH $bmScoredCte,
+         |bt AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+         |  FROM (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+         |        ORDER BY bm25 DESC, doc_id LIMIT $RrfPool)),
+         |q AS ($qualitySelect),
+         |qt AS (SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk
+         |  FROM (SELECT doc_id, quality FROM q
+         |        ORDER BY quality DESC, doc_id LIMIT $RrfPool)),
+         |fz AS (SELECT coalesce(bt.doc_id, qt.doc_id) AS doc_id,
+         |  round(coalesce(CAST(1 AS DOUBLE) / ($RrfC + bt.rnk), 0)
+         |      + coalesce(CAST(1 AS DOUBLE) / ($RrfC + qt.rnk), 0), 9) AS rrf
+         |  FROM bt FULL JOIN qt ON bt.doc_id = qt.doc_id)
+         |SELECT doc_id, rrf FROM fz ORDER BY rrf DESC, doc_id LIMIT $RrfK""".stripMargin,
 
     "inverted_index" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -2375,6 +2465,38 @@ object SparkEntry {
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${h60Sql("'split1:' || doc_id")} % 100 < 10
          |ORDER BY doc_id""".stripMargin,
+
+    // A-ES weighted sample: u is an exact dyadic rational (20-bit hash /
+    // 2^20); -ln(u) rounds to 6dp before the IEEE division by the weight,
+    // so the variate is bit-identical across engines.
+    "weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |  round(-ln((${h60Sql("'ws1:' || CAST(doc_id AS VARCHAR)")} % $WsM + 1) / $WsM.0), 6)
+         |    / CAST(n_chars AS DOUBLE) AS samp_key
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, weight, samp_key FROM t
+         |ORDER BY samp_key, doc_id LIMIT $WsK""".stripMargin,
+
+    // Duplicated-8-gram span fraction; grams hashed to h60 digests on
+    // both sides so any (vanishingly unlikely) collision merges the same
+    // grams in both engines.
+    "dup_spans" -> {
+      val n = DupSpanN
+      val gramList = s"CASE WHEN len(tk) >= $n THEN list_transform(range(1, len(tk) - ${n - 2}), i -> array_to_string(tk[i:i+${n - 1}], ' ')) ELSE [] END"
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |gr AS (SELECT doc_id, ${h60Sql("gram")} AS g FROM (
+         |  SELECT doc_id, unnest($gramList) AS gram FROM toks)),
+         |multi AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM gr)
+         |  GROUP BY g HAVING count(*) > 1),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM gr GROUP BY doc_id),
+         |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |  FROM gr JOIN multi USING (g) GROUP BY doc_id)
+         |SELECT t.doc_id AS doc_id, t.n_grams AS n_grams,
+         |  coalesce(d.n_dup, 0) AS n_dup,
+         |  round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / t.n_grams, 4) AS dup_frac
+         |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

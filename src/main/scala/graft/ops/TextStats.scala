@@ -41,7 +41,7 @@ object TextStats {
   /** Language ID: argmax over per-language stopword hit counts, tie-broken
     * by profile order then "und" (undetermined) when nothing hits.
     */
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs: DataFrame, passThrough: Seq[String] = Nil): DataFrame = {
     val toks = array_distinct(tokens(col("text")))
     val hits = LangProfiles.map { case (lang, words) =>
       struct(size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
@@ -53,10 +53,10 @@ object TextStats {
     val best = hits.reduceLeft { (a, b) =>
       when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
     }
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id") +: passThrough.map(col) :+
       when(best.getField("hits") > 0, best.getField("lang"))
-        .otherwise(lit("und")).as("lang_pred"),
-      best.getField("hits").cast("long").as("lang_hits"))
+        .otherwise(lit("und")).as("lang_pred") :+
+      best.getField("hits").cast("long").as("lang_hits"): _*)
   }
 
   /** Quality score in [0,1]: mean of three bounded components —
@@ -475,6 +475,89 @@ object TextStats {
       .where(col("df") >= minDf)
       .select(col("term"), col("df"),
         array_join(expr("transform(top, x -> x.nbr_id)"), ",").as("postings"))
+  }
+
+  /** Weighted sampling without replacement (the A-ES / exponential-sort
+    * scheme): each row draws a deterministic uniform `u` from its key and
+    * wins iff its exponential variate `-ln(u) / w` lands among the `k`
+    * smallest — the classic one-pass distributed weighted reservoir, here
+    * with the RNG replaced by the engine's portable hash so the SAME rows
+    * win in any engine and any re-run (importance-weighted corpus
+    * subsampling needs that reproducibility).
+    *
+    * Scale shape: the variate is a map-only projection; selection is
+    * `orderBy(...).limit(k)` — Spark's `TakeOrderedAndProject`, a bounded
+    * heap per task, so only k rows per task ever reach the driver-side
+    * merge. No shuffle of the corpus at any size. Determinism across
+    * engines: `u` is an exact dyadic rational (20-bit hash / 2^20), and
+    * `-ln(u)` is rounded to 6 dp BEFORE the IEEE division by the exact
+    * integer weight — the one libm call is quantized away, everything
+    * else is bit-exact.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     salt: String, k: Int): DataFrame = {
+    val m = 1L << 20
+    val u = (pmod(h60(concat(lit(salt), lit(":"), col(keyCol).cast("string"))),
+      lit(m)) + lit(1L)).cast("double") / lit(m.toDouble)
+    df.where(col(weightCol) > 0)
+      .select(col(keyCol), col(weightCol).cast("long").as("weight"),
+        (round(-log(u), 6) / col(weightCol).cast("double")).as("samp_key"))
+      .orderBy(col("samp_key"), col(keyCol))
+      .limit(k)
+  }
+
+  /** Substring-level duplication signal (the exact-substring-dedup
+    * statistic of Lee et al.'s "Deduplicating Training Data" pass): the
+    * fraction of a document's n-gram positions whose n-gram also appears
+    * in ANOTHER document. Docs with a high `dup_frac` are near-copies or
+    * heavy boilerplate carriers even when no single whole-doc hash matches.
+    *
+    * Scale shape: n-grams leave their rows only as 8-byte `h60` digests
+    * (the shuffle carries hashes, never 8-token strings); the multi-doc
+    * gram set comes from a (doc, gram)-distinct then gram-keyed count —
+    * two hash-aggregates sharing the gram partitioning — and the position
+    * count re-joins on the same gram key. Docs shorter than n tokens have
+    * no positions and drop out (mirrored by the oracle).
+    */
+  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val g = docs.select(col("doc_id"),
+      explode(shingles(tokens(col("text")), n)).as("gram"))
+      .select(col("doc_id"), h60(col("gram")).as("g"))
+    val multi = g.distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") > 1)
+      .select(col("g"))
+    val perDoc = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val dup = g.join(multi, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double")
+          / col("n_grams").cast("double"), 4).as("dup_frac"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked retrieval lists — the standard
+    * hybrid-search combiner (lexical BM25 + a second ranker merged as
+    * `Σ 1/(c + rank)`), robust to incomparable score scales because only
+    * ranks enter. Inputs are (doc_id, rank) frames of at most a few
+    * hundred rows (each ranker's top pool), so the fusion join is
+    * broadcast-sized no matter the corpus — all the heavy lifting
+    * happened inside the rankers. A doc absent from one list simply
+    * contributes nothing from it (full outer join + coalesce).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    val ra = a.select(col("doc_id"), col("rank").as("rank_a"))
+    val rb = b.select(col("doc_id"), col("rank").as("rank_b"))
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        // c + rank stays exact integer arithmetic; the single double
+        // division per leg is IEEE-identical in any engine
+        round(coalesce(lit(1.0d) / (lit(c.toLong) + col("rank_a")), lit(0.0d))
+          + coalesce(lit(1.0d) / (lit(c.toLong) + col("rank_b")), lit(0.0d)), 9)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
   }
 
   def unigramSurprisal(docs: DataFrame): DataFrame = {

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextStats
+
+/** Round-5 additions: weighted sampling (A-ES), substring-level
+  * duplication spans, reciprocal-rank fusion, and the language-ID
+  * confusion surface.
+  */
+class RoundFiveOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-round5-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("weightedSample is deterministic, k-bounded, and weight-sensitive") {
+    val sp = spark; import sp.implicits._
+    val rows = (1L to 200L).map(i => (i, 10L)) :+ (999L, 1000000000L)
+    val df = rows.toDF("doc_id", "n_chars")
+    val a = TextStats.weightedSample(df, "doc_id", "n_chars", "t", 20)
+      .collect().map(_.getLong(0)).toSeq
+    val b = TextStats.weightedSample(df, "doc_id", "n_chars", "t", 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same inputs must select the same sample")
+    assert(a.size == 20)
+    // the 10^8×-heavier row's variate is ~10^8 smaller: it must win
+    assert(a.head == 999L)
+    // different salt ⇒ a different (but still deterministic) subset
+    val c = TextStats.weightedSample(df, "doc_id", "n_chars", "u", 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(c != a)
+    // zero/negative weights are excluded, never divide-by-zero
+    val z = TextStats.weightedSample(
+      Seq((1L, 0L), (2L, 5L)).toDF("doc_id", "n_chars"),
+      "doc_id", "n_chars", "t", 10).collect()
+    assert(z.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("dupSpans counts cross-document n-gram positions") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // 3 8-grams; first shared with doc 2
+      (2L, "a b c d e f g h x y"),  // 3 8-grams; first shared with doc 1
+      (3L, "q w e r t y u i o p"),  // 3 8-grams, all unique
+      (4L, "too short")             // < 8 tokens: no positions, absent
+    ).toDF("doc_id", "text")
+    val out = TextStats.dupSpans(docs, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((3L, 1L, 0.3333)))
+    assert(out(2L) == ((3L, 1L, 0.3333)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+  }
+
+  test("dupSpans counts repeated positions but requires ANOTHER document") {
+    val sp = spark; import sp.implicits._
+    // doc 5 repeats its own 8-gram (positions 1 and 9 of the token list)
+    // but no other doc shares it: within-doc repetition is NOT a dup span.
+    val docs = Seq(
+      (5L, "a b c d e f g h a b c d e f g h"),
+      (6L, "z z z z z z z z q"),
+      (7L, "z z z z z z z z r")
+    ).toDF("doc_id", "text")
+    val out = TextStats.dupSpans(docs, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(5L)._2 == 0L, "self-repeats alone must not count")
+    // docs 6/7 share "z z z z z z z z" (positions 1 in each; doc 6 has
+    // 2 grams: zzzzzzzz at 1 and zzzzzzzq... wait 9 tokens → 2 grams)
+    assert(out(6L) == ((2L, 1L)))
+    assert(out(7L) == ((2L, 1L)))
+  }
+
+  test("rrfFuse merges ranks with 1/(c+rank) and coalesces absences") {
+    val sp = spark; import sp.implicits._
+    val a = Seq((10L, 1L), (11L, 2L)).toDF("doc_id", "rank")
+    val b = Seq((10L, 1L), (12L, 2L)).toDF("doc_id", "rank")
+    val out = TextStats.rrfFuse(a, b, 10, 60).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    assert(out(10L) == r9(2.0 / 61.0))
+    assert(out(11L) == r9(1.0 / 62.0))
+    assert(out(12L) == r9(1.0 / 62.0))
+    // doc present in both lists outranks single-list docs
+    val first = TextStats.rrfFuse(a, b, 1, 60).collect().head.getLong(0)
+    assert(first == 10L)
+  }
+
+  test("langId passThrough carries label columns for the confusion matrix") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "en", "the cat and the dog is in that house for it was"),
+      (2L, "de", "der hund und die katze ist nicht ein tier mit von zu"),
+      (3L, "en", "zzz qqq xxx")  // no stopword hits → predicted und
+    ).toDF("doc_id", "lang", "text")
+    val out = TextStats.langId(docs, passThrough = Seq("lang"))
+      .select("lang", "lang_pred").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("en", "en"), ("de", "de"), ("en", "und")))
+  }
+}
