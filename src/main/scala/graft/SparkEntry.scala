@@ -82,6 +82,7 @@ object SparkEntry {
   private val RrfPool = 50
   private val RrfK = 20
   private val RrfC = 60
+  private val PrDamping = 0.85
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
   private val PmiMinCount = 5
@@ -1274,6 +1275,42 @@ object SparkEntry {
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))),
+
+    // Table-profiling pass: per-column null/distinct/min/max in one
+    // stacked aggregate (columns pre-rendered to portable strings).
+    "column_profile" -> ((s, d) =>
+      Stats.columnProfile(Tables.orders(s, d), Seq(
+          "o_orderkey" -> col("o_orderkey"),
+          "o_custkey" -> col("o_custkey"),
+          "o_orderstatus" -> col("o_orderstatus"),
+          "o_totalprice" -> dec2(col("o_totalprice")),
+          "o_orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          "o_orderpriority" -> col("o_orderpriority")))
+        .orderBy(col("col_name"))),
+
+    // Sketch calibration: MinHash-estimated vs exact Jaccard (+ abs
+    // error) over the LSH candidate pairs — the accuracy report a dedup
+    // pipeline checks before trusting its thresholds.
+    "sketch_eval" -> ((s, d) =>
+      Dedup.minhashAccuracy(docs(s, d), MinhashK, MinhashBands, ShingleN, MaxBucket)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // One PageRank iteration over the customer→supplier edge list derived
+    // from orders ⋈ lineitem — the edge-list (never adjacency-matrix)
+    // formulation with decimal-quantized fold-order-free mass sums.
+    "pagerank_step" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val l = li(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+      Graph.pagerankStep(edges, PrDamping).orderBy(col("node"))
+    }),
+
+    // Corpus-mixing diversity signal: per-source Shannon entropy of the
+    // token distribution (exact-decimal contribution sums).
+    "source_entropy" -> ((s, d) =>
+      TextStats.sourceEntropy(docs(s, d)).orderBy(col("source"))),
 
     // -- time series -------------------------------------------------------
     "events_hourly" -> ((s, d) =>
@@ -2497,6 +2534,73 @@ object SparkEntry {
          |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Column profile: each column rendered to the same portable string
+    // on both sides (decimal cast for money, strftime for timestamps).
+    "column_profile" ->
+      """WITH s AS (
+        |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders)
+        |SELECT col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT v) AS n_distinct,
+        |  min(v) AS min_val, max(v) AS max_val
+        |FROM s GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    // MinHash estimate (signature agreement / k) vs exact shingle-set
+    // Jaccard over the SAME candidate pairs the LSH oracle produces.
+    "sketch_eval" ->
+      s"""WITH $sigCte,
+         |$pairsCte,
+         |sets AS (SELECT doc_id, list_distinct(s) AS st FROM sh WHERE len(s) > 0),
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |  round(CAST(list_sum(list_transform(range(1, ${MinhashK + 1}), i ->
+         |    CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $MinhashK, 4) AS est_j
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b),
+         |ex AS (SELECT c.doc_a, c.doc_b,
+         |  round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))), 4) AS exact_j
+         |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a JOIN sets b ON b.doc_id = c.doc_b)
+         |SELECT est.doc_a AS doc_a, est.doc_b AS doc_b, est_j, exact_j,
+         |  round(abs(est_j - exact_j), 4) AS abs_err
+         |FROM est JOIN ex ON est.doc_a = ex.doc_a AND est.doc_b = ex.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // One PageRank iteration; damping constants interpolated as the SAME
+    // Scala doubles the Spark plan folds, cast to DOUBLE so DuckDB's
+    // decimal literals don't change the arithmetic.
+    "pagerank_step" ->
+      s"""WITH e AS (SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+         |contrib AS (SELECT e.dst,
+         |    CAST(round(CAST($PrDamping AS DOUBLE) * (CAST(1 AS DOUBLE) / n) / outdeg, 15) AS DECIMAL(38,18)) AS c
+         |  FROM e JOIN od USING (src), nn),
+         |mass AS (SELECT dst, sum(c) AS mass FROM contrib GROUP BY dst)
+         |SELECT node, round(coalesce(CAST(mass AS DOUBLE), 0.0)
+         |    + CAST(${1.0 - PrDamping} AS DOUBLE) / n, 9) AS rank
+         |FROM (nodes CROSS JOIN nn) LEFT JOIN mass ON node = dst
+         |ORDER BY node""".stripMargin,
+
+    // Per-source token-distribution entropy with 9dp-quantized exact
+    // decimal contribution sums (fold-order-free).
+    "source_entropy" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |tc AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM tc GROUP BY 1),
+         |x AS (SELECT tc.source, tot,
+         |  CAST(round((CAST(c AS DOUBLE) / tot) * -ln(CAST(c AS DOUBLE) / tot), 9) AS DECIMAL(28,9)) AS h
+         |  FROM tc JOIN tt USING (source)),
+         |g AS (SELECT source, max(tot) AS n_tokens, sum(h) AS hs FROM x GROUP BY source)
+         |SELECT source, n_tokens, round(CAST(hs AS DOUBLE), 6) AS entropy
+         |FROM g ORDER BY source""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

@@ -176,6 +176,37 @@ object Dedup {
       minhashPairs(docs, k, bands, shingleN, maxBucket).localCheckpoint(),
       shingleN, minJaccard)
 
+  /** Sketch-accuracy evaluation: for every LSH candidate pair, the MinHash
+    * ESTIMATE of Jaccard (fraction of agreeing signature components — the
+    * unbiased estimator LSH is built on) side-by-side with the EXACT
+    * shingle-set Jaccard, plus the absolute error. This is the calibration
+    * query a dedup pipeline runs before picking k/bands thresholds: it
+    * quantifies, on the corpus itself, how tight the sketch is.
+    *
+    * Scale shape: signatures and candidate pairs are the same bounded
+    * artifacts [[minhashPairs]] already builds (materialized once); the
+    * estimate is a map-side `zip_with` over two k-length arrays; the exact
+    * side reuses [[jaccardRefine]]'s candidates-only re-shingling. Nothing
+    * here touches more than the candidate set.
+    */
+  def minhashAccuracy(docs: DataFrame, k: Int, bands: Int, shingleN: Int,
+                      maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashPairs(docs, k, bands, shingleN, maxBucket).localCheckpoint()
+    val sig = minhashSignatures(docs, k, shingleN).localCheckpoint()
+    val exact = jaccardRefine(docs, pairs, shingleN, minJaccard = 0.0)
+    val est = pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") / k, 4).as("est_j"))
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_j"),
+        col("jaccard").as("exact_j"),
+        round(abs(col("est_j") - col("jaccard")), 4).as("abs_err"))
+  }
+
   /** Exact n-gram Jaccard over *rare* shingles: shingles occurring in more
     * than `maxDf` documents are dropped first (web-scale "stop shingles" —
     * they contribute no discriminative signal and are what makes the

@@ -52,4 +52,35 @@ object Stats {
       .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
         col("p.corr").as("corr"))
   }
+
+  /** Per-column data-quality profile — the table-profiling pass every
+    * ingest pipeline runs first: row count, null count, exact distinct
+    * count, lexicographic min/max, one row per column.
+    *
+    * Shape: columns are stacked into (col_name, value-as-string) rows —
+    * a map-only ×k row expansion — then ONE aggregate keyed on col_name.
+    * The exact distinct count makes Spark plan a two-level aggregate
+    * (partial distinct on (col_name, value) map-side, so duplicate values
+    * collapse before the shuffle); min/max/counts combine map-side as
+    * usual. At 100 TB this is one scan + one shuffle whose row count is
+    * bounded by Σ per-task distinct values, the standard profiling cost —
+    * swap the distinct leg for an HLL sketch when estimates suffice.
+    *
+    * Callers pass each column pre-rendered to a STRING with an
+    * engine-portable format (e.g. `date_format` for timestamps, a
+    * decimal cast for doubles) so min/max compare identically everywhere.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(cols.nonEmpty)
+    val stacked = df.select(explode(array(cols.map { case (n, c) =>
+        struct(lit(n).as("col_name"), c.cast("string").as("v"))
+      }: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+    stacked.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      countDistinct(col("v")).as("n_distinct"),
+      min(col("v")).as("min_val"),
+      max(col("v")).as("max_val"))
+  }
 }

@@ -560,6 +560,32 @@ object TextStats {
       .limit(k)
   }
 
+  /** Per-source Shannon entropy of the token distribution — the
+    * diversity signal of a corpus-mixing pass: low-entropy sources are
+    * templated/boilerplate-heavy, high-entropy sources carry varied
+    * text. `H(source) = −Σ_t p_t ln p_t` with `p_t = c_t / total`.
+    *
+    * Shape: one (source, term) hash-aggregate (map-side combined), the
+    * per-source totals reduced FROM those counts (the token stream is
+    * scanned once), a join back on source (|sources| keys), and a final
+    * per-source sum. Per-term contributions are 9-dp-quantized and
+    * summed as exact decimals so the entropy is fold-order-free.
+    */
+  def sourceEntropy(docs: DataFrame): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+    val tc = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val p = col("c").cast("double") / col("tot")
+    tc.join(tot, "source")
+      .select(col("source"), col("tot"),
+        round(p * -log(p), 9).cast(dec9).as("h"))
+      .groupBy(col("source"))
+      .agg(max(col("tot")).as("n_tokens"), sum(col("h")).as("hs"))
+      .select(col("source"), col("n_tokens"),
+        round(col("hs").cast("double"), 6).as("entropy"))
+  }
+
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.TextStats
+import graft.ops.{Dedup, Graph, Stats, TextStats}
 
 /** Round-5 additions: weighted sampling (A-ES), substring-level
   * duplication spans, reciprocal-rank fusion, and the language-ID
@@ -99,6 +99,64 @@ class RoundFiveOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc present in both lists outranks single-list docs
     val first = TextStats.rrfFuse(a, b, 1, 60).collect().head.getLong(0)
     assert(first == 10L)
+  }
+
+  test("columnProfile counts nulls, distincts, and string min/max per column") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (Some("a"), Some(1L)), (Some("b"), None),
+      (Some("a"), Some(3L)), (None, Some(3L))
+    ).toDF("s", "x")
+    val out = Stats.columnProfile(df, Seq("s" -> col("s"), "x" -> col("x")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(out("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(out("x") == ((4L, 1L, 2L, "1", "3")))
+  }
+
+  test("pagerankStep matches the hand-computed iteration on a 3-node graph") {
+    val sp = spark; import sp.implicits._
+    // a→b, a→c, b→c; r0 = 1/3 each, d = 0.85, dangling c keeps its mass
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val out = Graph.pagerankStep(edges, 0.85).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 0.05) < 1e-6)
+    assert(math.abs(out("b") - (0.05 + 0.85 / 3.0 / 2.0)) < 1e-6)
+    assert(math.abs(out("c") - (0.05 + 0.85 * (1.0 / 3.0 / 2.0 + 1.0 / 3.0))) < 1e-6)
+  }
+
+  test("minhashAccuracy reports est=exact=1 for identical docs and bounded error") {
+    val sp = spark; import sp.implicits._
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, body), (2L, body),                       // identical pair
+      (3L, body + " extra tail words here now"),    // near-dup of 1/2
+      (4L, "totally different text with its own words entirely")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minhashAccuracy(docs, k = 6, bands = 3, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows.contains((1L, 2L)))
+    val (e12, x12, err12) = rows((1L, 2L))
+    assert(e12 == 1.0 && x12 == 1.0 && err12 == 0.0)
+    rows.values.foreach { case (e, x, err) =>
+      assert(e >= 0.0 && e <= 1.0 && x >= 0.0 && x <= 1.0)
+      assert(math.abs(err - math.rint(math.abs(e - x) * 1e4) / 1e4) < 1e-9)
+    }
+  }
+
+  test("sourceEntropy is 0 for a constant stream and ln(2) for a fair coin") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "s1", "same same same same"),
+      (2L, "s2", "heads tails heads tails")
+    ).toDF("doc_id", "source", "text")
+    val out = TextStats.sourceEntropy(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("s1") == ((4L, 0.0)))
+    assert(out("s2")._1 == 4L)
+    assert(math.abs(out("s2")._2 - math.log(2.0)) < 1e-6)
   }
 
   test("langId passThrough carries label columns for the confusion matrix") {
