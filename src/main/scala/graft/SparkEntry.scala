@@ -1312,6 +1312,33 @@ object SparkEntry {
     "source_entropy" -> ((s, d) =>
       TextStats.sourceEntropy(docs(s, d)).orderBy(col("source"))),
 
+    // Fuzzy-match surface: Levenshtein distance of 100-char prefixes —
+    // computed ONLY over the LSH candidate pairs (edit distance is
+    // quadratic per comparison; the sketch bounds who gets compared).
+    "edit_distance" -> ((s, d) => {
+      val pairs = Dedup.minhashPairs(docs(s, d), MinhashK, MinhashBands,
+        ShingleN, MaxBucket).localCheckpoint()
+      val t = docs(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 100).as("p"))
+      pairs.join(t.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Dense (type × hour) grid with explicit zero rows: counts reduce
+    // first; the grid is dimensions-only — O(types·hours) fill join.
+    "gap_fill" -> ((s, d) =>
+      Events.gapFillHourly(Tables.events(s, d))
+        .orderBy(col("event_type"), col("hour"))),
+
+    // Consecutive-duplicate event compaction (lag window, one user_id
+    // shuffle) — the refresh-storm cleanup before sessionization.
+    "compact_events" -> ((s, d) =>
+      Events.compactStream(Tables.events(s, d))
+        .orderBy(col("user_id"), col("event_id"))),
+
     // -- time series -------------------------------------------------------
     "events_hourly" -> ((s, d) =>
       Events.hourlyStats(Tables.events(s, d))
@@ -2588,6 +2615,44 @@ object SparkEntry {
          |    + CAST(${1.0 - PrDamping} AS DOUBLE) / n, 9) AS rank
          |FROM (nodes CROSS JOIN nn) LEFT JOIN mass ON node = dst
          |ORDER BY node""".stripMargin,
+
+    // Levenshtein over candidate pairs; both engines implement the
+    // classic unit-cost edit distance, so values agree exactly.
+    "edit_distance" ->
+      s"""WITH $sigCte,
+         |$pairsCte,
+         |p AS (SELECT doc_id, substr(text, 1, 100) AS p FROM documents)
+         |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+         |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+         |FROM cand c JOIN p a ON a.doc_id = c.doc_a JOIN p b ON b.doc_id = c.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Dense hour grid: both sequence/generate_series are inclusive of
+    // the end bound.
+    "gap_fill" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hour FROM events),
+        |c AS (SELECT event_type, hour, count(*) AS n FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+        |hrs AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT ty.event_type AS event_type,
+        |  strftime(hrs.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM (ty CROSS JOIN hrs) LEFT JOIN c
+        |  ON c.event_type = ty.event_type AND c.hour = hrs.hour
+        |ORDER BY event_type, hour""".stripMargin,
+
+    // Lag-window compaction; (ts, event_id) pins tie order and the
+    // corpus carries no sub-microsecond components, so both engines see
+    // the same per-user sequence.
+    "compact_events" ->
+      """WITH w AS (SELECT user_id, event_id, event_type, ts,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id, event_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+        |FROM w WHERE prev IS NULL OR prev <> event_type
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // Per-source token-distribution entropy with 9dp-quantized exact
     // decimal contribution sums (fold-order-free).

@@ -183,6 +183,49 @@ object Events {
       .select(col("f.step"), col("f.step_name"), col("f.n_users"))
   }
 
+  /** Time-series gap filling: the dense (event_type × hour) grid over the
+    * corpus's hour range, with missing cells as explicit zero rows — what
+    * charting/forecasting consumers need (a missing hour and a zero hour
+    * are different facts).
+    *
+    * Scale shape: counts reduce FIRST (one hash-aggregate — the only pass
+    * over the corpus); the dense grid is dimensions-only (distinct types ×
+    * the broadcast 1-row hour bounds exploded into the hour sequence), so
+    * the fill join touches O(types · hours) rows no matter the corpus
+    * size. The hour axis is bounded by calendar time, not data volume.
+    */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      date_trunc("hour", col("ts")).as("hour"))
+    val counts = ev.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val hours = bounds.select(explode(
+      sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val types = ev.select(col("event_type")).distinct()
+    types.crossJoin(hours)
+      .join(counts, Seq("event_type", "hour"), "left")
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Event-stream compaction: drop events whose type equals the SAME
+    * user's immediately-preceding type (dedup of refresh storms /
+    * double-clicks — the standard pre-sessionization cleanup). One
+    * shuffle on user_id; the lag window scans each user's stream once
+    * with O(1) state. Order is pinned by (ts, event_id) so ties
+    * compact identically in any engine.
+    */
+  def compactStream(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+  }
+
   def valueZscore(events: DataFrame): DataFrame = {
     val stats = events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Graph, Stats, TextStats}
+import graft.ops.{Dedup, Events, Graph, Stats, TextStats}
 
 /** Round-5 additions: weighted sampling (A-ES), substring-level
   * duplication spans, reciprocal-rank fusion, and the language-ID
@@ -158,6 +158,39 @@ class RoundFiveOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("s2")._1 == 4L)
     assert(math.abs(out("s2")._2 - math.log(2.0)) < 1e-6)
   }
+
+  test("gapFillHourly emits explicit zero rows for missing hours") {
+    val sp = spark; import sp.implicits._
+    val events = Seq(
+      ("a", ts("2026-01-01 10:15:00")),
+      ("a", ts("2026-01-01 12:45:00")),  // 11:00 missing for a
+      ("b", ts("2026-01-01 11:30:00"))   // 10:00 and 12:00 missing for b
+    ).toDF("event_type", "ts")
+    val out = Events.gapFillHourly(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.size == 6, "2 types x 3 hours")
+    assert(out(("a", "2026-01-01 10:00:00")) == 1L)
+    assert(out(("a", "2026-01-01 11:00:00")) == 0L)
+    assert(out(("a", "2026-01-01 12:00:00")) == 1L)
+    assert(out(("b", "2026-01-01 11:00:00")) == 1L)
+    assert(out(("b", "2026-01-01 10:00:00")) == 0L)
+    assert(out(("b", "2026-01-01 12:00:00")) == 0L)
+  }
+
+  test("compactStream drops only same-type consecutive events per user") {
+    val sp = spark; import sp.implicits._
+    val events = Seq(
+      (1L, 1L, "view", ts("2026-01-01 10:00:00")),
+      (1L, 2L, "view", ts("2026-01-01 10:00:30")),  // dup of prev → dropped
+      (1L, 3L, "click", ts("2026-01-01 10:01:00")),
+      (1L, 4L, "view", ts("2026-01-01 10:02:00")),  // type change → kept
+      (2L, 5L, "view", ts("2026-01-01 10:00:30"))   // other user unaffected
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val kept = Events.compactStream(events).collect().map(_.getLong(1)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 
   test("langId passThrough carries label columns for the confusion matrix") {
     val sp = spark; import sp.implicits._
