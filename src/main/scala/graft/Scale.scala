@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
   *
   *   sbt "runMain graft.Scale [nRows]"          (default 200,000,000)
   *   sbt "runMain graft.Scale dedup [nDocs]"    (default 5,000,000)
+  *   sbt "runMain graft.Scale spans [nDocs]"    (default 2,000,000)
   *   sbt "runMain graft.Scale events [nRows]"   (default 100,000,000)
   *   sbt "runMain graft.Scale ann [nVecs]"      (default 2,000,000)
   *   sbt "runMain graft.Scale joins [nLine]"    (default 200,000,000)
@@ -31,6 +32,7 @@ import org.apache.spark.sql.functions._
 object Scale {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dedup")) return dedupMain(args.drop(1))
+    if (args.headOption.contains("spans")) return spansMain(args.drop(1))
     if (args.headOption.contains("events")) return eventsMain(args.drop(1))
     if (args.headOption.contains("ann")) return annMain(args.drop(1))
     if (args.headOption.contains("joins")) return joinsMain(args.drop(1))
@@ -502,6 +504,32 @@ object Scale {
     spark.stop()
   }
 
+  /** Synthetic corpus shared by the `dedup` and `spans` modes: 12 tokens
+    * per doc from hash arithmetic. Docs with id % 20 == 1 are PLANTED
+    * near-dups: they copy doc id-1's token base and perturb exactly one
+    * position, leaving shingle Jaccard ≈ 0.5-0.7.
+    *
+    * md5-derived tokens: affine formulas (base*a + j*b mod p) leave
+    * shift-structure — doc pairs whose id difference maps one token
+    * sequence onto another share most shingles and flood the LSH with
+    * systematic twins. Hashing (base, j) kills the linear structure.
+    */
+  private def synthDocs(spark: SparkSession, n: Long, cpus: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val nTok = 12
+    val base = when(pmod(col("id"), lit(20L)) === 1, col("id") - 1)
+      .otherwise(col("id"))
+    val toks = (0 until nTok).map { j =>
+      when(pmod(col("id"), lit(20L)) === 1 && pmod(col("id"), lit(nTok.toLong)) === j,
+        concat(lit("z"), pmod(col("id"), lit(997L)).cast("string")))
+        .otherwise(concat(lit("w"),
+          substring(md5(concat(base.cast("string"), lit(s"_$j"))), 1, 8)))
+    }
+    spark.range(n)
+      .repartition(cpus * 2)
+      .select(col("id").as("doc_id"), concat_ws(" ", toks: _*).as("text"))
+  }
+
   private def dedupMain(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 5000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -513,25 +541,7 @@ object Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Synthetic corpus: 12 tokens per doc from hash arithmetic. Docs with
-    // id % 20 == 1 are PLANTED near-dups: they copy doc id-1's token base
-    // and perturb exactly one position, leaving shingle Jaccard ≈ 0.5-0.7.
-    val nTok = 12
-    val base = when(pmod(col("id"), lit(20L)) === 1, col("id") - 1)
-      .otherwise(col("id"))
-    // md5-derived tokens: affine formulas (base*a + j*b mod p) leave
-    // shift-structure — doc pairs whose id difference maps one token
-    // sequence onto another share most shingles and flood the LSH with
-    // systematic twins. Hashing (base, j) kills the linear structure.
-    val toks = (0 until nTok).map { j =>
-      when(pmod(col("id"), lit(20L)) === 1 && pmod(col("id"), lit(nTok.toLong)) === j,
-        concat(lit("z"), pmod(col("id"), lit(997L)).cast("string")))
-        .otherwise(concat(lit("w"),
-          substring(md5(concat(base.cast("string"), lit(s"_$j"))), 1, 8)))
-    }
-    def docs = spark.range(n)
-      .repartition(cpus.toInt * 2)
-      .select(col("id").as("doc_id"), concat_ws(" ", toks: _*).as("text"))
+    def docs = synthDocs(spark, n, cpus.toInt)
 
     // warm-up off the clock
     spark.range(1000000L).selectExpr("sum(id % 7)").collect()
@@ -543,6 +553,41 @@ object Scale {
     val sec = (System.nanoTime() - t0) / 1e9
     val planted = n / 20
     println(f"""{"mode":"dedup","n_docs":$n,"planted_neardups":$planted,"lsh_pairs_found":$found,"seconds":$sec%.1f,"docs_per_sec":${n / sec}%.0f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Substring-level dup-span statistic at volume: [[graft.ops.TextStats
+    * .dupSpans]] (fraction of 8-gram positions duplicated across docs)
+    * over the same planted-near-dup corpus as `dedup` mode. The gram
+    * stream shuffles only 8-byte digests; the two gram-keyed aggregates
+    * and the position re-join share one partitioning. A planted doc's
+    * single perturbed token position leaves its edge grams intact, so a
+    * predictable ~2/3 of planted docs (and their bases) must flag with
+    * dup_frac > 0 — the flagged count is the correctness signal riding
+    * along with the throughput number.
+    */
+  private def spansMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docs = synthDocs(spark, n, cpus.toInt)
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+
+    val t0 = System.nanoTime()
+    val agg = ops.TextStats.dupSpans(docs, 8)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_frac") > 0, 1L).otherwise(0L)).as("n_flagged"))
+      .collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val (nDocs, flagged) = (agg.getLong(0), agg.getLong(1))
+    println(f"""{"mode":"spans","n_docs":$n,"docs_with_grams":$nDocs,"docs_flagged":$flagged,"planted_docs":${n / 20},"seconds":$sec%.1f,"docs_per_sec":${n / sec}%.0f,"cpus":$cpus}""")
     spark.stop()
   }
 }

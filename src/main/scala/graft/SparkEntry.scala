@@ -1339,6 +1339,39 @@ object SparkEntry {
       Events.compactStream(Tables.events(s, d))
         .orderBy(col("user_id"), col("event_id"))),
 
+    // Web-curation domain histogram: URLs extracted map-side, one
+    // domain-keyed aggregate — the source-allowlist signal.
+    "url_domains" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(regexp_extract_all(col("text"),
+          lit(TextStats.UrlRe), lit(0))).as("url"))
+        .select(regexp_extract(col("url"), "https?://([^/\\s]+)", 1).as("domain"))
+        .groupBy(col("domain")).agg(count(lit(1)).as("n"))
+        .orderBy(col("domain"))),
+
+    // Corpus datasheet: the one-page dataset-card metrics (doc/token/char
+    // totals, lang/source cardinalities, exact-dup rate, mean quality) as
+    // (metric, value) rows — a union of already-tiny aggregates; the
+    // corpus is scanned once per independent metric family, never joined.
+    "dataset_card" -> ((s, d) => {
+      val dec4 = org.apache.spark.sql.types.DecimalType(18, 4)
+      val base = docs(s, d)
+      def row(name: String, v: Column): DataFrame =
+        base.agg(round(v, 6).as("value")).select(lit(name).as("metric"), col("value"))
+      row("n_docs", count(lit(1)).cast("double"))
+        .unionAll(row("total_tokens", sum(size(tokens(col("text")))).cast("double")))
+        .unionAll(row("total_chars", sum(length(col("text"))).cast("double")))
+        .unionAll(row("n_langs", countDistinct(col("lang")).cast("double")))
+        .unionAll(row("n_sources", countDistinct(col("source")).cast("double")))
+        .unionAll(row("exact_dup_rate", lit(1.0d) -
+          countDistinct(md5(col("text"))).cast("double") / count(lit(1))))
+        .unionAll(TextStats.qualityScore(base)
+          .agg(round(sum(col("quality").cast(dec4)).cast("double")
+            / count(lit(1)), 6).as("value"))
+          .select(lit("mean_quality").as("metric"), col("value")))
+        .orderBy(col("metric"))
+    }),
+
     // -- time series -------------------------------------------------------
     "events_hourly" -> ((s, d) =>
       Events.hourlyStats(Tables.events(s, d))
@@ -2653,6 +2686,25 @@ object SparkEntry {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
         |FROM w WHERE prev IS NULL OR prev <> event_type
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "url_domains" -> {
+      import TextStats.UrlRe
+      s"""WITH u AS (SELECT unnest(regexp_extract_all(text, '$UrlRe')) AS url FROM documents)
+         |SELECT regexp_extract(url, 'https?://([^/\\s]+)', 1) AS domain, count(*) AS n
+         |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
+    },
+
+    // Every value is either an exact integer rendered as double or a
+    // decimal-summed mean — round(…, 6) applied identically on both sides.
+    "dataset_card" ->
+      s"""SELECT 'n_docs' AS metric, round(CAST(count(*) AS DOUBLE), 6) AS value FROM documents
+         |UNION ALL SELECT 'total_tokens', round(CAST(sum(len($toksSql)) AS DOUBLE), 6) FROM documents
+         |UNION ALL SELECT 'total_chars', round(CAST(sum(length(text)) AS DOUBLE), 6) FROM documents
+         |UNION ALL SELECT 'n_langs', round(CAST(count(DISTINCT lang) AS DOUBLE), 6) FROM documents
+         |UNION ALL SELECT 'n_sources', round(CAST(count(DISTINCT source) AS DOUBLE), 6) FROM documents
+         |UNION ALL SELECT 'exact_dup_rate', round(CAST(1 AS DOUBLE) - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) FROM documents
+         |UNION ALL SELECT 'mean_quality', round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) FROM ($qualitySelect)
+         |ORDER BY metric""".stripMargin,
 
     // Per-source token-distribution entropy with 9dp-quantized exact
     // decimal contribution sums (fold-order-free).

@@ -203,7 +203,9 @@ object Events {
     val hours = bounds.select(explode(
       sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
     val types = ev.select(col("event_type")).distinct()
-    types.crossJoin(hours)
+    // explicit broadcast: the hour axis is calendar-bounded, so the grid
+    // cross join must plan as a bounded-broadcast BNLJ, never a cartesian
+    types.crossJoin(broadcast(hours))
       .join(counts, Seq("event_type", "hour"), "left")
       .select(col("event_type"),
         date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),

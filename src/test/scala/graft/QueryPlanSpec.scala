@@ -112,11 +112,14 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("corpus-wide sweep: no cartesian products; nested-loop joins only against bounded broadcasts") {
     // Queries where a BroadcastNestedLoopJoin is the DESIGNED plan: the
     // build side is a bounded broadcast — a 1-row global-stats aggregate
-    // (bm25/tfidf/surprisal/PMI totals, q22's scalar average) or the
-    // fixed k-row query set (kNN). Anything else planning a BNLJ (or any
-    // query planning a CartesianProduct) is a scale regression.
+    // (bm25/tfidf/surprisal/PMI totals, q22's scalar average, PageRank's
+    // node count), the fixed k-row query set (kNN), or a calendar-bounded
+    // dimension axis (gap_fill's hour grid). Anything else planning a
+    // BNLJ (or any query planning a CartesianProduct) is a scale
+    // regression.
     val boundedBnlj = Set("bm25_search", "knn_bruteforce", "pmi_bigrams",
-      "q22_idle_customers", "tfidf_top", "unigram_surprisal")
+      "q22_idle_customers", "tfidf_top", "unigram_surprisal",
+      "pagerank_step", "gap_fill", "rrf_fusion" /* bm25 leg's stats row */)
     val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
     val offenders = names.flatMap { n =>
       val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
