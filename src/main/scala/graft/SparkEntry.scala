@@ -1349,6 +1349,57 @@ object SparkEntry {
         .groupBy(col("domain")).agg(count(lit(1)).as("n"))
         .orderBy(col("domain"))),
 
+    // End-to-end curation funnel: docs surviving each cleaning gate —
+    // normalization, language ID, quality floor, exact dedup (keep-min
+    // per digest), near-dup canonicalization (keep-best per LSH
+    // cluster). Every gate is one of the engine's verified operators;
+    // the funnel composes them into per-stage survivor counts the way a
+    // production pipeline reports its yield. Gate flags are computed
+    // once per doc and reduced in ONE aggregate — no per-stage re-scan.
+    "curation_funnel" -> ((s, d) => {
+      val base = docs(s, d)
+      val cleaned = trim(regexp_replace(
+        regexp_replace(col("text"), "[\\x00-\\x1f]", ""), "\\s+", " "))
+      val flags = base.select(col("doc_id"),
+          length(cleaned).as("clean_len"), md5(col("text")).as("dg"))
+        .join(TextStats.langId(base).select(col("doc_id"), col("lang_pred")), "doc_id")
+        .join(TextStats.qualityScore(base), "doc_id")
+      val keepDigest = flags.groupBy(col("dg")).agg(min(col("doc_id")).as("keep_id"))
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashPairs(base, MinhashK, MinhashBands, ShingleN, MaxBucket))
+        .localCheckpoint()
+      val keepers = Dedup.keepBest(clusters,
+          TextStats.qualityScore(base).select(col("doc_id"), col("quality")))
+        .select(col("keep_doc_id").as("doc_id"))
+      val losers = clusters.select(col("doc_id"))
+        .join(keepers, Seq("doc_id"), "left_anti")
+        .withColumn("is_loser", lit(1))
+      val st = flags.join(keepDigest, "dg")
+        .join(losers, Seq("doc_id"), "left")
+        .select(
+          (col("clean_len") > 0).as("s2"),
+          (col("lang_pred") =!= lit("und")).as("s3"),
+          (col("quality") >= 0.5).as("s4"),
+          (col("doc_id") === col("keep_id")).as("s5"),
+          col("is_loser").isNull.as("s6"))
+      val conds = Seq(lit(true), col("s2"), col("s2") && col("s3"),
+        col("s2") && col("s3") && col("s4"),
+        col("s2") && col("s3") && col("s4") && col("s5"),
+        col("s2") && col("s3") && col("s4") && col("s5") && col("s6"))
+      val agg = st.agg(
+        sum(when(conds.head, 1L).otherwise(0L)).as("n1"),
+        conds.tail.zipWithIndex.map { case (c, i) =>
+          sum(when(c, 1L).otherwise(0L)).as(s"n${i + 2}") }: _*)
+      val names = Seq("all", "clean_nonempty", "lang_known", "quality_ok",
+        "unique_exact", "canonical_neardup")
+      agg.select(explode(array(names.zipWithIndex.map { case (nm, i) =>
+          struct(lit(i + 1).cast("long").as("stage"), lit(nm).as("stage_name"),
+            col(s"n${i + 1}").as("n_docs"))
+        }: _*)).as("f"))
+        .select(col("f.stage"), col("f.stage_name"), col("f.n_docs"))
+        .orderBy(col("stage"))
+    }),
+
     // Corpus datasheet: the one-page dataset-card metrics (doc/token/char
     // totals, lang/source cardinalities, exact-dup rate, mean quality) as
     // (metric, value) rows — a union of already-tiny aggregates; the
@@ -2693,6 +2744,40 @@ object SparkEntry {
          |SELECT regexp_extract(url, 'https?://([^/\\s]+)', 1) AS domain, count(*) AS n
          |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
     },
+
+    // The funnel's gates reuse the cluster/quality/lang CTE fragments the
+    // individual oracles already share; counts are cumulative conjunctions.
+    "curation_funnel" ->
+      s"""WITH RECURSIVE $clustersCte,
+         |q AS ($qualitySelect),
+         |lc AS (SELECT doc_id, $langHitCols FROM
+         |  (SELECT doc_id, $toksSql AS tk FROM documents)),
+         |lx AS (SELECT doc_id, $langPredExpr AS lang_pred FROM lc),
+         |c AS (SELECT doc_id,
+         |  length(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1f]', '', 'g'), '\\s+', ' ', 'g'))) AS clean_len,
+         |  md5(text) AS dg FROM documents),
+         |kd AS (SELECT dg, min(doc_id) AS keep_id FROM c GROUP BY dg),
+         |kbw AS (SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY quality DESC, doc_id ASC) AS rn
+         |  FROM (SELECT clus.cluster_id, clus.doc_id, q.quality
+         |        FROM clus JOIN q USING (doc_id))),
+         |losers AS (SELECT doc_id FROM kbw WHERE rn > 1),
+         |st AS (SELECT c.doc_id,
+         |    clean_len > 0 AS s2, lang_pred <> 'und' AS s3,
+         |    q.quality >= 0.5 AS s4, c.doc_id = kd.keep_id AS s5,
+         |    losers.doc_id IS NULL AS s6
+         |  FROM c JOIN kd USING (dg)
+         |  JOIN lx ON lx.doc_id = c.doc_id
+         |  JOIN q ON q.doc_id = c.doc_id
+         |  LEFT JOIN losers ON losers.doc_id = c.doc_id)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage, 'all' AS stage_name, count(*) AS n_docs FROM st
+         |  UNION ALL SELECT 2, 'clean_nonempty', count(*) FROM st WHERE s2
+         |  UNION ALL SELECT 3, 'lang_known', count(*) FROM st WHERE s2 AND s3
+         |  UNION ALL SELECT 4, 'quality_ok', count(*) FROM st WHERE s2 AND s3 AND s4
+         |  UNION ALL SELECT 5, 'unique_exact', count(*) FROM st WHERE s2 AND s3 AND s4 AND s5
+         |  UNION ALL SELECT 6, 'canonical_neardup', count(*) FROM st WHERE s2 AND s3 AND s4 AND s5 AND s6
+         |) ORDER BY stage""".stripMargin,
 
     // Every value is either an exact integer rendered as double or a
     // decimal-summed mean — round(…, 6) applied identically on both sides.
