@@ -1360,16 +1360,21 @@ object SparkEntry {
       val base = docs(s, d)
       val cleaned = trim(regexp_replace(
         regexp_replace(col("text"), "[\\x00-\\x1f]", ""), "\\s+", " "))
-      val flags = base.select(col("doc_id"),
+      // all per-doc gate signals in ONE map-only projection chain
+      // (lang_pred and quality ride through via passThrough — never a
+      // doc_id self-join back onto the corpus)
+      val flags = TextStats.qualityScore(
+          TextStats.langId(base, passThrough = Seq("text")),
+          passThrough = Seq("text", "lang_pred"))
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
           length(cleaned).as("clean_len"), md5(col("text")).as("dg"))
-        .join(TextStats.langId(base).select(col("doc_id"), col("lang_pred")), "doc_id")
-        .join(TextStats.qualityScore(base), "doc_id")
+        .localCheckpoint()
       val keepDigest = flags.groupBy(col("dg")).agg(min(col("doc_id")).as("keep_id"))
       val clusters = Dedup.dupClusters(
         Dedup.minhashPairs(base, MinhashK, MinhashBands, ShingleN, MaxBucket))
         .localCheckpoint()
       val keepers = Dedup.keepBest(clusters,
-          TextStats.qualityScore(base).select(col("doc_id"), col("quality")))
+          flags.select(col("doc_id"), col("quality")))
         .select(col("keep_doc_id").as("doc_id"))
       val losers = clusters.select(col("doc_id"))
         .join(keepers, Seq("doc_id"), "left_anti")
