@@ -55,6 +55,7 @@ object SparkEntry {
   private val ShingleN = 3
   private val MaxBucket = 1000
   private val MinJaccard = 0.1
+  private val MinContain = 0.3
 
   private val SessionGapMin = 30
   private val PqSubs = 8
@@ -1060,6 +1061,22 @@ object SparkEntry {
       Dedup.nearDupPairs(docs(s, d), MinhashK, MinhashBands, ShingleN, MinJaccard, MaxBucket)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Asymmetric containment over the SAME LSH candidates: |A∩B|/|A| —
+    // catches a short doc swallowed by a long one (low Jaccard, high
+    // containment), the subsumption case resemblance alone misses.
+    "containment" -> ((s, d) =>
+      Dedup.containmentRefine(docs(s, d),
+          Dedup.minhashPairs(docs(s, d), MinhashK, MinhashBands, ShingleN, MaxBucket)
+            .localCheckpoint(),
+          ShingleN, MinContain)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Source-level gram-overlap matrix: which sources are near-copies of
+    // each other (the dedup-jointly-or-separately curation decision).
+    "source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(docs(s, d), ShingleN)
+        .orderBy(col("src_a"), col("src_b"))),
+
     "simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -1116,6 +1133,18 @@ object SparkEntry {
     "kmeans_step" -> ((s, d) =>
       Similarity.kmeansStep(emb(s, d), IvfCentroids)
         .orderBy(col("cell"), col("dim"))),
+
+    // Recall@5 of the IVF index vs exact brute force — the ANN analog of
+    // sketch_eval: measure the approximation before trusting the index.
+    "ann_recall" -> ((s, d) =>
+      Similarity.annRecall(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5, IvfCentroids)
+        .orderBy(col("query_id"))),
+
+    // Cell × label composition audit of the coarse k-means cells — the
+    // cluster-purity check run before cells are trusted as dedup units.
+    "cluster_mix" -> ((s, d) =>
+      Similarity.clusterMix(emb(s, d), IvfCentroids)
+        .orderBy(col("cell"), col("label"))),
 
     // -- text analysis -----------------------------------------------------
     "token_counts" -> ((s, d) =>
@@ -1196,6 +1225,12 @@ object SparkEntry {
     // via 6-dp-quantized exact decimal sums.
     "unigram_surprisal" -> ((s, d) =>
       TextStats.unigramSurprisal(docs(s, d)).orderBy(col("doc_id"))),
+
+    // Bigram-LM surprisal: per-doc mean -ln p(w2|w1) — the
+    // context-sensitive (KenLM-style) quality gate; templated text scores
+    // near zero, token soup scores high even when each token is common.
+    "bigram_surprisal" -> ((s, d) =>
+      TextStats.bigramSurprisal(docs(s, d)).orderBy(col("doc_id"))),
 
     // Collocation mining: adjacent-bigram PMI over the token stream.
     "pmi_bigrams" -> ((s, d) =>
@@ -2324,6 +2359,32 @@ object SparkEntry {
          |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a JOIN sets b ON b.doc_id = c.doc_b)
          |WHERE jaccard >= $MinJaccard ORDER BY doc_a, doc_b""".stripMargin,
 
+    "containment" ->
+      s"""WITH $sigCte,
+         |$pairsCte,
+         |sets AS (SELECT doc_id, list_distinct(s) AS st FROM sh WHERE len(s) > 0)
+         |SELECT doc_a, doc_b, contain_a, contain_b,
+         |  greatest(contain_a, contain_b) AS max_contain FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / len(a.st), 4) AS contain_a,
+         |    round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / len(b.st), 4) AS contain_b
+         |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a JOIN sets b ON b.doc_id = c.doc_b)
+         |WHERE greatest(contain_a, contain_b) >= $MinContain ORDER BY doc_a, doc_b""".stripMargin,
+
+    "source_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+         |sh AS (SELECT source, unnest($shingleSql) AS g FROM toks),
+         |sg AS (SELECT DISTINCT source, ${h60Sql("g")} AS gd FROM sh),
+         |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+         |ov AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared
+         |  FROM sg x JOIN sg y ON x.gd = y.gd AND x.source < y.source GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+         |  round(CAST(n_shared AS DOUBLE) / least(a.n, b.n), 4) AS overlap,
+         |  round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 4) AS jaccard
+         |FROM ov JOIN sz a ON a.source = ov.src_a JOIN sz b ON b.source = ov.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+
     "simhash" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |hs AS (SELECT doc_id, list_transform(tk, t -> ${h60Sql("t")}) AS h FROM toks)
@@ -2405,6 +2466,33 @@ object SparkEntry {
          |  FROM px GROUP BY cell, dim)
          |SELECT cell, dim, n_members, round(CAST(s AS DOUBLE) / n_members, 6) AS mean_val
          |FROM g ORDER BY cell, dim""".stripMargin,
+
+    "ann_recall" ->
+      s"""WITH $ivfAssignCte,
+         |qa AS (SELECT * FROM assign WHERE vec_id < 8),
+         |ivf AS (SELECT query_id, nbr_id FROM (
+         |  SELECT q.vec_id AS query_id, a.vec_id AS nbr_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.e", "a.e")} DESC, a.vec_id ASC) AS rn
+         |  FROM qa q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id) WHERE rn <= 5),
+         |qb AS (SELECT * FROM c WHERE vec_id < 8),
+         |ex AS (SELECT query_id, nbr_id FROM (
+         |  SELECT qb.vec_id AS query_id, c2.vec_id AS nbr_id,
+         |    row_number() OVER (PARTITION BY qb.vec_id ORDER BY ${cosSql("qb.e", "c2.e")} DESC, c2.vec_id ASC) AS rn
+         |  FROM qb, c c2 WHERE qb.vec_id <> c2.vec_id) WHERE rn <= 5)
+         |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(i.nbr_id) AS BIGINT) AS n_hit,
+         |  round(CAST(count(i.nbr_id) AS DOUBLE) / count(*), 4) AS recall
+         |FROM ex e LEFT JOIN ivf i ON e.query_id = i.query_id AND e.nbr_id = i.nbr_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
+    "cluster_mix" ->
+      s"""WITH $ivfAssignCte,
+         |lab AS (SELECT a.cell, e2.label FROM assign a JOIN embeddings e2 USING (vec_id)),
+         |g AS (SELECT cell, label, count(*) AS n_members FROM lab GROUP BY cell, label)
+         |SELECT cell, label, CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(sum(n_members) OVER (PARTITION BY cell) AS BIGINT) AS cell_n,
+         |  round(CAST(n_members AS DOUBLE) / CAST(sum(n_members) OVER (PARTITION BY cell) AS DOUBLE), 6) AS share
+         |FROM g ORDER BY cell, label""".stripMargin,
 
     "source_mix" ->
       s"""WITH tok AS (SELECT source, len($toksSql) AS n FROM documents),
@@ -2594,6 +2682,22 @@ object SparkEntry {
          |g AS (SELECT doc_id, sum(tf) AS n_tokens, sum(c) AS s FROM x GROUP BY doc_id)
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  round(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_surprisal
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "bigram_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bgs AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+         |  THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         |  ELSE [] END) AS bg FROM toks),
+         |tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgs GROUP BY 1, 2),
+         |cab AS (SELECT bg, count(*) AS cab FROM bgs GROUP BY 1),
+         |cw AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS cw FROM bgs GROUP BY 1),
+         |x AS (SELECT t.doc_id, t.tf,
+         |  t.tf * CAST(round(-ln(CAST(c.cab AS DOUBLE) / CAST(w.cw AS DOUBLE)), 6) AS DECIMAL(18,6)) AS c
+         |  FROM tf t JOIN cab c USING (bg) JOIN cw w ON string_split(t.bg, ' ')[1] = w.w1),
+         |g AS (SELECT doc_id, sum(tf) AS n_bigrams, sum(c) AS s FROM x GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_surprisal
          |FROM g ORDER BY doc_id""".stripMargin,
 
     "pmi_bigrams" ->

@@ -164,6 +164,69 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment over candidate pairs: `|A∩B| / |A|` (and the
+    * B-side mirror) — the subsumption metric Jaccard misses. A short
+    * document fully embedded in a long one has LOW Jaccard (the union is
+    * dominated by the long doc) but containment ≈ 1; web dedup pipelines
+    * track both resemblance and containment for exactly this case. Same
+    * scale shape as [[jaccardRefine]]: shingle sets are rebuilt only for
+    * documents that survive LSH candidacy, so no quadratic work ever
+    * touches the corpus.
+    */
+  def containmentRefine(docs: DataFrame, pairs: DataFrame, shingleN: Int,
+                        minContain: Double): DataFrame = {
+    val candIds = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), shingleN)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .localCheckpoint()
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / size(col("sh_a")).cast("double"), 4).as("contain_a"),
+        round(col("inter").cast("double") / size(col("sh_b")).cast("double"), 4).as("contain_b"))
+      .withColumn("max_contain", greatest(col("contain_a"), col("contain_b")))
+      .where(col("max_contain") >= minContain)
+  }
+
+  /** Source-level similarity matrix: for every pair of sources, the number
+    * of distinct `shingleN`-gram digests they share, with overlap
+    * coefficient (`inter / min(|A|,|B|)`) and Jaccard — the "which crawls
+    * are near-copies of each other" curation signal that decides whether
+    * two sources must be deduplicated jointly or can be processed
+    * independently.
+    *
+    * Scale shape: grams cross the shuffle only as 8-byte h60 digests; the
+    * per-source distinct collapses (source, digest) duplicates map-side;
+    * the self-join fan-out is bounded by sources² per universal gram
+    * (sources is a small dimension), and the size join is broadcast-sized
+    * (|sources| rows). The distinct gram set is materialized once — it
+    * feeds the size aggregate and both sides of the self-join.
+    */
+  def sourceOverlap(docs: DataFrame, shingleN: Int): DataFrame = {
+    val sg = docs
+      .select(col("source"), explode(shingles(tokens(col("text")), shingleN)).as("g"))
+      .select(col("source"), h60(col("g")).as("gd"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sg.as("x").join(sg.as("y"),
+        col("x.gd") === col("y.gd") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"), 4).as("overlap"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 4).as("jaccard"))
+  }
+
   /** LSH candidates refined to exact Jaccard — the composed near-dup op.
     * The candidate pairs are materialized once (they are tiny after LSH);
     * jaccardRefine references them twice (id extraction + the pair join),

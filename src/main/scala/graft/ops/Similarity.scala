@@ -295,7 +295,8 @@ object Similarity {
     */
   private def assignCells(df: DataFrame, idName: String, embName: String,
                           numCentroids: Int,
-                          corpusForCentroids: Option[DataFrame] = None): DataFrame = {
+                          corpusForCentroids: Option[DataFrame] = None,
+                          passThrough: Seq[String] = Nil): DataFrame = {
     val base = corpusForCentroids.getOrElse(df)
     val Seq(bId, bEmb) = base.columns.take(2).toSeq
     val centRows = base
@@ -315,7 +316,63 @@ object Similarity {
         ids, embs, nrms))
     val nrmName = if (idName == "query_id") "q_nrm" else "c_nrm"
     df.withColumn("_nrm", sqrt(dot(col(embName), col(embName))))
-      .select(col(idName), col(embName), cell.as("cell"), col("_nrm").as(nrmName))
+      .select(Seq(col(idName), col(embName)) ++ passThrough.map(col) ++
+        Seq(cell.as("cell"), col("_nrm").as(nrmName)): _*)
+  }
+
+  /** ANN-accuracy evaluation: recall@k of the IVF index against the exact
+    * brute-force neighbors, per query — the calibration run before an
+    * approximate index is trusted (the ANN analog of the MinHash
+    * `sketch_eval` query: measure the approximation on the corpus itself,
+    * then pick the nprobe/centroid knobs).
+    *
+    * Both inputs are the already-bounded top-k frames (O(|queries|·k)
+    * rows), so the comparison join and the per-query aggregate cost
+    * nothing at any corpus scale — all the heavy lifting is inside the
+    * two (independently scale-shaped) retrieval plans.
+    */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                numCentroids: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("nbr_id"))
+    val approx = ivfTopK(corpus, queries, k, numCentroids)
+      .select(col("query_id").as("aq"), col("nbr_id").as("an"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("nbr_id") === col("an"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("an")).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 4).as("recall"))
+  }
+
+  /** Cluster-composition audit: the coarse k-means cells crossed with the
+    * labeled classes — per (cell, label) member counts and within-cell
+    * shares. This is the purity/balance check run after any clustering
+    * step before the cells are trusted as processing units (SemDeDup-style
+    * pipelines audit exactly this: a cell dominated by one class dedups
+    * safely, a mixed cell does not).
+    *
+    * Shape: cell assignment is the same map-only native argmax the IVF
+    * index uses (no join, no shuffle of the corpus; the label rides the
+    * projection), then ONE (cell, label) hash-aggregate with map-side
+    * combine; the share window runs over the reduced cells×labels frame,
+    * never the corpus.
+    */
+  def clusterMix(corpus: DataFrame, numCentroids: Int,
+                 idCol: String = "vec_id",
+                 embCol: String = "embedding",
+                 labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+      asDouble(col(embCol)).as("e"), col(labelCol).as("label"))
+    val assigned = assignCells(c, "id", "e", numCentroids,
+      passThrough = Seq("label"))
+    val g = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n_members"))
+    val w = Window.partitionBy(col("cell"))
+    g.withColumn("cell_n", sum(col("n_members")).over(w).cast("long"))
+      .select(col("cell"), col("label"), col("n_members"), col("cell_n"),
+        round(col("n_members").cast("double") / col("cell_n").cast("double"), 6).as("share"))
   }
 
   /** SemDeDup-shape semantic deduplication: coarse-quantize the corpus

@@ -586,6 +586,42 @@ object TextStats {
         round(col("hs").cast("double"), 6).as("entropy"))
   }
 
+  /** Per-document mean bigram surprisal `−ln p(w₂|w₁)` under the corpus
+    * bigram LM (`p(w₂|w₁) = c(w₁,w₂) / c(w₁,·)`, maximum likelihood over
+    * the corpus' own bigram stream) — the context-sensitive upgrade of
+    * [[unigramSurprisal]]: repetitive/templated text scores near zero,
+    * incoherent token soup scores high even when each token is common.
+    * The classic KenLM-style quality gate, restated engine-portably.
+    *
+    * Shape: one bigram explode feeds all three aggregates (per-doc tf,
+    * corpus bigram counts, prefix counts), each map-side combined; the two
+    * count joins run on the REDUCED bigram vocabulary, not the stream.
+    * Determinism: per-bigram surprisal is 6dp-quantized to DECIMAL before
+    * the tf-weighted sum, so accumulation order cannot perturb the mean
+    * (same contract as the unigram scorer). Documents with fewer than two
+    * tokens have no bigrams and drop out.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val big = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1])) ELSE array() END"))
+        .as("bg"))
+    val tf = big.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val cab = big.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+    val cw = big.select(split(col("bg"), " ").getItem(0).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    tf.join(cab, "bg")
+      .join(cw, split(col("bg"), " ").getItem(0) === col("w1"))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * round(-log(col("cab").cast("double") / col("cw").cast("double")), 6)
+          .cast(dec6)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("c")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams"), 6).as("avg_surprisal"))
+  }
+
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))

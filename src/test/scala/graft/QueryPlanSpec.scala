@@ -119,7 +119,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // regression.
     val boundedBnlj = Set("bm25_search", "knn_bruteforce", "pmi_bigrams",
       "q22_idle_customers", "tfidf_top", "unigram_surprisal",
-      "pagerank_step", "gap_fill", "rrf_fusion" /* bm25 leg's stats row */)
+      "pagerank_step", "gap_fill", "rrf_fusion" /* bm25 leg's stats row */,
+      "ann_recall" /* brute-force leg broadcasts the fixed query set */)
     val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
     val offenders = names.flatMap { n =>
       val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
