@@ -1377,8 +1377,17 @@ object SparkEntry {
     // Web-curation domain histogram: URLs extracted map-side, one
     // domain-keyed aggregate — the source-allowlist signal.
     "url_domains" -> ((s, d) =>
+      // The synthetic corpus text carries no URLs, so the page column
+      // embeds two deterministic URLs (source-derived + doc_id-derived)
+      // around the real text — the extraction regex then runs against
+      // genuine mixed content and the histogram is non-trivially checked.
       docs(s, d)
-        .select(explode(regexp_extract_all(col("text"),
+        .select(concat(
+          lit("ref http://"), col("source"), lit(".example.com/p/"),
+          col("doc_id").cast("string"), lit(" "), col("text"),
+          lit(" mirror https://m"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.org/x?id="), col("doc_id").cast("string")).as("page"))
+        .select(explode(regexp_extract_all(col("page"),
           lit(TextStats.UrlRe), lit(0))).as("url"))
         .select(regexp_extract(col("url"), "https?://([^/\\s]+)", 1).as("domain"))
         .groupBy(col("domain")).agg(count(lit(1)).as("n"))
@@ -2849,8 +2858,12 @@ object SparkEntry {
 
     "url_domains" -> {
       import TextStats.UrlRe
-      s"""WITH u AS (SELECT unnest(regexp_extract_all(text, '$UrlRe')) AS url FROM documents)
-         |SELECT regexp_extract(url, 'https?://([^/\\s]+)', 1) AS domain, count(*) AS n
+      s"""WITH pages AS (SELECT 'ref http://' || source || '.example.com/p/' || doc_id
+         |  || ' ' || text || ' mirror https://m' || (doc_id % 7)
+         |  || '.example.org/x?id=' || doc_id AS page FROM documents),
+         |u AS (SELECT unnest(regexp_extract_all(page, '$UrlRe')) AS url FROM pages)
+         |SELECT regexp_extract(url, 'https?://([^/\\s]+)', 1) AS domain,
+         |  CAST(count(*) AS BIGINT) AS n
          |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
     },
 
