@@ -591,6 +591,85 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // TPC-H Q9 shape (product-type profit): profit per supplier-nation per
+    // order-year over a name-filtered part slice. The corpus has no
+    // partsupp table, so supply cost proxies as p_retailprice · quantity —
+    // same expression shape (rev minus cost, both exact decimal). The only
+    // shuffles are the fact-fact orderkey join and the final (nation,
+    // year) aggregate; part/supplier/nation all broadcast, and the name
+    // LIKE filter rides the broadcast build side.
+    "q9_profit" -> ((s, d) => {
+      val profit = dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount"))) -
+        dec2(col("p_retailprice")) * dec2(col("l_quantity"))
+      li(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d).where(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(profit).cast("double").as("profit"), count(lit(1)).as("n_items"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape (important stock): per-part value restricted to one
+    // nation's suppliers, kept only where it clears a fraction of the
+    // GLOBAL total — the `HAVING > (SELECT sum(...) * f)` scalar subquery.
+    // The supplier→nation filter reduces to a broadcast semi-join of
+    // suppkeys onto the fact scan; the threshold is ONE broadcast row.
+    // Both aggregates are exact decimal sums (cast to double only at the
+    // comparison/output), so the > cut is engine-portable to the last ulp.
+    "q11_important_stock" -> ((s, d) => {
+      val suppInNation = Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name") === "NATION_5")
+        .select(col("s_suppkey"))
+      val f = li(s, d)
+        .join(broadcast(suppInNation), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("l_partkey"), dec2(col("l_extendedprice")).as("v"))
+      val perPart = f.groupBy(col("l_partkey"))
+        .agg(sum(col("v")).as("value_dec"))
+      val threshold = perPart
+        .agg((sum(col("value_dec")).cast("double") * 0.001).as("threshold"))
+      perPart.crossJoin(broadcast(threshold))
+        .withColumn("value", col("value_dec").cast("double"))
+        .where(col("value") > col("threshold"))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q20 shape (potential part promotion): suppliers who dominate a
+    // part's shipped volume — the doubly-nested IN over an
+    // aggregate-derived threshold. With no partsupp availqty, the
+    // availability test becomes supp_qty > 0.3 · part_qty over one year of
+    // name-filtered lines. The fact is scanned ONCE: the per-part total
+    // re-aggregates the per-(part,supplier) sums (exact decimal, so it
+    // equals a direct sum), and the qualifying suppkeys semi-join the
+    // supplier dim.
+    "q20_dominant_supplier" -> ((s, d) => {
+      val redParts = Tables.part(s, d)
+        .where(col("p_name").contains("red")).select(col("p_partkey"))
+      val f = li(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"), dec2(col("l_quantity")).as("q"))
+      val perSupp = f.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("q")).as("sq"))
+      val perPart = perSupp.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(sum(col("sq")).as("pq"))
+      val dominant = perSupp
+        .join(perPart, col("l_partkey") === col("t_partkey"))
+        .where(col("sq").cast("double") > lit(0.3) * col("pq").cast("double"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "window_top_orders" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -599,6 +678,24 @@ object SparkEntry {
         .where(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Distribution-rank window family: per-customer spend bucketed by
+    // ntile(4) with percent_rank/cume_dist percentiles — one reduced
+    // aggregate (|customers| rows) under ONE unpartitioned window whose
+    // ordering is pinned to a unique (spend, custkey) key, so tile
+    // boundaries and ranks are deterministic in any engine. The window
+    // frame is the reduced customer table, never the fact.
+    "spend_quartiles" -> ((s, d) => {
+      val w = Window.orderBy(col("spend"), col("o_custkey"))
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec2(col("o_totalprice"))).cast("double").as("spend"))
+        .select(col("o_custkey"), col("spend"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("o_custkey"))
     }),
 
     // Rollup (grouping sets): per-(status, priority) totals plus the
@@ -1342,6 +1439,38 @@ object SparkEntry {
       Graph.pagerankStep(edges, PrDamping).orderBy(col("node"))
     }),
 
+    // Triangle counting over the supplier co-occurrence graph (suppliers
+    // linked when they ship the same part unusually often). The classic
+    // distributed shape: distinct (part, supplier) incidence → equi-join
+    // on part with s1 < s2 orientation (each undirected edge built ONCE,
+    // halving the pair space) → edge list filtered by a broadcast scalar
+    // threshold (self-calibrating: strictly above the mean shared-part
+    // count, so the graph stays sparse at any SF) → two edge-list
+    // equi-joins close the wedges. No cartesian anywhere; every join is
+    // keyed, and the triangle probe runs on the FILTERED edge list.
+    "triangle_count" -> ((s, d) => {
+      val ps = li(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+      val shared = ps.as("a")
+        .join(ps.select(col("l_partkey").as("b_partkey"),
+            col("l_suppkey").as("s2")),
+          col("l_partkey") === col("b_partkey") && col("l_suppkey") < col("s2"))
+        .groupBy(col("l_suppkey").as("s1"), col("s2"))
+        .agg(count(lit(1)).as("c"))
+      val thr = shared.agg(
+        (sum(col("c")).cast("double") / count(lit(1))).as("avg_c"))
+      val e = shared.crossJoin(broadcast(thr))
+        .where(col("c") > col("avg_c"))
+        .select(col("s1"), col("s2"))
+        .localCheckpoint()
+      val tri = e
+        .join(e.select(col("s1").as("t2_s1"), col("s2").as("t2_s2")),
+          col("s2") === col("t2_s1"))
+        .join(e.select(col("s1").as("t3_s1"), col("s2").as("t3_s2")),
+          col("s1") === col("t3_s1") && col("t2_s2") === col("t3_s2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    }),
+
     // Corpus-mixing diversity signal: per-source Shannon entropy of the
     // token distribution (exact-decimal contribution sums).
     "source_entropy" -> ((s, d) =>
@@ -1556,6 +1685,18 @@ object SparkEntry {
         .groupBy(col("prop_key"))
         .agg(count(lit(1)).as("n"), sum(col("prop_val")).as("total"))
         .orderBy(col("prop_key"))),
+
+    // VariantType surface (Spark 4): the props JSON parsed ONCE into the
+    // binary Variant encoding, paths extracted with variant_get — the
+    // semi-structured fast path for property bags too polymorphic for a
+    // pinned struct/map schema. Extraction stays map-side; the aggregate
+    // groups on the extracted key's residue class.
+    "props_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("total"))
+        .orderBy(col("k_mod"))),
 
     // As-of (point-in-time) join: for each purchase, the user's latest
     // click at-or-before it — the feature-store lookup shape.
@@ -2044,11 +2185,79 @@ object SparkEntry {
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH f AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_5')),
+        |pv AS (SELECT l_partkey, CAST(sum(v) AS DOUBLE) AS value FROM f GROUP BY l_partkey)
+        |SELECT l_partkey, value FROM pv
+        |WHERE value > (SELECT CAST(sum(v) AS DOUBLE) * 0.001 FROM f)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q20_dominant_supplier" ->
+      """WITH f AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |ps AS (SELECT l_partkey, l_suppkey, CAST(sum(q) AS DOUBLE) AS supp_qty FROM f GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, CAST(sum(q) AS DOUBLE) AS part_qty FROM f GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+        |  WHERE ps.supp_qty > 0.3 * pt.part_qty)
+        |ORDER BY s_suppkey""".stripMargin,
+
     "window_top_orders" ->
       """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "spend_quartiles" ->
+      """WITH sp AS (
+        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, spend,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM sp WINDOW w AS (ORDER BY spend, o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "triangle_count" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |sh AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS c
+        |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT s1, s2 FROM sh
+        |  WHERE c > (SELECT CAST(sum(c) AS DOUBLE) / count(*) FROM sh))
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM e e1
+        |    JOIN e e2 ON e2.s1 = e1.s2
+        |    JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2) AS n_triangles""".stripMargin,
+
+    "props_variant" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "grouping_sets" ->
       """SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
