@@ -643,8 +643,10 @@ object SparkEntry {
     // part's shipped volume — the doubly-nested IN over an
     // aggregate-derived threshold. With no partsupp availqty, the
     // availability test becomes supp_qty > 0.3 · part_qty over one year of
-    // name-filtered lines. The fact is scanned ONCE: the per-part total
-    // re-aggregates the per-(part,supplier) sums (exact decimal, so it
+    // name-filtered lines. The fact is scanned ONCE: the per-(part,
+    // supplier) aggregate is materialized (localCheckpoint — Catalyst has
+    // no subtree CSE, so both consumers would otherwise re-scan the
+    // fact), the per-part total re-aggregates it (exact decimal, so it
     // equals a direct sum), and the qualifying suppkeys semi-join the
     // supplier dim.
     "q20_dominant_supplier" -> ((s, d) => {
@@ -657,6 +659,7 @@ object SparkEntry {
         .select(col("l_partkey"), col("l_suppkey"), dec2(col("l_quantity")).as("q"))
       val perSupp = f.groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("q")).as("sq"))
+        .localCheckpoint()
       val perPart = perSupp.groupBy(col("l_partkey").as("t_partkey"))
         .agg(sum(col("sq")).as("pq"))
       val dominant = perSupp
@@ -1902,6 +1905,25 @@ object SparkEntry {
           col("n_events"))
       streaming.StreamOps.runToParquet(s, sess)
         .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // Spark 4 transformWithState (typed ValueState in the RocksDB store,
+    // update mode): per-user running totals as a bounded stream. The
+    // final emission per user — the max-n_events row — IS the batch
+    // aggregate (cents kept exact in Long state, so the total is
+    // batching-order-independent); the reduce over emissions is a tiny
+    // |users|-row batch aggregate on the memory-sink table.
+    "stream_running_totals" -> ((s, d) => {
+      import s.implicits._
+      val ev = streaming.StreamOps.eventsStream(s, d)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[streaming.StreamOps.Evt]
+      val updates = streaming.StreamOps.runToCompletionUpdate(
+        s, streaming.StreamOps.runningUserTotals(ev))
+      updates.groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("total_cents"), col("n_events")).as("total_cents"))
+        .orderBy(col("user_id"))
     }),
 
     // Stream-stream inner join (event-time range bounds + watermarked
@@ -3418,6 +3440,11 @@ object SparkEntry {
          |SELECT agg.user_id AS user_id, session_start, session_end, n_events
          |FROM agg JOIN mx USING (user_id) WHERE sid < last_sid
          |ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_running_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),

@@ -4,9 +4,10 @@ import java.sql.Timestamp
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.functions._
 
@@ -194,6 +195,82 @@ object StreamOps {
       col("p_user") === col("c_user") &&
       col("c_ts") >= col("p_ts") - expr("interval 1 hour") &&
       col("c_ts") <= col("p_ts"))
+  }
+
+  // ------------------------------------------- transformWithState surface
+
+  /** Emitted running total per user: monotone `n_events`, money kept as
+    * EXACT cents (a Double accumulator would make the total depend on
+    * micro-batch arrival order; a Long sum is associative, so any batching
+    * produces the same final state).
+    */
+  final case class UserAgg(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Per-user running aggregate on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes `flatMapGroupsWithState`: typed
+    * state handles (`ValueState`/`ListState`/`MapState`) with per-state
+    * TTL, timers decoupled from output mode, and state living in the
+    * per-partition store (RocksDB provider required) — O(1) state per
+    * user, shuffled once per micro-batch on the group key.
+    *
+    * Update-mode contract: every input batch emits the key's NEW
+    * cumulative state, so the last emission per key (the one with the
+    * largest `n_events`) equals the batch aggregate regardless of how the
+    * source split the stream into micro-batches.
+    */
+  final class UserAggProcessor extends StatefulProcessor[Long, Evt, UserAgg] {
+    @transient private var agg: ValueState[UserAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[UserAgg]("agg", Encoders.product[UserAgg],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Evt],
+                                 tv: TimerValues): Iterator[UserAgg] = {
+      var cur = if (agg.exists()) agg.get() else UserAgg(key, 0L, 0L)
+      rows.foreach { e =>
+        cur = UserAgg(key, cur.n_events + 1,
+          cur.total_cents + math.round(e.value * 100))
+      }
+      agg.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  def runningUserTotals(events: Dataset[Evt]): Dataset[UserAgg] = {
+    implicit val enc = Encoders.product[UserAgg]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new UserAggProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Run an update-mode stateful stream to completion through the memory
+    * sink. `transformWithState` requires the RocksDB state store provider;
+    * it is pinned for this query and the previous provider restored after
+    * (state-store provider, like partition count, freezes into a
+    * checkpoint at first start — per-query scoping keeps the other
+    * streaming queries on the default provider).
+    */
+  def runToCompletionUpdate(spark: SparkSession, out: Dataset[_],
+                            statePartitions: Int = 8): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"graft_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStatePartitions(spark, statePartitions) {
+        val q = out.writeStream
+          .outputMode(OutputMode.Update)
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(name)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   // ----------------------------------------------------- sessionization

@@ -172,6 +172,41 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.contains((2L, ts(15, 0), ts(15, 0), 1L, 8.0)), s"got: ${got.mkString}")
   }
 
+  test("transformWithState running totals: multi-batch delivery converges to the batch aggregate") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.Evt]
+      val q = StreamOps.runningUserTotals(mem.toDS()).writeStream
+        .format("memory").queryName("tws_t").outputMode("update").start()
+      def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      // user 1's rows deliberately split across three micro-batches
+      mem.addData(StreamOps.Evt(1L, ts(9), 1.50), StreamOps.Evt(2L, ts(9), 2.00))
+      q.processAllAvailable()
+      mem.addData(StreamOps.Evt(1L, ts(10), 2.25))
+      q.processAllAvailable()
+      mem.addData(StreamOps.Evt(1L, ts(11), 0.25), StreamOps.Evt(2L, ts(11), 1.00))
+      q.processAllAvailable()
+      val emissions = spark.table("tws_t").as[StreamOps.UserAgg].collect()
+      q.stop()
+      // per-batch cumulative emissions for user 1: (1,150), (2,375), (3,400)
+      val u1 = emissions.filter(_.user_id == 1L).sortBy(_.n_events)
+      assert(u1.map(a => (a.n_events, a.total_cents)).toSeq ==
+        Seq((1L, 150L), (2L, 375L), (3L, 400L)), s"got: ${u1.mkString(",")}")
+      // final state per user == batch aggregate, independent of batching
+      val finalByUser = emissions.groupBy(_.user_id)
+        .map { case (u, as) => u -> as.maxBy(_.n_events) }
+      assert(finalByUser(1L).total_cents == 400L && finalByUser(1L).n_events == 3L)
+      assert(finalByUser(2L).total_cents == 300L && finalByUser(2L).n_events == 2L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("file-driven streaming: readStream over the events corpus matches batch hourly stats") {
     // stream the sf0.001 events table as files and check the windowed agg
     // equals the batch plan over the same data (same Catalyst window node)

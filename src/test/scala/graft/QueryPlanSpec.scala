@@ -82,6 +82,26 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertNoLoopJoin("q19_disjunctive")
   }
 
+  test("q9_profit: part name filter is pushed to the part scan; all joins hashed") {
+    assertNoLoopJoin("q9_profit")
+    val p = plan("q9_profit")
+    assert(p.contains("StringContains(p_name,red)"),
+      s"q9's name LIKE filter must reach the part scan:\n$p")
+  }
+
+  test("q20_dominant_supplier: fact scanned once (checkpointed aggregate), joins hashed") {
+    assertNoLoopJoin("q20_dominant_supplier")
+    // The per-(part,supplier) aggregate is checkpointed, so the visible
+    // plan reads it as an in-memory scan; the only parquet scans left are
+    // the two dimension tables — the fact is provably not re-scanned.
+    // (executedPlan.toString prints each node once, unlike formatted mode
+    // whose detail section would double-count.)
+    val p = SparkEntry.queries("q20_dominant_supplier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"q20 should scan only supplier+nation after the checkpoint, got $scans:\n$p")
+  }
+
   test("range_join: bucketized restatement plans no nested-loop join") {
     assertNoLoopJoin("range_join")
   }
@@ -120,7 +140,9 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val boundedBnlj = Set("bm25_search", "knn_bruteforce", "pmi_bigrams",
       "q22_idle_customers", "tfidf_top", "unigram_surprisal",
       "pagerank_step", "gap_fill", "rrf_fusion" /* bm25 leg's stats row */,
-      "ann_recall" /* brute-force leg broadcasts the fixed query set */)
+      "ann_recall" /* brute-force leg broadcasts the fixed query set */,
+      "q11_important_stock" /* 1-row threshold broadcast */,
+      "triangle_count" /* 1-row mean-degree threshold + 1-row × 1-row output join */)
     val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
     val offenders = names.flatMap { n =>
       val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
