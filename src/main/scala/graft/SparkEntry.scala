@@ -1442,13 +1442,69 @@ object SparkEntry {
       Graph.pagerankStep(edges, PrDamping).orderBy(col("node"))
     }),
 
+    // BPE merge-step count phase: adjacent character-pair frequencies over
+    // the token stream — the statistic one byte-pair-encoding iteration
+    // maximizes. The corpus reduces to the token VOCABULARY first (pair
+    // explosion weighted by token count, so the char-level explode runs
+    // over |vocab| rows, not the corpus); top pairs via
+    // TakeOrderedAndProject.
+    "bpe_pairs" -> ((s, d) => {
+      val tc = docs(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .where(length(col("tok")) >= 2)
+      tc.select(
+          explode(transform(sequence(lit(1), length(col("tok")) - 1),
+            i => col("tok").substr(i, lit(2)))).as("pair"),
+          col("n"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("total"))
+        .orderBy(col("total").desc, col("pair")).limit(20)
+    }),
+
+    // 2-D skyline (Pareto frontier, minimize price and size): the naive
+    // formulation is a quadratic NOT-EXISTS self-join; restated as a
+    // double reduction — per-price min size collapses the corpus to
+    // |distinct prices| rows, then ONE ordered window keeps rows whose
+    // size undercuts every cheaper price's (running min over the
+    // preceding frame). Verified equivalent to the brute-force dominance
+    // definition; the window frame is the reduced price axis, never the
+    // table.
+    "skyline" -> ((s, d) => {
+      val pp = Tables.part(s, d)
+        .groupBy(col("p_retailprice").as("price"))
+        .agg(min(col("p_size")).as("size_i"))
+      val w = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pp.withColumn("prev_min", min(col("size_i")).over(w))
+        .where(col("prev_min").isNull || col("size_i") < col("prev_min"))
+        .select(col("price"), col("size_i").cast("long").as("size"))
+        .orderBy(col("price"))
+    }),
+
+    // Correlated LATERAL subquery with ORDER BY ... LIMIT — the per-row
+    // top-n join shape through the SQL front door. Catalyst decorrelates
+    // the lateral into a window/aggregate plan, so no per-nation re-scan
+    // of customer happens at any scale.
+    "lateral_topn" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_lt")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lt")
+      s.sql("""SELECT n_name, t.c_custkey, t.c_acctbal
+        |FROM nation_lt JOIN LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer_lt
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+    }),
+
     // Triangle counting over the supplier co-occurrence graph (suppliers
     // linked when they ship the same part unusually often). The classic
     // distributed shape: distinct (part, supplier) incidence → equi-join
     // on part with s1 < s2 orientation (each undirected edge built ONCE,
     // halving the pair space) → edge list filtered by a broadcast scalar
-    // threshold (self-calibrating: strictly above the mean shared-part
-    // count, so the graph stays sparse at any SF) → two edge-list
+    // threshold (self-calibrating: mean + one stddev of the shared-part
+    // count, from EXACT integer moments so the cut is engine-portable —
+    // a mean-only cut leaves the near-complete co-occurrence graph half
+    // dense and the wedge join quadratic in degree) → two edge-list
     // equi-joins close the wedges. No cartesian anywhere; every join is
     // keyed, and the triangle probe runs on the FILTERED edge list.
     "triangle_count" -> ((s, d) => {
@@ -1459,10 +1515,17 @@ object SparkEntry {
           col("l_partkey") === col("b_partkey") && col("l_suppkey") < col("s2"))
         .groupBy(col("l_suppkey").as("s1"), col("s2"))
         .agg(count(lit(1)).as("c"))
-      val thr = shared.agg(
-        (sum(col("c")).cast("double") / count(lit(1))).as("avg_c"))
+      val thr = shared
+        .agg(sum(col("c")).as("cs"), sum(col("c") * col("c")).as("cs2"),
+          count(lit(1)).as("cn"))
+        .select((col("cs").cast("double") / col("cn").cast("double") +
+          sqrt(greatest(
+            (col("cs2").cast("double") -
+              col("cs").cast("double") * col("cs").cast("double") /
+                col("cn").cast("double")) / col("cn").cast("double"),
+            lit(0.0)))).as("thr_c"))
       val e = shared.crossJoin(broadcast(thr))
-        .where(col("c") > col("avg_c"))
+        .where(col("c") > col("thr_c"))
         .select(col("s1"), col("s2"))
         .localCheckpoint()
       val tri = e
@@ -2263,13 +2326,44 @@ object SparkEntry {
         |FROM sp WINDOW w AS (ORDER BY spend, o_custkey)
         |ORDER BY o_custkey""".stripMargin,
 
+    "bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(tok)), i -> substr(tok, i, 2))) AS pair, n
+        |  FROM tc WHERE length(tok) >= 2)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS total
+        |FROM pairs GROUP BY pair ORDER BY total DESC, pair LIMIT 20""".stripMargin,
+
+    "skyline" ->
+      """WITH pp AS (SELECT p_retailprice AS price, min(p_size) AS size_i
+        |  FROM part GROUP BY 1),
+        |w AS (SELECT price, size_i,
+        |  min(size_i) OVER (ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+        |  FROM pp)
+        |SELECT price, CAST(size_i AS BIGINT) AS size
+        |FROM w WHERE prev_min IS NULL OR size_i < prev_min
+        |ORDER BY price""".stripMargin,
+
+    "lateral_topn" ->
+      """SELECT n_name, t.c_custkey, t.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
     "triangle_count" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |sh AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS c
         |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         |  GROUP BY 1, 2),
-        |e AS (SELECT s1, s2 FROM sh
-        |  WHERE c > (SELECT CAST(sum(c) AS DOUBLE) / count(*) FROM sh))
+        |st AS (SELECT CAST(sum(c) AS DOUBLE) AS cs, CAST(sum(c * c) AS DOUBLE) AS cs2,
+        |  CAST(count(*) AS DOUBLE) AS cn FROM sh),
+        |e AS (SELECT s1, s2 FROM sh, st
+        |  WHERE c > cs / cn + sqrt(greatest((cs2 - cs * cs / cn) / cn, 0.0)))
         |SELECT (SELECT count(*) FROM e) AS n_edges,
         |  (SELECT count(*) FROM e e1
         |    JOIN e e2 ON e2.s1 = e1.s2
