@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.Scale joins [nLine]"    (default 200,000,000)
   *   sbt "runMain graft.Scale range [nPts] [nIv]" (default 50M × 1M)
   *   sbt "runMain graft.Scale stream [nRows]"   (default 100,000,000)
+  *   sbt "runMain graft.Scale graph [nInc]"     (default 10,000,000)
   *
   * `dedup` mode drives the MinHash-LSH near-dup pipeline (the same
   * operators as the `minhash_pairs` query, same k/bands) over synthetic
@@ -38,6 +39,7 @@ object Scale {
     if (args.headOption.contains("joins")) return joinsMain(args.drop(1))
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     if (args.headOption.contains("range")) return rangeMain(args.drop(1))
+    if (args.headOption.contains("graph")) return graphMain(args.drop(1))
     if (args.headOption.contains("stream")) return streamMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -401,6 +403,84 @@ object Scale {
     * Every point hits ~avg-interval-coverage intervals, so the matched
     * row count is checkable against the expected density.
     */
+  /** Triangle counting at volume: the `triangle_count` shape — oriented
+    * co-occurrence pair build, mean+σ edge threshold from exact integer
+    * moments, wedge-closing equi-joins — over a synthetic incidence list
+    * far past the fixture (sf0.1 ≈ 600k incidence rows). Items get a
+    * fixed membership fan-out f, so the pair space is items · C(f,2),
+    * LINEAR in incidence rows; the threshold keeps the closing joins on
+    * the sparse co-occurrence tail (pairs sharing ≥2 items), exactly the
+    * property that makes the shape survive at 100×.
+    *
+    *   sbt "runMain graft.Scale graph [nInc]"   (default 10,000,000)
+    */
+  private def graphMain(args: Array[String]): Unit = {
+    val nInc = if (args.nonEmpty) args(0).toLong else 10000000L
+    val fan = 12L
+    val nMembers = 50000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // (item, member) incidence: f members per item. xxhash64 mixing, not a
+    // multiplicative stride — a fixed stride makes every item's member set
+    // the SAME arithmetic progression mod nMembers, collapsing the pair
+    // space onto a degenerate lattice. (No cross-engine oracle here, so
+    // Spark-only hashing is fine; the verified query uses portable h60.)
+    def inc = spark.range(nInc)
+      .repartition(cpus.toInt * 2)
+      .select((col("id") / fan).cast("long").as("item"),
+        pmod(xxhash64(col("id")), lit(nMembers)).as("member"))
+      .distinct()
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+
+    var shared: org.apache.spark.sql.DataFrame = null
+    val pairSec = time {
+      shared = inc.as("a")
+        .join(inc.select(col("item").as("b_item"), col("member").as("m2")),
+          col("item") === col("b_item") && col("member") < col("m2"))
+        .groupBy(col("member").as("s1"), col("m2").as("s2"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+    }
+    val thr = shared
+      .agg(sum(col("c")).as("cs"), sum(col("c") * col("c")).as("cs2"),
+        count(lit(1)).as("cn"))
+      .select((col("cs").cast("double") / col("cn").cast("double") +
+        sqrt(greatest(
+          (col("cs2").cast("double") -
+            col("cs").cast("double") * col("cs").cast("double") /
+              col("cn").cast("double")) / col("cn").cast("double"),
+          lit(0.0)))).as("thr_c"))
+    var nEdges = 0L
+    var nTriangles = 0L
+    val triSec = time {
+      val e = shared.crossJoin(broadcast(thr))
+        .where(col("c") > col("thr_c"))
+        .select(col("s1"), col("s2"))
+        .localCheckpoint()
+      nEdges = e.count()
+      nTriangles = e
+        .join(e.select(col("s1").as("t2_s1"), col("s2").as("t2_s2")),
+          col("s2") === col("t2_s1"))
+        .join(e.select(col("s1").as("t3_s1"), col("s2").as("t3_s2")),
+          col("s1") === col("t3_s1") && col("t2_s2") === col("t3_s2"))
+        .count()
+    }
+    val rate = (nInc / math.max(pairSec + triSec, 1e-9)).toLong
+    println(f"""{"mode":"graph","n_incidence":$nInc,"fan":$fan,"n_members":$nMembers,"n_edges":$nEdges,"n_triangles":$nTriangles,"pair_build_sec":$pairSec%.1f,"triangle_sec":$triSec%.1f,"incidence_rows_per_sec":$rate,"cpus":$cpus}""")
+    spark.stop()
+  }
+
   private def rangeMain(args: Array[String]): Unit = {
     val nPts = if (args.nonEmpty) args(0).toLong else 50000000L
     val nIv = if (args.length > 1) args(1).toLong else 1000000L
