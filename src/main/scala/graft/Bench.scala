@@ -46,6 +46,12 @@ object Bench {
       }
       val a = once()
       val sec = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
+      // Free the query's localCheckpoint blocks: several queries
+      // checkpoint multi-referenced subplans, and without this the blocks
+      // accumulate in the BlockManager across the whole suite — the GC
+      // pressure inflated late-alphabet queries up to 10× (hll_merge: 19s
+      // in-suite vs 2.1s isolated) before this cleanup.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       (name, sec)
     }
     def r3(v: Double): String = f"$v%.3f"

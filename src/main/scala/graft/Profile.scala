@@ -34,6 +34,8 @@ object Profile {
       }
       println(f"[profile] $n%-20s run1=${times(0)}%7.2fs run2=${times(1)}%7.2fs")
       if (sys.env.contains("GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+      // Drop localCheckpoint blocks between queries (twin of Bench.scala).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }

@@ -1724,6 +1724,34 @@ object SparkEntry {
     "value_zscore" -> ((s, d) =>
       Events.valueZscore(Tables.events(s, d)).orderBy(col("event_id"))),
 
+    // A/B statistics: Welch's t between two event cohorts' value means —
+    // ONE conditional-moment aggregate over a single pass (n, Σv, Σv² per
+    // arm as exact decimal sums; null-skipping `when` selects the arm),
+    // doubles only in the final fixed-order formula, so the statistic is
+    // bit-identical in any engine. O(1) state per task at any scale.
+    "ab_ttest" -> ((s, d) => {
+      val isA = col("event_type") === "click"
+      val v = dec2(col("value"))
+      val agg = Tables.events(s, d)
+        .where(col("event_type").isin("click", "view"))
+        .agg(
+          sum(when(isA, lit(1L))).as("n_a"),
+          sum(when(!isA, lit(1L))).as("n_b"),
+          sum(when(isA, v)).cast("double").as("sa"),
+          sum(when(!isA, v)).cast("double").as("sb"),
+          sum(when(isA, v * v)).cast("double").as("s2a"),
+          sum(when(!isA, v * v)).cast("double").as("s2b"))
+      val ma = col("sa") / col("n_a")
+      val mb = col("sb") / col("n_b")
+      val va = (col("s2a") - col("sa") * col("sa") / col("n_a")) /
+        (col("n_a") - 1) / col("n_a")
+      val vb = (col("s2b") - col("sb") * col("sb") / col("n_b")) /
+        (col("n_b") - 1) / col("n_b")
+      agg.select(col("n_a"), col("n_b"),
+        round(ma - mb, 6).as("mean_diff"),
+        round((ma - mb) / sqrt(va + vb), 6).as("t_stat"))
+    }),
+
     // Cohort retention matrix: first-seen-day cohorts × day offset — all
     // user-keyed aggregates sharing one partitioning; final group
     // cardinality is days², independent of corpus size.
@@ -3315,6 +3343,23 @@ object SparkEntry {
         |    THEN round((value - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4)
         |    ELSE 0.0 END AS z
         |FROM events e JOIN st USING (event_type) ORDER BY event_id""".stripMargin,
+
+    // Mirrors ab_ttest: per-arm exact DECIMAL moments, then the identical
+    // fixed-order double formula — the round(…, 6) compares equal iff both
+    // engines produce the same IEEE value at every step.
+    "ab_ttest" ->
+      """WITH g AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |a AS (SELECT n, s, s2 FROM g WHERE event_type = 'click'),
+        |b AS (SELECT n, s, s2 FROM g WHERE event_type = 'view')
+        |SELECT a.n AS n_a, b.n AS n_b,
+        |  round(a.s / a.n - b.s / b.n, 6) AS mean_diff,
+        |  round((a.s / a.n - b.s / b.n) /
+        |    sqrt(((a.s2 - a.s * a.s / a.n) / (a.n - 1)) / a.n
+        |       + ((b.s2 - b.s * b.s / b.n) / (b.n - 1)) / b.n), 6) AS t_stat
+        |FROM a, b""".stripMargin,
 
     "cohort_retention" ->
       """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1),
