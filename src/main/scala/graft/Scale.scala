@@ -443,38 +443,15 @@ object Scale {
     }
     spark.range(1000000L).selectExpr("sum(id % 7)").collect()
 
-    var shared: org.apache.spark.sql.DataFrame = null
-    val pairSec = time {
-      shared = inc.as("a")
-        .join(inc.select(col("item").as("b_item"), col("member").as("m2")),
-          col("item") === col("b_item") && col("member") < col("m2"))
-        .groupBy(col("member").as("s1"), col("m2").as("s2"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-    }
-    val thr = shared
-      .agg(sum(col("c")).as("cs"), sum(col("c") * col("c")).as("cs2"),
-        count(lit(1)).as("cn"))
-      .select((col("cs").cast("double") / col("cn").cast("double") +
-        sqrt(greatest(
-          (col("cs2").cast("double") -
-            col("cs").cast("double") * col("cs").cast("double") /
-              col("cn").cast("double")) / col("cn").cast("double"),
-          lit(0.0)))).as("thr_c"))
+    var e: org.apache.spark.sql.DataFrame = null
     var nEdges = 0L
     var nTriangles = 0L
-    val triSec = time {
-      val e = shared.crossJoin(broadcast(thr))
-        .where(col("c") > col("thr_c"))
-        .select(col("s1"), col("s2"))
-        .localCheckpoint()
+    val pairSec = time {
+      e = ops.Graph.cooccurrenceEdges(inc, "item", "member").localCheckpoint()
       nEdges = e.count()
-      nTriangles = e
-        .join(e.select(col("s1").as("t2_s1"), col("s2").as("t2_s2")),
-          col("s2") === col("t2_s1"))
-        .join(e.select(col("s1").as("t3_s1"), col("s2").as("t3_s2")),
-          col("s1") === col("t3_s1") && col("t2_s2") === col("t3_s2"))
-        .count()
+    }
+    val triSec = time {
+      nTriangles = ops.Graph.triangleCount(e).head().getLong(0)
     }
     val rate = (nInc / math.max(pairSec + triSec, 1e-9)).toLong
     println(f"""{"mode":"graph","n_incidence":$nInc,"fan":$fan,"n_members":$nMembers,"n_edges":$nEdges,"n_triangles":$nTriangles,"pair_build_sec":$pairSec%.1f,"triangle_sec":$triSec%.1f,"incidence_rows_per_sec":$rate,"cpus":$cpus}""")

@@ -1469,17 +1469,10 @@ object SparkEntry {
     // preceding frame). Verified equivalent to the brute-force dominance
     // definition; the window frame is the reduced price axis, never the
     // table.
-    "skyline" -> ((s, d) => {
-      val pp = Tables.part(s, d)
-        .groupBy(col("p_retailprice").as("price"))
-        .agg(min(col("p_size")).as("size_i"))
-      val w = Window.orderBy(col("price"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      pp.withColumn("prev_min", min(col("size_i")).over(w))
-        .where(col("prev_min").isNull || col("size_i") < col("prev_min"))
-        .select(col("price"), col("size_i").cast("long").as("size"))
-        .orderBy(col("price"))
-    }),
+    "skyline" -> ((s, d) =>
+      Stats.skyline2dMin(Tables.part(s, d), "p_retailprice", "p_size")
+        .select(col("x").as("price"), col("y").cast("long").as("size"))
+        .orderBy(col("price"))),
 
     // Correlated LATERAL subquery with ORDER BY ... LIMIT — the per-row
     // top-n join shape through the SQL front door. Catalyst decorrelates
@@ -1508,33 +1501,11 @@ object SparkEntry {
     // equi-joins close the wedges. No cartesian anywhere; every join is
     // keyed, and the triangle probe runs on the FILTERED edge list.
     "triangle_count" -> ((s, d) => {
-      val ps = li(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
-      val shared = ps.as("a")
-        .join(ps.select(col("l_partkey").as("b_partkey"),
-            col("l_suppkey").as("s2")),
-          col("l_partkey") === col("b_partkey") && col("l_suppkey") < col("s2"))
-        .groupBy(col("l_suppkey").as("s1"), col("s2"))
-        .agg(count(lit(1)).as("c"))
-      val thr = shared
-        .agg(sum(col("c")).as("cs"), sum(col("c") * col("c")).as("cs2"),
-          count(lit(1)).as("cn"))
-        .select((col("cs").cast("double") / col("cn").cast("double") +
-          sqrt(greatest(
-            (col("cs2").cast("double") -
-              col("cs").cast("double") * col("cs").cast("double") /
-                col("cn").cast("double")) / col("cn").cast("double"),
-            lit(0.0)))).as("thr_c"))
-      val e = shared.crossJoin(broadcast(thr))
-        .where(col("c") > col("thr_c"))
-        .select(col("s1"), col("s2"))
+      val e = Graph.cooccurrenceEdges(
+          li(s, d).select(col("l_partkey"), col("l_suppkey")),
+          "l_partkey", "l_suppkey")
         .localCheckpoint()
-      val tri = e
-        .join(e.select(col("s1").as("t2_s1"), col("s2").as("t2_s2")),
-          col("s2") === col("t2_s1"))
-        .join(e.select(col("s1").as("t3_s1"), col("s2").as("t3_s2")),
-          col("s1") === col("t3_s1") && col("t2_s2") === col("t3_s2"))
-        .agg(count(lit(1)).as("n_triangles"))
-      e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(Graph.triangleCount(e))
     }),
 
     // Corpus-mixing diversity signal: per-source Shannon entropy of the

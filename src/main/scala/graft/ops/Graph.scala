@@ -49,4 +49,51 @@ object Graph {
         round(coalesce(col("mass").cast("double"), lit(0.0d))
           + lit(1.0d - damping) / col("n"), 9).as("rank"))
   }
+
+  /** Co-occurrence edges from an (item, member) incidence list: members
+    * sharing an item pair up (s1 < s2 orientation, so each undirected
+    * edge is built once), and only pairs whose shared-item count clears
+    * mean + σ of the count distribution survive — exact integer moments
+    * (Σc, Σc², n as longs) feed a fixed-order double threshold, so the
+    * cut is engine-portable and the graph stays on the sparse tail at
+    * any input scale. The pair space is Σ_item C(members(item), 2) —
+    * linear in incidence rows for bounded fan-out.
+    */
+  def cooccurrenceEdges(incidence: DataFrame, itemCol: String,
+                        memberCol: String): DataFrame = {
+    val ps = incidence.select(col(itemCol).as("g_item"),
+      col(memberCol).as("g_member")).distinct()
+    val shared = ps
+      .join(ps.select(col("g_item").as("b_item"), col("g_member").as("s2")),
+        col("g_item") === col("b_item") && col("g_member") < col("s2"))
+      .groupBy(col("g_member").as("s1"), col("s2"))
+      .agg(count(lit(1)).as("c"))
+    val thr = shared
+      .agg(sum(col("c")).as("cs"), sum(col("c") * col("c")).as("cs2"),
+        count(lit(1)).as("cn"))
+      .select((col("cs").cast("double") / col("cn").cast("double") +
+        sqrt(greatest(
+          (col("cs2").cast("double") -
+            col("cs").cast("double") * col("cs").cast("double") /
+              col("cn").cast("double")) / col("cn").cast("double"),
+          lit(0.0)))).as("thr_c"))
+    shared.crossJoin(broadcast(thr))
+      .where(col("c") > col("thr_c"))
+      .select(col("s1"), col("s2"))
+  }
+
+  /** Triangle count of an oriented (s1 < s2) edge list: two wedge-closing
+    * equi-joins — e1=(a,b), e2=(b,c) keyed on the shared middle node,
+    * closed by probing (a,c). Every join is keyed (no cartesian); with
+    * degree-bounded edges the wedge volume is Σ_a C(outdeg(a), 2).
+    * The caller materializes `edges` (localCheckpoint) when it feeds
+    * multiple consumers — Catalyst has no subtree CSE.
+    */
+  def triangleCount(edges: DataFrame): DataFrame =
+    edges
+      .join(edges.select(col("s1").as("t2_s1"), col("s2").as("t2_s2")),
+        col("s2") === col("t2_s1"))
+      .join(edges.select(col("s1").as("t3_s1"), col("s2").as("t3_s2")),
+        col("s1") === col("t3_s1") && col("t2_s2") === col("t3_s2"))
+      .agg(count(lit(1)).as("n_triangles"))
 }

@@ -83,4 +83,26 @@ object Stats {
       min(col("v")).as("min_val"),
       max(col("v")).as("max_val"))
   }
+
+  /** 2-D skyline (Pareto frontier, minimize both columns): rows for which
+    * no other row is ≤ in both dimensions with at least one strict. The
+    * textbook formulation is a quadratic NOT-EXISTS self-join; this is
+    * the linear restatement — a per-x min(y) aggregate collapses the
+    * input to |distinct x| rows (for equal x only the min y can be on
+    * the frontier), then ONE ordered window keeps rows whose y undercuts
+    * the running min over all smaller x. Output columns: (x, y).
+    *
+    * The window is unpartitioned but runs over the REDUCED x axis —
+    * domain-bounded, never the input row count. For an x domain too
+    * large even reduced, pre-bucket x and skyline per bucket, then
+    * re-skyline the concatenated per-bucket frontiers (same op twice).
+    */
+  def skyline2dMin(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pp = df.groupBy(col(xCol).as("x")).agg(min(col(yCol)).as("y"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    pp.withColumn("prev_min", min(col("y")).over(w))
+      .where(col("prev_min").isNull || col("y") < col("prev_min"))
+      .select(col("x"), col("y"))
+  }
 }

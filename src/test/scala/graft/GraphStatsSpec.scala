@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Graph, Stats}
+
+/** Round-6 library ops: triangle counting (oriented edge list +
+  * co-occurrence edge derivation) and the 2-D skyline — each pinned to
+  * its brute-force definition on randomized inputs, not just the fixture
+  * oracle.
+  */
+class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-graphstats-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Brute-force triangle count of an undirected edge set given as
+    * (lo, hi) pairs with lo < hi.
+    */
+  private def bruteTriangles(edges: Set[(Long, Long)]): Long = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    nodes.combinations(3).count { case Seq(a, b, c) =>
+      edges((a, b)) && edges((b, c)) && edges((a, c))
+    }
+  }
+
+  test("triangleCount matches brute force on known and random graphs") {
+    val sp = spark; import sp.implicits._
+    // K4: 4 triangles; plus a pendant edge that closes nothing
+    val k4 = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)).toSet + ((4L, 9L))
+    assert(bruteTriangles(k4) == 4L)
+    val got = Graph.triangleCount(k4.toSeq.toDF("s1", "s2")).head().getLong(0)
+    assert(got == 4L, s"K4 + pendant must have 4 triangles, got $got")
+
+    // deterministic pseudo-random graph, seeds chosen to vary density
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val edges = (1 to 120).map { _ =>
+        val a = rnd.nextInt(12).toLong; val b = rnd.nextInt(12).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 < e._2).toSet
+      val expected = bruteTriangles(edges)
+      val actual = Graph.triangleCount(edges.toSeq.toDF("s1", "s2"))
+        .head().getLong(0)
+      assert(actual == expected, s"random graph: got $actual want $expected")
+    }
+  }
+
+  test("cooccurrenceEdges orients s1 < s2 and keeps only above-threshold pairs") {
+    val sp = spark; import sp.implicits._
+    // items 1..8 shared by members (10, 20); item 9 shared by (20, 30);
+    // pair (10,20) shares 8 items, (20,30) shares 1 → mean 4.5, σ 3.5 →
+    // threshold 8.0 — nothing clears a strictly-greater cut... so add a
+    // third light pair to pull the mean down and keep (10,20) above it.
+    val inc = ((1L to 8L).flatMap(i => Seq((i, 10L), (i, 20L))) ++
+      Seq((9L, 20L), (9L, 30L), (10L, 40L), (10L, 50L))).toDF("item", "member")
+    val got = Graph.cooccurrenceEdges(inc, "item", "member")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // counts: (10,20)=8, (20,30)=1, (40,50)=1 → mean 10/3, σ=sqrt(s2/n-μ²)
+    // = sqrt(66/3 - 100/9) ≈ 3.3 → threshold ≈ 6.63 → only (10,20)
+    assert(got == Set((10L, 20L)), s"got $got")
+    // duplicate incidence rows must not inflate counts
+    val withDups = inc.unionAll(inc)
+    val got2 = Graph.cooccurrenceEdges(withDups, "item", "member")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == got, "distinct() must make incidence idempotent")
+  }
+
+  /** Brute-force 2-D skyline per the dominance definition. */
+  private def bruteSkyline(pts: Seq[(Double, Int)]): Set[(Double, Int)] = {
+    val d = pts.distinct
+    d.filter { p =>
+      !d.exists(q => q._1 <= p._1 && q._2 <= p._2 &&
+        (q._1 < p._1 || q._2 < p._2))
+    }.toSet
+  }
+
+  test("skyline2dMin matches the brute-force dominance definition") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val pts = (1 to 300).map(_ =>
+        (math.round(rnd.nextDouble() * 50) / 10.0, rnd.nextInt(40)))
+      val expected = bruteSkyline(pts)
+      val got = Stats.skyline2dMin(pts.toDF("price", "size"), "price", "size")
+        .collect().map(r => (r.getDouble(0), r.getInt(1))).toSet
+      assert(got == expected, s"skyline mismatch: got $got want $expected")
+    }
+    // degenerate: single point, duplicated points
+    val one = Seq((1.5, 3)).toDF("price", "size")
+    assert(Stats.skyline2dMin(one, "price", "size").count() == 1)
+    val dup = Seq((1.5, 3), (1.5, 3), (2.0, 3)).toDF("price", "size")
+    assert(Stats.skyline2dMin(dup, "price", "size")
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toSet == Set((1.5, 3)))
+  }
+}
