@@ -83,6 +83,8 @@ object SparkEntry {
   private val RrfPool = 50
   private val RrfK = 20
   private val RrfC = 60
+  private val NdcgK = 10
+  private val ZipfK = 256
   private val PrDamping = 0.85
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
@@ -1401,6 +1403,21 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // Retrieval-quality gauge: NDCG@10 of the BM25 ranking against a
+    // term-overlap relevance label. Relevance is a map-only corpus
+    // projection; the 10-row ranked list broadcasts into it; the ideal
+    // leg is a bounded-heap top-k — the corpus never shuffles.
+    "ndcg_eval" -> ((s, d) =>
+      TextStats.ndcgAt(docs(s, d), BmTerms, NdcgK, BmK1, BmB)),
+
+    // Power-law health check of the token vocabulary: OLS fit of
+    // ln(count) ~ ln(rank) over the top-256 tokens. Corpus-sized work is
+    // one term aggregate + bounded top-k; the regression runs on k rows
+    // with the normal equations written out so any engine computes the
+    // identical formula.
+    "zipf_slope" -> ((s, d) =>
+      TextStats.zipfFit(docs(s, d), ZipfK)),
+
     // Classifier-evaluation surface: confusion matrix of the n-gram
     // language-ID heuristic against the corpus's labeled lang — ONE
     // map-only pass (label rides through the langId projection) into a
@@ -2355,7 +2372,9 @@ object SparkEntry {
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
 
     "triangle_count" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      """WITH psall AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT l_partkey FROM psall GROUP BY l_partkey HAVING count(*) <= 10000),
+        |ps AS (SELECT psall.l_partkey, psall.l_suppkey FROM psall JOIN ok USING (l_partkey)),
         |sh AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS c
         |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         |  GROUP BY 1, 2),
@@ -2968,6 +2987,44 @@ object SparkEntry {
          |      + coalesce(CAST(1 AS DOUBLE) / ($RrfC + qt.rnk), 0), 9) AS rrf
          |  FROM bt FULL JOIN qt ON bt.doc_id = qt.doc_id)
          |SELECT doc_id, rrf FROM fz ORDER BY rrf DESC, doc_id LIMIT $RrfK""".stripMargin,
+
+    // NDCG@k of the bm25 CTE ranking; relevance = count of query terms
+    // present. Same graded-gain / ln-ratio discount formula as the engine.
+    "ndcg_eval" -> {
+      val relExpr = BmTerms.map(t =>
+        s"CASE WHEN len(list_filter(tk, x -> x = '$t')) > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $bmScoredCte,
+         |rl AS (SELECT doc_id, CAST($relExpr AS BIGINT) AS rel FROM t),
+         |rk AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+         |  FROM (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+         |        ORDER BY bm25 DESC, doc_id LIMIT $NdcgK)),
+         |d AS (SELECT sum((power(2.0, CAST(rl.rel AS DOUBLE)) - 1.0)
+         |    / (ln(CAST(rk.pos AS DOUBLE) + 1.0) / ln(2.0))) AS dcg
+         |  FROM rk JOIN rl USING (doc_id)),
+         |i AS (SELECT sum((power(2.0, CAST(rel AS DOUBLE)) - 1.0)
+         |    / (ln(CAST(pos AS DOUBLE) + 1.0) / ln(2.0))) AS idcg
+         |  FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+         |        FROM (SELECT doc_id, rel FROM rl ORDER BY rel DESC, doc_id LIMIT $NdcgK)))
+         |SELECT round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+         |  round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0 END, 6) AS ndcg
+         |FROM d, i""".stripMargin
+    },
+
+    // OLS normal equations over ln(rank)/ln(cnt) of the top-k tokens —
+    // written out term by term, identical to the engine's formula.
+    "zipf_slope" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+         |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+         |  FROM (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT $ZipfK)),
+         |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM top),
+         |ag AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         |  sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy),
+         |sl AS (SELECT n, sx, sy,
+         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw FROM ag)
+         |SELECT CAST(n AS BIGINT) AS n_terms, round(slope_raw, 6) AS slope,
+         |  round((sy - slope_raw * sx) / n, 6) AS intercept FROM sl""".stripMargin,
 
     "inverted_index" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),

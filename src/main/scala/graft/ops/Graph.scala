@@ -57,12 +57,23 @@ object Graph {
     * (Σc, Σc², n as longs) feed a fixed-order double threshold, so the
     * cut is engine-portable and the graph stays on the sparse tail at
     * any input scale. The pair space is Σ_item C(members(item), 2) —
-    * linear in incidence rows for bounded fan-out.
+    * linear in incidence rows for bounded fan-out, which `maxFan`
+    * ENFORCES: items with more than `maxFan` distinct members are
+    * dropped before pairing (the same hot-bucket guard LSH dedup uses —
+    * a member set that large carries no co-occurrence signal, only a
+    * quadratic pair blow-up; one web-scale stopword-item would otherwise
+    * emit C(10⁶, 2) pairs). The fan aggregate hashes on the item key the
+    * pair join already needs, so the guard rides the existing exchange.
     */
   def cooccurrenceEdges(incidence: DataFrame, itemCol: String,
-                        memberCol: String): DataFrame = {
-    val ps = incidence.select(col(itemCol).as("g_item"),
+                        memberCol: String, maxFan: Int = 10000): DataFrame = {
+    val all = incidence.select(col(itemCol).as("g_item"),
       col(memberCol).as("g_member")).distinct()
+    val smallItems = all.groupBy(col("g_item"))
+      .agg(count(lit(1)).as("fan"))
+      .where(col("fan") <= maxFan)
+      .select(col("g_item"))
+    val ps = all.join(smallItems, Seq("g_item"))
     val shared = ps
       .join(ps.select(col("g_item").as("b_item"), col("g_member").as("s2")),
         col("g_item") === col("b_item") && col("g_member") < col("s2"))

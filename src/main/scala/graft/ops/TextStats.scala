@@ -450,6 +450,71 @@ object TextStats {
       .select(col("rank"), col("term"), col("cnt"))
   }
 
+  /** Zipf-law fit of the corpus token-frequency curve: OLS slope and
+    * intercept of ln(count) against ln(rank) over the top-`k` tokens —
+    * the one-number power-law health check of a tokenizer vocabulary
+    * (natural text sits near slope −1; a slope far off flags boilerplate
+    * floods or degenerate tokenization).
+    *
+    * Scale shape: the only corpus-sized work is [[vocabTopK]]'s single
+    * term aggregate + bounded-heap top-k; the regression itself runs over
+    * k rows. The normal equations are written out explicitly (n·Σxy −
+    * ΣxΣy over n·Σx² − (Σx)²) instead of `regr_slope` so any engine
+    * computes the identical formula; rounding to 6 dp absorbs summation-
+    * order noise on the k-term sums.
+    */
+  def zipfFit(docs: DataFrame, k: Int): DataFrame = {
+    val xy = vocabTopK(docs, k).select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("cnt").cast("double")).as("y"))
+    xy.agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope_raw"))
+      .select(col("n").cast("long").as("n_terms"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 6)
+          .as("intercept"))
+  }
+
+  /** NDCG@`k` of the [[bm25]] ranking against a term-overlap relevance
+    * label (rel(doc) = number of distinct query terms present, 0..|terms|)
+    * — the standard offline retrieval-quality gauge, using a label that is
+    * deterministic and engine-portable rather than human judgments.
+    *
+    * Scale shape: relevance is a map-only projection over the corpus; the
+    * ranked list is k rows and is BROADCAST into the relevance scan for
+    * its labels (the corpus never shuffles); the ideal-DCG leg is another
+    * bounded-heap top-k over the same projection. Gains use the graded
+    * form (2^rel − 1) and positions discount by ln(pos+1)/ln 2, written
+    * identically in the SQL oracle.
+    */
+  def ndcgAt(docs: DataFrame, terms: Seq[String], k: Int,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(col("text"))
+    val rel = docs.select(col("doc_id"),
+      terms.map(t => when(size(filter(toks, x => x === lit(t))) > 0, 1L)
+        .otherwise(0L)).reduce(_ + _).as("rel"))
+    def gain(pos: Column, r: Column): Column =
+      (pow(lit(2.0), r.cast("double")) - 1.0d) /
+        (log(pos.cast("double") + 1.0d) / log(lit(2.0d)))
+    val ranked = bm25(docs, terms, k, k1, b)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+    val dcg = rel.join(broadcast(ranked), "doc_id")
+      .agg(sum(gain(col("pos"), col("rel"))).as("dcg"))
+    val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(k)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+      .agg(sum(gain(col("pos"), col("rel"))).as("idcg"))
+    dcg.crossJoin(ideal).select(
+      round(col("dcg"), 6).as("dcg"), round(col("idcg"), 6).as("idcg"),
+      round(when(col("idcg") > 0d, col("dcg") / col("idcg")).otherwise(0d), 6)
+        .as("ndcg"))
+  }
+
   /** Distributed inverted-index build: term → document frequency + a
     * BOUNDED posting list (the `maxPostings` lowest doc_ids, ascending).
     *

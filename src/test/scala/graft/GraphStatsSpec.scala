@@ -83,6 +83,26 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 == got, "distinct() must make incidence idempotent")
   }
 
+  test("cooccurrenceEdges maxFan drops hot items before pairing") {
+    val sp = spark; import sp.implicits._
+    // item 1 is shared by members (10, 20) three times over items 1..3;
+    // item 99 is a hot item touching 4 members
+    val inc = ((1L to 3L).flatMap(i => Seq((i, 10L), (i, 20L))) ++
+      Seq((4L, 30L), (4L, 40L)) ++
+      (1L to 4L).map(m => (99L, 100L + m))).toDF("item", "member")
+    // with the hot item allowed (fan 4 ≤ maxFan), its C(4,2)=6 singleton
+    // pairs drag the mean down and (10,20) [c=3] clears mean+σ
+    val loose = Graph.cooccurrenceEdges(inc, "item", "member", maxFan = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((10L, 20L)), s"got $loose")
+    // with maxFan=3 the hot item is dropped entirely: counts are
+    // (10,20)=3, (30,40)=1 → mean 2, σ=1 → threshold 3 — strict '>' cut
+    // keeps nothing; crucially none of the 100+ members appear at all
+    val tight = Graph.cooccurrenceEdges(inc, "item", "member", maxFan = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set.empty, s"hot item must be excluded, got $tight")
+  }
+
   /** Brute-force 2-D skyline per the dominance definition. */
   private def bruteSkyline(pts: Seq[(Double, Int)]): Set[(Double, Int)] = {
     val d = pts.distinct
