@@ -21,11 +21,19 @@ object Bench {
     // Warm the session before timing: JVM/codegen/parquet-reader init
     // otherwise lands entirely on the alphabetically-first query (~7s of
     // one-time cost misattributed to it).
-    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    // Each warm-up action is individually isolated: a broken table read here
+    // must degrade that table's queries, never kill the whole bench before a
+    // single timing is recorded (round 4 lost all timings to an un-caught
+    // analyzer error on this exact line).
+    def warm(label: String)(action: => Unit): Unit =
+      try action catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up '$label' failed: ${e.getMessage}")
+      }
+    warm("codegen")(spark.range(1000000L).selectExpr("sum(id % 7)").collect())
     Seq("lineitem", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").limit(100).collect()
+      warm(t)(spark.read.parquet(s"$sfDir/$t.parquet").limit(100).collect())
     }
-    ops.Tables.events(spark, sfDir).limit(100).collect() // needs nanos conf
+    warm("events")(ops.Tables.events(spark, sfDir).limit(100).collect())
     // Two timed runs per query, report the MIN: the host VM occasionally
     // deschedules vCPUs for 30s+ windows, inflating whichever single
     // stage is running; min-of-2 keeps one stall from masquerading as a

@@ -957,6 +957,24 @@ object SparkEntry {
       Sorts.topK(li(s, d).select(sortCols.map(col): _*), 100,
         col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
 
+    // The reference's print sink (O14, `SequentialQuickInsert.c:89-93`):
+    // dump the head of the sorted output to stdout. The sink is bounded
+    // (show(n), never a full-table collect) and VERIFIED: the query
+    // returns exactly the rows that were printed, in print position order,
+    // against an ORDER BY … LIMIT oracle. TakeOrderedAndProject does the
+    // top-n (bounded heap, no global sort); the row_number window runs on
+    // the 20 surviving rows only.
+    "print_sink" -> ((s, d) => {
+      val sorted = li(s, d).select(sortCols.map(col): _*)
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Sorts.printSink(sorted, 20)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"))).cast("long"))
+        .select(col("pos"), col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+    }),
+
     // The reference's file sink (O15, `QuickInsertionHeap.cu:118-131`):
     // write range-partitioned sorted parquet, read the part files back in
     // (file, offset) order with NO re-sort — matching the ORDER BY oracle
@@ -2557,6 +2575,12 @@ object SparkEntry {
     "top_k" ->
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
          |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin,
+
+    "print_sink" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS pos,
+         |  l_extendedprice, l_orderkey, l_linenumber
+         |FROM lineitem
+         |ORDER BY pos LIMIT 20""".stripMargin,
 
     "sorted_sink" ->
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem

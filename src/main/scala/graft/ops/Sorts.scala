@@ -100,9 +100,14 @@ object Sorts {
   /** Print sink (reference O14: the stdout dumps at
     * `/root/reference/SequentialQuickInsert.c:89-93` etc.) — bounded by
     * design: at scale a full-table print is a driver OOM, so this takes n.
+    * Returns the printed rows (the bounded head) so the print is
+    * verifiable: what went to stdout is exactly what the caller can
+    * compare against an ORDER BY … LIMIT n oracle.
     */
-  def printSink(df: DataFrame, n: Int = 20): Unit =
+  def printSink(df: DataFrame, n: Int = 20): DataFrame = {
     df.show(n, truncate = false)
+    df.limit(n)
+  }
 
   /** Read a [[sortedSink]] directory back in (file, offset) order WITHOUT
     * re-sorting: part files are named in partition-index order, which is

@@ -19,20 +19,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * by default ([PARQUET_TYPE_ILLEGAL]). Read nanos as a long and convert
-    * to a µs timestamp (Spark's native precision) — truncation below µs is
-    * irrelevant to hour/day windowing and matches what any Spark pipeline
-    * ingesting ns data does.
+  /** `events.ts` has shipped in two physical encodings across corpus
+    * regenerations: parquet TIMESTAMP(NANOS) — which Spark's reader rejects
+    * by default ([PARQUET_TYPE_ILLEGAL]), hence the nanosAsLong conf — and
+    * plain TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark reads
+    * as TIMESTAMP_NTZ. Normalize both to Spark's session-TZ TimestampType
+    * (sessions here pin UTC, so the NTZ cast is value-preserving) so every
+    * downstream query and oracle sees one stable µs timestamp type
+    * regardless of which corpus generation is on disk.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = read(s, d, "events")
-    // `div`, not `/`: Column `/` is double division, and ns epochs (~1.7e18)
-    // exceed double's 2^53 exact range — `/ 1000` would drift ±1µs on ~12%
-    // of rows, flipping formatted seconds / as-of boundaries on unlucky data.
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(read(s, d, "events"))
   }
+
+  /** Schema-adaptive `ts` normalization shared by the batch and streaming
+    * events readers. Branches on the type the parquet reader produced:
+    *   - LongType (nanos-as-long corpus): floor-divide to µs. `div`, not
+    *     `/`: Column `/` is double division, and ns epochs (~1.7e18) exceed
+    *     double's 2^53 exact range — `/ 1000` would drift ±1µs on ~12% of
+    *     rows, flipping formatted seconds / as-of boundaries.
+    *   - TimestampNTZType (µs corpus): cast to session-TZ timestamp.
+    *   - TimestampType: already the target type, pass through.
+    */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

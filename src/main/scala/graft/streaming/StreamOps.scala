@@ -65,17 +65,18 @@ object StreamOps {
     }
   }
 
-  /** Open the events parquet directory as a STREAM with the same µs
-    * timestamp normalization [[graft.ops.Tables.events]] applies on the
-    * batch path (the ns column is read as long, then floor-divided —
-    * `div`, never `/`, see the batch-side comment).
+  /** Open the events parquet directory as a STREAM with the same
+    * schema-adaptive µs timestamp normalization
+    * [[graft.ops.Tables.normalizeTs]] applies on the batch path (the corpus
+    * has shipped `ts` both as nanos-as-long and as TIMESTAMP(MICROS)/NTZ —
+    * see the batch-side comment).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema // ts: LongType (nanos)
-    spark.readStream.schema(schema).parquet(stageDir(path))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(path).schema // ts: long (nanos) or ntz µs
+    graft.ops.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(stageDir(path)))
   }
 
   /** A stateful streaming query creates one state-store instance per

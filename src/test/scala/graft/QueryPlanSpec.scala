@@ -142,7 +142,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pagerank_step", "gap_fill", "rrf_fusion" /* bm25 leg's stats row */,
       "ann_recall" /* brute-force leg broadcasts the fixed query set */,
       "q11_important_stock" /* 1-row threshold broadcast */,
-      "triangle_count" /* 1-row mean-degree threshold + 1-row × 1-row output join */)
+      "triangle_count" /* 1-row mean-degree threshold + 1-row × 1-row output join */,
+      "ndcg_eval" /* bm25 leg's 1-row stats broadcast + final 1-row dcg × 1-row idcg cross */)
     val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
     val offenders = names.flatMap { n =>
       val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString

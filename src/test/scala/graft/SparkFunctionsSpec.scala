@@ -177,8 +177,9 @@ class SparkFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() == 100)
   }
 
-  test("printSink renders without error (reference O14)") {
-    graft.ops.Sorts.printSink(spark.range(3).toDF(), 3)
+  test("printSink renders without error and returns the printed head (reference O14)") {
+    val printed = graft.ops.Sorts.printSink(spark.range(10).toDF(), 3)
+    assert(printed.count() == 3)
   }
 
   test("chunk: window count, overlap, and short-tail behavior") {
