@@ -1275,6 +1275,16 @@ object SparkEntry {
     "vocab_topk" -> ((s, d) =>
       TextStats.vocabTopK(docs(s, d), 256).orderBy(col("rank"))),
 
+    // Exact heavy hitters via the native Misra-Gries sketch: pass 1
+    // reduces every map task to a ≤4096-entry summary (candidate superset
+    // guaranteed for counts > n/k), pass 2 exact-counts only the
+    // broadcast candidates — the shuffle never carries the full distinct
+    // vocabulary. Output is exact, so the plain-SQL oracle matches even
+    // though a sketch did the pruning.
+    "heavy_hitters" -> ((s, d) =>
+      TextStats.heavyHitters(docs(s, d), 4096, 150)
+        .orderBy(col("cnt").desc, col("term"))),
+
     // Pretraining mixture weights: per-source token shares smoothed with
     // a sqrt temperature and renormalized (exact-decimal denominator).
     "source_mix" -> ((s, d) =>
@@ -2888,6 +2898,14 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
          |  term, cnt
          |FROM c ORDER BY cnt DESC, term LIMIT 256""".stripMargin,
+
+    "heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+         |tot AS (SELECT count(*) AS n_total FROM tok),
+         |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+         |SELECT term, cnt FROM c, tot
+         |WHERE cnt > greatest(150, CAST(ceil(n_total / 4096.0) AS BIGINT))
+         |ORDER BY cnt DESC, term""".stripMargin,
 
     "token_counts" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,

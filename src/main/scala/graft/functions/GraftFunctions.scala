@@ -60,6 +60,14 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "topk_by_score(score, id, k) takes (double, bigint, int literal)")
       }),
+    ("misra_gries",
+      "misra_gries(item, k) - bounded Misra-Gries frequent-items sketch aggregate",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, Literal(kk: Number, _)) if kk != null =>
+          MisraGries(c, kk.intValue())
+        case _ => throw new IllegalArgumentException(
+          "misra_gries(item, k) takes (string, int literal)")
+      }),
   )
 
   /** Imperative per-session registration. Idempotent. */

@@ -702,4 +702,38 @@ object TextStats {
       .select(col("doc_id"), col("n_tokens"),
         round(col("s").cast("double") / col("n_tokens"), 6).as("avg_surprisal"))
   }
+
+  /** Exact corpus heavy hitters in two bounded passes — the scale-honest
+    * alternative to `groupBy(term).count.filter`, whose shuffle carries
+    * EVERY distinct term (a 100 TB corpus has billions):
+    *
+    *  1. sketch pass: the native `misra_gries(term, k)` aggregate reduces
+    *     each map task to one ≤ k-entry summary (O(k·tasks) shuffled, one
+    *     result row). Any term with true count > n/k is guaranteed among
+    *     the candidates, so with threshold max(minCount, ceil(n/k)) the
+    *     candidate set is a SUPERSET of the answer;
+    *  2. exact pass: re-scan, broadcast-join the ≤ k candidates, count
+    *     exactly — the shuffle now carries at most k distinct keys.
+    *
+    * The output is exact counts and thus independent of sketch internals
+    * (partition merge order can change WHICH extra candidates appear, never
+    * whether a true heavy hitter does) — that invariance is what makes a
+    * sketch-accelerated query oracle-checkable against plain SQL.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 4096, minCount: Long = 150): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    def toks = docs.select(explode(tokens(col("text"))).as("term"))
+    val sketch = toks.agg(
+      expr(s"misra_gries(term, $k)").as("cand"),
+      count(lit(1)).as("n_total"))
+    val cands = sketch
+      .select(explode(col("cand")).as("c"), col("n_total"))
+      .select(col("c.item").as("term"), col("n_total"))
+    toks.join(broadcast(cands), "term")
+      .groupBy(col("term"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > greatest(lit(minCount),
+        ceil(col("n_total").cast("double") / k).cast("long")))
+      .select(col("term"), col("cnt"))
+  }
 }

@@ -88,4 +88,64 @@ class SketchProps extends AnyFunSuite with BeforeAndAfterAll {
       assert(bucketed == naive)
     }
   }
+
+  test("misra_gries: bounds bracket true counts; every > n/k item present; random skewed streams") {
+    val sp = spark; import sp.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(303)
+    (1 to 5).foreach { _ =>
+      // Zipf-ish: a few hot items + a long cold tail, shuffled, multiple
+      // partitions so the mergeable-summary path (serialize/merge/
+      // truncate) is exercised, not just single-buffer updates.
+      val k = 8 + rnd.nextInt(8)
+      val items = rnd.shuffle(
+        (0 until 4).flatMap(h => List.fill(100 + rnd.nextInt(100))(s"hot$h")) ++
+          List.fill(300)(s"cold${rnd.nextInt(150)}"))
+      val truth = items.groupBy(identity).map { case (it, xs) => it -> xs.size.toLong }
+      val n = items.size.toLong
+      val rows = items.toDF("item").repartition(4)
+        .agg(expr(s"misra_gries(item, $k)").as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e.item"), col("e.cnt"), col("e.err"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.length <= k)
+      rows.foreach { case (item, cnt, err) =>
+        val t = truth.getOrElse(item, 0L)
+        assert(cnt <= t, s"$item: MG count $cnt must under-estimate true $t")
+        assert(cnt + err >= t, s"$item: upper bound ${cnt + err} < true $t")
+        // the mergeable-summaries decrement bound
+        assert(err <= n / (k + 1) + 1, s"err $err exceeds n/(k+1) = ${n / (k + 1)}")
+      }
+      val present = rows.map(_._1).toSet
+      truth.filter(_._2 > n / k).keys.foreach { hot =>
+        assert(present(hot), s"guaranteed heavy hitter $hot (> ${n / k}) missing")
+      }
+    }
+  }
+
+  test("heavyHitters: exact output equals plain groupBy-count-filter, random corpora") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(404)
+    (1 to 3).foreach { _ =>
+      val vocabHot = (0 until 5).map(i => s"hotword$i")
+      val vocabCold = (0 until 200).map(i => s"cold$i")
+      val docs = (0 until 120).map { id =>
+        val ws = List.fill(8)(
+          if (rnd.nextInt(3) == 0) vocabHot(rnd.nextInt(vocabHot.size))
+          else vocabCold(rnd.nextInt(vocabCold.size)))
+        (id.toLong, ws.mkString(" "))
+      }.toDF("doc_id", "text")
+      val k = 64
+      val minCount = 10L
+      val got = graft.ops.TextStats.heavyHitters(docs, k, minCount)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val toks = docs.select(explode(graft.functions.tokens(col("text"))).as("t"))
+      val n = toks.count()
+      val thr = math.max(minCount, math.ceil(n.toDouble / k).toLong)
+      val exact = toks.groupBy("t").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .filter(_._2 > thr).toSet
+      assert(got == exact, s"sketch-pruned $got != exact $exact (thr $thr)")
+    }
+  }
 }
