@@ -41,6 +41,7 @@ object Scale {
     if (args.headOption.contains("range")) return rangeMain(args.drop(1))
     if (args.headOption.contains("graph")) return graphMain(args.drop(1))
     if (args.headOption.contains("stream")) return streamMain(args.drop(1))
+    if (args.headOption.contains("hh")) return hhMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -455,6 +456,67 @@ object Scale {
     }
     val rate = (nInc / math.max(pairSec + triSec, 1e-9)).toLong
     println(f"""{"mode":"graph","n_incidence":$nInc,"fan":$fan,"n_members":$nMembers,"n_edges":$nEdges,"n_triangles":$nTriangles,"pair_build_sec":$pairSec%.1f,"triangle_sec":$triSec%.1f,"incidence_rows_per_sec":$rate,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Heavy hitters at token-stream scale: the sketch-accelerated two-pass
+    * (`misra_gries` candidates → exact count on candidates) against the
+    * exact `groupBy(term).count` baseline, on a synthetic stream with a
+    * hot head over a large cold vocabulary. Both paths must produce the
+    * SAME exact answer — the run asserts it — so the comparison is purely
+    * about plan cost. The structural difference the numbers evidence: the
+    * baseline's shuffle carries every distinct term a map task saw
+    * (~vocabulary-sized at scale), the sketch path shuffles k rows per
+    * task, then ≤ k distinct keys.
+    */
+  private def hhMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000000L
+    val coldVocab = if (args.length > 1) args(1).toLong else 10000000L
+    val nHot = 100L
+    val k = 4096
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ~50% of arrivals drawn from 100 hot terms, the rest spread over a
+    // cold vocabulary large enough that distinct-term state dwarfs k.
+    // Map-only generation (ranged partitions, no repartition shuffle): the
+    // term stream stands in for a parquet scan, so each path pays only ITS
+    // OWN aggregation machinery on top of the scan.
+    def toks = spark.range(0L, n, 1L, cpus.toInt * 2)
+      .select(when(pmod(xxhash64(col("id")), lit(2L)) === 0L,
+          concat(lit("hot"), pmod(xxhash64(col("id"), lit(1L)), lit(nHot))))
+        .otherwise(
+          concat(lit("cold"), pmod(xxhash64(col("id"), lit(2L)), lit(coldVocab))))
+        .as("term"))
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+
+    val minCount = n / 1000L // hot terms sit ~5e-3·n, 5x above
+    var sketchRows: Array[(String, Long)] = null
+    var exactRows: Array[(String, Long)] = null
+    val sketchSec = time {
+      sketchRows = ops.TextStats.heavyHitterTerms(toks, k, minCount)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    }
+    val exactSec = time {
+      val thrDf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      exactRows = thrDf
+        .where(col("cnt") > math.max(minCount, math.ceil(n.toDouble / k).toLong))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    }
+    require(sketchRows.toSet == exactRows.toSet,
+      s"sketch path diverged: ${sketchRows.length} vs ${exactRows.length} rows")
+    val rate = (n / math.max(sketchSec, 1e-9)).toLong
+    println(f"""{"mode":"hh","n_tokens":$n,"cold_vocab":$coldVocab,"k":$k,"n_heavy":${exactRows.length},"sketch_two_pass_sec":$sketchSec%.1f,"exact_groupby_sec":$exactSec%.1f,"tokens_per_sec":$rate,"cpus":$cpus}""")
     spark.stop()
   }
 

@@ -39,8 +39,13 @@ final class MisraGriesState(val k: Int) {
   /** item → stored counter (effective count = stored − base). All mapped
     * items are live (stored > base): deaths are purged eagerly at each
     * decrement round, so `stored.size()` is the live-counter count.
+    * Values are BOXED `java.lang.Long`, not Scala `Long`: with a
+    * primitive value type, `get` on a missing key silently unboxes null
+    * to 0 and `!= null` is constant-true, which turns the absent-item
+    * branch into an insert — the map then grows with the distinct-key
+    * count, the exact unboundedness this sketch exists to avoid.
     */
-  val stored = new java.util.HashMap[String, Long]()
+  val stored = new java.util.HashMap[String, java.lang.Long]()
   var base: Long = 0L
   var totalDec: Long = 0L
   var n: Long = 0L
@@ -56,6 +61,9 @@ final class MisraGriesState(val k: Int) {
       }
     })
 
+  /** Diagnostic: current lazy-heap entry count (live + stale). */
+  def heapSize: Int = heap.size()
+
   def rebuildHeap(): Unit = {
     heap.clear()
     val it = stored.entrySet().iterator()
@@ -66,8 +74,9 @@ final class MisraGriesState(val k: Int) {
     n += 1
     val cur = stored.get(item)
     if (cur != null) {
-      stored.put(item, cur + 1)
-      heap.add((cur + 1, item))
+      val c1 = cur.longValue() + 1
+      stored.put(item, c1)
+      heap.add((c1, item))
     } else if (stored.size() < k) {
       stored.put(item, base + 1)
       heap.add((base + 1, item))
@@ -97,7 +106,7 @@ final class MisraGriesState(val k: Int) {
     val it = stored.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
-      val e = it.next(); arr(i) = (e.getKey, e.getValue - base); i += 1
+      val e = it.next(); arr(i) = (e.getKey, e.getValue.longValue() - base); i += 1
     }
     java.util.Arrays.sort(arr, new java.util.Comparator[(String, Long)] {
       override def compare(a: (String, Long), b: (String, Long)): Int = {
@@ -116,17 +125,17 @@ final class MisraGriesState(val k: Int) {
   def mergeFrom(o: MisraGriesState): Unit = {
     n += o.n
     totalDec += o.totalDec
-    val merged = new java.util.HashMap[String, Long]()
+    val merged = new java.util.HashMap[String, java.lang.Long]()
     val it1 = stored.entrySet().iterator()
     while (it1.hasNext) {
-      val e = it1.next(); merged.put(e.getKey, e.getValue - base)
+      val e = it1.next(); merged.put(e.getKey, e.getValue.longValue() - base)
     }
     val it2 = o.stored.entrySet().iterator()
     while (it2.hasNext) {
       val e = it2.next()
-      val eff = e.getValue - o.base
+      val eff = e.getValue.longValue() - o.base
       val cur = merged.get(e.getKey)
-      merged.put(e.getKey, if (cur == null) eff else cur + eff)
+      merged.put(e.getKey, if (cur == null) eff else cur.longValue() + eff)
     }
     var cut = 0L
     if (merged.size() > k) {
@@ -143,7 +152,7 @@ final class MisraGriesState(val k: Int) {
     val mit = merged.entrySet().iterator()
     while (mit.hasNext) {
       val e = mit.next()
-      val eff = e.getValue - cut
+      val eff = e.getValue.longValue() - cut
       if (eff > 0) stored.put(e.getKey, eff)
     }
     rebuildHeap()

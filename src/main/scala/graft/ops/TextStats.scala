@@ -720,9 +720,16 @@ object TextStats {
     * whether a true heavy hitter does) — that invariance is what makes a
     * sketch-accelerated query oracle-checkable against plain SQL.
     */
-  def heavyHitters(docs: DataFrame, k: Int = 4096, minCount: Long = 150): DataFrame = {
-    GraftFunctions.register(docs.sparkSession)
-    def toks = docs.select(explode(tokens(col("text"))).as("term"))
+  def heavyHitters(docs: DataFrame, k: Int = 4096, minCount: Long = 150): DataFrame =
+    heavyHitterTerms(
+      docs.select(explode(tokens(col("text"))).as("term")), k, minCount)
+
+  /** The two-pass core over an already-tokenized `term` column — see
+    * [[heavyHitters]]. Separate entry point so large-scale callers
+    * (e.g. `graft.Scale hh`) can feed any term stream.
+    */
+  def heavyHitterTerms(toks: DataFrame, k: Int, minCount: Long): DataFrame = {
+    GraftFunctions.register(toks.sparkSession)
     val sketch = toks.agg(
       expr(s"misra_gries(term, $k)").as("cand"),
       count(lit(1)).as("n_total"))
