@@ -123,6 +123,39 @@ class SketchProps extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("misra_gries under groupBy: per-group summaries keep per-group guarantees") {
+    val sp = spark; import sp.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(505)
+    // 3 groups with different hot sets; the aggregate must keep one
+    // independent bounded summary per group through partial aggregation.
+    val k = 12
+    val rowsIn = rnd.shuffle((0 until 3).flatMap { g =>
+      (0 until 3).flatMap(h => List.fill(120)((s"g$g", s"g${g}hot$h"))) ++
+        List.fill(240)((s"g$g", s"cold${rnd.nextInt(120)}"))
+    })
+    val truth = rowsIn.groupBy(identity).map { case ((g, it), xs) => (g, it) -> xs.size.toLong }
+    val nPerGroup = rowsIn.groupBy(_._1).map { case (g, xs) => g -> xs.size.toLong }
+    val out = rowsIn.toDF("g", "item").repartition(4)
+      .groupBy(col("g")).agg(expr(s"misra_gries(item, $k)").as("s"))
+      .select(col("g"), explode(col("s")).as("e"))
+      .select(col("g"), col("e.item"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.length <= k, s"group $g summary exceeds k: ${rows.length}")
+      rows.foreach { case (_, item, cnt, err) =>
+        val t = truth.getOrElse((g, item), 0L)
+        assert(cnt <= t && cnt + err >= t,
+          s"group $g item $item: [$cnt, ${cnt + err}] does not bracket $t")
+      }
+      val present = rows.map(_._2).toSet
+      val n = nPerGroup(g)
+      truth.collect { case ((`g`, it), c) if c > n / k => it }.foreach { hot =>
+        assert(present(hot), s"group $g: guaranteed heavy hitter $hot missing")
+      }
+    }
+  }
+
   test("heavyHitters: exact output equals plain groupBy-count-filter, random corpora") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(404)
