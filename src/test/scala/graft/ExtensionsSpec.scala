@@ -48,6 +48,13 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |GROUP BY k""".stripMargin).collect().head
     assert(agg.getSeq[org.apache.spark.sql.Row](agg.fieldIndex("top"))
       .map(_.getAs[Long]("nbr_id")).toSeq == Seq(11L, 10L))
+    val mg = spark.sql(
+      """SELECT misra_gries(item, 2) AS s FROM VALUES
+        |  ('a'), ('a'), ('a'), ('b'), ('c') AS t(item)""".stripMargin)
+      .collect().head
+    val mgRows = mg.getSeq[org.apache.spark.sql.Row](mg.fieldIndex("s"))
+    assert(mgRows.nonEmpty && mgRows.length <= 2)
+    assert(mgRows.head.getAs[String]("item") == "a")
   }
 
   test("RangeJoinBucketize: naive BETWEEN join plans as hash join, same rows") {
