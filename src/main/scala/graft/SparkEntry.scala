@@ -1285,6 +1285,13 @@ object SparkEntry {
       TextStats.heavyHitters(docs(s, d), 4096, 150)
         .orderBy(col("cnt").desc, col("term"))),
 
+    // Grouped variant: an independent bounded sketch per source, exact
+    // per-source thresholds — a giant source cannot crowd a small one
+    // out of its own candidate budget.
+    "domain_heavy_hitters" -> ((s, d) =>
+      TextStats.heavyHittersBySource(docs(s, d), 4096, 50)
+        .orderBy(col("source"), col("cnt").desc, col("term"))),
+
     // Pretraining mixture weights: per-source token shares smoothed with
     // a sqrt temperature and renormalized (exact-decimal denominator).
     "source_mix" -> ((s, d) =>
@@ -2906,6 +2913,14 @@ object SparkEntry {
          |SELECT term, cnt FROM c, tot
          |WHERE cnt > greatest(150, CAST(ceil(n_total / 4096.0) AS BIGINT))
          |ORDER BY cnt DESC, term""".stripMargin,
+
+    "domain_heavy_hitters" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |tot AS (SELECT source, count(*) AS n_source FROM tok GROUP BY source),
+         |c AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY source, term)
+         |SELECT c.source, c.term, c.cnt FROM c JOIN tot ON c.source = tot.source
+         |WHERE c.cnt > greatest(50, CAST(ceil(tot.n_source / 4096.0) AS BIGINT))
+         |ORDER BY c.source, c.cnt DESC, c.term""".stripMargin,
 
     "token_counts" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,

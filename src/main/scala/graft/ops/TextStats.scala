@@ -743,4 +743,34 @@ object TextStats {
         ceil(col("n_total").cast("double") / k).cast("long")))
       .select(col("term"), col("cnt"))
   }
+
+  /** Per-source heavy hitters — the "per-domain vocabulary" pass of a
+    * corpus report, via the same two-pass shape as [[heavyHitters]] but
+    * GROUPED: pass 1 keeps one independent ≤ k-entry `misra_gries`
+    * summary per source (grouped partial aggregation — sources × k rows
+    * shuffle, never sources × vocabulary), pass 2 exact-counts only the
+    * broadcast (source, term) candidates. Per-group thresholds are
+    * max(minCount, ceil(n_source/k)), so each group's output is exact by
+    * the same superset guarantee, independent of every other group's
+    * volume — a skewed giant source cannot mask another source's heavy
+    * terms.
+    */
+  def heavyHittersBySource(docs: DataFrame, k: Int = 4096,
+                           minCount: Long = 50): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    def toks = docs.select(col("source"),
+      explode(tokens(col("text"))).as("term"))
+    val sketch = toks.groupBy(col("source")).agg(
+      expr(s"misra_gries(term, $k)").as("cand"),
+      count(lit(1)).as("n_source"))
+    val cands = sketch
+      .select(col("source"), explode(col("cand")).as("c"), col("n_source"))
+      .select(col("source"), col("c.item").as("term"), col("n_source"))
+    toks.join(broadcast(cands), Seq("source", "term"))
+      .groupBy(col("source"), col("term"), col("n_source"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > greatest(lit(minCount),
+        ceil(col("n_source").cast("double") / k).cast("long")))
+      .select(col("source"), col("term"), col("cnt"))
+  }
 }
