@@ -155,6 +155,19 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty, s"scale-unsafe join plans: $offenders")
   }
 
+  test("heavy hitters: candidate join broadcasts, corpus never sort-merge shuffled") {
+    Seq("heavy_hitters", "domain_heavy_hitters").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q pass-2 must broadcast the <=k candidates:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must never shuffle-sort the token stream for the candidate join:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q pass-1 must run the misra_gries TypedImperativeAggregate " +
+          s"(ObjectHashAggregate), partial then final:\n$p")
+    }
+  }
+
   test("sessions: exactly one user-keyed exchange feeds windows and aggregate") {
     val p = plan("sessions")
     assert(!p.contains("Join"), s"sessions must not join:\n$p")
