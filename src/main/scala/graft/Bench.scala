@@ -15,6 +15,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events reader prerequisite - see Tables.NanosAsLongConf
+      .config(graft.ops.Tables.NanosAsLongConf, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -25,8 +27,10 @@ object Bench {
     // must degrade that table's queries, never kill the whole bench before a
     // single timing is recorded (round 4 lost all timings to an un-caught
     // analyzer error on this exact line).
+    // NonFatal only: an OOM/LinkageError during warm-up means a corrupted
+    // JVM — let it crash loudly rather than benching in that state.
     def warm(label: String)(action: => Unit): Unit =
-      try action catch { case e: Throwable =>
+      try action catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up '$label' failed: ${e.getMessage}")
       }
     warm("codegen")(spark.range(1000000L).selectExpr("sum(id % 7)").collect())
@@ -53,26 +57,33 @@ object Bench {
         }
       }
       val a = once()
-      val sec = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
+      val b = if (a < 0) -1.0 else once()
+      val sec = if (a < 0) a else if (b < 0) a else math.min(a, b)
       // Free the query's localCheckpoint blocks: several queries
       // checkpoint multi-referenced subplans, and without this the blocks
       // accumulate in the BlockManager across the whole suite — the GC
       // pressure inflated late-alphabet queries up to 10× (hll_merge: 19s
       // in-suite vs 2.1s isolated) before this cleanup.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      (name, sec)
+      (name, a, b, sec)
     }
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, _, _, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // BOTH raw runs per query, so a reader can separate a one-off VM
+    // stall (a >> b or b >> a) from a genuine plan regression (a ≈ b,
+    // both slow) without needing a local re-run.
+    val runs = results.map { case (k, a, b, _) =>
+      "\"" + k + "\":[" + r3(a) + "," + r3(b) + "]" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, _, _, v) if v >= 0 => v }.sum
     // The harness that records this output keeps only the LAST ~2000 chars;
     // with ~90 queries the line is longer than that. The summary fields are
     // therefore REPEATED at the end of the object so a front-truncated tail
     // still shows the total and the error list.
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","agg":"min_of_2","sf":"$sfDir","queries":$qs,"errors":$errs,"n_queries":${results.size},"n_errors":${results.count(_._2 < 0)},"total_sec":${r3(total)}}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","agg":"min_of_2","sf":"$sfDir","queries":$qs,"runs":$runs,"errors":$errs,"n_queries":${results.size},"n_errors":${results.count(_._4 < 0)},"total_sec":${r3(total)}}"""
     println(line)
     // Durable copy for post-hoc inspection (stdout interleaves with sbt noise).
     try {

@@ -23,6 +23,8 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events reader prerequisite - see Tables.NanosAsLongConf
+      .config(graft.ops.Tables.NanosAsLongConf, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -18,6 +18,8 @@ object Profile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events reader prerequisite - see Tables.NanosAsLongConf
+      .config(graft.ops.Tables.NanosAsLongConf, "true")
       .config("spark.ui.enabled", "false")
     // extra confs: GRAFT_CONF="k=v,k=v"
     sys.env.get("GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty).foreach { kv =>

@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.Scale range [nPts] [nIv]" (default 50M × 1M)
   *   sbt "runMain graft.Scale stream [nRows]"   (default 100,000,000)
   *   sbt "runMain graft.Scale graph [nInc]"     (default 10,000,000)
+  *   sbt "runMain graft.Scale hh [n] [vocab]"   (default 100M × 10M)
+  *   sbt "runMain graft.Scale hhskew [n] [nSmall]" (default 100M × 20)
   *
   * `dedup` mode drives the MinHash-LSH near-dup pipeline (the same
   * operators as the `minhash_pairs` query, same k/bands) over synthetic
@@ -41,6 +43,7 @@ object Scale {
     if (args.headOption.contains("range")) return rangeMain(args.drop(1))
     if (args.headOption.contains("graph")) return graphMain(args.drop(1))
     if (args.headOption.contains("stream")) return streamMain(args.drop(1))
+    if (args.headOption.contains("hhskew")) return hhSkewMain(args.drop(1))
     if (args.headOption.contains("hh")) return hhMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -517,6 +520,90 @@ object Scale {
       s"sketch path diverged: ${sketchRows.length} vs ${exactRows.length} rows")
     val rate = (n / math.max(sketchSec, 1e-9)).toLong
     println(f"""{"mode":"hh","n_tokens":$n,"cold_vocab":$coldVocab,"k":$k,"n_heavy":${exactRows.length},"sketch_two_pass_sec":$sketchSec%.1f,"exact_groupby_sec":$exactSec%.1f,"tokens_per_sec":$rate,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Grouped heavy hitters under SOURCE SKEW — the per-group
+    * candidate-budget isolation claim, demonstrated: one giant source
+    * carries ~100× the tokens of each of `nSmall` small sources, and the
+    * grouped two-pass (one independent ≤ k-entry `misra_gries` summary
+    * per source → exact count of the broadcast candidates) must still
+    * recover EVERY small source's hot terms exactly. A single global
+    * sketch would let the giant's vocabulary evict the small sources'
+    * candidates; the grouped aggregate gives each source its own k-entry
+    * budget, so group results are independent of each other's volume.
+    * Asserted against the exact `groupBy(source, term)` baseline AND
+    * against the expected per-source hot-term count.
+    */
+  private def hhSkewMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000000L
+    val nSmall = if (args.length > 1) args(1).toInt else 20
+    val nHot = 50L
+    val k = 4096
+    val coldVocab = 2000000L
+    val minCount = 100L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    // 100 weight buckets → "giant", 1 bucket each → "small_i": the giant
+    // holds ~100/(100+nSmall) of all tokens. Term mix per row: 50% one of
+    // nHot per-source hot terms, 50% a large shared cold vocabulary (the
+    // distinct-state pressure). Map-only generation, no shuffle.
+    val weights = (100 + nSmall).toLong
+    def toks = spark.range(0L, n, 1L, cpus.toInt * 2)
+      .select(
+        when(pmod(xxhash64(col("id"), lit(3L)), lit(weights)) < 100L,
+            lit("giant"))
+          .otherwise(concat(lit("small_"),
+            pmod(xxhash64(col("id"), lit(3L)), lit(weights)) - 99L))
+          .as("source"),
+        when(pmod(xxhash64(col("id")), lit(2L)) === 0L,
+            concat(lit("hot"), pmod(xxhash64(col("id"), lit(1L)), lit(nHot))))
+          .otherwise(concat(lit("cold"),
+            pmod(xxhash64(col("id"), lit(2L)), lit(coldVocab))))
+          .as("term"))
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+
+    var sketchRows: Array[(String, String, Long)] = null
+    var exactRows: Array[(String, String, Long)] = null
+    val sketchSec = time {
+      val sketch = toks.groupBy(col("source")).agg(
+        expr(s"misra_gries(term, $k)").as("cand"),
+        count(lit(1)).as("n_source"))
+      sketchRows = ops.TextStats.exactBySourceFromSketch(toks, sketch, k, minCount)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    }
+    val exactSec = time {
+      val counts = toks.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = toks.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      exactRows = counts.join(tot, "source")
+        .where(col("cnt") > greatest(lit(minCount),
+          ceil(col("n_source").cast("double") / k).cast("long")))
+        .select(col("source"), col("term"), col("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    }
+    require(sketchRows.toSet == exactRows.toSet,
+      s"grouped sketch path diverged: ${sketchRows.length} vs ${exactRows.length} rows")
+    // the isolation claim itself: every source — giant and small alike —
+    // surfaces exactly its nHot hot terms, none crowded out
+    val perSource = sketchRows.groupBy(_._1).view.mapValues(_.length).toMap
+    val starved = perSource.filter(_._2 != nHot)
+    require(perSource.size == nSmall + 1 && starved.isEmpty,
+      s"per-source isolation violated: $starved (expected $nHot each over ${nSmall + 1} sources)")
+    val rate = (n / math.max(sketchSec, 1e-9)).toLong
+    println(f"""{"mode":"hhskew","n_tokens":$n,"n_sources":${nSmall + 1},"giant_share":${100.0 / weights}%.2f,"k":$k,"n_heavy":${sketchRows.length},"per_source_hot":$nHot,"sketch_two_pass_sec":$sketchSec%.1f,"exact_groupby_sec":$exactSec%.1f,"tokens_per_sec":$rate,"cpus":$cpus}""")
     spark.stop()
   }
 

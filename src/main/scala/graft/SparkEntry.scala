@@ -1669,24 +1669,37 @@ object SparkEntry {
 
     // Corpus datasheet: the one-page dataset-card metrics (doc/token/char
     // totals, lang/source cardinalities, exact-dup rate, mean quality) as
-    // (metric, value) rows — a union of already-tiny aggregates; the
-    // corpus is scanned once per independent metric family, never joined.
+    // (metric, value) rows — ONE aggregate over ONE corpus scan. The three
+    // distinct counts ride the same aggregate (Catalyst's Expand rewrites
+    // multi-distinct into a 4-way row expansion — 4× the narrow projected
+    // rows through one shuffle, versus 7 full corpus reads in the naive
+    // one-union-per-metric form; at the 100 TB design point that is the
+    // difference between ~100 TB and ~700 TB of scan for a datasheet).
+    // The scalar metrics then pivot into (metric, value) rows driver-free
+    // via explode over a literal struct array.
     "dataset_card" -> ((s, d) => {
       val dec4 = org.apache.spark.sql.types.DecimalType(18, 4)
-      val base = docs(s, d)
-      def row(name: String, v: Column): DataFrame =
-        base.agg(round(v, 6).as("value")).select(lit(name).as("metric"), col("value"))
-      row("n_docs", count(lit(1)).cast("double"))
-        .unionAll(row("total_tokens", sum(size(tokens(col("text")))).cast("double")))
-        .unionAll(row("total_chars", sum(length(col("text"))).cast("double")))
-        .unionAll(row("n_langs", countDistinct(col("lang")).cast("double")))
-        .unionAll(row("n_sources", countDistinct(col("source")).cast("double")))
-        .unionAll(row("exact_dup_rate", lit(1.0d) -
-          countDistinct(md5(col("text"))).cast("double") / count(lit(1))))
-        .unionAll(TextStats.qualityScore(base)
-          .agg(round(sum(col("quality").cast(dec4)).cast("double")
-            / count(lit(1)), 6).as("value"))
-          .select(lit("mean_quality").as("metric"), col("value")))
+      val a = TextStats.qualityScore(docs(s, d), Seq("text", "lang", "source"))
+        .select(col("lang"), col("source"), md5(col("text")).as("dg"),
+          size(tokens(col("text"))).cast("long").as("ntok"),
+          length(col("text")).cast("long").as("nchr"),
+          col("quality").cast(dec4).as("q"))
+        .agg(count(lit(1)).as("n"), sum(col("ntok")).as("ttok"),
+          sum(col("nchr")).as("tchr"), countDistinct(col("lang")).as("nl"),
+          countDistinct(col("source")).as("ns"),
+          countDistinct(col("dg")).as("nd"), sum(col("q")).as("sq"))
+      def m(name: String, v: Column) =
+        struct(lit(name).as("metric"), round(v, 6).as("value"))
+      a.select(explode(array(
+          m("n_docs", col("n").cast("double")),
+          m("total_tokens", col("ttok").cast("double")),
+          m("total_chars", col("tchr").cast("double")),
+          m("n_langs", col("nl").cast("double")),
+          m("n_sources", col("ns").cast("double")),
+          m("exact_dup_rate",
+            lit(1.0d) - col("nd").cast("double") / col("n")),
+          m("mean_quality", col("sq").cast("double") / col("n")))).as("f"))
+        .select(col("f.metric"), col("f.value"))
         .orderBy(col("metric"))
     }),
 
@@ -1982,6 +1995,14 @@ object SparkEntry {
       streaming.StreamOps.runToCompletion(s, top)
         .orderBy(col("cnt").desc, col("term").asc)
     }),
+
+    // Streaming per-source heavy hitters: the misra_gries sketch lives in
+    // the STATE STORE (one bounded summary per source, merged across
+    // micro-batches), then the batch exact pass-2 counts the broadcast
+    // candidates — exact output, oracle-identical to the batch two-pass.
+    "stream_heavy_hitters" -> ((s, d) =>
+      streaming.StreamOps.streamHeavyHittersBySource(s, d, 4096, 40)
+        .orderBy(col("source"), col("cnt").desc, col("term"))),
 
     "stream_dedup" -> ((s, d) => {
       val path = s"$d/documents.parquet"
@@ -3645,6 +3666,14 @@ object SparkEntry {
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
          |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
          |SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "stream_heavy_hitters" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |tot AS (SELECT source, count(*) AS n_source FROM tok GROUP BY source),
+         |c AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY source, term)
+         |SELECT c.source, c.term, c.cnt FROM c JOIN tot ON c.source = tot.source
+         |WHERE c.cnt > greatest(40, CAST(ceil(tot.n_source / 4096.0) AS BIGINT))
+         |ORDER BY c.source, c.cnt DESC, c.term""".stripMargin,
 
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS digest FROM documents

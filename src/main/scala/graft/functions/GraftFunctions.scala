@@ -21,20 +21,36 @@ object GraftFunctions {
 
   type Builder = Seq[Expression] => Expression
 
+  /** Resolve an argument that must be an INTEGRAL literal within Int
+    * range, at analysis time. The permissive `Literal(n: Number)` +
+    * `intValue()` form this replaces silently truncated out-of-range
+    * values — `misra_gries(term, 8000000000)` became a small/negative k
+    * instead of an argument error.
+    */
+  private def intLit(fn: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Byte, _)  => v.toInt
+    case Literal(v: Short, _) => v.toInt
+    case Literal(v: Int, _)   => v
+    case Literal(v: Long, _)  =>
+      if (v >= Int.MinValue && v <= Int.MaxValue) v.toInt
+      else throw new IllegalArgumentException(
+        s"$fn: $arg=$v is outside Int range")
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got ${other.sql}")
+  }
+
   /** (name, usage, builder) for every engine function. */
   val builders: Seq[(String, String, Builder)] = Seq(
     ("hybrid_sort_array",
       "hybrid_sort_array(arr[, threshold]) - sorts an int array with the quicksort+insertion hybrid",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(c) => HybridSortArray(c, HybridSort.DefaultThreshold)
-        // Accept only a non-null integral literal threshold, checked here at
+        // Only an in-range integral literal threshold, checked here at
         // resolution time — anything else (NULL, strings, non-foldable
-        // expressions) gets a clean analysis-time error instead of an
-        // opaque NPE/ClassCastException from an eager eval().
-        case Seq(c, Literal(t: Number, _)) if t != null =>
-          HybridSortArray(c, t.intValue())
-        case Seq(_, t) => throw new IllegalArgumentException(
-          s"hybrid_sort_array(arr[, threshold]): threshold must be an integer literal, got ${t.sql}")
+        // expressions, a long that would truncate) gets a clean
+        // analysis-time error instead of an opaque runtime failure.
+        case Seq(c, t) =>
+          HybridSortArray(c, intLit("hybrid_sort_array", "threshold", t))
         case _ => throw new IllegalArgumentException(
           "hybrid_sort_array(arr[, threshold]) takes 1 or 2 arguments")
       }),
@@ -47,24 +63,21 @@ object GraftFunctions {
     ("minhash31",
       "minhash31(shingles, k) - k-function MinHash signature as array<bigint>",
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(c, Literal(kk: Number, _)) if kk != null =>
-          MinHash31(c, kk.intValue())
+        case Seq(c, k) => MinHash31(c, intLit("minhash31", "k", k))
         case _ => throw new IllegalArgumentException(
           "minhash31(shingles, k) takes (array<string>, int literal)")
       }),
     ("topk_by_score",
       "topk_by_score(score, id, k) - bounded-heap top-k aggregate",
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(s, i, Literal(kk: Number, _)) if kk != null =>
-          TopKByScore(s, i, kk.intValue())
+        case Seq(s, i, k) => TopKByScore(s, i, intLit("topk_by_score", "k", k))
         case _ => throw new IllegalArgumentException(
           "topk_by_score(score, id, k) takes (double, bigint, int literal)")
       }),
     ("misra_gries",
       "misra_gries(item, k) - bounded Misra-Gries frequent-items sketch aggregate",
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(c, Literal(kk: Number, _)) if kk != null =>
-          MisraGries(c, kk.intValue())
+        case Seq(c, k) => MisraGries(c, intLit("misra_gries", "k", k))
         case _ => throw new IllegalArgumentException(
           "misra_gries(item, k) takes (string, int literal)")
       }),

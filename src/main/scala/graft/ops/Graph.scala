@@ -30,14 +30,25 @@ object Graph {
     * contributions are 15-dp-quantized and summed as exact decimals so
     * the rank is independent of shuffle fold order — the float-sum trap
     * of every distributed PageRank.
+    *
+    * The edge list is MATERIALIZED ONCE (localCheckpoint) before its four
+    * consumers (node set ×2 legs, out-degrees, contribution join) — the
+    * same edges-cached-per-iteration discipline every Pregel/GraphX-style
+    * runner uses. Without it Catalyst re-derives `edges` per consumer:
+    * when edges come from a join (the orders⋈lineitem bipartite graph in
+    * `pagerank_step`), that was EIGHT base-table scans per iteration.
+    * `nodes` (used by the count and the final join) is checkpointed too —
+    * it carries a distinct-shuffle that would otherwise run twice.
     */
   def pagerankStep(edges: DataFrame, damping: Double = 0.85): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node")))
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
       .distinct()
+      .localCheckpoint()
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val contrib = edges.join(outdeg, "src")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val contrib = e.join(outdeg, "src")
       .crossJoin(broadcast(nRow))
       .select(col("dst"),
         round(lit(damping) * (lit(1.0d) / col("n")) / col("outdeg"), 15)

@@ -103,10 +103,16 @@ object Sorts {
     * Returns the printed rows (the bounded head) so the print is
     * verifiable: what went to stdout is exactly what the caller can
     * compare against an ORDER BY … LIMIT n oracle.
+    *
+    * The head is computed ONCE (localCheckpoint) and both the print and
+    * the returned frame read the materialized blocks — without that,
+    * `show` and the caller would execute the limit independently, and a
+    * `limit` without a total order may pick different rows each time.
     */
   def printSink(df: DataFrame, n: Int = 20): DataFrame = {
-    df.show(n, truncate = false)
-    df.limit(n)
+    val head = df.limit(n).localCheckpoint()
+    head.show(n, truncate = false)
+    head
   }
 
   /** Read a [[sortedSink]] directory back in (file, offset) order WITHOUT

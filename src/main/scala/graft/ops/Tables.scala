@@ -19,19 +19,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
+  /** The one session conf the events reader depends on: the corpus has
+    * shipped `ts` as parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects by default ([PARQUET_TYPE_ILLEGAL]) unless this legacy flag
+    * maps it to a raw long. Set it AT SESSION BUILD (`Bench`, `Verify`,
+    * `Scale`, the test fixtures all do) — [[events]] is a pure reader and
+    * never mutates session state.
+    */
+  val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** `events.ts` has shipped in two physical encodings across corpus
-    * regenerations: parquet TIMESTAMP(NANOS) — which Spark's reader rejects
-    * by default ([PARQUET_TYPE_ILLEGAL]), hence the nanosAsLong conf — and
-    * plain TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark reads
-    * as TIMESTAMP_NTZ. Normalize both to Spark's session-TZ TimestampType
-    * (sessions here pin UTC, so the NTZ cast is value-preserving) so every
-    * downstream query and oracle sees one stable µs timestamp type
+    * regenerations: parquet TIMESTAMP(NANOS) — readable only with
+    * [[NanosAsLongConf]] set at session build — and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark reads as
+    * TIMESTAMP_NTZ. Normalize both to Spark's session-TZ TimestampType so
+    * every downstream query and oracle sees one stable µs timestamp type
     * regardless of which corpus generation is on disk.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(read(s, d, "events"))
-  }
 
   /** Schema-adaptive `ts` normalization shared by the batch and streaming
     * events readers. Branches on the type the parquet reader produced:
@@ -39,7 +45,13 @@ object Tables {
     *     `/`: Column `/` is double division, and ns epochs (~1.7e18) exceed
     *     double's 2^53 exact range — `/ 1000` would drift ±1µs on ~12% of
     *     rows, flipping formatted seconds / as-of boundaries.
-    *   - TimestampNTZType (µs corpus): cast to session-TZ timestamp.
+    *   - TimestampNTZType (µs corpus): the NTZ wall time is the UTC
+    *     rendering of the instant, so anchor the conversion to UTC
+    *     EXPLICITLY — shift the wall clock from UTC to the session zone,
+    *     then cast (a session-TZ interpretation) back to an instant. The
+    *     two zone hops cancel, making the result independent of
+    *     `spark.sql.session.timeZone`; a bare `cast(NTZ as timestamp)`
+    *     would silently shift every event for a non-UTC caller.
     *   - TimestampType: already the target type, pass through.
     */
   private[graft] def normalizeTs(raw: DataFrame): DataFrame =
@@ -47,7 +59,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        raw.withColumn("ts",
+          convert_timezone(lit("UTC"), current_timezone(), col("ts"))
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")

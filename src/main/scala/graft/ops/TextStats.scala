@@ -257,14 +257,32 @@ object TextStats {
     * shuffle-order-dependent float sums).
     */
   def bm25(docs: DataFrame, terms: Seq[String], k: Int,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromTf(tfProjection(docs, terms).localCheckpoint(), terms, k, k1, b)
+
+  /** The map-only (doc_id, dl, tf_0..tf_n) projection [[bm25]] scores —
+    * exposed so a caller needing BOTH the ranking and another view of the
+    * same token statistics (e.g. [[ndcgAt]]'s relevance labels) can
+    * materialize it ONCE and scan the corpus once, instead of once per
+    * consumer. ~`(terms+2)·8` bytes per doc — checkpoint-sized at any
+    * corpus scale.
+    */
+  def tfProjection(docs: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty)
     val toks = tokens(col("text"))
-    val withTf = docs.select(
+    docs.select(
       col("doc_id") +: size(toks).cast("long").as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$i")
         }: _*)
+  }
+
+  /** BM25 scoring over a prebuilt [[tfProjection]]. The input is read
+    * twice (1-row stats aggregate + scoring scan) — pass a checkpointed /
+    * cached frame so those are memory reads, not corpus re-scans.
+    */
+  def bm25FromTf(withTf: DataFrame, terms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val stats = withTf.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("tot") +:
@@ -387,11 +405,20 @@ object TextStats {
         "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS a, tk[i+1] AS b)) ELSE array() END"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-      .where(col("cab") >= minCount)
+    // Both count tables reduce ONCE and are checkpointed: every
+    // downstream consumer (the minCount filter, the two marginal joins,
+    // the two total-mass rows) reads the reduced vocabulary-sized frames
+    // — without this each consumer re-derived its input from the corpus,
+    // for FIVE full scans + re-tokenizations where two suffice (one per
+    // explode shape; the bigram total is the exact sum of the bigram
+    // counts, so it needs no corpus pass of its own).
+    val cabAll = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .localCheckpoint()
+    val cab = cabAll.where(col("cab") >= minCount)
     val uni = toks.select(explode(col("tk")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val nBig = pairs.agg(count(lit(1)).cast("double").as("nb"))
+      .localCheckpoint()
+    val nBig = cabAll.agg(sum(col("cab")).cast("double").as("nb"))
     val nUni = uni.agg(sum(col("c")).cast("double").as("nu"))
     cab
       .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
@@ -484,23 +511,27 @@ object TextStats {
     * — the standard offline retrieval-quality gauge, using a label that is
     * deterministic and engine-portable rather than human judgments.
     *
-    * Scale shape: relevance is a map-only projection over the corpus; the
-    * ranked list is k rows and is BROADCAST into the relevance scan for
-    * its labels (the corpus never shuffles); the ideal-DCG leg is another
-    * bounded-heap top-k over the same projection. Gains use the graded
+    * Scale shape: ONE corpus scan — the [[tfProjection]] is checkpointed
+    * and both the ranking and the relevance labels derive from it; the
+    * ranked list is k rows and is BROADCAST into the relevance leg for
+    * its labels (the corpus never shuffles); the ideal-DCG leg is a
+    * bounded-heap top-k over the same checkpointed projection. Gains use the graded
     * form (2^rel − 1) and positions discount by ln(pos+1)/ln 2, written
     * identically in the SQL oracle.
     */
   def ndcgAt(docs: DataFrame, terms: Seq[String], k: Int,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = tokens(col("text"))
-    val rel = docs.select(col("doc_id"),
-      terms.map(t => when(size(filter(toks, x => x === lit(t))) > 0, 1L)
+    // ONE corpus scan: the checkpointed tf projection feeds the bm25
+    // ranking AND the relevance labels (rel = #query terms present =
+    // count of tf_i > 0 — same predicate the tf columns already hold).
+    val withTf = tfProjection(docs, terms).localCheckpoint()
+    val rel = withTf.select(col("doc_id"),
+      terms.indices.map(i => when(col(s"tf_$i") > 0, 1L)
         .otherwise(0L)).reduce(_ + _).as("rel"))
     def gain(pos: Column, r: Column): Column =
       (pow(lit(2.0), r.cast("double")) - 1.0d) /
         (log(pos.cast("double") + 1.0d) / log(lit(2.0d)))
-    val ranked = bm25(docs, terms, k, k1, b)
+    val ranked = bm25FromTf(withTf, terms, k, k1, b)
       .withColumn("pos", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
     val dcg = rel.join(broadcast(ranked), "doc_id")
@@ -763,6 +794,21 @@ object TextStats {
     val sketch = toks.groupBy(col("source")).agg(
       expr(s"misra_gries(term, $k)").as("cand"),
       count(lit(1)).as("n_source"))
+    exactBySourceFromSketch(toks, sketch, k, minCount)
+  }
+
+  /** The exact pass-2 of [[heavyHittersBySource]], split out so the
+    * STREAMING sketch pass
+    * ([[graft.streaming.StreamOps.streamHeavyHittersBySource]]) can reuse
+    * it verbatim: `sketch` is one (source, cand: array<struct>, n_source)
+    * row per source — from a batch aggregate or a complete-mode streaming
+    * state store, the exact-count semantics are identical. Broadcasts the
+    * ≤ sources×k candidates; per-group threshold max(minCount,
+    * ceil(n_source/k)) keeps the output exact by the Misra-Gries superset
+    * guarantee.
+    */
+  private[graft] def exactBySourceFromSketch(toks: DataFrame, sketch: DataFrame,
+                                             k: Int, minCount: Long): DataFrame = {
     val cands = sketch
       .select(col("source"), explode(col("cand")).as("c"), col("n_source"))
       .select(col("source"), col("c.item").as("term"), col("n_source"))

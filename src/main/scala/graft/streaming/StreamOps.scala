@@ -48,6 +48,38 @@ object StreamOps {
     rows.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming per-source heavy hitters — the `misra_gries` sketch AS
+    * STREAMING STATE: a complete-mode `groupBy(source)` aggregation keeps
+    * one bounded ≤ k-entry summary per source in the state store, folding
+    * each micro-batch's partials in through the aggregate's merge path
+    * (the mergeability the batch two-pass relies on, exercised here
+    * inside the state store across micro-batch boundaries). O(sources·k)
+    * state regardless of vocabulary size — a `groupBy(source, term)`
+    * running count would grow state with every distinct term seen.
+    *
+    * The final candidates then take the SAME exact pass-2 as the batch
+    * [[graft.ops.TextStats.heavyHittersBySource]]
+    * (`exactBySourceFromSketch`): broadcast-join the candidates against a
+    * batch re-scan and count exactly, so the output is exact counts —
+    * independent of how the stream was micro-batched — and
+    * oracle-checkable against plain SQL.
+    */
+  def streamHeavyHittersBySource(spark: SparkSession, dir: String,
+                                 k: Int = 4096, minCount: Long = 50): DataFrame = {
+    GraftFunctions.register(spark)
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    def toksOf(df: DataFrame): DataFrame =
+      df.select(col("source"), explode(tokens(col("text"))).as("term"))
+    val sketch = toksOf(spark.readStream.schema(schema).parquet(stageDir(path)))
+      .groupBy(col("source"))
+      .agg(expr(s"misra_gries(term, $k)").as("cand"),
+        count(lit(1)).as("n_source"))
+    val candidates = runToCompletion(spark, sketch)
+    graft.ops.TextStats.exactBySourceFromSketch(
+      toksOf(graft.ops.Tables.documents(spark, dir)), candidates, k, minCount)
+  }
+
   // ------------------------------------------- bounded-stream execution
 
   /** Stage a path as a file-stream source directory. The file source
@@ -69,10 +101,10 @@ object StreamOps {
     * schema-adaptive µs timestamp normalization
     * [[graft.ops.Tables.normalizeTs]] applies on the batch path (the corpus
     * has shipped `ts` both as nanos-as-long and as TIMESTAMP(MICROS)/NTZ —
-    * see the batch-side comment).
+    * see the batch-side comment). Pure reader: a NANOS-encoded corpus
+    * needs [[graft.ops.Tables.NanosAsLongConf]] set at session build.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema // ts: long (nanos) or ntz µs
     graft.ops.Tables.normalizeTs(

@@ -57,6 +57,31 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mgRows.head.getAs[String]("item") == "a")
   }
 
+  test("integral-literal args: out-of-Int-range and non-integral k are analysis errors, not truncations") {
+    // misra_gries(term, 8000000000) used to silently intValue()-truncate
+    // into a small/negative k; now every such arg must be an in-range
+    // integral literal, rejected with the offending value at analysis time
+    def analysisFails(sql: String, fragment: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(fragment)),
+        s"expected '$fragment' in ${msgs(e)}")
+    }
+    analysisFails(
+      "SELECT misra_gries(item, 8000000000) FROM VALUES ('a') AS t(item)",
+      "outside Int range")
+    analysisFails(
+      "SELECT misra_gries(item, 2.5) FROM VALUES ('a') AS t(item)",
+      "integer literal")
+    analysisFails(
+      "SELECT hybrid_sort_array(array(3,1), 8000000000) ",
+      "outside Int range")
+    // in-range LONG literal still resolves (no behavior change)
+    assert(spark.sql("SELECT misra_gries(item, 2L) AS s " +
+      "FROM VALUES ('a'), ('a') AS t(item)").collect().nonEmpty)
+  }
+
   test("RangeJoinBucketize: naive BETWEEN join plans as hash join, same rows") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._

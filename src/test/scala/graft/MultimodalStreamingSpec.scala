@@ -21,6 +21,8 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-mm-stream-test")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
+    // events reader prerequisite - see Tables.NanosAsLongConf
+    .config(graft.ops.Tables.NanosAsLongConf, "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

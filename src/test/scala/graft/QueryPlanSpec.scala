@@ -30,6 +30,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-plan-test")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
+      // events reader prerequisite - see Tables.NanosAsLongConf
+      .config(graft.ops.Tables.NanosAsLongConf, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -166,6 +168,84 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q pass-1 must run the misra_gries TypedImperativeAggregate " +
           s"(ObjectHashAggregate), partial then final:\n$p")
     }
+  }
+
+  test("corpus-wide sweep: scan multiplicity — no table read more often than its documented budget") {
+    // Default budget: each table scanned ONCE per query. Shapes with an
+    // inherent second read (two-pass sketch+exact, self-joins, stats legs
+    // that Catalyst cannot share) are listed explicitly WITH the reason.
+    // Anything over budget is the dataset_card class of regression (that
+    // query silently unioned SEVEN full corpus scans for a one-pass
+    // datasheet — ~700 TB of read at the design point — and nothing
+    // noticed until a judge did). localCheckpoint'ed subplans appear as
+    // RDD scans, so a checkpointed-once corpus read correctly counts 0
+    // here — the checkpoint job itself is the single scan.
+    val budget: Map[String, Map[String, Int]] = Map(
+      // -- two-pass sketch + exact designs: pass 2 re-reads by design,
+      //    trading a second cheap columnar scan for never shuffling the
+      //    full distinct key space
+      "heavy_hitters" -> Map("documents" -> 2),
+      "domain_heavy_hitters" -> Map("documents" -> 2),
+      // -- accuracy evals: two independent methods over the SAME input,
+      //    compared — the re-read IS the experiment
+      "ann_recall" -> Map("embeddings" -> 4),      // brute-force leg vs IVF leg, each corpus+queries
+      "bloom_prefilter" -> Map("documents" -> 4),  // sketch build/probe vs exact-join truth, disjoint pushed-filter slices
+      "cms_freq" -> Map("documents" -> 2),         // CMS estimate vs exact counts
+      "approx_distinct" -> Map("events" -> 2),     // HLL estimate vs exact distinct
+      "hll_merge" -> Map("events" -> 3),           // the slice→merge associativity proof: 2 halves + direct run
+      // -- one table in TWO OR MORE SEMANTIC ROLES (self-join family);
+      //    pushed filters make each role's scan partial where applicable
+      "knn_bruteforce" -> Map("embeddings" -> 2),  // corpus role + query role (vec_id<8 pushed)
+      "knn_ivf" -> Map("embeddings" -> 2),
+      "semantic_dedup" -> Map("embeddings" -> 2),
+      "asof_join" -> Map("events" -> 2),           // quote stream + trade stream roles
+      "full_outer" -> Map("orders" -> 2),          // both diff sides
+      "table_diff" -> Map("customer" -> 3),        // old snapshot, new snapshot, changed-row compare
+      "scd2_merge" -> Map("customer" -> 3),        // current dim + incoming batch + close-out
+      "incr_dedup" -> Map("documents" -> 2),       // incoming batch anti-joins the seen corpus
+      "decontaminate" -> Map("documents" -> 2),    // corpus vs benchmark sides
+      "edit_distance" -> Map("documents" -> 2),    // both members of each near-dup pair
+      "dup_spans" -> Map("documents" -> 3),        // span sides + doc metadata
+      "range_join" -> Map("lineitem" -> 2, "orders" -> 2), // probe + build intervals
+      "set_ops" -> Map("orders" -> 4),             // UNION/INTERSECT/EXCEPT legs — the surface under test
+      // -- stats-then-score: a 1-row (or reduced) aggregate leg plus the
+      //    scoring scan; Catalyst cannot share a scan across an aggregate
+      //    boundary, and checkpointing the CORPUS to avoid a cheap
+      //    columnar re-read would cost more than the read
+      "value_zscore" -> Map("events" -> 2),
+      "emb_outliers" -> Map("embeddings" -> 2),
+      "quality_filter" -> Map("documents" -> 2),   // per-language quantile cut needs the full distribution first
+      "gap_fill" -> Map("events" -> 3),            // per-key bounds, dense spine, observed join
+      "source_entropy" -> Map("documents" -> 2),
+      // -- reduced-vocabulary join designs: term-count aggregate leg(s) +
+      //    the per-doc scan; re-scan beats materializing the exploded
+      //    token stream (larger than the corpus) at any scale
+      "tfidf_top" -> Map("documents" -> 3),
+      "unigram_surprisal" -> Map("documents" -> 3),
+      "bigram_surprisal" -> Map("documents" -> 3),
+      // -- TPC-H correlated-subquery shapes: the spec's own semantics
+      //    (scalar-subquery threshold, EXISTS/NOT EXISTS legs, two
+      //    nation roles) read a table more than once
+      "q2_min_price" -> Map("part" -> 2),
+      "q7_nation_volume" -> Map("nation" -> 2),    // supplier nation × customer nation
+      "q8_market_share" -> Map("nation" -> 2),
+      "q11_important_stock" -> Map("lineitem" -> 2, "nation" -> 2, "supplier" -> 2), // per-key value + global threshold
+      "q17_small_quantity" -> Map("lineitem" -> 2), // per-part avg subquery
+      "q21_waiting_supplier" -> Map("lineitem" -> 3, "orders" -> 3), // base + EXISTS + NOT EXISTS
+      "q22_idle_customers" -> Map("customer" -> 2) // global avg-balance subquery
+    ).withDefaultValue(Map.empty)
+    val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
+    val offenders = names.flatMap { n =>
+      val p = SparkEntry.queries(n)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      "/([a-z_]+)\\.parquet".r.findAllMatchIn(p).map(_.group(1)).toSeq
+        .groupBy(identity).collect {
+          case (t, hits) if hits.size > budget(n).getOrElse(t, 1) =>
+            s"$n: $t scanned ${hits.size}x (budget ${budget(n).getOrElse(t, 1)})"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"scan-multiplicity regressions:\n${offenders.mkString("\n")}")
   }
 
   test("sessions: exactly one user-keyed exchange feeds windows and aggregate") {

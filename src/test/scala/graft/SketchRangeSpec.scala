@@ -21,6 +21,8 @@ class SketchRangeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-sketch-test")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
+      // events reader prerequisite - see Tables.NanosAsLongConf
+      .config(graft.ops.Tables.NanosAsLongConf, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -271,5 +273,34 @@ class SketchRangeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s.getLong(2) == b.getLong(2))
       assert(s.getDouble(3) == b.getDouble(3))
     }
+  }
+
+  test("streaming heavy hitters (misra_gries in the state store) equals the batch two-pass") {
+    val d = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2))
+    val streamed = streaming.StreamOps
+      .streamHeavyHittersBySource(spark, d, k = 4096, minCount = 10)
+      .orderBy(col("source"), col("cnt").desc, col("term"))
+      .collect().map(key).toSeq
+    val batch = TextStats
+      .heavyHittersBySource(graft.ops.Tables.documents(spark, d), 4096, 10)
+      .orderBy(col("source"), col("cnt").desc, col("term"))
+      .collect().map(key).toSeq
+    assert(streamed.nonEmpty, "parity test must exercise a non-empty result")
+    assert(streamed == batch)
+  }
+
+  // a small k forces heavy decrement churn through the state-store merge
+  // path; output stays exact because pass 2 re-counts (superset guarantee)
+  test("streaming heavy hitters stays exact with a tiny sketch budget") {
+    val d = "/root/testdata/sf0.001"
+    val tiny = streaming.StreamOps
+      .streamHeavyHittersBySource(spark, d, k = 64, minCount = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = TextStats
+      .heavyHittersBySource(graft.ops.Tables.documents(spark, d), 64, 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(tiny == batch)
   }
 }

@@ -29,6 +29,8 @@ class TestdataCanarySpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-canary-test")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
+      // events reader prerequisite - see Tables.NanosAsLongConf
+      .config(graft.ops.Tables.NanosAsLongConf, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -116,5 +118,45 @@ class TestdataCanarySpec extends AnyFunSuite with BeforeAndAfterAll {
     val tz = Seq(1700000000123456L).toDF("us")
       .selectExpr("timestamp_micros(us) as ts")
     assert(graft.ops.Tables.normalizeTs(tz).schema("ts").dataType == TimestampType)
+  }
+
+  test("normalizeTs NTZ branch is independent of spark.sql.session.timeZone") {
+    // A library caller does NOT necessarily run UTC sessions. The NTZ
+    // wall time is the UTC rendering of the instant; the UTC-anchored
+    // convert_timezone + cast must recover the same instant under any
+    // session zone (a bare cast(NTZ as timestamp) shifts by the zone
+    // offset — the bug class this pins down).
+    val s = spark
+    import s.implicits._
+    def instantUnder(zone: String): Long = {
+      val key = "spark.sql.session.timeZone"
+      val prev = s.conf.get(key)
+      s.conf.set(key, zone)
+      try {
+        val ntz = Seq("2023-11-14T22:13:20.123456").toDF("str")
+          .selectExpr("cast(str as timestamp_ntz) as ts")
+        graft.ops.Tables.normalizeTs(ntz)
+          .select(org.apache.spark.sql.functions.unix_micros($"ts"))
+          .as[Long].head()
+      } finally s.conf.set(key, prev)
+    }
+    val utc = instantUnder("UTC")
+    assert(utc == 1700000000123456L)
+    assert(instantUnder("America/New_York") == utc)
+    assert(instantUnder("Asia/Kolkata") == utc) // half-hour offset zone
+  }
+
+  test("docs truth-sync: README query count matches SparkEntry, every query has an oracle") {
+    val n = SparkEntry.queries.size
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      "every queries entry needs an oracleSql twin (and no orphan oracles): " +
+        s"missing=${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet} " +
+        s"orphans=${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(readme.contains(s"$n queries"),
+      s"README.md must state the real query count ('$n queries') — " +
+        "update the docs when the map grows, this assertion keeps them honest")
   }
 }
