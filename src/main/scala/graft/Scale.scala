@@ -540,7 +540,7 @@ object Scale {
     val nSmall = if (args.length > 1) args(1).toInt else 20
     val nHot = 50L
     val k = 4096
-    val coldVocab = 2000000L
+    val coldVocab = 20000000L
     val minCount = 100L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
