@@ -182,6 +182,18 @@ class SparkFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(printed.count() == 3)
   }
 
+  test("printSink head is computed once: repeated materializations return identical rows") {
+    // Without the internal checkpoint, limit-over-unordered input may pick
+    // different rows per execution — the printed rows and the returned
+    // frame could silently disagree. The checkpoint pins one head.
+    val noOrder = spark.range(0, 1000, 1, 8).toDF()
+      .selectExpr("id", "xxhash64(id) as h")
+    val head = graft.ops.Sorts.printSink(noOrder, 5)
+    val first = head.collect().map(_.toSeq).toSeq
+    val second = head.collect().map(_.toSeq).toSeq
+    assert(first.size == 5 && first == second)
+  }
+
   test("chunk: window count, overlap, and short-tail behavior") {
     val s = spark
     import s.implicits._
