@@ -1224,6 +1224,16 @@ object SparkEntry {
           docs(s, d).where(col("source") === BenchSource), DecontamN)
         .orderBy(col("doc_id"))),
 
+    // Semantic (embedding-level) eval-set contamination: corpus vectors
+    // within cosine tau of any benchmark vector, best match reported —
+    // catches the paraphrased benchmark items the n-gram pass misses.
+    // Benchmark side broadcast; corpus streamed once, never shuffled.
+    "semantic_decontaminate" -> ((s, d) =>
+      Similarity.semanticDecontaminate(
+          emb(s, d).where(pmod(col("vec_id"), lit(61L)) =!= 0),
+          emb(s, d).where(pmod(col("vec_id"), lit(61L)) === 0), 0.30)
+        .orderBy(col("vec_id"))),
+
     // -- similarity search -------------------------------------------------
     "knn_bruteforce" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5)
@@ -2870,6 +2880,18 @@ object SparkEntry {
          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "pq_encode" -> pqEncodeSql,
+
+    // 6dp-rounded cosines on both sides; best-match tie toward larger
+    // bench_id = the struct-max ordering, mirrored by DESC row_number.
+    "semantic_decontaminate" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id AS bench_id, e FROM c WHERE vec_id % 61 = 0),
+         |corp AS (SELECT * FROM c WHERE vec_id % 61 <> 0),
+         |s AS (SELECT corp.vec_id, b.bench_id, ${cosSql("corp.e", "b.e")} AS cos_sim FROM corp, b),
+         |f AS (SELECT * FROM s WHERE cos_sim >= 0.30)
+         |SELECT vec_id, bench_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id DESC) AS rn FROM f)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "knn_pq" -> knnPqSql,
 

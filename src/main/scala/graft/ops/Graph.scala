@@ -78,8 +78,16 @@ object Graph {
     */
   def cooccurrenceEdges(incidence: DataFrame, itemCol: String,
                         memberCol: String, maxFan: Int = 10000): DataFrame = {
+    // The reduced frames are MATERIALIZED ONCE (localCheckpoint) at their
+    // natural reuse points — Catalyst has no subtree CSE, so without this
+    // `all` re-derives per consumer (fan aggregate + pair join), the
+    // self-joined `ps` doubles that, and the threshold legs double it
+    // again: up to 8 base-relation scans for one edge list. Both frames
+    // are already reduced (distinct incidence pairs / distinct co-pairs),
+    // so the materialization is the small end of the dataflow.
     val all = incidence.select(col(itemCol).as("g_item"),
       col(memberCol).as("g_member")).distinct()
+      .localCheckpoint()
     val smallItems = all.groupBy(col("g_item"))
       .agg(count(lit(1)).as("fan"))
       .where(col("fan") <= maxFan)
@@ -90,6 +98,7 @@ object Graph {
         col("g_item") === col("b_item") && col("g_member") < col("s2"))
       .groupBy(col("g_member").as("s1"), col("s2"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val thr = shared
       .agg(sum(col("c")).as("cs"), sum(col("c") * col("c")).as("cs2"),
         count(lit(1)).as("cn"))

@@ -345,6 +345,42 @@ object Similarity {
         round(col("n_hit").cast("double") / col("n_exact").cast("double"), 4).as("recall"))
   }
 
+  /** Eval-set contamination at the EMBEDDING level — the semantic
+    * complement of [[Decontaminate.flagOverlap]]'s n-gram pass (paraphrased
+    * or reformatted benchmark items share no 8-grams but sit next to the
+    * original in embedding space). Flags every corpus vector whose cosine
+    * to ANY benchmark vector reaches `tau`, reporting the best-matching
+    * benchmark id (ties broken toward the larger id, mirrored in the
+    * oracle's DESC tiebreak).
+    *
+    * Scale shape: the benchmark side is small BY CONTRACT (an eval set,
+    * not a corpus) and is broadcast; the corpus streams through the
+    * map-side broadcast join — one scan, never shuffled. Only the flagged
+    * rows (≥ tau) enter the per-vector max aggregation, so the single
+    * shuffle carries the contaminated subset, not the corpus. Cosines are
+    * 6dp-rounded before the threshold and the argmax, so any engine
+    * selects and ranks identical values.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame, tau: Double,
+                            idCol: String = "vec_id",
+                            embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("vec_id"),
+        asDouble(col(embCol)).as("c_emb"))
+      .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
+    val b = bench.select(col(idCol).cast("long").as("bench_id"),
+        asDouble(col(embCol)).as("b_emb"))
+      .withColumn("b_nrm", sqrt(dot(col("b_emb"), col("b_emb"))))
+    c.crossJoin(broadcast(b))
+      .select(col("vec_id"), col("bench_id"),
+        round(cosineFromNorms(dot(col("c_emb"), col("b_emb")),
+          col("c_nrm"), col("b_nrm")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_sim"), col("bench_id"))).as("m"))
+      .select(col("vec_id"), col("m.bench_id").as("bench_id"),
+        col("m.cos_sim").as("cos_sim"))
+  }
+
   /** Cluster-composition audit: the coarse k-means cells crossed with the
     * labeled classes — per (cell, label) member counts and within-cell
     * shares. This is the purity/balance check run after any clustering

@@ -251,4 +251,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       && out.count(_._1 == 3L) == 1)
     assert(out.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("semanticDecontaminate flags planted matches, honors tau, breaks ties to larger bench id") {
+    val sp = spark; import sp.implicits._
+    def v(xs: Float*): Array[Float] = xs.toArray
+    // bench 100 = (1,0), bench 101 = (0,1); corpus: exact copy of 100,
+    // a 45-degree vector (cos ~0.707 to BOTH benches -> tie), and an
+    // orthogonal-to-100 vector that matches 101 exactly
+    val corpus = Seq(
+      (1L, v(2f, 0f)),   // cos 1.0 with bench 100
+      (2L, v(1f, 1f)),   // cos 0.707107 with both -> tie, keep bench 101
+      (3L, v(0f, 3f)),   // cos 1.0 with bench 101
+      (4L, v(1f, -1f))   // cos 0.707 with 100, -0.707 with 101
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((100L, v(1f, 0f)), (101L, v(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.semanticDecontaminate(corpus, bench, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 100L, 1.0), (3L, 101L, 1.0)))
+    val loose = graft.ops.Similarity.semanticDecontaminate(corpus, bench, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(loose.keySet == Set(1L, 2L, 3L, 4L))
+    assert(loose(2L) == 101L) // equal cosines -> struct max picks larger id
+    assert(loose(4L) == 100L) // the -0.707 side never wins
+  }
 }

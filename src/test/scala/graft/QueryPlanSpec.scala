@@ -143,6 +143,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q22_idle_customers", "tfidf_top", "unigram_surprisal",
       "pagerank_step", "gap_fill", "rrf_fusion" /* bm25 leg's stats row */,
       "ann_recall" /* brute-force leg broadcasts the fixed query set */,
+      "semantic_decontaminate" /* bench side small by contract, broadcast */,
       "q11_important_stock" /* 1-row threshold broadcast */,
       "triangle_count" /* 1-row mean-degree threshold + 1-row × 1-row output join */,
       "ndcg_eval" /* bm25 leg's 1-row stats broadcast + final 1-row dcg × 1-row idcg cross */)
@@ -198,6 +199,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "knn_bruteforce" -> Map("embeddings" -> 2),  // corpus role + query role (vec_id<8 pushed)
       "knn_ivf" -> Map("embeddings" -> 2),
       "semantic_dedup" -> Map("embeddings" -> 2),
+      "semantic_decontaminate" -> Map("embeddings" -> 2), // corpus role + broadcast bench role
       "asof_join" -> Map("events" -> 2),           // quote stream + trade stream roles
       "full_outer" -> Map("orders" -> 2),          // both diff sides
       "table_diff" -> Map("customer" -> 3),        // old snapshot, new snapshot, changed-row compare
@@ -246,6 +248,29 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(offenders.isEmpty,
       s"scan-multiplicity regressions:\n${offenders.mkString("\n")}")
+  }
+
+  test("corpus-wide sweep: building a query never mutates session SQL conf") {
+    // Readers and query builders must be PURE: a builder that conf.sets
+    // (the old Tables.events nanosAsLong pattern) changes behavior for
+    // every LATER query in the session — the bug class that darkened 25
+    // queries in round 4 was only possible because a reader owned session
+    // state. Documented exceptions: the streaming runners (they pin state
+    // partitions and RESTORE them — covered by their own specs, and
+    // stream_* builders execute a full query, so they are excluded here);
+    // session EXTENSIONS (an optimizer rule / strategy added via the
+    // experimental hook by range_join_auto / hybrid_sort_exec) are not
+    // SQL confs and are idempotent — this guard checks confs only.
+    val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
+    val offenders = names.flatMap { n =>
+      val before = spark.conf.getAll
+      SparkEntry.queries(n)(spark, sfDir).queryExecution.analyzed
+      val after = spark.conf.getAll
+      if (after == before) None
+      else Some(s"$n changed: ${(after.toSet -- before.toSet) ++ (before.toSet -- after.toSet)}")
+    }
+    assert(offenders.isEmpty,
+      s"impure query builders:\n${offenders.mkString("\n")}")
   }
 
   test("sessions: exactly one user-keyed exchange feeds windows and aggregate") {
