@@ -23,8 +23,9 @@ object Tables {
     * shipped `ts` as parquet TIMESTAMP(NANOS), which Spark's reader
     * rejects by default ([PARQUET_TYPE_ILLEGAL]) unless this legacy flag
     * maps it to a raw long. Set it AT SESSION BUILD (`Bench`, `Verify`,
-    * `Scale`, the test fixtures all do) — [[events]] is a pure reader and
-    * never mutates session state.
+    * `Profile`, `Explain`, and the test fixtures all do; `Scale` only
+    * generates synthetic frames and never reads the events parquet) —
+    * [[events]] is a pure reader and never mutates session state.
     */
   val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
 

@@ -6,8 +6,9 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, Trigger, ValueState}
 
 import graft.functions._
 
@@ -365,5 +366,77 @@ object StreamOps {
             out.iterator
           }
       }
+  }
+
+  /** The same inactivity-closed sessions through Spark 4's
+    * `transformWithState` with EVENT-TIME TIMERS — the arbitrary-state
+    * API's replacement for `GroupStateTimeout`: instead of one implicit
+    * timeout per key, the processor OWNS its timers (`registerTimer` /
+    * `deleteTimer` / `listTimers` on the handle) and closes a session from
+    * `handleExpiredTimer` when the watermark passes last-event + gap.
+    * Within-batch gaps emit directly from `handleInputRows`; each batch
+    * re-arms exactly ONE live timer per key (stale timers deleted first),
+    * so timer state is O(1) per key like the session state itself.
+    */
+  final class InactivitySessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Evt, UserSession] {
+    @transient private var open: ValueState[OpenSession] = _
+
+    private def close(uid: Long, s: OpenSession): UserSession =
+      UserSession(uid, new Timestamp(s.startMs), new Timestamp(s.lastMs),
+        s.n, s.sum)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Evt],
+                                 tv: TimerValues): Iterator[UserSession] = {
+      val out = new ArrayBuffer[UserSession]
+      // event-time order within a micro-batch is not guaranteed
+      val sorted = rows.toArray.sortBy(_.ts.getTime)
+      var cur = if (open.exists()) Some(open.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur = cur match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.n + 1,
+              s.sum + e.value))
+          case Some(s) =>
+            out += close(key, s)
+            Some(OpenSession(t, t, 1L, e.value))
+          case None =>
+            Some(OpenSession(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // one live timer per key: drop whatever an earlier batch armed
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(s.lastMs + gapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[UserSession] =
+      if (open.exists()) {
+        val s = open.get()
+        open.clear()
+        Iterator.single(close(key, s))
+      } else Iterator.empty
+  }
+
+  /** [[sessionize]] restated on the `transformWithState` timer surface —
+    * emissions are identical (within-batch gap closes + watermark-driven
+    * inactivity closes); input must carry a watermark on `ts`
+    * (`TimeMode.EventTime` requires it).
+    */
+  def inactivitySessions(events: Dataset[Evt], gapMinutes: Int): Dataset[UserSession] = {
+    implicit val enc = Encoders.product[UserSession]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new InactivitySessionProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Update())
   }
 }

@@ -174,6 +174,44 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.contains((2L, ts(15, 0), ts(15, 0), 1L, 8.0)), s"got: ${got.mkString}")
   }
 
+  test("transformWithState event-time timers: inactivity closes sessions at the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.Evt]
+      val withWm = mem.toDS().withWatermark("ts", "0 seconds")
+      val q = StreamOps.inactivitySessions(withWm, gapMinutes = 30).writeStream
+        .format("memory").queryName("tws_timer_t").outputMode("update").start()
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      mem.addData(StreamOps.Evt(1L, ts(9, 0), 1.0), StreamOps.Evt(1L, ts(9, 10), 2.0))
+      q.processAllAvailable()
+      // watermark jumps to 15:00 -> user 1's 9:40 TIMER fires and closes
+      // the open session from handleExpiredTimer
+      mem.addData(StreamOps.Evt(2L, ts(15, 0), 8.0))
+      q.processAllAvailable()
+      // same-user event past the gap -> user 2's first session closes
+      // IN-BATCH (handleInputRows), no timer involved
+      mem.addData(StreamOps.Evt(2L, ts(23, 0), 0.5))
+      q.processAllAvailable()
+      val got = spark.table("tws_timer_t")
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      q.stop()
+      // user 2's 23:00 session stays OPEN (watermark never passes 23:30)
+      assert(got == Set(
+        (1L, ts(9, 0), ts(9, 10), 2L, 3.0),
+        (2L, ts(15, 0), ts(15, 0), 1L, 8.0)), s"got: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState running totals: multi-batch delivery converges to the batch aggregate") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
