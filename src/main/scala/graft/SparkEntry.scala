@@ -2052,6 +2052,27 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // The SAME sessionization contract on Spark 4's transformWithState
+    // EVENT-TIME TIMER surface (processor-owned registerTimer/
+    // handleExpiredTimer instead of GroupStateTimeout): in-batch gap
+    // closes emit identically, and with the same far watermark no timer
+    // fires — so the driver-checked emissions equal stream_sessions'
+    // oracle exactly. Update-mode memory sink (timers + RocksDB store).
+    "stream_sessions_timers" -> ((s, d) => {
+      import s.implicits._
+      val ev = streaming.StreamOps.eventsStream(s, d)
+        .select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", "87600 hours")
+        .as[streaming.StreamOps.Evt]
+      val sess = streaming.StreamOps.inactivitySessions(ev, SessionGapMin).toDF()
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+      streaming.StreamOps.runToCompletionUpdate(s, sess)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Spark 4 transformWithState (typed ValueState in the RocksDB store,
     // update mode): per-user running totals as a bounded stream. The
     // final emission per user — the max-n_events row — IS the batch
@@ -3702,6 +3723,21 @@ object SparkEntry {
         |ORDER BY digest""".stripMargin,
 
     "stream_sessions" ->
+      s"""WITH x AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
+         |  CASE WHEN epoch_us(date_trunc('microseconds', ts)) - lag(epoch_us(date_trunc('microseconds', ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) > ${SessionGapMin * 60000000L} THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM x),
+         |agg AS (SELECT user_id, sid,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         |  count(*) AS n_events
+         |  FROM s GROUP BY user_id, sid),
+         |mx AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id)
+         |SELECT agg.user_id AS user_id, session_start, session_end, n_events
+         |FROM agg JOIN mx USING (user_id) WHERE sid < last_sid
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_sessions_timers" ->
       s"""WITH x AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
          |  CASE WHEN epoch_us(date_trunc('microseconds', ts)) - lag(epoch_us(date_trunc('microseconds', ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) > ${SessionGapMin * 60000000L} THEN 1 ELSE 0 END AS brk
          |  FROM events),
