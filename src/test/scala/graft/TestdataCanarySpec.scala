@@ -146,6 +146,20 @@ class TestdataCanarySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(instantUnder("Asia/Kolkata") == utc) // half-hour offset zone
   }
 
+  test("embeddings: dimension is uniform and matches the engine's EmbDim=64 contract") {
+    // PQ sub-space slicing, SRP planes, and the per-dim oracles all bake
+    // in the 64-dim contract (SparkEntry.EmbDim, divisible by PqSubs=8).
+    // A corpus regeneration that changes the dim must fail HERE with a
+    // name, not as NULL-slice garbage inside pq_encode.
+    val dims = graft.ops.Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")).as("d"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims == Seq(64),
+      s"embeddings.embedding dims drifted to $dims — update EmbDim and " +
+        "the PqSubs divisibility in SparkEntry + the per-dim oracles")
+  }
+
   test("docs truth-sync: README query count matches SparkEntry, every query has an oracle") {
     val n = SparkEntry.queries.size
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
