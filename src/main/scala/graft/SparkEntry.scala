@@ -819,6 +819,39 @@ object SparkEntry {
           Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
         .orderBy(col("l_returnflag"))),
 
+    // Exact quantiles of a NEAR-UNIQUE measure (l_extendedprice has ~one
+    // distinct value per row — the case the histogram CDF above cannot
+    // bound) in two bounded passes via the native kll_sketch aggregate:
+    // sketch pass → certified rank bracket → one windowed re-scan whose
+    // shuffle carries O(err) rows, never the distinct-value set. The
+    // output is the exact order statistic — deterministic under any
+    // partition merge order — hence plain-SQL oracle-checkable.
+    "kll_quantiles" -> ((s, d) =>
+      Quantiles.exactQuantiles(li(s, d), "l_extendedprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy(col("quantile"))),
+
+    // Grouped variant: one independent bounded sketch per return flag
+    // (grouped partial aggregation — groups × summary rows shuffle),
+    // certified brackets per (group, quantile), one shared exact pass.
+    "kll_quantiles_grouped" -> ((s, d) =>
+      Quantiles.exactQuantiles(li(s, d), "l_extendedprice",
+          Seq("p50" -> 0.5, "p99" -> 0.99), groupCols = Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"), col("quantile"))),
+
+    // Mergeable-summaries proof on the persisted-summary path: per-month
+    // kll_sketch summaries of o_totalprice merge DECLARATIVELY (items
+    // union, n/err certificates add) and the merged certificate still
+    // brackets the exact global quantile — same answer as sketching the
+    // raw rows directly, without ever re-reading them. This is the shape
+    // an incremental pipeline runs nightly: sketch the new partition,
+    // union the stored summaries, refine once.
+    "kll_merge" -> ((s, d) =>
+      Quantiles.mergedQuantiles(Tables.orders(s, d), "o_totalprice",
+          date_trunc("month", col("o_orderdate")),
+          Seq("p50" -> 0.5, "p99" -> 0.99))
+        .orderBy(col("quantile"))),
+
     // Pairwise Pearson correlations of 4 numeric columns in ONE pass:
     // all k(k+1)/2+2k+1 sufficient statistics in a single O(1)-state
     // map-side-combined aggregate (exact decimal sums → deterministic
@@ -2554,6 +2587,39 @@ object SparkEntry {
         |  min(CASE WHEN cum >= ceil(tot * 0.9) THEN l_quantity END) AS p90,
         |  min(CASE WHEN cum >= ceil(tot * 0.99) THEN l_quantity END) AS p99
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The engine computes these through the kll_sketch two-pass path; the
+    // answer is the exact discrete-CDF order statistic, so the oracle is
+    // the plain cumulative-count definition — sketch internals never leak
+    // into the output.
+    "kll_quantiles" ->
+      """WITH c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x, count(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT *,
+        |  sum(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER () AS tot FROM c)
+        |SELECT q.quantile, min(CASE WHEN cum >= ceil(tot * q.q) THEN x END) AS value
+        |FROM t CROSS JOIN (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) q(quantile, q)
+        |GROUP BY q.quantile ORDER BY q.quantile""".stripMargin,
+
+    "kll_quantiles_grouped" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x, count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |  sum(n) OVER (PARTITION BY l_returnflag ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER (PARTITION BY l_returnflag) AS tot FROM c)
+        |SELECT l_returnflag, q.quantile, min(CASE WHEN cum >= ceil(tot * q.q) THEN x END) AS value
+        |FROM t CROSS JOIN (VALUES ('p50', 0.5), ('p99', 0.99)) q(quantile, q)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "kll_merge" ->
+      """WITH c AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, count(*) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT *,
+        |  sum(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER () AS tot FROM c),
+        |s AS (SELECT count(DISTINCT date_trunc('month', o_orderdate)) AS n_slices FROM orders)
+        |SELECT q.quantile, min(CASE WHEN cum >= ceil(tot * q.q) THEN x END) AS value,
+        |  max(s.n_slices) AS n_slices
+        |FROM t CROSS JOIN (VALUES ('p50', 0.5), ('p99', 0.99)) q(quantile, q) CROSS JOIN s
+        |GROUP BY q.quantile ORDER BY q.quantile""".stripMargin,
 
     // Mirrors Stats.corrMatrix: identical exact-decimal sums, identical
     // double formula and operation order, so values match bit-for-bit.

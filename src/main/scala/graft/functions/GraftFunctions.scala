@@ -81,6 +81,13 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "misra_gries(item, k) takes (string, int literal)")
       }),
+    ("kll_sketch",
+      "kll_sketch(value, k) - bounded mergeable quantile sketch with a certified rank-error bound",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, k) => KllSketch(c, intLit("kll_sketch", "k", k))
+        case _ => throw new IllegalArgumentException(
+          "kll_sketch(value, k) takes (double, int literal)")
+      }),
   )
 
   /** Imperative per-session registration. Idempotent. */

@@ -1,0 +1,234 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Mutable KLL/MRL-style quantile-sketch state: a stack of level buffers
+  * where level ℓ holds items of weight 2^ℓ, each buffer at most `k` items.
+  *
+  * Public-literature lineage: Munro & Paterson 1980 (selection in limited
+  * storage), Manku–Rajagopalan–Lindsay SIGMOD 1998 (the level/compaction
+  * scheme), Karnin–Lang–Liberty FOCS 2016 (KLL; our fixed per-level
+  * capacity is the simpler MRL layout with KLL's accounting). Compaction
+  * sorts a full buffer and promotes every other item to the next level at
+  * doubled weight; which parity survives alternates deterministically per
+  * level (`flips`), halving systematic drift without randomness — the
+  * engine's oracle contract needs deterministic OUTPUT, and the guarantee
+  * below is deterministic regardless of parity choices.
+  *
+  * **Certified error accounting.** For any query value x, let
+  * `R(x) = Σ_{item v ≤ x} w(item)` over the summary. Compacting an even
+  * buffer of m items at weight w changes R(x) by at most w (keep-odd gives
+  * floor(j/2), keep-even ceil(j/2), of the j items ≤ x — either is within
+  * w·j ± w of the original mass), and merges/odd-leftovers change nothing.
+  * So `|R(x) − trueRank(x)| ≤ errBound` where `errBound` is the running
+  * sum of `2^ℓ` over all compactions — tracked exactly in the state and
+  * exposed in the result. Downstream consumers ([[graft.ops.Quantiles]])
+  * use that certificate to bracket a target rank and then compute EXACT
+  * quantiles in one more bounded re-scan, which is what makes a
+  * sketch-accelerated quantile oracle-checkable against plain SQL.
+  *
+  * Bounded state is the point at 100 TB: memory is O(k·log(n/k)) doubles
+  * per aggregation group no matter how many rows stream in — the shuffle
+  * carries one small summary per task, never the (possibly near-unique)
+  * value set that an exact `groupBy(value)` CDF would move.
+  */
+final class KllState(val k: Int) {
+  import scala.collection.mutable.ArrayBuffer
+
+  /** levels(ℓ) = unsorted buffer of items with weight 2^ℓ. */
+  val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty)
+  /** Per-level parity of the next compaction (deterministic alternation). */
+  val flips: ArrayBuffer[Boolean] = ArrayBuffer(false)
+  var n: Long = 0L
+  var errBound: Long = 0L
+
+  def update(x: Double): Unit = {
+    n += 1
+    levels(0) += x
+    if (levels(0).length >= k) compact(0)
+  }
+
+  /** Sort level ℓ, promote every other item (alternating parity) at
+    * doubled weight; an odd straggler stays behind at level ℓ. Cascades
+    * when the promotion fills the next level.
+    */
+  private def compact(l: Int): Unit = {
+    val buf = levels(l)
+    if (buf.length < 2) return
+    if (levels.length == l + 1) { levels += ArrayBuffer.empty; flips += false }
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr)
+    val even = arr.length - (arr.length % 2)
+    val offset = if (flips(l)) 1 else 0
+    flips(l) = !flips(l)
+    val next = levels(l + 1)
+    var i = offset
+    while (i < even) { next += arr(i); i += 2 }
+    buf.clear()
+    if (even < arr.length) buf += arr(even) // odd straggler keeps its weight
+    errBound += 1L << l
+    if (next.length >= k) compact(l + 1)
+  }
+
+  /** Merge: level-wise concatenation (weights align by construction), then
+    * compact any over-full level. n and the error certificates add; the
+    * concatenation itself is exact, so the bound survives any merge tree.
+    */
+  def mergeFrom(o: KllState): Unit = {
+    n += o.n
+    errBound += o.errBound
+    var l = 0
+    while (l < o.levels.length) {
+      if (levels.length == l) { levels += ArrayBuffer.empty; flips += false }
+      levels(l) ++= o.levels(l)
+      l += 1
+    }
+    l = 0
+    while (l < levels.length) {
+      if (levels(l).length >= k) compact(l)
+      l += 1
+    }
+  }
+
+  /** Summary items (value, weight), value ascending. Σ weight == n. */
+  def items: Array[(Double, Long)] = {
+    var total = 0
+    levels.foreach(b => total += b.length)
+    val out = new Array[(Double, Long)](total)
+    var i = 0
+    var l = 0
+    while (l < levels.length) {
+      val w = 1L << l
+      val b = levels(l)
+      var j = 0
+      while (j < b.length) { out(i) = (b(j), w); i += 1; j += 1 }
+      l += 1
+    }
+    java.util.Arrays.sort(out, new java.util.Comparator[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int =
+        java.lang.Double.compare(a._1, b._1)
+    })
+    out
+  }
+}
+
+/** `kll_sketch(value, k)` — bounded mergeable quantile-sketch aggregate.
+  *
+  * Returns `struct<n bigint, err bigint, items array<struct<v double,
+  * w bigint>>>`: the summary items value-ascending with their weights
+  * (Σw = n = exact non-null input count) and the certified rank-error
+  * bound `err` (see [[KllState]]). As a `TypedImperativeAggregate` it
+  * participates in partial aggregation: each map task reduces its split
+  * to one O(k·log(n/k))-entry summary before the shuffle. Pair with one
+  * exact windowed re-scan for exact quantiles in two bounded passes
+  * ([[graft.ops.Quantiles.exactQuantiles]]).
+  */
+case class KllSketch(
+    valueExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllState] {
+
+  require(k >= 8 && k % 2 == 0, s"kll_sketch: k must be even and >= 8, got $k")
+
+  override def children: Seq[Expression] = Seq(valueExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = KllSketch.resultType
+
+  override def checkInputDataTypes(): TypeCheckResult = valueExpr.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch(value double, k) got ${t.catalogString}")
+  }
+
+  override def createAggregationBuffer(): KllState = new KllState(k)
+
+  override def update(buf: KllState, input: InternalRow): KllState = {
+    val v = valueExpr.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllState, other: KllState): KllState = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: KllState): Any = {
+    val es = buf.items
+    val rows = new Array[Any](es.length)
+    var i = 0
+    while (i < es.length) {
+      rows(i) = InternalRow(es(i)._1, es(i)._2)
+      i += 1
+    }
+    InternalRow(buf.n, buf.errBound, new GenericArrayData(rows))
+  }
+
+  override def serialize(buf: KllState): Array[Byte] = {
+    var bytes = 8 + 8 + 4
+    buf.levels.foreach(b => bytes += 1 + 4 + 8 * b.length)
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putLong(buf.n)
+    bb.putLong(buf.errBound)
+    bb.putInt(buf.levels.length)
+    var l = 0
+    while (l < buf.levels.length) {
+      bb.put(if (buf.flips(l)) 1.toByte else 0.toByte)
+      val b = buf.levels(l)
+      bb.putInt(b.length)
+      var j = 0
+      while (j < b.length) { bb.putDouble(b(j)); j += 1 }
+      l += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KllState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val st = new KllState(k)
+    st.n = bb.getLong
+    st.errBound = bb.getLong
+    val nl = bb.getInt
+    var l = 0
+    while (l < nl) {
+      if (st.levels.length == l) {
+        st.levels += scala.collection.mutable.ArrayBuffer.empty
+        st.flips += false
+      }
+      st.flips(l) = bb.get() == 1.toByte
+      val m = bb.getInt
+      var j = 0
+      while (j < m) { st.levels(l) += bb.getDouble; j += 1 }
+      l += 1
+    }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketch =
+    copy(valueExpr = newChildren(0))
+  override def prettyName: String = "kll_sketch"
+}
+
+object KllSketch {
+  val resultType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("err", LongType, nullable = false),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("v", DoubleType, nullable = false),
+      StructField("w", LongType, nullable = false))), containsNull = false),
+      nullable = false)))
+}

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Exact quantiles at corpus scale in TWO bounded passes, via the native
+  * `kll_sketch` aggregate ([[graft.functions.KllSketch]]).
+  *
+  * The existing histogram-CDF quantiles ([[SkewAgg.histogramQuantiles]])
+  * shuffle one row per distinct (key, value) — ideal for low-cardinality
+  * measures, quadratic-ruin for near-unique ones (a price or latency
+  * column at 100 TB has billions of distincts). This path never moves the
+  * value set:
+  *
+  *  1. **sketch pass** — one `kll_sketch(x, k)` aggregate; each map task
+  *     reduces its split to an O(k·log(n/k)) summary (partial
+  *     aggregation), and the result carries a CERTIFIED rank-error bound
+  *     `err` (the sum of per-compaction weights — see [[graft.functions.KllState]]);
+  *  2. **bracket** — on the tiny summary frame, for each target rank
+  *     `t = ceil(q·n)` pick `lo` = max summary value with cumulative
+  *     weight ≤ t − err − 1 and `hi` = min with cumw ≥ t + err. The
+  *     certificate proves the true t-th smallest lies in `(lo, hi]`;
+  *  3. **exact pass** — re-scan once with the ≤ |q| bracket rows
+  *     broadcast: rows ≤ lo collapse into one counting bucket map-side,
+  *     rows in `(lo, hi]` (O(err) of them) group by exact value, and the
+  *     running-sum CDF over that bounded frame reads off the exact
+  *     order statistic.
+  *
+  * The output is the EXACT quantile — deterministic regardless of
+  * partition merge order (the sketch only steers which values the second
+  * pass examines, never the answer) — which is what lets a
+  * sketch-accelerated query hash-match a plain-SQL oracle.
+  */
+object Quantiles {
+
+  /** Default sketch capacity per level: err ≈ n·log₂(n/k)/k ≈ 1% of n at
+    * a million rows; raise k to shrink the pass-2 window fraction at
+    * larger n (k=8192 holds it ≈ 0.4% at 10^12 rows).
+    */
+  val DefaultK = 1024
+
+  /** Exact quantiles of `valCol` (cast to double), optionally per
+    * `groupCols` group. `qs` maps output labels to fractions, e.g.
+    * `Seq("p50" -> 0.5)`. Output: `(groupCols..., quantile, value)` where
+    * `value` is the smallest x with #{rows ≤ x} ≥ ceil(q·n) — the same
+    * discrete-CDF definition the SQL oracles use.
+    */
+  def exactQuantiles(df: DataFrame, valCol: String, qs: Seq[(String, Double)],
+                     k: Int = DefaultK,
+                     groupCols: Seq[String] = Nil): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val gcols = groupCols.map(col)
+    val sk = df.groupBy(gcols: _*)
+      .agg(expr(s"kll_sketch(cast($valCol as double), $k)").as("sk"))
+    val summary = sk
+      .select(gcols :+ col("sk.n").as("kll_n") :+ col("sk.err").as("kll_err") :+
+        explode(col("sk.items")).as("it"): _*)
+      .groupBy(gcols :+ col("kll_n") :+ col("kll_err") :+
+        col("it.v").as("v"): _*)
+      .agg(sum(col("it.w")).as("wv"))
+      .withColumn("cumw",
+        sum(col("wv")).over(Window.partitionBy(gcols: _*).orderBy(col("v"))))
+    exactFromSummary(df, valCol, summary, qs, groupCols)
+  }
+
+  /** The mergeable-summaries path: one independent sketch per `sliceCol`
+    * slice (what an incremental pipeline persists as each day/shard
+    * lands), then the slice summaries merge DECLARATIVELY — items union,
+    * n and err add — and the same bracket + exact pass runs off the
+    * merged summary without ever re-sketching the raw rows. Each slice's
+    * certificate bounds its sub-stream's rank error and true ranks add
+    * over disjoint slices, so the merged certificate is valid under any
+    * slicing (Agarwal et al., "Mergeable summaries", PODS 2012 — the
+    * property proven for this family). Output
+    * `(quantile, value, n_slices)`; `value` is identical to the direct
+    * [[exactQuantiles]] run by construction.
+    */
+  def mergedQuantiles(df: DataFrame, valCol: String, sliceExpr: Column,
+                      qs: Seq[(String, Double)],
+                      k: Int = DefaultK): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    // The per-slice summary frame is O(slices · k·log) rows — checkpoint it
+    // so the three tiny consumers below (totals, union, n_slices) never
+    // re-trigger the raw scan: the raw rows are read exactly twice overall
+    // (sketch pass here, exact pass in exactFromSummary).
+    val per = df.groupBy(sliceExpr.as("slice"))
+      .agg(expr(s"kll_sketch(cast($valCol as double), $k)").as("sk"))
+      .select(col("sk.n").as("sn"), col("sk.err").as("serr"),
+        col("sk.items").as("items"))
+      .localCheckpoint()
+    val tot = per.agg(sum(col("sn")).as("kll_n"), sum(col("serr")).as("kll_err"),
+      count(lit(1)).as("n_slices"))
+    val summary = per.select(explode(col("items")).as("it"))
+      .groupBy(col("it.v").as("v")).agg(sum(col("it.w")).as("wv"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cumw", sum(col("wv")).over(Window.orderBy(col("v"))))
+    exactFromSummary(df, valCol, summary, qs, Nil)
+      .crossJoin(broadcast(tot.select(col("n_slices"))))
+  }
+
+  /** Bracket the target ranks on the summary frame, then one exact
+    * windowed re-scan. `summary`: `(groupCols..., kll_n, kll_err, v, wv,
+    * cumw)`.
+    */
+  private def exactFromSummary(df: DataFrame, valCol: String,
+                               summary: DataFrame, qs: Seq[(String, Double)],
+                               groupCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gcols = groupCols.map(col)
+    val qdf = qs.toDF("quantile", "q")
+    // t = ceil(q·n) clamped to ≥ 1; lo/hi from the certificate: cumw is the
+    // summary rank R(v), |R(v) − trueRank(v)| ≤ err, so cumw ≤ t−err−1 ⇒
+    // trueRank(v) ≤ t−1 (answer is strictly above v) and cumw ≥ t+err ⇒
+    // trueRank(v) ≥ t (answer is ≤ v). Null lo/hi = unbounded side.
+    val br = summary.crossJoin(broadcast(qdf))
+      .withColumn("t", greatest(ceil(col("q") * col("kll_n")), lit(1L)))
+      .groupBy(gcols :+ col("quantile") :+ col("t"): _*)
+      .agg(
+        max(when(col("cumw") <= col("t") - col("kll_err") - 1, col("v"))).as("lo"),
+        min(when(col("cumw") >= col("t") + col("kll_err"), col("v"))).as("hi"))
+    val x = df.select(gcols :+ col(valCol).cast("double").as("x"): _*)
+    val joined =
+      if (groupCols.isEmpty) x.crossJoin(broadcast(br))
+      else x.join(broadcast(br), groupCols)
+    val keys = gcols :+ col("quantile") :+ col("t")
+    joined
+      .filter(col("x").isNotNull && (col("hi").isNull || col("x") <= col("hi")))
+      // everything at-or-below lo collapses into ONE null bucket (combined
+      // map-side); only the (lo, hi] window — O(err) rows — keeps exact
+      // values, so the shuffle carries O(tasks + err) rows per quantile
+      .select(keys :+ when(col("lo").isNotNull && col("x") <= col("lo"),
+        lit(null).cast("double")).otherwise(col("x")).as("b"): _*)
+      .groupBy(keys :+ col("b"): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(gcols :+ col("quantile"): _*)
+          .orderBy(col("b").asc_nulls_first)))
+      .filter(col("b").isNotNull && col("cum") >= col("t"))
+      .groupBy(gcols :+ col("quantile"): _*)
+      .agg(min(col("b")).as("value"))
+  }
+}

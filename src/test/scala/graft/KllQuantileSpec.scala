@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.KllState
+import graft.ops.Quantiles
+
+/** The KLL quantile surface, bottom-up:
+  *
+  *  - state level: the certified rank-error bound `|R(x) − trueRank(x)| ≤
+  *    errBound` holds for EVERY query point under random chunkings and
+  *    random merge trees (the theorem the two-pass design leans on);
+  *  - aggregate level: serialization round-trips mid-stream;
+  *  - operator level: [[Quantiles.exactQuantiles]] equals the sort-based
+  *    exact quantile on adversarial distributions (sorted, reverse,
+  *    constant, heavy-duplicate, near-unique), grouped and global;
+  *  - merge path: [[Quantiles.mergedQuantiles]] equals the direct run.
+  */
+class KllQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-kll-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Σ_{item v ≤ x} w over the summary. */
+  private def sketchRank(st: KllState, x: Double): Long =
+    st.items.collect { case (v, w) if v <= x => w }.sum
+
+  /** Exact discrete quantile: min v with #{y ≤ v} ≥ ceil(q·n). */
+  private def exactQ(xs: Seq[Double], q: Double): Double = {
+    val s = xs.sorted
+    s(math.max(math.ceil(q * s.length).toInt, 1) - 1)
+  }
+
+  test("state: rank certificate holds under random chunking + merge trees") {
+    val rnd = new scala.util.Random(42)
+    val dists: Seq[Int => Seq[Double]] = Seq(
+      n => Seq.fill(n)(rnd.nextDouble() * 1000),            // uniform
+      n => (1 to n).map(_.toDouble),                        // sorted
+      n => (n to 1 by -1).map(_.toDouble),                  // reverse
+      n => Seq.fill(n)(7.0),                                // constant
+      n => Seq.fill(n)(rnd.nextInt(5).toDouble),            // heavy dups
+      n => Seq.fill(n)(math.pow(rnd.nextDouble(), 8) * 1e9) // skewed
+    )
+    dists.zipWithIndex.foreach { case (gen, di) =>
+      val xs = gen(5000)
+      // random chunking into partial states, merged in a random order —
+      // the shapes Spark's partial aggregation actually produces
+      var states = List[KllState]()
+      var rest = xs
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(900)
+        val st = new KllState(64)
+        rest.take(take).foreach(st.update)
+        states = st :: states
+        rest = rest.drop(take)
+      }
+      while (states.length > 1) {
+        val shuffled = rnd.shuffle(states)
+        shuffled.head.mergeFrom(shuffled(1))
+        states = shuffled.head :: shuffled.drop(2)
+      }
+      val st = states.head
+      assert(st.n == xs.length)
+      assert(st.items.map(_._2).sum == st.n, "summary weight must equal n")
+      val probes = xs.distinct ++ Seq(-1e18, 1e18) ++
+        Seq.fill(20)(rnd.nextDouble() * 1000)
+      probes.foreach { x =>
+        val trueRank = xs.count(_ <= x).toLong
+        val err = math.abs(sketchRank(st, x) - trueRank)
+        assert(err <= st.errBound,
+          s"dist $di: rank error $err exceeds certificate ${st.errBound} at x=$x")
+      }
+      // the certificate must also be USEFUL: well under n for k=64
+      assert(st.errBound < xs.length / 4,
+        s"dist $di: certificate ${st.errBound} too loose for n=${xs.length}")
+    }
+  }
+
+  test("aggregate: serialize/deserialize round-trips mid-stream") {
+    val agg = graft.functions.KllSketch(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0d), 32)
+    val st = new KllState(32)
+    (1 to 1000).foreach(i => st.update((i * 37 % 97).toDouble))
+    val back = agg.deserialize(agg.serialize(st))
+    assert(back.n == st.n && back.errBound == st.errBound)
+    assert(back.items.toSeq == st.items.toSeq)
+    // and the revived state keeps working
+    (1 to 500).foreach(i => back.update(i.toDouble))
+    assert(back.n == 1500)
+  }
+
+  test("exactQuantiles: equals sort-based exact quantiles, global and grouped") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 20000).map { i =>
+      val g = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      val v = g match {
+        case "a" => rnd.nextDouble() * 1e6          // near-unique
+        case "b" => rnd.nextInt(10).toDouble        // heavy dups
+        case _   => i.toDouble                      // sorted drift
+      }
+      (g, v)
+    }
+    val df = rows.toDF("g", "v").repartition(7)
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+
+    val global = Quantiles.exactQuantiles(df, "v", qs, k = 128)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    qs.foreach { case (nm, q) =>
+      assert(global(nm) == exactQ(rows.map(_._2), q), s"global $nm")
+    }
+
+    val grouped = Quantiles.exactQuantiles(df, "v", qs, k = 128,
+        groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    for (g <- Seq("a", "b", "c"); (nm, q) <- qs) {
+      val vs = rows.filter(_._1 == g).map(_._2)
+      assert(grouped((g, nm)) == exactQ(vs, q), s"group $g $nm")
+    }
+  }
+
+  test("mergedQuantiles: slice→merge path equals the direct run") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 15000).map(i => (i % 12, rnd.nextDouble() * 1e4))
+    val df = rows.toDF("m", "v").repartition(5)
+    val qs = Seq("p50" -> 0.5, "p99" -> 0.99)
+    val direct = Quantiles.exactQuantiles(df, "v", qs, k = 128)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val merged = Quantiles.mergedQuantiles(df, "v", col("m"), qs, k = 128)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(merged.map(_._3).distinct.toSeq == Seq(12L), "n_slices")
+    merged.foreach { case (nm, v, _) =>
+      assert(v == direct(nm), s"merged $nm: $v vs direct ${direct(nm)}")
+    }
+  }
+
+  test("SQL surface: kll_sketch resolves and certifies through the registry") {
+    val sp = spark; import sp.implicits._
+    graft.functions.GraftFunctions.register(sp)
+    val row = (1 to 4096).map(_.toDouble).toDF("x")
+      .agg(expr("kll_sketch(x, 64)").as("sk"))
+      .select(col("sk.n"), col("sk.err"), size(col("sk.items")))
+      .head()
+    assert(row.getLong(0) == 4096)
+    assert(row.getLong(1) > 0 && row.getLong(1) < 4096 / 4)
+    assert(row.getInt(2) < 4096 / 4, "summary must be far smaller than input")
+    // analysis-time argument validation, misra_gries-style
+    val e = intercept[Exception] {
+      Seq(1.0d).toDF("x").agg(expr("kll_sketch(x, 7)")).head()
+    }
+    assert(e.getMessage.contains("even"), e.getMessage)
+  }
+}

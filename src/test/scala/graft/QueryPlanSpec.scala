@@ -146,7 +146,10 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "semantic_decontaminate" /* bench side small by contract, broadcast */,
       "q11_important_stock" /* 1-row threshold broadcast */,
       "triangle_count" /* 1-row mean-degree threshold + 1-row × 1-row output join */,
-      "ndcg_eval" /* bm25 leg's 1-row stats broadcast + final 1-row dcg × 1-row idcg cross */)
+      "ndcg_eval" /* bm25 leg's 1-row stats broadcast + final 1-row dcg × 1-row idcg cross */,
+      "kll_quantiles" /* |q|-row certified-bracket spec broadcast into the exact pass */,
+      "kll_quantiles_grouped" /* summary × |q|-row quantile spec (the corpus joins brackets by KEY) */,
+      "kll_merge" /* 1-row totals + |q|-row bracket spec broadcasts */)
     val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
     val offenders = names.flatMap { n =>
       val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
@@ -187,6 +190,9 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       //    full distinct key space
       "heavy_hitters" -> Map("documents" -> 2),
       "domain_heavy_hitters" -> Map("documents" -> 2),
+      "kll_quantiles" -> Map("lineitem" -> 2),         // sketch pass + exact windowed pass
+      "kll_quantiles_grouped" -> Map("lineitem" -> 2),
+      "kll_merge" -> Map("orders" -> 3),               // per-slice sketch pass + n_slices + exact pass
       // -- accuracy evals: two independent methods over the SAME input,
       //    compared — the re-read IS the experiment
       "ann_recall" -> Map("embeddings" -> 4),      // brute-force leg vs IVF leg, each corpus+queries
