@@ -45,6 +45,7 @@ object Scale {
     if (args.headOption.contains("stream")) return streamMain(args.drop(1))
     if (args.headOption.contains("hhskew")) return hhSkewMain(args.drop(1))
     if (args.headOption.contains("hh")) return hhMain(args.drop(1))
+    if (args.headOption.contains("kll")) return kllMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -472,6 +473,72 @@ object Scale {
     * (~vocabulary-sized at scale), the sketch path shuffles k rows per
     * task, then ≤ k distinct keys.
     */
+  /** Exact quantiles of a NEAR-UNIQUE measure at nine-figure row counts —
+    * the workload where the histogram-CDF path degenerates (its shuffle
+    * carries one row per distinct value ≈ one per row). The kll_sketch
+    * two-pass path shuffles O(k·log + err) rows instead; this mode times
+    * it, then PROVES exactness with an O(1)-state rank check (for each
+    * answer v: ceil(q·n) must land in (#{x < v}, #{x ≤ v}]) — no sorted
+    * baseline materialization needed. Spark's built-in
+    * `percentile_approx` is timed alongside for context: it is the same
+    * sketch idea (GK-style) but its answer is approximate, while the
+    * engine's second pass buys back exactness for one more columnar scan.
+    */
+  private def kllMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000000L
+    val k = if (args.length > 1) args(1).toInt else 8192
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Map-only generation, ~uniform over a 1e12 domain → ≈99.99% of the
+    // 2e8 values are unique: the adversarial case for value-keyed CDFs.
+    def vals = spark.range(0L, n, 1L, cpus.toInt * 2)
+      .select(pmod(xxhash64(col("id")), lit(1000000000000L))
+        .cast("double").as("x"))
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99, "p999" -> 0.999)
+    var got: Map[String, Double] = null
+    val kllSec = time {
+      got = ops.Quantiles.exactQuantiles(vals, "x", qs, k)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+
+    // Exactness proof, O(1) aggregation state: one scan computes, for
+    // every reported v, the true ranks #{x < v} and #{x ≤ v}.
+    val checks = qs.map { case (nm, q) =>
+      val v = got(nm)
+      (nm, q, v,
+        sum(when(col("x") < v, 1L).otherwise(0L)).as(s"lt_$nm"),
+        sum(when(col("x") <= v, 1L).otherwise(0L)).as(s"le_$nm"))
+    }
+    val row = vals.agg(checks.head._4, checks.flatMap(c => Seq(c._4, c._5)).tail: _*).head()
+    qs.zipWithIndex.foreach { case ((nm, q), i) =>
+      val lt = row.getLong(2 * i); val le = row.getLong(2 * i + 1)
+      val t = math.ceil(q * n).toLong
+      require(lt < t && t <= le,
+        s"$nm NOT the exact order statistic: target $t outside ($lt, $le]")
+    }
+
+    val approxSec = time {
+      vals.agg(percentile_approx(col("x"),
+        array(qs.map(q => lit(q._2)): _*), lit(10000))).collect()
+    }
+    val rate = (n / math.max(kllSec, 1e-9)).toLong
+    println(f"""{"mode":"kll","n":$n,"k":$k,"exact_two_pass_sec":$kllSec%.1f,"builtin_approx_sec":$approxSec%.1f,"rows_per_sec":$rate,"all_exact":true,"cpus":$cpus}""")
+    spark.stop()
+  }
+
   private def hhMain(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 100000000L
     val coldVocab = if (args.length > 1) args(1).toLong else 10000000L

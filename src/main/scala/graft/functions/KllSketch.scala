@@ -39,11 +39,27 @@ import org.apache.spark.sql.types._
   * carries one small summary per task, never the (possibly near-unique)
   * value set that an exact `groupBy(value)` CDF would move.
   */
+/** Growable PRIMITIVE double buffer — the level store. A
+  * `mutable.ArrayBuffer[Double]` would box every element (200M boxed
+  * Doubles of garbage on a 2e8-row update stream); this is `add` into a
+  * bare `Array[Double]` with amortized doubling.
+  */
+final class DoubleBuf(initial: Int = 16) {
+  var arr: Array[Double] = new Array[Double](initial)
+  var len: Int = 0
+  def add(x: Double): Unit = {
+    if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    arr(len) = x
+    len += 1
+  }
+  def clear(): Unit = len = 0
+}
+
 final class KllState(val k: Int) {
   import scala.collection.mutable.ArrayBuffer
 
   /** levels(ℓ) = unsorted buffer of items with weight 2^ℓ. */
-  val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty)
+  val levels: ArrayBuffer[DoubleBuf] = ArrayBuffer(new DoubleBuf(16))
   /** Per-level parity of the next compaction (deterministic alternation). */
   val flips: ArrayBuffer[Boolean] = ArrayBuffer(false)
   var n: Long = 0L
@@ -51,9 +67,11 @@ final class KllState(val k: Int) {
 
   def update(x: Double): Unit = {
     n += 1
-    levels(0) += x
-    if (levels(0).length >= k) compact(0)
+    levels(0).add(x)
+    if (levels(0).len >= k) compact(0)
   }
+
+  private def addLevel(): Unit = { levels += new DoubleBuf(16); flips += false }
 
   /** Sort level ℓ, promote every other item (alternating parity) at
     * doubled weight; an odd straggler stays behind at level ℓ. Cascades
@@ -61,20 +79,21 @@ final class KllState(val k: Int) {
     */
   private def compact(l: Int): Unit = {
     val buf = levels(l)
-    if (buf.length < 2) return
-    if (levels.length == l + 1) { levels += ArrayBuffer.empty; flips += false }
-    val arr = buf.toArray
-    java.util.Arrays.sort(arr)
-    val even = arr.length - (arr.length % 2)
+    if (buf.len < 2) return
+    if (levels.length == l + 1) addLevel()
+    val m = buf.len
+    java.util.Arrays.sort(buf.arr, 0, m)
+    val even = m - (m % 2)
     val offset = if (flips(l)) 1 else 0
     flips(l) = !flips(l)
     val next = levels(l + 1)
     var i = offset
-    while (i < even) { next += arr(i); i += 2 }
+    while (i < even) { next.add(buf.arr(i)); i += 2 }
+    val straggler = if (even < m) buf.arr(even) else 0.0 // odd one keeps weight
     buf.clear()
-    if (even < arr.length) buf += arr(even) // odd straggler keeps its weight
+    if (even < m) buf.add(straggler)
     errBound += 1L << l
-    if (next.length >= k) compact(l + 1)
+    if (next.len >= k) compact(l + 1)
   }
 
   /** Merge: level-wise concatenation (weights align by construction), then
@@ -86,13 +105,16 @@ final class KllState(val k: Int) {
     errBound += o.errBound
     var l = 0
     while (l < o.levels.length) {
-      if (levels.length == l) { levels += ArrayBuffer.empty; flips += false }
-      levels(l) ++= o.levels(l)
+      if (levels.length == l) addLevel()
+      val src = o.levels(l)
+      val dst = levels(l)
+      var j = 0
+      while (j < src.len) { dst.add(src.arr(j)); j += 1 }
       l += 1
     }
     l = 0
     while (l < levels.length) {
-      if (levels(l).length >= k) compact(l)
+      if (levels(l).len >= k) compact(l)
       l += 1
     }
   }
@@ -100,7 +122,7 @@ final class KllState(val k: Int) {
   /** Summary items (value, weight), value ascending. Σ weight == n. */
   def items: Array[(Double, Long)] = {
     var total = 0
-    levels.foreach(b => total += b.length)
+    levels.foreach(b => total += b.len)
     val out = new Array[(Double, Long)](total)
     var i = 0
     var l = 0
@@ -108,7 +130,7 @@ final class KllState(val k: Int) {
       val w = 1L << l
       val b = levels(l)
       var j = 0
-      while (j < b.length) { out(i) = (b(j), w); i += 1; j += 1 }
+      while (j < b.len) { out(i) = (b.arr(j), w); i += 1; j += 1 }
       l += 1
     }
     java.util.Arrays.sort(out, new java.util.Comparator[(Double, Long)] {
@@ -175,7 +197,7 @@ case class KllSketch(
 
   override def serialize(buf: KllState): Array[Byte] = {
     var bytes = 8 + 8 + 4
-    buf.levels.foreach(b => bytes += 1 + 4 + 8 * b.length)
+    buf.levels.foreach(b => bytes += 1 + 4 + 8 * b.len)
     val bb = ByteBuffer.allocate(bytes)
     bb.putLong(buf.n)
     bb.putLong(buf.errBound)
@@ -184,9 +206,9 @@ case class KllSketch(
     while (l < buf.levels.length) {
       bb.put(if (buf.flips(l)) 1.toByte else 0.toByte)
       val b = buf.levels(l)
-      bb.putInt(b.length)
+      bb.putInt(b.len)
       var j = 0
-      while (j < b.length) { bb.putDouble(b(j)); j += 1 }
+      while (j < b.len) { bb.putDouble(b.arr(j)); j += 1 }
       l += 1
     }
     bb.array()
@@ -201,13 +223,13 @@ case class KllSketch(
     var l = 0
     while (l < nl) {
       if (st.levels.length == l) {
-        st.levels += scala.collection.mutable.ArrayBuffer.empty
+        st.levels += new DoubleBuf(16)
         st.flips += false
       }
       st.flips(l) = bb.get() == 1.toByte
       val m = bb.getInt
       var j = 0
-      while (j < m) { st.levels(l) += bb.getDouble; j += 1 }
+      while (j < m) { st.levels(l).add(bb.getDouble); j += 1 }
       l += 1
     }
     st
