@@ -2047,6 +2047,15 @@ object SparkEntry {
       streaming.StreamOps.streamHeavyHittersBySource(s, d, 4096, 40)
         .orderBy(col("source"), col("cnt").desc, col("term"))),
 
+    // Streaming quantile sketches: kll_sketch state per event type lives
+    // in the STATE STORE across micro-batch commits; the final summaries'
+    // certified brackets steer one batch exact pass — exact per-type
+    // p50/p90, independent of micro-batching, oracle-identical to batch.
+    "stream_quantiles" -> ((s, d) =>
+      streaming.StreamOps.streamQuantilesByType(s, d,
+          Seq("p50" -> 0.5, "p90" -> 0.9))
+        .orderBy(col("event_type"), col("quantile"))),
+
     "stream_dedup" -> ((s, d) => {
       val path = s"$d/documents.parquet"
       val schema = s.read.parquet(path).schema
@@ -3783,6 +3792,15 @@ object SparkEntry {
          |SELECT c.source, c.term, c.cnt FROM c JOIN tot ON c.source = tot.source
          |WHERE c.cnt > greatest(40, CAST(ceil(tot.n_source / 4096.0) AS BIGINT))
          |ORDER BY c.source, c.cnt DESC, c.term""".stripMargin,
+
+    "stream_quantiles" ->
+      """WITH c AS (SELECT event_type, value AS x, count(*) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |  sum(n) OVER (PARTITION BY event_type ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER (PARTITION BY event_type) AS tot FROM c)
+        |SELECT event_type, q.quantile, min(CASE WHEN cum >= ceil(tot * q.q) THEN x END) AS value
+        |FROM t CROSS JOIN (VALUES ('p50', 0.5), ('p90', 0.9)) q(quantile, q)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS digest FROM documents

@@ -55,6 +55,22 @@ object Quantiles {
     val gcols = groupCols.map(col)
     val sk = df.groupBy(gcols: _*)
       .agg(expr(s"kll_sketch(cast($valCol as double), $k)").as("sk"))
+    exactFromSketches(df, valCol, sk, qs, groupCols)
+  }
+
+  /** Bracket + exact pass off an EXTERNALLY built sketch frame
+    * `(groupCols..., sk: kll_sketch result struct)` — the entry point for
+    * sketches that arrive from somewhere other than a batch aggregate of
+    * `df` itself: the streaming state store
+    * ([[graft.streaming.StreamOps]]), a persisted summary table, a
+    * different-but-equal snapshot. The certificate only has to hold for
+    * the data `df` actually contains, which it does whenever the sketch
+    * was built over exactly those rows.
+    */
+  def exactFromSketches(df: DataFrame, valCol: String, sk: DataFrame,
+                        qs: Seq[(String, Double)],
+                        groupCols: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
     val summary = sk
       .select(gcols :+ col("sk.n").as("kll_n") :+ col("sk.err").as("kll_err") :+
         explode(col("sk.items")).as("it"): _*)

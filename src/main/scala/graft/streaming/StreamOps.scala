@@ -81,6 +81,29 @@ object StreamOps {
       toksOf(graft.ops.Tables.documents(spark, dir)), candidates, k, minCount)
   }
 
+  /** Streaming quantile sketches, exact answers: the native `kll_sketch`
+    * aggregate accumulates per-event-type in the streaming STATE STORE
+    * (serialize/deserialize across micro-batch commits — the mergeability
+    * the sketch certifies, exercised on the streaming surface), the
+    * bounded stream runs to completion in complete mode, and the final
+    * summaries' certified brackets steer ONE batch exact pass
+    * ([[graft.ops.Quantiles.exactFromSketches]]). The output is the exact
+    * per-type order statistic — independent of how the source was
+    * micro-batched — and oracle-checkable against plain SQL.
+    */
+  def streamQuantilesByType(spark: SparkSession, dir: String,
+                            qs: Seq[(String, Double)],
+                            k: Int = 1024): DataFrame = {
+    GraftFunctions.register(spark)
+    val sk = eventsStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr(s"kll_sketch(cast(value as double), $k)").as("sk"))
+    val sketches = runToCompletion(spark, sk)
+    graft.ops.Quantiles.exactFromSketches(
+      graft.ops.Tables.events(spark, dir).select(col("event_type"), col("value")),
+      "value", sketches, qs, Seq("event_type"))
+  }
+
   // ------------------------------------------- bounded-stream execution
 
   /** Stage a path as a file-stream source directory. The file source

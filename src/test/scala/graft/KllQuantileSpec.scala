@@ -151,6 +151,23 @@ class KllQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming: state-store sketches yield batch-identical exact quantiles") {
+    val sfDir = "/root/testdata/sf0.001"
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9)
+    val streamed = graft.streaming.StreamOps
+      .streamQuantilesByType(spark, sfDir, qs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+    val batch = Quantiles.exactQuantiles(ev, "value", qs,
+        groupCols = Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch divergence: $streamed vs $batch")
+  }
+
   test("SQL surface: kll_sketch resolves and certifies through the registry") {
     val sp = spark; import sp.implicits._
     graft.functions.GraftFunctions.register(sp)
