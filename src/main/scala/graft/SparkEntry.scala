@@ -852,6 +852,32 @@ object SparkEntry {
           Seq("p50" -> 0.5, "p99" -> 0.99))
         .orderBy(col("quantile"))),
 
+    // Downstream consumer of the exact-quantile cuts: winsorization —
+    // clamp a near-unique measure at its exact p01/p99 (from the KLL
+    // two-pass), then one aggregate over the clamped values. The clamp
+    // pass is map-only against the broadcast 1-row cut frame; the
+    // winsorized mean uses an exact decimal sum (clamp outputs are
+    // 2-dp-exact data values) so the double division is deterministic.
+    "winsorize" -> ((s, d) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val cuts = Quantiles.exactQuantiles(li(s, d), "l_extendedprice",
+          Seq("lo" -> 0.01, "hi" -> 0.99))
+        .agg(max(when(col("quantile") === "lo", col("value"))).as("lo"),
+          max(when(col("quantile") === "hi", col("value"))).as("hi"))
+      li(s, d).select(col("l_extendedprice").cast("double").as("x"))
+        .crossJoin(broadcast(cuts))
+        .select(col("x"), col("lo"), col("hi"),
+          when(col("x") < col("lo"), col("lo"))
+            .when(col("x") > col("hi"), col("hi"))
+            .otherwise(col("x")).as("wx"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("x") < col("lo"), lit(1))).as("n_lo_clamped"),
+          count(when(col("x") > col("hi"), lit(1))).as("n_hi_clamped"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+          round((sum(col("wx").cast(dec2)).cast("double") / count(lit(1))), 4)
+            .as("win_mean"))
+    }),
+
     // Pairwise Pearson correlations of 4 numeric columns in ONE pass:
     // all k(k+1)/2+2k+1 sufficient statistics in a single O(1)-state
     // map-side-combined aggregate (exact decimal sums → deterministic
@@ -2629,6 +2655,25 @@ object SparkEntry {
         |  max(s.n_slices) AS n_slices
         |FROM t CROSS JOIN (VALUES ('p50', 0.5), ('p99', 0.99)) q(quantile, q) CROSS JOIN s
         |GROUP BY q.quantile ORDER BY q.quantile""".stripMargin,
+
+    "winsorize" ->
+      """WITH c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x, count(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT *,
+        |  sum(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER () AS tot FROM c),
+        |cuts AS (SELECT min(CASE WHEN cum >= ceil(tot * 0.01) THEN x END) AS lo,
+        |  min(CASE WHEN cum >= ceil(tot * 0.99) THEN x END) AS hi FROM t),
+        |r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x, lo, hi,
+        |  CASE WHEN CAST(l_extendedprice AS DOUBLE) < lo THEN lo
+        |       WHEN CAST(l_extendedprice AS DOUBLE) > hi THEN hi
+        |       ELSE CAST(l_extendedprice AS DOUBLE) END AS wx
+        |  FROM lineitem CROSS JOIN cuts)
+        |SELECT count(*) AS n,
+        |  count(CASE WHEN x < lo THEN 1 END) AS n_lo_clamped,
+        |  count(CASE WHEN x > hi THEN 1 END) AS n_hi_clamped,
+        |  max(lo) AS lo, max(hi) AS hi,
+        |  round(CAST(sum(CAST(wx AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS win_mean
+        |FROM r""".stripMargin,
 
     // Mirrors Stats.corrMatrix: identical exact-decimal sums, identical
     // double formula and operation order, so values match bit-for-bit.
