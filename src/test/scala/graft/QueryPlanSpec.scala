@@ -175,6 +175,25 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kll quantiles: sketch pass is an ObjectHashAggregate, exact pass never sort-merges") {
+    // A SortAggregate fallback would SORT the corpus to feed the sketch —
+    // the exact cost the sketch exists to avoid; and pass 2 must join the
+    // tiny bracket spec by broadcast, never shuffle the value column.
+    Seq("kll_quantiles", "kll_quantiles_grouped", "kll_merge", "winsorize")
+      .foreach { q =>
+        val p = plan(q)
+        // kll_merge's sketch pass runs behind an eager localCheckpoint
+        // (its per-slice summary is materialized once for three tiny
+        // consumers), so the final plan only carries pass 2 for it.
+        if (q != "kll_merge")
+          assert(p.contains("ObjectHashAggregate"),
+            s"$q pass-1 must run kll_sketch as ObjectHashAggregate, " +
+              s"partial then final:\n$p")
+        assert(!p.contains("SortMergeJoin"),
+          s"$q must never shuffle-sort the corpus for the bracket join:\n$p")
+      }
+  }
+
   test("corpus-wide sweep: scan multiplicity — no table read more often than its documented budget") {
     // Default budget: each table scanned ONCE per query. Shapes with an
     // inherent second read (two-pass sketch+exact, self-joins, stats legs
