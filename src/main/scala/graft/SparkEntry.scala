@@ -878,6 +878,16 @@ object SparkEntry {
             .as("win_mean"))
     }),
 
+    // Robust per-type scaling stats: exact median + exact MAD (both KLL
+    // two-pass order statistics) and the |x−med| > 3·1.4826·MAD outlier
+    // count — the outlier gate that mean/stddev scaling cannot provide
+    // because outliers corrupt the very moments it standardizes with.
+    "robust_scale" -> ((s, d) =>
+      Quantiles.robustScale(
+          Tables.events(s, d).select(col("event_type"), col("value")),
+          "value", Seq("event_type"))
+        .orderBy(col("event_type"))),
+
     // Pairwise Pearson correlations of 4 numeric columns in ONE pass:
     // all k(k+1)/2+2k+1 sufficient statistics in a single O(1)-state
     // map-side-combined aggregate (exact decimal sums → deterministic
@@ -2674,6 +2684,24 @@ object SparkEntry {
         |  max(lo) AS lo, max(hi) AS hi,
         |  round(CAST(sum(CAST(wx AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS win_mean
         |FROM r""".stripMargin,
+
+    "robust_scale" ->
+      """WITH c AS (SELECT event_type, value AS x, count(*) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |  sum(n) OVER (PARTITION BY event_type ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER (PARTITION BY event_type) AS tot FROM c),
+        |med AS (SELECT event_type, min(CASE WHEN cum >= ceil(tot * 0.5) THEN x END) AS med FROM t GROUP BY 1),
+        |d AS (SELECT e.event_type, e.value AS x, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |c2 AS (SELECT event_type, adev, count(*) AS n FROM d GROUP BY 1, 2),
+        |t2 AS (SELECT *,
+        |  sum(n) OVER (PARTITION BY event_type ORDER BY adev ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER (PARTITION BY event_type) AS tot FROM c2),
+        |mad AS (SELECT event_type, min(CASE WHEN cum >= ceil(tot * 0.5) THEN adev END) AS mad FROM t2 GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n, max(d.med) AS med, max(mad.mad) AS mad,
+        |  count(CASE WHEN abs(d.x - d.med) > 4.4478 * mad.mad THEN 1 END) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     // Mirrors Stats.corrMatrix: identical exact-decimal sums, identical
     // double formula and operation order, so values match bit-for-bit.

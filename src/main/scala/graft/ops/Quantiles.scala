@@ -117,6 +117,43 @@ object Quantiles {
       .crossJoin(broadcast(tot.select(col("n_slices"))))
   }
 
+  /** Robust per-group scaling statistics: exact median, exact MAD
+    * (median absolute deviation), and the count of robust outliers
+    * (`|x − med| > 3·1.4826·MAD` — the normal-consistent z>3 cut). Mean/
+    * stddev scaling is itself corrupted by the outliers it should flag;
+    * median/MAD is the standard robust alternative, and both medians here
+    * are EXACT order statistics via the KLL two-pass, so the output is
+    * engine-portable. Cost: five narrow columnar scans (two sketch+exact
+    * quantile rounds plus the outlier count), each shuffling only bounded
+    * summaries — never a value-keyed CDF.
+    */
+  def robustScale(df: DataFrame, valCol: String, groupCols: Seq[String],
+                  k: Int = DefaultK): DataFrame = {
+    val gcols = groupCols.map(col)
+    // med and mad are one row per group — checkpoint each so its quantile
+    // round runs ONCE (un-checkpointed, every downstream reference would
+    // re-execute the whole two-pass: the raw table was being read 9x
+    // instead of 5, which is exactly what the scan-multiplicity plan
+    // sweep exists to catch).
+    val med = exactQuantiles(df, valCol, Seq("med" -> 0.5), k, groupCols)
+      .select(gcols :+ col("value").as("med"): _*)
+      .localCheckpoint()
+    val dev = df.join(broadcast(med), groupCols)
+      .select(gcols :+ col("med") :+
+        abs(col(valCol).cast("double") - col("med")).as("adev"): _*)
+    val mad = exactQuantiles(dev, "adev", Seq("mad" -> 0.5), k, groupCols)
+      .select(gcols :+ col("value").as("mad"): _*)
+      .localCheckpoint()
+    df.join(broadcast(med), groupCols).join(broadcast(mad), groupCols)
+      .select(gcols :+ col(valCol).cast("double").as("x") :+
+        col("med") :+ col("mad"): _*)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        count(when(abs(col("x") - col("med")) > lit(4.4478) * col("mad"),
+          lit(1))).as("n_outliers"))
+  }
+
   /** Bracket the target ranks on the summary frame, then one exact
     * windowed re-scan. `summary`: `(groupCols..., kll_n, kll_err, v, wv,
     * cumw)`.

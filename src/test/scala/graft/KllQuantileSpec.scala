@@ -168,6 +168,25 @@ class KllQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch divergence: $streamed vs $batch")
   }
 
+  test("robustScale: exact median/MAD and planted-outlier count") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(3)
+    // bulk N(ish) values in [0, 100), plus exactly 7 planted far outliers
+    val bulk = (1 to 2000).map(i => ("g", 50.0 + (rnd.nextDouble() - 0.5) * 40))
+    val outliers = (1 to 7).map(i => ("g", 5000.0 + i))
+    val df = (bulk ++ outliers).toDF("g", "v").repartition(4)
+    val row = Quantiles.robustScale(df, "v", Seq("g"), k = 128).head()
+    val xs = (bulk ++ outliers).map(_._2)
+    val med = exactQ(xs, 0.5)
+    val mad = exactQ(xs.map(x => math.abs(x - med)), 0.5)
+    assert(row.getLong(1) == xs.length)
+    assert(row.getDouble(2) == med, s"median ${row.getDouble(2)} vs $med")
+    assert(row.getDouble(3) == mad, s"MAD ${row.getDouble(3)} vs $mad")
+    val expectOut = xs.count(x => math.abs(x - med) > 4.4478 * mad)
+    assert(row.getLong(4) == expectOut && expectOut >= 7,
+      s"outliers ${row.getLong(4)} vs $expectOut (>= the 7 planted)")
+  }
+
   test("SQL surface: kll_sketch resolves and certifies through the registry") {
     val sp = spark; import sp.implicits._
     graft.functions.GraftFunctions.register(sp)

@@ -150,7 +150,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "kll_quantiles" /* |q|-row certified-bracket spec broadcast into the exact pass */,
       "kll_quantiles_grouped" /* summary × |q|-row quantile spec (the corpus joins brackets by KEY) */,
       "kll_merge" /* 1-row totals + |q|-row bracket spec broadcasts */,
-      "winsorize" /* bracket spec + 1-row exact-cuts frame broadcast into the clamp pass */)
+      "winsorize" /* bracket spec + 1-row exact-cuts frame broadcast into the clamp pass */,
+      "robust_scale" /* per-group bracket specs (groups × 1 quantile rows) broadcast */)
     val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
     val offenders = names.flatMap { n =>
       val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
@@ -213,6 +214,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "kll_quantiles" -> Map("lineitem" -> 2),         // sketch pass + exact windowed pass
       "kll_quantiles_grouped" -> Map("lineitem" -> 2),
       "winsorize" -> Map("lineitem" -> 3),             // sketch + exact-cut + clamp passes
+      "robust_scale" -> Map("events" -> 5),            // two sketch+exact quantile rounds + outlier count
       "kll_merge" -> Map("orders" -> 3),               // per-slice sketch pass + n_slices + exact pass
       // -- accuracy evals: two independent methods over the SAME input,
       //    compared — the re-read IS the experiment
