@@ -168,6 +168,33 @@ class KllQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch divergence: $streamed vs $batch")
   }
 
+  test("edges: extreme q, constant columns, n<k, one-row groups, negatives") {
+    val sp = spark; import sp.implicits._
+    // q=1.0 (max), q tiny (t clamps to 1 → min), constants, duplicates,
+    // negatives — and n far below k so zero compactions (err = 0,
+    // brackets collapse to the exact answer)
+    val xs = Seq(-5.0, -5.0, 0.0, 0.0, 0.0, 2.5, 7.0, 7.0, 9.0, 11.0)
+    val df = xs.map(("g", _)).toDF("g", "v").repartition(3)
+    val qs = Seq("q_min" -> 0.0001, "p50" -> 0.5, "q_max" -> 1.0)
+    val got = Quantiles.exactQuantiles(df, "v", qs, k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("q_min") == -5.0 && got("q_max") == 11.0)
+    assert(got("p50") == exactQ(xs, 0.5))
+
+    val const = Seq.fill(500)(("g", 42.0)).toDF("g", "v").repartition(4)
+    val cg = Quantiles.exactQuantiles(const, "v", qs, k = 32)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cg.values.toSet == Set(42.0), s"constant column: $cg")
+
+    // grouped with a 1-row group alongside a 5000-row group
+    val mixed = (Seq(("solo", 3.25)) ++
+      (1 to 5000).map(i => ("big", i.toDouble))).toDF("g", "v").repartition(4)
+    val mg = Quantiles.exactQuantiles(mixed, "v", Seq("p50" -> 0.5), k = 64,
+        groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(mg("solo") == 3.25 && mg("big") == 2500.0, s"$mg")
+  }
+
   test("robustScale: exact median/MAD and planted-outlier count") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(3)
