@@ -45,6 +45,7 @@ object Scale {
     if (args.headOption.contains("stream")) return streamMain(args.drop(1))
     if (args.headOption.contains("hhskew")) return hhSkewMain(args.drop(1))
     if (args.headOption.contains("hh")) return hhMain(args.drop(1))
+    if (args.headOption.contains("kllskew")) return kllSkewMain(args.drop(1))
     if (args.headOption.contains("kll")) return kllMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -536,6 +537,85 @@ object Scale {
     }
     val rate = (n / math.max(kllSec, 1e-9)).toLong
     println(f"""{"mode":"kll","n":$n,"k":$k,"exact_two_pass_sec":$kllSec%.1f,"builtin_approx_sec":$approxSec%.1f,"rows_per_sec":$rate,"all_exact":true,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Grouped exact quantiles under GROUP SKEW — the per-group isolation
+    * claim for the quantile sketch, demonstrated: one giant group carries
+    * ~100× the rows of each small group, every group's values live on a
+    * DIFFERENT scale (so any cross-group state sharing would corrupt the
+    * small groups), and the grouped KLL two-pass must return the exact
+    * per-group median and p99 regardless. Each group keeps an independent
+    * O(k·log(n_g/k)) summary in the grouped partial aggregation — a
+    * giant group grows its own levels, never its neighbors' error. Every
+    * answer is rank-check-proven exact in one final O(groups)-state scan.
+    */
+  private def kllSkewMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000000L
+    val nSmall = if (args.length > 1) args(1).toInt else 20
+    val k = 2048
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 100 weight buckets → "giant", 1 each → "small_i"; each group's
+    // values sit on its own scale (gidx·1e6 offset) so cross-group
+    // contamination would be unmissable. Map-only generation.
+    val weights = (100 + nSmall).toLong
+    val gidx = pmod(xxhash64(col("id"), lit(3L)), lit(weights))
+    def rows = spark.range(0L, n, 1L, cpus.toInt * 2)
+      .select(
+        when(gidx < 100L, lit("giant"))
+          .otherwise(concat(lit("small_"), gidx - 99L)).as("g"),
+        (when(gidx < 100L, lit(0L)).otherwise(gidx - 99L) * lit(1000000L) +
+          pmod(xxhash64(col("id"), lit(9L)), lit(1000000L)))
+          .cast("double").as("x"))
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+
+    val qs = Seq("p50" -> 0.5, "p99" -> 0.99)
+    var got: Array[(String, String, Double)] = null
+    val sec = time {
+      got = ops.Quantiles.exactQuantiles(rows, "x", qs, k, groupCols = Seq("g"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    }
+    require(got.length == (nSmall + 1) * qs.length,
+      s"expected ${(nSmall + 1) * qs.length} group-quantile rows, got ${got.length}")
+    // exactness proof for every (group, quantile): one grouped scan of
+    // O(groups·quantiles) conditional-count state
+    val spec = got.map { case (g, nm, v) => (g, nm, v) }
+    val sp2 = spark
+    import sp2.implicits._
+    val specDf = broadcast(spec.toSeq.toDF("g", "nm", "v"))
+    val ranks = rows.join(specDf, "g")
+      .groupBy(col("g"), col("nm"), col("v"))
+      .agg(count(when(col("x") < col("v"), lit(1))).as("lt"),
+        count(when(col("x") <= col("v"), lit(1))).as("le"),
+        count(lit(1)).as("ng"))
+      .collect()
+    ranks.foreach { r =>
+      val q = qs.toMap.apply(r.getString(1))
+      val t = math.ceil(q * r.getLong(5)).toLong max 1L
+      require(r.getLong(3) < t && t <= r.getLong(4),
+        s"${r.getString(0)}/${r.getString(1)} not exact: target $t outside " +
+          s"(${r.getLong(3)}, ${r.getLong(4)}]")
+    }
+    // isolation: every small group's answers stay on ITS value scale
+    got.filter(_._1 != "giant").foreach { case (g, nm, v) =>
+      val idx = g.stripPrefix("small_").toLong
+      require(v >= idx * 1000000L && v < (idx + 1) * 1000000L,
+        s"$g $nm=$v leaked off its value scale")
+    }
+    val rate = (n / math.max(sec, 1e-9)).toLong
+    println(f"""{"mode":"kllskew","n":$n,"n_groups":${nSmall + 1},"giant_share":${100.0 / weights}%.2f,"k":$k,"grouped_exact_sec":$sec%.1f,"rows_per_sec":$rate,"all_exact":true,"cpus":$cpus}""")
     spark.stop()
   }
 
