@@ -878,6 +878,17 @@ object SparkEntry {
             .as("win_mean"))
     }),
 
+    // WEIGHTED exact quantiles: each row counts l_quantity times toward
+    // every rank ("the price the median UNIT ships at", not the median
+    // line) — weights ride the sketch by binary decomposition into the
+    // matching power-of-two levels, no row replication, no extra error.
+    // Spark's own percentile_approx has no weighted form; here the
+    // weighted answer is exact and oracle-checked like everything else.
+    "weighted_quantiles" -> ((s, d) =>
+      Quantiles.exactQuantiles(li(s, d), "l_extendedprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9), weightCol = Some("l_quantity"))
+        .orderBy(col("quantile"))),
+
     // Robust per-type scaling stats: exact median + exact MAD (both KLL
     // two-pass order statistics) and the |x−med| > 3·1.4826·MAD outlier
     // count — the outlier gate that mean/stddev scaling cannot provide
@@ -2684,6 +2695,15 @@ object SparkEntry {
         |  max(lo) AS lo, max(hi) AS hi,
         |  round(CAST(sum(CAST(wx AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS win_mean
         |FROM r""".stripMargin,
+
+    "weighted_quantiles" ->
+      """WITH c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x, sum(CAST(l_quantity AS BIGINT)) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT *,
+        |  sum(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER () AS tot FROM c)
+        |SELECT q.quantile, min(CASE WHEN cum >= ceil(tot * q.q) THEN x END) AS value
+        |FROM t CROSS JOIN (VALUES ('p50', 0.5), ('p90', 0.9)) q(quantile, q)
+        |GROUP BY q.quantile ORDER BY q.quantile""".stripMargin,
 
     "robust_scale" ->
       """WITH c AS (SELECT event_type, value AS x, count(*) AS n FROM events GROUP BY 1, 2),

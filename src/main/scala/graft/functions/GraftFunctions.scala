@@ -82,11 +82,13 @@ object GraftFunctions {
           "misra_gries(item, k) takes (string, int literal)")
       }),
     ("kll_sketch",
-      "kll_sketch(value, k) - bounded mergeable quantile sketch with a certified rank-error bound",
+      "kll_sketch(value[, weight], k) - bounded mergeable quantile sketch with a certified rank-error bound",
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(c, k) => KllSketch(c, intLit("kll_sketch", "k", k))
+        case Seq(c, k) => KllSketch(c, None, intLit("kll_sketch", "k", k))
+        case Seq(c, w, k) =>
+          KllSketch(c, Some(w), intLit("kll_sketch", "k", k))
         case _ => throw new IllegalArgumentException(
-          "kll_sketch(value, k) takes (double, int literal)")
+          "kll_sketch(value[, weight], k) takes (double[, bigint], int literal)")
       }),
   )
 

@@ -71,6 +71,30 @@ final class KllState(val k: Int) {
     if (levels(0).len >= k) compact(0)
   }
 
+  /** Weighted update: an integer weight decomposes into its binary bits,
+    * and the value enters once at each set bit's level — a level-ℓ item
+    * weighs 2^ℓ by construction, so a weight-w row contributes exactly w
+    * to every rank, with NO error added (inserts are exact; only
+    * compactions spend certificate). This is how "this row counts w
+    * times" (token counts, epoch multipliers, pre-aggregated frequencies)
+    * rides the same sketch without w-fold replication.
+    */
+  def updateWeighted(x: Double, w: Long): Unit = {
+    if (w <= 0) return
+    n += w
+    var rem = w
+    var l = 0
+    while (rem != 0) {
+      if ((rem & 1L) == 1L) {
+        while (levels.length <= l) addLevel()
+        levels(l).add(x)
+        if (levels(l).len >= k) compact(l)
+      }
+      rem >>>= 1
+      l += 1
+    }
+  }
+
   private def addLevel(): Unit = { levels += new DoubleBuf(16); flips += false }
 
   /** Sort level ℓ, promote every other item (alternating parity) at
@@ -141,12 +165,16 @@ final class KllState(val k: Int) {
   }
 }
 
-/** `kll_sketch(value, k)` — bounded mergeable quantile-sketch aggregate.
+/** `kll_sketch(value[, weight], k)` — bounded mergeable quantile-sketch
+  * aggregate.
   *
   * Returns `struct<n bigint, err bigint, items array<struct<v double,
   * w bigint>>>`: the summary items value-ascending with their weights
-  * (Σw = n = exact non-null input count) and the certified rank-error
-  * bound `err` (see [[KllState]]). As a `TypedImperativeAggregate` it
+  * (Σw = n = exact non-null input count, or the exact weight total in
+  * the weighted form) and the certified rank-error bound `err` (see
+  * [[KllState]]). With a `weight` column each row counts `weight` times
+  * toward every rank — binary-decomposed into the matching levels, no
+  * replication, no added error. As a `TypedImperativeAggregate` it
   * participates in partial aggregation: each map task reduces its split
   * to one O(k·log(n/k))-entry summary before the shuffle. Pair with one
   * exact windowed re-scan for exact quantiles in two bounded passes
@@ -154,6 +182,7 @@ final class KllState(val k: Int) {
   */
 case class KllSketch(
     valueExpr: Expression,
+    weightExpr: Option[Expression],
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
@@ -161,21 +190,32 @@ case class KllSketch(
 
   require(k >= 8 && k % 2 == 0, s"kll_sketch: k must be even and >= 8, got $k")
 
-  override def children: Seq[Expression] = Seq(valueExpr)
+  override def children: Seq[Expression] = valueExpr +: weightExpr.toSeq
   override def nullable: Boolean = false
   override def dataType: DataType = KllSketch.resultType
 
-  override def checkInputDataTypes(): TypeCheckResult = valueExpr.dataType match {
-    case DoubleType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"kll_sketch(value double, k) got ${t.catalogString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (valueExpr.dataType, weightExpr.map(_.dataType)) match {
+      case (DoubleType, None | Some(LongType)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, w) => TypeCheckResult.TypeCheckFailure(
+        s"kll_sketch(value double[, weight bigint], k) got " +
+          s"${(v +: w.toSeq).map(_.catalogString).mkString(", ")}")
+    }
 
   override def createAggregationBuffer(): KllState = new KllState(k)
 
   override def update(buf: KllState, input: InternalRow): KllState = {
     val v = valueExpr.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[Double])
+    if (v != null) weightExpr match {
+      case None => buf.update(v.asInstanceOf[Double])
+      case Some(we) =>
+        val w = we.eval(input)
+        // null or non-positive weight = the row contributes nothing
+        // (mirrored by the oracle's WHERE weight > 0)
+        if (w != null) buf.updateWeighted(v.asInstanceOf[Double],
+          w.asInstanceOf[Long])
+    }
     buf
   }
 
@@ -241,7 +281,8 @@ case class KllSketch(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): KllSketch =
-    copy(valueExpr = newChildren(0))
+    copy(valueExpr = newChildren(0),
+      weightExpr = weightExpr.map(_ => newChildren(1)))
   override def prettyName: String = "kll_sketch"
 }
 

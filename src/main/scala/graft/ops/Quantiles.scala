@@ -50,12 +50,17 @@ object Quantiles {
     */
   def exactQuantiles(df: DataFrame, valCol: String, qs: Seq[(String, Double)],
                      k: Int = DefaultK,
-                     groupCols: Seq[String] = Nil): DataFrame = {
+                     groupCols: Seq[String] = Nil,
+                     weightCol: Option[String] = None): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val gcols = groupCols.map(col)
-    val sk = df.groupBy(gcols: _*)
-      .agg(expr(s"kll_sketch(cast($valCol as double), $k)").as("sk"))
-    exactFromSketches(df, valCol, sk, qs, groupCols)
+    val aggSql = weightCol match {
+      case None => s"kll_sketch(cast($valCol as double), $k)"
+      case Some(w) =>
+        s"kll_sketch(cast($valCol as double), cast($w as bigint), $k)"
+    }
+    val sk = df.groupBy(gcols: _*).agg(expr(aggSql).as("sk"))
+    exactFromSketches(df, valCol, sk, qs, groupCols, weightCol)
   }
 
   /** Bracket + exact pass off an EXTERNALLY built sketch frame
@@ -69,7 +74,8 @@ object Quantiles {
     */
   def exactFromSketches(df: DataFrame, valCol: String, sk: DataFrame,
                         qs: Seq[(String, Double)],
-                        groupCols: Seq[String]): DataFrame = {
+                        groupCols: Seq[String],
+                        weightCol: Option[String] = None): DataFrame = {
     val gcols = groupCols.map(col)
     val summary = sk
       .select(gcols :+ col("sk.n").as("kll_n") :+ col("sk.err").as("kll_err") :+
@@ -79,7 +85,7 @@ object Quantiles {
       .agg(sum(col("it.w")).as("wv"))
       .withColumn("cumw",
         sum(col("wv")).over(Window.partitionBy(gcols: _*).orderBy(col("v"))))
-    exactFromSummary(df, valCol, summary, qs, groupCols)
+    exactFromSummary(df, valCol, summary, qs, groupCols, weightCol)
   }
 
   /** The mergeable-summaries path: one independent sketch per `sliceCol`
@@ -156,11 +162,14 @@ object Quantiles {
 
   /** Bracket the target ranks on the summary frame, then one exact
     * windowed re-scan. `summary`: `(groupCols..., kll_n, kll_err, v, wv,
-    * cumw)`.
+    * cumw)`. With `weightCol`, ranks count each row `weight` times
+    * (matching the weighted sketch: rows with null/non-positive weight
+    * contribute nothing) and `t = ceil(q·totalWeight)`.
     */
   private def exactFromSummary(df: DataFrame, valCol: String,
                                summary: DataFrame, qs: Seq[(String, Double)],
-                               groupCols: Seq[String]): DataFrame = {
+                               groupCols: Seq[String],
+                               weightCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val gcols = groupCols.map(col)
@@ -175,7 +184,13 @@ object Quantiles {
       .agg(
         max(when(col("cumw") <= col("t") - col("kll_err") - 1, col("v"))).as("lo"),
         min(when(col("cumw") >= col("t") + col("kll_err"), col("v"))).as("hi"))
-    val x = df.select(gcols :+ col(valCol).cast("double").as("x"): _*)
+    val rowWeight = weightCol match {
+      case None => lit(1L)
+      case Some(w) => col(w).cast("long")
+    }
+    val x = df.select(gcols :+ col(valCol).cast("double").as("x") :+
+      rowWeight.as("rw"): _*)
+      .filter(col("rw").isNotNull && col("rw") > 0)
     val joined =
       if (groupCols.isEmpty) x.crossJoin(broadcast(br))
       else x.join(broadcast(br), groupCols)
@@ -185,10 +200,10 @@ object Quantiles {
       // everything at-or-below lo collapses into ONE null bucket (combined
       // map-side); only the (lo, hi] window — O(err) rows — keeps exact
       // values, so the shuffle carries O(tasks + err) rows per quantile
-      .select(keys :+ when(col("lo").isNotNull && col("x") <= col("lo"),
+      .select(keys :+ col("rw") :+ when(col("lo").isNotNull && col("x") <= col("lo"),
         lit(null).cast("double")).otherwise(col("x")).as("b"): _*)
       .groupBy(keys :+ col("b"): _*)
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("rw")).as("c"))
       .withColumn("cum", sum(col("c")).over(
         Window.partitionBy(gcols :+ col("quantile"): _*)
           .orderBy(col("b").asc_nulls_first)))

@@ -93,7 +93,7 @@ class KllQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("aggregate: serialize/deserialize round-trips mid-stream") {
     val agg = graft.functions.KllSketch(
-      org.apache.spark.sql.catalyst.expressions.Literal(0.0d), 32)
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0d), None, 32)
     val st = new KllState(32)
     (1 to 1000).foreach(i => st.update((i * 37 % 97).toDouble))
     val back = agg.deserialize(agg.serialize(st))
@@ -193,6 +193,46 @@ class KllQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
         groupCols = Seq("g"))
       .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
     assert(mg("solo") == 3.25 && mg("big") == 2500.0, s"$mg")
+  }
+
+  test("weighted: certificate holds and answers equal the replicated form") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(19)
+    // state level: weighted rank bound under mixed weights incl. powers
+    // of two, odd weights, and weight-1 rows
+    val rows = (1 to 3000).map(_ =>
+      (rnd.nextDouble() * 100, 1L + rnd.nextInt(37).toLong))
+    val st = new graft.functions.KllState(64)
+    rows.foreach { case (x, w) => st.updateWeighted(x, w) }
+    assert(st.n == rows.map(_._2).sum)
+    assert(st.items.map(_._2).sum == st.n)
+    rows.map(_._1).distinct.take(200).foreach { x =>
+      val trueRank = rows.collect { case (v, w) if v <= x => w }.sum
+      val skRank = st.items.collect { case (v, w) if v <= x => w }.sum
+      assert(math.abs(skRank - trueRank) <= st.errBound,
+        s"weighted rank error at $x exceeds ${st.errBound}")
+    }
+
+    // DataFrame level: weighted quantiles == unweighted over w-fold
+    // replicated rows (small weights so replication stays cheap)
+    val wrows = (1 to 4000).map(_ =>
+      (rnd.nextDouble() * 1000, 1L + rnd.nextInt(9).toLong))
+    val wdf = wrows.toDF("v", "w").repartition(5)
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val weighted = Quantiles.exactQuantiles(wdf, "v", qs, k = 128,
+        weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val replicated = wrows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+    qs.foreach { case (nm, q) =>
+      assert(weighted(nm) == exactQ(replicated, q), s"weighted $nm")
+    }
+    // zero/negative-weight rows contribute nothing
+    val withZeros = (wrows ++ Seq((99999.0, 0L), (-99999.0, -5L)))
+      .toDF("v", "w").repartition(3)
+    val wz = Quantiles.exactQuantiles(withZeros, "v", qs, k = 128,
+        weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wz == weighted, "non-positive weights must be ignored")
   }
 
   test("robustScale: exact median/MAD and planted-outlier count") {
