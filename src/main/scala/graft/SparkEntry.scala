@@ -58,6 +58,31 @@ object SparkEntry {
   private val MinContain = 0.3
 
   private val SessionGapMin = 30
+
+  /** Shared by `approx_distinct` and `stream_approx_distinct`: HLL
+    * registers are deterministic functions of the input set, so the batch
+    * aggregate and the streaming-state run produce identical output.
+    */
+  private lazy val approxDistinctSql: String = {
+    val p55 = 1L << 55
+    s"""WITH hx AS (SELECT event_type, ${h60Sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+       |b AS (SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM hx),
+       |r AS (SELECT event_type, bucket,
+       |  CASE WHEN w = 0 THEN 55 ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho FROM b),
+       |mx AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY event_type, bucket),
+       |z AS (SELECT event_type, sum(CAST(1 AS BIGINT) << (55 - mj)) AS zp, count(*) AS np
+       |  FROM mx GROUP BY event_type),
+       |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM events GROUP BY event_type),
+       |raw AS (SELECT event_type, np,
+       |  CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST($p55 AS DOUBLE)
+       |    / (zp + (64 - np) * $p55) AS r FROM z)
+       |SELECT raw.event_type, exact_distinct,
+       |  round(CASE WHEN r <= 160.0 AND (64 - np) > 0
+       |    THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / (64 - np))
+       |    ELSE r END, 2) AS hll_estimate
+       |FROM raw JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
+  }
   private val PqSubs = 8
   private val PqK = 16
   /** CMS probe terms: frequent corpus tokens + one absent term (shows the
@@ -2103,6 +2128,13 @@ object SparkEntry {
           Seq("p50" -> 0.5, "p90" -> 0.9))
         .orderBy(col("event_type"), col("quantile"))),
 
+    // HLL registers as streaming state — the third sketch family on the
+    // streaming surface; registers are deterministic in the input SET, so
+    // this emits byte-identical output to batch approx_distinct.
+    "stream_approx_distinct" -> ((s, d) =>
+      streaming.StreamOps.streamApproxDistinctByType(s, d)
+        .orderBy(col("event_type"))),
+
     "stream_dedup" -> ((s, d) => {
       val path = s"$d/documents.parquet"
       val schema = s.read.parquet(path).schema
@@ -3764,26 +3796,11 @@ object SparkEntry {
     // 64, rank = trailing-zero rank of the remaining 54 bits (55 when 0),
     // harmonic mean in exact integer arithmetic, ONE double division at the
     // end (numerator literals multiplied in the same left-assoc order).
-    "approx_distinct" -> {
-      val p55 = 1L << 55
-      s"""WITH hx AS (SELECT event_type, ${h60Sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
-         |b AS (SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM hx),
-         |r AS (SELECT event_type, bucket,
-         |  CASE WHEN w = 0 THEN 55 ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho FROM b),
-         |mx AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY event_type, bucket),
-         |z AS (SELECT event_type, sum(CAST(1 AS BIGINT) << (55 - mj)) AS zp, count(*) AS np
-         |  FROM mx GROUP BY event_type),
-         |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
-         |  FROM events GROUP BY event_type),
-         |raw AS (SELECT event_type, np,
-         |  CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST($p55 AS DOUBLE)
-         |    / (zp + (64 - np) * $p55) AS r FROM z)
-         |SELECT raw.event_type, exact_distinct,
-         |  round(CASE WHEN r <= 160.0 AND (64 - np) > 0
-         |    THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / (64 - np))
-         |    ELSE r END, 2) AS hll_estimate
-         |FROM raw JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
-    },
+    "approx_distinct" -> approxDistinctSql,
+
+    // Registers are deterministic functions of the input SET, so the
+    // streaming-state run produces byte-identical output to the batch one.
+    "stream_approx_distinct" -> approxDistinctSql,
 
     "hll_merge" -> {
       val p55 = 1L << 55

@@ -62,8 +62,8 @@ object Sketches {
     * state at the given grouping granularity. First column of `groupCols`
     * comes out renamed `key`.
     */
-  private def hllRegisters(df: DataFrame, groupCols: Seq[String],
-                           valCol: String): DataFrame = {
+  private[graft] def hllRegisters(df: DataFrame, groupCols: Seq[String],
+                                  valCol: String): DataFrame = {
     val m = HllBuckets
     val maxRank = HllValueBits + 1 // rank when w == 0 (no set bit observed)
     val keys = col(groupCols.head).as("key") +: groupCols.tail.map(col)
@@ -84,7 +84,7 @@ object Sketches {
     * small-range correction (see [[hllDistinct]] doc). Output:
     * `(keys..., hll_estimate)`.
     */
-  private def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
     val m = HllBuckets
     val maxRank = HllValueBits + 1
     val z = regs.groupBy(keys.map(col): _*)

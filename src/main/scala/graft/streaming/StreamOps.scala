@@ -104,6 +104,27 @@ object StreamOps {
       "value", sketches, qs, Seq("event_type"))
   }
 
+  /** HLL registers AS streaming state — the third sketch family on the
+    * streaming surface (Misra-Gries: [[streamHeavyHittersBySource]], KLL:
+    * [[streamQuantilesByType]]). The per-(type, bucket) register maxes
+    * accumulate across micro-batch commits; registers are DETERMINISTIC
+    * functions of the input set (max of per-value hash ranks), so the
+    * final estimate is independent of micro-batching and byte-identical
+    * to the batch `approx_distinct` query — one oracle serves both.
+    */
+  def streamApproxDistinctByType(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir).select(col("event_type"), col("user_id"))
+    val regs = graft.ops.Sketches.hllRegisters(ev, Seq("event_type"), "user_id")
+    val finalRegs = runToCompletion(spark, regs)
+    val exact = graft.ops.Tables.events(spark, dir)
+      .groupBy(col("event_type").as("key"))
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    graft.ops.Sketches.hllEstimate(finalRegs, Seq("key"))
+      .join(exact, "key")
+      .select(col("key").as("event_type"), col("exact_distinct"),
+        col("hll_estimate"))
+  }
+
   // ------------------------------------------- bounded-stream execution
 
   /** Stage a path as a file-stream source directory. The file source
