@@ -9,6 +9,22 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
+/** Growable PRIMITIVE double buffer — the level store. A
+  * `mutable.ArrayBuffer[Double]` would box every element (200M boxed
+  * Doubles of garbage on a 2e8-row update stream); this is `add` into a
+  * bare `Array[Double]` with amortized doubling.
+  */
+final class DoubleBuf(initial: Int = 16) {
+  var arr: Array[Double] = new Array[Double](initial)
+  var len: Int = 0
+  def add(x: Double): Unit = {
+    if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    arr(len) = x
+    len += 1
+  }
+  def clear(): Unit = len = 0
+}
+
 /** Mutable KLL/MRL-style quantile-sketch state: a stack of level buffers
   * where level ℓ holds items of weight 2^ℓ, each buffer at most `k` items.
   *
@@ -39,22 +55,6 @@ import org.apache.spark.sql.types._
   * carries one small summary per task, never the (possibly near-unique)
   * value set that an exact `groupBy(value)` CDF would move.
   */
-/** Growable PRIMITIVE double buffer — the level store. A
-  * `mutable.ArrayBuffer[Double]` would box every element (200M boxed
-  * Doubles of garbage on a 2e8-row update stream); this is `add` into a
-  * bare `Array[Double]` with amortized doubling.
-  */
-final class DoubleBuf(initial: Int = 16) {
-  var arr: Array[Double] = new Array[Double](initial)
-  var len: Int = 0
-  def add(x: Double): Unit = {
-    if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
-    arr(len) = x
-    len += 1
-  }
-  def clear(): Unit = len = 0
-}
-
 final class KllState(val k: Int) {
   import scala.collection.mutable.ArrayBuffer
 
