@@ -903,6 +903,26 @@ object SparkEntry {
             .as("win_mean"))
     }),
 
+    // Equi-depth feature discretization (the KBinsDiscretizer shape GBDT
+    // pipelines run before training): exact decile cuts from the KLL
+    // two-pass, then a map-only bin assignment against the broadcast
+    // 9-value cut array and one per-bin aggregate. Exactness shows up as
+    // the bin populations themselves: every bin holds ceil/floor of n/10
+    // by construction of exact order-statistic cuts.
+    "quantile_bins" -> ((s, d) => {
+      val cuts = Quantiles.exactQuantiles(li(s, d), "l_extendedprice",
+          (1 to 9).map(i => (s"d$i", i / 10.0d)))
+        .agg(sort_array(collect_list(col("value"))).as("cuts"))
+      li(s, d).select(col("l_extendedprice").cast("double").as("x"))
+        .crossJoin(broadcast(cuts))
+        .select(col("x"),
+          size(filter(col("cuts"), c => col("x") > c)).cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
+          max(col("x")).as("hi"))
+        .orderBy(col("bin"))
+    }),
+
     // WEIGHTED exact quantiles: each row counts l_quantity times toward
     // every rank ("the price the median UNIT ships at", not the median
     // line) — weights ride the sketch by binary decomposition into the
@@ -2727,6 +2747,20 @@ object SparkEntry {
         |  max(lo) AS lo, max(hi) AS hi,
         |  round(CAST(sum(CAST(wx AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS win_mean
         |FROM r""".stripMargin,
+
+    "quantile_bins" ->
+      """WITH c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x, count(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT *,
+        |  sum(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER () AS tot FROM c),
+        |cuts AS (SELECT q.i, min(CASE WHEN cum >= ceil(tot * (CAST(q.i AS DOUBLE) / 10.0)) THEN x END) AS cut
+        |  FROM t CROSS JOIN (SELECT unnest(range(1, 10)) AS i) q GROUP BY q.i),
+        |ca AS (SELECT list(cut ORDER BY cut) AS cl FROM cuts),
+        |r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |  len(list_filter(ca.cl, c -> CAST(l_extendedprice AS DOUBLE) > c)) AS bin
+        |  FROM lineitem CROSS JOIN ca)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n, min(x) AS lo, max(x) AS hi
+        |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
 
     "weighted_quantiles" ->
       """WITH c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x, sum(CAST(l_quantity AS BIGINT)) AS n FROM lineitem GROUP BY 1),

@@ -152,7 +152,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "kll_merge" /* 1-row totals + |q|-row bracket spec broadcasts */,
       "winsorize" /* bracket spec + 1-row exact-cuts frame broadcast into the clamp pass */,
       "robust_scale" /* per-group bracket specs (groups × 1 quantile rows) broadcast */,
-      "weighted_quantiles" /* |q|-row certified-bracket spec broadcast into the exact pass */)
+      "weighted_quantiles" /* |q|-row certified-bracket spec broadcast into the exact pass */,
+      "quantile_bins" /* bracket spec + 1-row cut-array frame broadcast into the bin pass */)
     val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
     val offenders = names.flatMap { n =>
       val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
@@ -217,6 +218,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "winsorize" -> Map("lineitem" -> 3),             // sketch + exact-cut + clamp passes
       "robust_scale" -> Map("events" -> 5),            // two sketch+exact quantile rounds + outlier count
       "weighted_quantiles" -> Map("lineitem" -> 2),    // weighted sketch pass + weighted exact pass
+      "quantile_bins" -> Map("lineitem" -> 3),         // sketch + exact-cut + bin-assignment passes
       "kll_merge" -> Map("orders" -> 3),               // per-slice sketch pass + n_slices + exact pass
       // -- accuracy evals: two independent methods over the SAME input,
       //    compared — the re-read IS the experiment
