@@ -535,8 +535,36 @@ object Scale {
       vals.agg(percentile_approx(col("x"),
         array(qs.map(q => lit(q._2)): _*), lit(10000))).collect()
     }
+
+    // WEIGHTED phase: every row carries weight 1+(id mod 37) (total mass
+    // ≈ 19n) — the form percentile_approx cannot express at all. Answers
+    // proven exact against WEIGHTED true ranks in one more O(1)-state scan.
+    def wvals = spark.range(0L, n, 1L, cpus.toInt * 2)
+      .select(pmod(xxhash64(col("id")), lit(1000000000000L))
+        .cast("double").as("x"),
+        (pmod(col("id"), lit(37L)) + 1L).as("w"))
+    var wgot: Map[String, Double] = null
+    val wSec = time {
+      wgot = ops.Quantiles.exactQuantiles(wvals, "x", qs, k,
+          weightCol = Some("w"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val wchecks = qs.flatMap { case (nm, _) =>
+      val v = wgot(nm)
+      Seq(sum(when(col("x") < v, col("w")).otherwise(0L)).as(s"lt_$nm"),
+        sum(when(col("x") <= v, col("w")).otherwise(0L)).as(s"le_$nm"))
+    }
+    val wtot = wvals.agg(sum(col("w")).as("tw"), wchecks: _*).head()
+    val totalW = wtot.getLong(0)
+    qs.zipWithIndex.foreach { case ((nm, q), i) =>
+      val lt = wtot.getLong(1 + 2 * i); val le = wtot.getLong(2 + 2 * i)
+      val t = math.ceil(q * totalW).toLong
+      require(lt < t && t <= le,
+        s"weighted $nm NOT exact: target $t outside ($lt, $le]")
+    }
+
     val rate = (n / math.max(kllSec, 1e-9)).toLong
-    println(f"""{"mode":"kll","n":$n,"k":$k,"exact_two_pass_sec":$kllSec%.1f,"builtin_approx_sec":$approxSec%.1f,"rows_per_sec":$rate,"all_exact":true,"cpus":$cpus}""")
+    println(f"""{"mode":"kll","n":$n,"k":$k,"exact_two_pass_sec":$kllSec%.1f,"builtin_approx_sec":$approxSec%.1f,"weighted_exact_sec":$wSec%.1f,"weighted_mass":$totalW,"rows_per_sec":$rate,"all_exact":true,"cpus":$cpus}""")
     spark.stop()
   }
 
