@@ -254,6 +254,20 @@ class KllQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"outliers ${row.getLong(4)} vs $expectOut (>= the 7 planted)")
   }
 
+  test("quantile_bins: equi-depth property — every bin holds n/10 ± rounding") {
+    // The query's own output proves cut exactness: with exact decile cuts
+    // over a (near-)unique measure, bin populations can only differ from
+    // n/10 by rounding plus the multiplicity of the cut values themselves.
+    val rows = SparkEntry.queries("quantile_bins")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq == (0L to 9L), s"expected bins 0..9: ${rows.toSeq}")
+    val n = rows.map(_._2).sum
+    rows.foreach { case (b, c) =>
+      assert(math.abs(c - n / 10.0) <= 2,
+        s"bin $b holds $c of $n — not equi-depth (expected ~${n / 10})")
+    }
+  }
+
   test("SQL surface: kll_sketch resolves and certifies through the registry") {
     val sp = spark; import sp.implicits._
     graft.functions.GraftFunctions.register(sp)
