@@ -2753,7 +2753,7 @@ object SparkEntry {
         |t AS (SELECT *,
         |  sum(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |  sum(n) OVER () AS tot FROM c),
-        |cuts AS (SELECT q.i, min(CASE WHEN cum >= ceil(tot * (CAST(q.i AS DOUBLE) / 10.0)) THEN x END) AS cut
+        |cuts AS (SELECT q.i, min(CASE WHEN cum >= (tot * q.i + 9) // 10 THEN x END) AS cut
         |  FROM t CROSS JOIN (SELECT unnest(range(1, 10)) AS i) q GROUP BY q.i),
         |ca AS (SELECT list(cut ORDER BY cut) AS cl FROM cuts),
         |r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,

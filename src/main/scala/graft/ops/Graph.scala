@@ -61,6 +61,83 @@ object Graph {
           + lit(1.0d - damping) / col("n"), 9).as("rank"))
   }
 
+  /** PageRank iterated to convergence — the loop the reference's own
+    * iterate-until-done control flow (the log₂-pass CUDA merge loop,
+    * `QuickInsertionHeap.cu:199-206`) maps to in graph land. Each round
+    * is ONE [[pagerankStep]]-shaped plan over the previous round's rank
+    * frame; the driver only sequences rounds and reads a 1-row delta.
+    *
+    * Scale shape of the LOOP (the step's shape is documented above):
+    *  - the loop-invariant frames — edges, the node set, out-degrees —
+    *    are materialized ONCE before round 1 and reused every round;
+    *    per-round work is two keyed shuffles (src-join, dst-aggregate)
+    *    over the edge list, nothing else;
+    *  - each round's rank frame is `localCheckpoint`ed: the lineage cut
+    *    that keeps round r's plan O(1) deep instead of O(r) — without it
+    *    Catalyst re-derives EVERY previous round inside round r's plan
+    *    and per-iteration cost grows without bound (at cluster scale a
+    *    reliable-storage checkpoint plays this role);
+    *  - convergence is the L1 delta Σ|r_i − r_{i−1}| — one 1-row
+    *    aggregate per round, the only driver-side data movement. The
+    *    loop stops at `delta ≤ tol` or `maxIters`.
+    *
+    * Ranks are 9-dp-rounded doubles each round (same quantization as
+    * [[pagerankStep]]'s output), so every round — hence the whole loop —
+    * is bit-replayable by a chained-CTE SQL oracle. With `tol = 0.0` the
+    * loop runs exactly `maxIters` rounds unless an exact fixed point is
+    * reached, in which case further rounds would reproduce the same
+    * frame — either way the output equals the oracle's unrolled chain.
+    */
+  def pagerankConverged(edges: DataFrame, damping: Double = 0.85,
+                        maxIters: Int = 20, tol: Double = 0.0): DataFrame =
+    pagerankLoop(edges, damping, maxIters, tol)._1
+
+  /** [[pagerankConverged]] plus loop diagnostics: (ranks, rounds run,
+    * per-round L1 deltas) — the test/inspection surface. */
+  def pagerankLoop(edges: DataFrame, damping: Double, maxIters: Int,
+                   tol: Double): (DataFrame, Int, Seq[Double]) = {
+    require(maxIters >= 1, "pagerank needs at least one iteration")
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    // r0 = the uniform start vector, materialized like every later round
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0d) / col("n")).as("rank"))
+      .localCheckpoint()
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var rounds = 0
+    var done = false
+    while (rounds < maxIters && !done) {
+      val contrib = e
+        .join(outdeg, "src")
+        .join(ranks.select(col("node").as("src"), col("rank").as("r_prev")), "src")
+        .select(col("dst"),
+          round(lit(damping) * col("r_prev") / col("outdeg"), 15)
+            .cast(Dec).as("c"))
+      val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("mass"))
+      val next = nodes.crossJoin(broadcast(nRow))
+        .join(inMass, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(coalesce(col("mass").cast("double"), lit(0.0d))
+            + lit(1.0d - damping) / col("n"), 9).as("rank"))
+        .localCheckpoint()
+      val delta = next.join(ranks.select(col("node"), col("rank").as("prev")), "node")
+        .agg(sum(abs(col("rank") - col("prev"))).as("d"))
+        .head().getDouble(0)
+      deltas += delta
+      ranks = next
+      rounds += 1
+      done = delta <= tol
+    }
+    (ranks, rounds, deltas.toSeq)
+  }
+
   /** Co-occurrence edges from an (item, member) incidence list: members
     * sharing an item pair up (s1 < s2 orientation, so each undirected
     * edge is built once), and only pairs whose shared-item count clears

@@ -76,16 +76,42 @@ object Quantiles {
                         qs: Seq[(String, Double)],
                         groupCols: Seq[String],
                         weightCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val gcols = groupCols.map(col)
-    val summary = sk
-      .select(gcols :+ col("sk.n").as("kll_n") :+ col("sk.err").as("kll_err") :+
-        explode(col("sk.items")).as("it"): _*)
+    // A group may arrive with SEVERAL sketch rows (appended summary
+    // snapshots, a re-run stream table) — merge them first exactly as
+    // [[mergedQuantiles]] does (n and err add, items union), so the CDF
+    // window below always sees ONE (n, err) per group. Without this,
+    // duplicate rows interleave cumw and silently corrupt the bracket.
+    val merged = sk
+      .select(gcols :+ col("sk.n").as("n1") :+ col("sk.err").as("e1") :+
+        col("sk.items").as("i1"): _*)
+      .groupBy(gcols: _*)
+      .agg(sum(col("n1")).cast("long").as("kll_n"),
+        sum(col("e1")).cast("long").as("kll_err"),
+        flatten(collect_list(col("i1"))).as("items"))
+    val summary = merged
+      .select(gcols :+ col("kll_n") :+ col("kll_err") :+
+        explode(col("items")).as("it"): _*)
       .groupBy(gcols :+ col("kll_n") :+ col("kll_err") :+
         col("it.v").as("v"): _*)
       .agg(sum(col("it.w")).as("wv"))
       .withColumn("cumw",
         sum(col("wv")).over(Window.partitionBy(gcols: _*).orderBy(col("v"))))
-    exactFromSummary(df, valCol, summary, qs, groupCols, weightCol)
+    val res = exactFromSummary(df, valCol, summary, qs, groupCols, weightCol)
+    if (groupCols.isEmpty) res
+    else {
+      // A group whose values are ALL NULL sketches to zero items; the
+      // explode above would silently drop it, but a plain-SQL aggregate
+      // over a nullable column still emits the group — so surface it
+      // with a NULL quantile value, like the oracle does.
+      val emptyGroups = merged.where(size(col("items")) === 0)
+        .select(gcols: _*)
+        .crossJoin(qs.map(_._1).toDF("quantile"))
+        .withColumn("value", lit(null).cast("double"))
+      res.unionByName(emptyGroups)
+    }
   }
 
   /** The mergeable-summaries path: one independent sketch per `sliceCol`
@@ -115,6 +141,12 @@ object Quantiles {
       .localCheckpoint()
     val tot = per.agg(sum(col("sn")).as("kll_n"), sum(col("serr")).as("kll_err"),
       count(lit(1)).as("n_slices"))
+    // Unpartitioned window by design: the merged summary is O(k·log(n/k))
+    // rows REGARDLESS of slice count (same-value items collapse in the
+    // groupBy above), so the single-task CDF pass is bounded by the
+    // sketch capacity, never by data volume. If a deployment ever raises
+    // k·log past single-task comfort, switch to a two-level cumulative
+    // sum (per-bucket partial sums + broadcast offsets).
     val summary = per.select(explode(col("items")).as("it"))
       .groupBy(col("it.v").as("v")).agg(sum(col("it.w")).as("wv"))
       .crossJoin(broadcast(tot))
@@ -173,13 +205,24 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val gcols = groupCols.map(col)
-    val qdf = qs.toDF("quantile", "q")
+    // Quantile fractions are interpreted at 6-decimal precision and the
+    // target rank is computed in EXACT integer arithmetic:
+    // t = ceil(n·q) = (n·num + den−1) div den with den = 10⁶. A double
+    // ceil(q·n) can land one ulp above an exact integer product (q=0.9,
+    // n=10 → 9.000000000000002 → t=10) and diverge from a DECIMAL-typed
+    // SQL oracle; integer div cannot. Safe to n ≈ 9.2·10¹² rows/weight
+    // before the n·num product overflows a long.
+    val qdf = qs.map { case (lbl, q) =>
+      require(q > 0.0 && q <= 1.0, s"quantile fraction out of (0,1]: $q")
+      (lbl, math.round(q * 1000000.0))
+    }.toDF("quantile", "qnum")
     // t = ceil(q·n) clamped to ≥ 1; lo/hi from the certificate: cumw is the
     // summary rank R(v), |R(v) − trueRank(v)| ≤ err, so cumw ≤ t−err−1 ⇒
     // trueRank(v) ≤ t−1 (answer is strictly above v) and cumw ≥ t+err ⇒
     // trueRank(v) ≥ t (answer is ≤ v). Null lo/hi = unbounded side.
     val br = summary.crossJoin(broadcast(qdf))
-      .withColumn("t", greatest(ceil(col("q") * col("kll_n")), lit(1L)))
+      .withColumn("t",
+        greatest(expr("(kll_n * qnum + 999999) div 1000000"), lit(1L)))
       .groupBy(gcols :+ col("quantile") :+ col("t"): _*)
       .agg(
         max(when(col("cumw") <= col("t") - col("kll_err") - 1, col("v"))).as("lo"),

@@ -307,6 +307,20 @@ object Similarity {
     require(centRows.nonEmpty, "no centroids: empty corpus")
     val ids = centRows.map(_.getLong(0))
     val embs = centRows.map(_.getSeq[Double](1).toArray)
+    assignToCentroids(df, idName, embName, ids, embs, passThrough)
+  }
+
+  /** Map-only nearest-centroid assignment against an EXPLICIT centroid
+    * table (ids + vectors embedded as literals in the native argmax
+    * expression) — the shared kernel of [[assignCells]] (hash-rank-sampled
+    * centroids) and the [[kmeansTrain]] loop (each round's recomputed
+    * means). Centroid norms are precomputed driver-side with the same
+    * left-fold the column `dot` uses, so results are bit-identical to an
+    * all-column-expression plan.
+    */
+  private def assignToCentroids(df: DataFrame, idName: String, embName: String,
+                                ids: Array[Long], embs: Array[Array[Double]],
+                                passThrough: Seq[String] = Nil): DataFrame = {
     val nrms = embs.map(e => math.sqrt(e.foldLeft(0.0d)((acc, x) => acc + x * x)))
     // Native argmax over the embedded centroid table (rounded to 6dp,
     // ties to the smaller id, zero norms → 0.0 — pinned to the oracle).

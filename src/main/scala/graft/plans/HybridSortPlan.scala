@@ -1,11 +1,16 @@
 package graft.plans
 
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
+
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.GraftSpillUtil
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
-import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 import graft.ops.HybridSort
@@ -27,17 +32,25 @@ import graft.ops.HybridSort
   * in partition-index order is the gather/merge; no single-node k-way merge
   * exists anywhere (the reference's rank-0 merge is its scale ceiling).
   *
-  * Scale honesty: `HybridSortExec` materializes each partition on-heap —
-  * the reference's own in-memory contract (`malloc` of the full chunk,
-  * `QuickInsertionHeap.c:181`) — so unlike `SortExec` (Tungsten
-  * `UnsafeExternalSorter`) it cannot spill. Partitions must fit in executor
-  * memory; size `spark.sql.shuffle.partitions` accordingly — and note AQE
-  * partition coalescing merges by SERIALIZED shuffle bytes (64 MB
-  * advisory), while this operator's live-heap footprint is ~8× its
-  * shuffle bytes, so disable coalescing (or shrink the advisory size)
-  * when running it at volume (measured: 200M rows OOM a 8g heap under
-  * coalescing, run clean at 256 pinned partitions — `graft.Scale`). The production
-  * default remains [[graft.ops.Sorts.globalSort]]; this operator exists for
+  * Scale contract: unlike the reference (which `malloc`s the full chunk,
+  * `QuickInsertionHeap.c:181`, and dies past node memory), this operator
+  * is an EXTERNAL hybrid sort. Rows accumulate as UnsafeRow copies up to a
+  * per-task run budget (`spark.graft.hybridSort.spillRows` /
+  * `.spillBytes`, default 4M rows / 128 MB); a full run is sorted
+  * in-memory with the hybrid algorithm and spilled to a local sorted-run
+  * file, and the partition's output is a k-way min-heap merge of the
+  * spilled runs plus the final in-memory run — the reference's own O8
+  * heap merge (`QuickInsertionHeap.cu:199-206`), applied where it belongs
+  * at 100 TB: per-task run reconciliation, never a single-node gather. A
+  * partition that fits the budget never touches disk (the common case
+  * when `spark.sql.shuffle.partitions` is sized to the data); a skewed
+  * range partition degrades to sequential spill I/O instead of an
+  * executor OOM. Heap footprint is hard-bounded by the byte budget —
+  * independent of partition size — so AQE partition coalescing (which
+  * merges by serialized shuffle bytes) can no longer push the operator
+  * past the heap. `spillRuns`/`spillBytes` SQL metrics surface the
+  * behavior in the UI and in tests. The production default remains
+  * [[graft.ops.Sorts.globalSort]]; this operator exists for
   * algorithm-level parity and as the engine's planner-extension showcase
   * (logical node + strategy + exec, injected via [[graft.GraftExtensions]]).
   */
@@ -64,7 +77,8 @@ object HybridSortStrategy extends SparkStrategy {
 }
 
 /** Physical hybrid sort: requires a range-partitioned child when `global`,
-  * sorts each partition in-memory with the reference's algorithm.
+  * external-sorts each partition (hybrid quicksort per run, heap merge of
+  * spilled runs — see [[HybridSortPlan]]'s scale contract).
   */
 case class HybridSortExec(order: Seq[SortOrder], threshold: Int,
                           global: Boolean, child: SparkPlan)
@@ -75,6 +89,10 @@ case class HybridSortExec(order: Seq[SortOrder], threshold: Int,
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def nodeName: String = "GraftHybridSort"
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "spillRuns" -> SQLMetrics.createMetric(sparkContext, "spilled sorted runs"),
+    "spillBytes" -> SQLMetrics.createSizeMetric(sparkContext, "spill bytes"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (global) OrderedDistribution(order) :: Nil
     else UnspecifiedDistribution :: Nil
@@ -84,16 +102,126 @@ case class HybridSortExec(order: Seq[SortOrder], threshold: Int,
     // comparator on each executor after deserialization.
     val ord = new LazilyGeneratedOrdering(order, child.output)
     val t = threshold
+    val attrs = child.output
+    val maxRunRows = conf.getConfString(
+      "spark.graft.hybridSort.spillRows", "4194304").toLong.max(1L)
+    val maxRunBytes = conf.getConfString(
+      "spark.graft.hybridSort.spillBytes", (128L << 20).toString).toLong.max(1L)
+    val runsMetric = longMetric("spillRuns")
+    val bytesMetric = longMetric("spillBytes")
     child.execute().mapPartitions({ iter =>
-      val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      // rows from the shuffle reader are reused mutable buffers — copy
-      while (iter.hasNext) buf += iter.next().copy()
-      val arr = buf.toArray
-      if (arr.length > 1) HybridSort.sortRangeO(arr, 0, arr.length - 1, ord, t)
-      arr.iterator
+      new ExternalHybridSorter(attrs.length,
+        UnsafeProjection.create(attrs, attrs), ord, t,
+        maxRunRows, maxRunBytes, runsMetric, bytesMetric).sort(iter)
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): HybridSortExec =
     copy(child = newChild)
+}
+
+/** Per-task external sort: hybrid quicksort over bounded in-memory runs,
+  * length-prefixed UnsafeRow spill files, min-heap merge of runs. Spill
+  * files live in the executor's Spark local dir and are deleted on task
+  * completion (success or failure).
+  */
+private[plans] final class ExternalHybridSorter(
+    numFields: Int, toUnsafe: UnsafeProjection, ord: Ordering[InternalRow],
+    threshold: Int, maxRunRows: Long, maxRunBytes: Long,
+    runsMetric: SQLMetric, bytesMetric: SQLMetric) {
+
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+  private var bufBytes = 0L
+  private val spills = scala.collection.mutable.ArrayBuffer.empty[File]
+  private val writeBuffer = new Array[Byte](4096)
+
+  def sort(iter: Iterator[InternalRow]): Iterator[InternalRow] = {
+    val ctx = TaskContext.get()
+    if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+      spills.foreach(f => if (f.exists()) f.delete())
+    }
+    while (iter.hasNext) {
+      // rows from the shuffle reader are reused mutable buffers — copy
+      val u = toUnsafe(iter.next()).copy()
+      buf += u
+      bufBytes += u.getSizeInBytes
+      if (buf.length >= maxRunRows || bufBytes >= maxRunBytes) spillRun()
+    }
+    val arr = buf.toArray
+    if (arr.length > 1) HybridSort.sortRangeO(arr, 0, arr.length - 1, ord, threshold)
+    if (spills.isEmpty) arr.iterator
+    else mergeRuns(arr)
+  }
+
+  private def spillRun(): Unit = {
+    val arr = buf.toArray
+    if (arr.length > 1) HybridSort.sortRangeO(arr, 0, arr.length - 1, ord, threshold)
+    val file = GraftSpillUtil.newSpillFile("graft-hybrid-sort-")
+    val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(file), 1 << 16))
+    try {
+      var i = 0
+      while (i < arr.length) {
+        val u = arr(i).asInstanceOf[UnsafeRow]
+        out.writeInt(u.getSizeInBytes)
+        u.writeToStream(out, writeBuffer)
+        i += 1
+      }
+    } finally out.close()
+    spills += file
+    runsMetric.add(1)
+    bytesMetric.add(file.length())
+    buf.clear()
+    bufBytes = 0L
+  }
+
+  /** One sorted run — a spilled file or the final in-memory array. Readers
+    * materialize each record into a FRESH byte array, so a row handed to
+    * the merge consumer is never overwritten by a later advance. */
+  private sealed trait Run {
+    var current: InternalRow = _
+    def advance(): Boolean
+  }
+
+  private final class FileRun(file: File) extends Run {
+    private val in = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(file), 1 << 16))
+    override def advance(): Boolean = {
+      val size = try in.readInt() catch { case _: EOFException => -1 }
+      if (size < 0) { in.close(); false }
+      else {
+        val bytes = new Array[Byte](size)
+        in.readFully(bytes)
+        val r = new UnsafeRow(numFields)
+        r.pointTo(bytes, size)
+        current = r
+        true
+      }
+    }
+  }
+
+  private final class MemRun(arr: Array[InternalRow]) extends Run {
+    private var i = 0
+    override def advance(): Boolean =
+      if (i >= arr.length) false else { current = arr(i); i += 1; true }
+  }
+
+  /** Reference O8: k-way min-heap merge (`QuickInsertionHeap.cu:199-206`),
+    * here merging this task's sorted runs. */
+  private def mergeRuns(lastRun: Array[InternalRow]): Iterator[InternalRow] = {
+    val heap = new java.util.PriorityQueue[Run](
+      (a: Run, b: Run) => ord.compare(a.current, b.current))
+    (spills.map(new FileRun(_)) :+ new MemRun(lastRun)).foreach { r =>
+      if (r.advance()) heap.add(r)
+    }
+    new Iterator[InternalRow] {
+      override def hasNext: Boolean = !heap.isEmpty
+      override def next(): InternalRow = {
+        val r = heap.poll()
+        val row = r.current
+        if (r.advance()) heap.add(r)
+        row
+      }
+    }
+  }
 }

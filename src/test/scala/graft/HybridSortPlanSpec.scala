@@ -69,4 +69,72 @@ class HybridSortPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = Sorts.hybridSortExec(df, 1000000, "k").collect().map(_.getLong(0))
     assert(a.sameElements(b) && a.sameElements(a.sorted))
   }
+
+  private def findHybridExec(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[graft.plans.HybridSortExec] = p match {
+    case h: graft.plans.HybridSortExec => Some(h)
+    case other => other.children.view.flatMap(findHybridExec).headOption
+  }
+
+  test("partitions past the run budget spill sorted runs and heap-merge back to exact order") {
+    val sp = spark
+    // Drive every partition far past a tiny run budget: 60k rows over 4
+    // partitions with a 1000-row budget → ≥14 spilled runs per task. The
+    // non-adaptive plan keeps HybridSortExec findable for metric checks.
+    sp.conf.set("spark.graft.hybridSort.spillRows", "1000")
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = sp.range(60000).selectExpr(
+        "cast(id * 2654435761 % 50000 as bigint) as k",
+        "id as payload",
+        "repeat(cast(id % 97 as string), 3) as tag")
+      val q = Sorts.hybridSortExec(df, 25, "k", "payload")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val want = df.orderBy(org.apache.spark.sql.functions.col("k"),
+          org.apache.spark.sql.functions.col("payload"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got.sameElements(want),
+        "external (spilling) hybrid sort must equal orderBy row-for-row")
+      val exec = findHybridExec(q.queryExecution.executedPlan)
+      assert(exec.isDefined, q.queryExecution.executedPlan.toString)
+      val runs = exec.get.metrics("spillRuns").value
+      val bytes = exec.get.metrics("spillBytes").value
+      assert(runs >= 4 * 14,
+        s"expected every task to spill many runs, got spillRuns=$runs")
+      assert(bytes > 0, "spillBytes metric must record the spilled volume")
+    } finally {
+      sp.conf.unset("spark.graft.hybridSort.spillRows")
+      sp.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("byte budget alone also triggers spill; in-budget partitions never spill") {
+    val sp = spark
+    sp.conf.set("spark.graft.hybridSort.spillBytes", "8192")
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = sp.range(20000).selectExpr(
+        "cast(id * 48271 % 7919 as bigint) as k",
+        "repeat('x', 40) as pad")
+      val q = Sorts.hybridSortExec(df, 25, "k")
+      val got = q.collect().map(_.getLong(0))
+      assert(got.sameElements(got.sorted))
+      val exec = findHybridExec(q.queryExecution.executedPlan).get
+      assert(exec.metrics("spillRuns").value > 0,
+        "a 40-byte pad over an 8 KiB byte budget must spill")
+    } finally {
+      sp.conf.unset("spark.graft.hybridSort.spillBytes")
+    }
+    // and with default budgets the same data never spills
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = sp.range(20000).selectExpr(
+        "cast(id * 48271 % 7919 as bigint) as k", "repeat('x', 40) as pad")
+      val q = Sorts.hybridSortExec(df, 25, "k")
+      q.collect()
+      val exec = findHybridExec(q.queryExecution.executedPlan).get
+      assert(exec.metrics("spillRuns").value == 0,
+        "in-budget partitions must take the zero-IO fast path")
+    } finally sp.conf.unset("spark.sql.adaptive.enabled")
+  }
 }

@@ -195,6 +195,42 @@ class KllQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mg("solo") == 3.25 && mg("big") == 2500.0, s"$mg")
   }
 
+  test("exactFromSketches: duplicate sketch rows per group merge; all-NULL groups surface as NULL") {
+    val sp = spark; import sp.implicits._
+    graft.functions.GraftFunctions.register(sp)
+    val rnd = new scala.util.Random(23)
+    val rows: Seq[(String, java.lang.Double)] =
+      (1 to 9000).map(i => ("g" + (i % 3), java.lang.Double.valueOf(rnd.nextDouble() * 1e5))) ++
+        Seq.fill(40)(("gnull", null: java.lang.Double))
+    val df = rows.toDF("g", "v").repartition(4)
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9)
+
+    // Two appended summary snapshots of the same table — each half
+    // sketched independently, unioned: TWO sketch rows per group. The
+    // round-6 code interleaved their cumw and corrupted the bracket;
+    // exactFromSketches must now pre-merge them (n/err add, items union).
+    val lo = df.where(col("v") < 5e4)
+    val hi = df.where(col("v") >= 5e4 || col("v").isNull)
+    val sk = lo.groupBy(col("g")).agg(expr("kll_sketch(cast(v as double), 128)").as("sk"))
+      .unionByName(hi.groupBy(col("g")).agg(expr("kll_sketch(cast(v as double), 128)").as("sk")))
+    val got = Quantiles.exactFromSketches(df, "v", sk, qs, Seq("g"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+    for (g <- Seq("g0", "g1", "g2"); (nm, q) <- qs) {
+      val vs = rows.collect { case (`g`, v) if v != null => v.doubleValue() }
+      assert(got((g, nm)) == Some(exactQ(vs, q)),
+        s"duplicate-sketch group $g $nm")
+    }
+    // the all-NULL group is not silently dropped — it reports NULL, as a
+    // plain-SQL aggregate over a nullable column would
+    qs.foreach { case (nm, _) =>
+      assert(got.contains(("gnull", nm)) && got(("gnull", nm)).isEmpty,
+        s"all-NULL group must surface a NULL $nm row: $got")
+    }
+  }
+
   test("weighted: certificate holds and answers equal the replicated form") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(19)

@@ -26,6 +26,12 @@ class MisraGriesMicroBench extends AnyFunSuite {
     info(f"n=$n sec=$sec%.2f rate=${(n / sec).toLong}/s stored=${st.stored.size()} " +
       f"maxHeapSampled=$maxHeap base=${st.base} totalDec=${st.totalDec}")
     assert(st.stored.size() <= k)
-    assert(n / sec > 1e6, f"MG update throughput ${(n / sec).toLong}/s below 1M/s")
+    // Load-sensitive rate check is opt-in, like KllMicroBench's.
+    val rate = n / sec
+    if (sys.env.get("GRAFT_PERF_ASSERT").contains("1"))
+      assert(rate > 1e6, f"MG update throughput ${rate.toLong}/s below 1M/s")
+    else if (rate <= 1e6)
+      info(f"WARN: throughput ${rate.toLong}/s below the 1M/s design rate " +
+        "(not failing: GRAFT_PERF_ASSERT unset)")
   }
 }
