@@ -111,6 +111,9 @@ object SparkEntry {
   private val NdcgK = 10
   private val ZipfK = 256
   private val PrDamping = 0.85
+  private val PrIters = 3
+  private val KmIters = 3
+  private val BpeMerges = 6
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
   private val PmiMinCount = 5
@@ -934,6 +937,20 @@ object SparkEntry {
           Seq("p50" -> 0.5, "p90" -> 0.9), weightCol = Some("l_quantity"))
         .orderBy(col("quantile"))),
 
+    // GROUPED weighted quantiles: per-source TOKEN-weighted document
+    // length cuts — "what doc length covers half this source's tokens",
+    // the mixture-design statistic. Exercises the weighted sketch update
+    // and the weighted exact pass per group, the one path the global
+    // weighted_quantiles row cannot.
+    "weighted_quantiles_grouped" -> ((s, d) => {
+      val dd = docs(s, d).select(col("source"),
+        length(col("text")).cast("double").as("len"),
+        size(tokens(col("text"))).cast("long").as("w"))
+      Quantiles.exactQuantiles(dd, "len", Seq("p50" -> 0.5, "p90" -> 0.9),
+          groupCols = Seq("source"), weightCol = Some("w"))
+        .orderBy(col("source"), col("quantile"))
+    }),
+
     // Robust per-type scaling stats: exact median + exact MAD (both KLL
     // two-pass order statistics) and the |x−med| > 3·1.4826·MAD outlier
     // count — the outlier gate that mean/stddev scaling cannot provide
@@ -1287,6 +1304,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental NEAR-dup: the incoming batch's banded signatures probe
+    // the persisted base signature store (bucket sizes precomputed in the
+    // store, so the hot-bucket guard is a pushed-down scan filter) — the
+    // batch broadcasts, the base is never shuffled or re-aggregated.
+    "incr_neardup" -> ((s, d) => {
+      val store = Dedup.signatureStore(docs(s, d).where(col("doc_id") < 400),
+        MinhashK, MinhashBands, ShingleN)
+      Dedup.incrNearDup(store, docs(s, d).where(col("doc_id") >= 400),
+          MinhashK, MinhashBands, ShingleN, MaxBucket)
+        .orderBy(col("doc_id"), col("dup_of"))
+    }),
+
     "exact_dedup" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -1387,6 +1416,15 @@ object SparkEntry {
     // (decimal component sums — order-independent, oracle-replayable).
     "kmeans_step" -> ((s, d) =>
       Similarity.kmeansStep(emb(s, d), IvfCentroids)
+        .orderBy(col("cell"), col("dim"))),
+
+    // Full Lloyd loop: KmIters assign→mean rounds. All loop state is
+    // O(K·dim) driver-side (each round's means collect bounded and
+    // re-embed as argmax literals), per-round distributed work is one
+    // map-only corpus scan + one bounded hash-aggregate — nothing cached,
+    // nothing to leak across rounds.
+    "kmeans_train" -> ((s, d) =>
+      Similarity.kmeansTrain(emb(s, d), IvfCentroids, KmIters)
         .orderBy(col("cell"), col("dim"))),
 
     // Recall@5 of the IVF index vs exact brute force — the ANN analog of
@@ -1629,6 +1667,21 @@ object SparkEntry {
       Graph.pagerankStep(edges, PrDamping).orderBy(col("node"))
     }),
 
+    // PageRank iterated: PrIters rounds of the same step plan over the
+    // previous round's checkpointed rank frame (tol=0 pins the round
+    // count, so the loop is bit-replayable by the oracle's unrolled CTE
+    // chain). Per-round state is O(1): round r−1's checkpoint is freed
+    // as round r materializes.
+    "pagerank_converged" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val l = li(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+      Graph.pagerankConverged(edges, PrDamping, maxIters = PrIters, tol = 0.0)
+        .orderBy(col("node"))
+    }),
+
     // BPE merge-step count phase: adjacent character-pair frequencies over
     // the token stream — the statistic one byte-pair-encoding iteration
     // maximizes. The corpus reduces to the token VOCABULARY first (pair
@@ -1647,6 +1700,13 @@ object SparkEntry {
         .groupBy(col("pair")).agg(sum(col("n")).as("total"))
         .orderBy(col("total").desc, col("pair")).limit(20)
     }),
+
+    // Full BPE training: BpeMerges greedy merge rounds over the
+    // checkpointed token vocabulary (corpus scanned once); each round is
+    // count → 1-row argmax → literal symbol-pair replace. Output is the
+    // learned merge list, the artifact a tokenizer ships.
+    "bpe_learn" -> ((s, d) =>
+      TextStats.bpeLearn(docs(s, d), BpeMerges).orderBy(col("merge_rank"))),
 
     // 2-D skyline (Pareto frontier, minimize price and size): the naive
     // formulation is a quadratic NOT-EXISTS self-join; restated as a
@@ -2581,6 +2641,34 @@ object SparkEntry {
         |SELECT pair, CAST(sum(n) AS BIGINT) AS total
         |FROM pairs GROUP BY pair ORDER BY total DESC, pair LIMIT 20""".stripMargin,
 
+    // BPE training replayed as an unrolled CTE chain: each round counts
+    // adjacent symbol pairs over the vocab (count-weighted), takes the
+    // deterministic argmax, and applies it as ONE literal replace of
+    // ' lhs rhs ' with ' lhsrhs ' — left-to-right non-overlapping string
+    // replace IS greedy BPE merge application in both engines, and the
+    // boundary spaces make matches align to whole symbols only.
+    "bpe_learn" -> {
+      val roundCtes = (1 to BpeMerges).map { i =>
+        s"""p$i AS (SELECT unnest(list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j+1])) AS pr, n
+           |  FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS sy, n FROM v${i - 1})),
+           |g$i AS (SELECT pr, CAST(sum(n) AS BIGINT) AS total FROM p$i GROUP BY pr),
+           |b$i AS (SELECT split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs, total
+           |  FROM g$i ORDER BY total DESC, pr LIMIT 1),
+           |v$i AS (SELECT replace(s, ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS s, n
+           |  FROM v${i - 1}, b$i)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to BpeMerges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, total AS pair_count FROM b$i")
+        .mkString("\n UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT unnest($toksSql) AS tok FROM documents),
+         |tc AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+         |v0 AS (SELECT ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS s, n FROM tc),
+         |$roundCtes
+         |$unions
+         |ORDER BY merge_rank""".stripMargin
+    },
+
     "skyline" ->
       """WITH pp AS (SELECT p_retailprice AS price, min(p_size) AS size_i
         |  FROM part GROUP BY 1),
@@ -2770,6 +2858,17 @@ object SparkEntry {
         |SELECT q.quantile, min(CASE WHEN cum >= ceil(tot * q.q) THEN x END) AS value
         |FROM t CROSS JOIN (VALUES ('p50', 0.5), ('p90', 0.9)) q(quantile, q)
         |GROUP BY q.quantile ORDER BY q.quantile""".stripMargin,
+
+    "weighted_quantiles_grouped" ->
+      s"""WITH tok AS (SELECT source, CAST(length(text) AS DOUBLE) AS x,
+         |    CAST(len($toksSql) AS BIGINT) AS w FROM documents),
+         |c AS (SELECT source, x, sum(w) AS n FROM tok WHERE w > 0 GROUP BY 1, 2),
+         |t AS (SELECT *,
+         |  sum(n) OVER (PARTITION BY source ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(n) OVER (PARTITION BY source) AS tot FROM c)
+         |SELECT source, q.quantile, min(CASE WHEN cum >= ceil(tot * q.q) THEN x END) AS value
+         |FROM t CROSS JOIN (VALUES ('p50', 0.5), ('p90', 0.9)) q(quantile, q)
+         |GROUP BY 1, 2 ORDER BY source, quantile""".stripMargin,
 
     "robust_scale" ->
       """WITH c AS (SELECT event_type, value AS x, count(*) AS n FROM events GROUP BY 1, 2),
@@ -3011,6 +3110,28 @@ object SparkEntry {
         |WHERE digest NOT IN (SELECT digest FROM base)
         |ORDER BY doc_id""".stripMargin,
 
+    // Same banded-signature construction as minhash_pairs, but split
+    // base/incoming: base buckets carry their own precomputed size (the
+    // persisted store), the incoming batch joins against them.
+    "incr_neardup" -> {
+      val r = MinhashK / MinhashBands
+      val bandSelects = (0 until MinhashBands).map { b =>
+        val bucket = s"array_to_string(sig[${b * r + 1}:${b * r + r}], ',')"
+        s"SELECT doc_id, $b AS band, $bucket AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $sigCte,
+         |buckets AS ($bandSelects),
+         |bb AS (SELECT * FROM buckets WHERE doc_id < 400),
+         |cnt AS (SELECT band, bucket, count(*) AS bkt_n FROM bb GROUP BY band, bucket),
+         |store AS (SELECT bb.doc_id, bb.band, bb.bucket, cnt.bkt_n
+         |  FROM bb JOIN cnt USING (band, bucket)),
+         |inc AS (SELECT * FROM buckets WHERE doc_id >= 400)
+         |SELECT DISTINCT i.doc_id AS doc_id, s.doc_id AS dup_of
+         |FROM inc i JOIN store s ON i.band = s.band AND i.bucket = s.bucket
+         |WHERE s.bkt_n <= $MaxBucket
+         |ORDER BY doc_id, dup_of""".stripMargin
+    },
+
     "exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -3157,6 +3278,34 @@ object SparkEntry {
          |  FROM px GROUP BY cell, dim)
          |SELECT cell, dim, n_members, round(CAST(s AS DOUBLE) / n_members, 6) AS mean_val
          |FROM g ORDER BY cell, dim""".stripMargin,
+
+    // The Lloyd loop replayed as an unrolled CTE chain: each round
+    // re-derives the assignment argmax against the previous round's mean
+    // table (empty cells carry their centroid forward), with the same
+    // decimal component sums and 6dp mean rounding — bit-identical by
+    // induction on rounds.
+    "kmeans_train" -> {
+      val roundCtes = (1 to KmIters).map { r =>
+        s"""a$r AS (SELECT vec_id, e, cell FROM (
+           |  SELECT c.vec_id, c.e, ct.cent_id AS cell,
+           |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
+           |  FROM c, cents${r - 1} ct) WHERE rn = 1),
+           |px$r AS (SELECT cell, i AS dim, e[i] AS v FROM a$r, range(1, ${EmbDim + 1}) t(i)),
+           |m$r AS (SELECT cell, dim, count(*) AS n_members,
+           |    round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_val
+           |  FROM px$r GROUP BY cell, dim),
+           |cents$r AS (SELECT cell AS cent_id, list(mean_val ORDER BY dim) AS ce
+           |    FROM m$r GROUP BY cell
+           |  UNION ALL SELECT cent_id, ce FROM cents${r - 1} p
+           |    WHERE NOT EXISTS (SELECT 1 FROM m$r g WHERE g.cell = p.cent_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cents0 AS (SELECT vec_id AS cent_id, e AS ce FROM c
+         |  ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfCentroids),
+         |$roundCtes
+         |SELECT cell, dim, n_members, mean_val
+         |FROM m$KmIters ORDER BY cell, dim""".stripMargin
+    },
 
     "ann_recall" ->
       s"""WITH $ivfAssignCte,
@@ -3553,6 +3702,32 @@ object SparkEntry {
          |    + CAST(${1.0 - PrDamping} AS DOUBLE) / n, 9) AS rank
          |FROM (nodes CROSS JOIN nn) LEFT JOIN mass ON node = dst
          |ORDER BY node""".stripMargin,
+
+    // The converged loop replayed as an UNROLLED CTE chain — r0 is the
+    // uniform vector, each r{i} applies the identical 15-dp-quantized
+    // decimal mass sum + 9-dp rank round the Spark loop applies, so round
+    // PrIters is bit-identical by induction.
+    "pagerank_converged" -> {
+      val rounds = (1 to PrIters).map { i =>
+        s"""c$i AS (SELECT e.dst,
+           |    CAST(round(CAST($PrDamping AS DOUBLE) * r.rank / outdeg, 15) AS DECIMAL(38,18)) AS c
+           |  FROM e JOIN od USING (src) JOIN r${i - 1} r ON r.node = e.src),
+           |m$i AS (SELECT dst, sum(c) AS mass FROM c$i GROUP BY dst),
+           |r$i AS (SELECT node, round(coalesce(CAST(mass AS DOUBLE), 0.0)
+           |    + CAST(${1.0 - PrDamping} AS DOUBLE) / n, 9) AS rank
+           |  FROM (nodes CROSS JOIN nn) LEFT JOIN m$i ON node = dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT node, rank FROM r$PrIters ORDER BY node""".stripMargin
+    },
 
     // Levenshtein over candidate pairs; both engines implement the
     // classic unit-cost edit distance, so values agree exactly.

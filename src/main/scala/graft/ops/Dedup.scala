@@ -101,13 +101,7 @@ object Dedup {
     // expression tree (minutes of janino time for large k). At cluster
     // scale you'd persist signatures to a table for the same reason.
     val sig = minhashSignatures(docs, k, shingleN).localCheckpoint()
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", slice(col("sig"), b * r + 1, r).cast("array<string>")).as("bucket"))
-    }
-    val buckets = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = bandBuckets(sig, bands, r)
     val smallBuckets = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bkt_n"))
       .where(col("bkt_n") <= maxBucket)
@@ -118,6 +112,71 @@ object Dedup {
         col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Band-bucket explode of a `(doc_id, sig)` signature frame: one row per
+    * (doc, band) with the band's `r` signature values concatenated as the
+    * bucket key — the shared kernel of [[minhashPairs]] (self-join dedup)
+    * and the [[signatureStore]]/[[incrNearDup]] incremental path.
+    */
+  private def bandBuckets(sig: DataFrame, bands: Int, r: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", slice(col("sig"), b * r + 1, r).cast("array<string>")).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** One-time build of the persisted LSH signature store an incremental
+    * near-dup pipeline keeps alongside its corpus: one row per (base doc,
+    * band) carrying the band's bucket key AND the bucket's base-side size
+    * `bkt_n`. Persisting the size with the row is the point — the nightly
+    * [[incrNearDup]] batch then applies the hot-bucket guard with a
+    * pushed-down filter on its own scan, without ever re-aggregating the
+    * base corpus (the store is O(base × bands) rows, written once, read
+    * with `bkt_n <= maxBucket` pruned at the scan).
+    *
+    * At cluster scale this frame is written bucketed/partitioned by
+    * (band, bucket); here it is returned for the caller to persist.
+    */
+  def signatureStore(docs: DataFrame, k: Int, bands: Int,
+                     shingleN: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    // Signatures checkpoint for the same reason minhashPairs': the k-hash
+    // map stage is the expensive leg and feeds both the bucket counts and
+    // the store rows.
+    val sig = minhashSignatures(docs, k, shingleN).localCheckpoint()
+    val buckets = bandBuckets(sig, bands, k / bands)
+    val counts = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bkt_n"))
+    buckets.join(counts, Seq("band", "bucket"))
+      .select(col("doc_id"), col("band"), col("bucket"), col("bkt_n"))
+  }
+
+  /** Incremental near-dup: band the INCOMING batch's signatures and probe
+    * the persisted base [[signatureStore]] — one row `(doc_id, dup_of)`
+    * per (incoming doc, base candidate) sharing any LSH band bucket.
+    * Downstream, [[jaccardRefine]] confirms candidates exactly, same as
+    * the batch path.
+    *
+    * Scale shape — base-side work is ONE pruned columnar scan, O(batch)
+    * everywhere else: the batch is small by contract and its banded keys
+    * BROADCAST, so the store streams through a map-side hash join — never
+    * shuffled, never re-aggregated (the hot-bucket guard reads the
+    * store's own precomputed `bkt_n`, filtered at the scan). The only
+    * shuffle in the plan is the candidate-pair distinct, O(candidates).
+    */
+  def incrNearDup(store: DataFrame, incoming: DataFrame, k: Int, bands: Int,
+                  shingleN: Int, maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val incBuckets =
+      bandBuckets(minhashSignatures(incoming, k, shingleN), bands, k / bands)
+    store.where(col("bkt_n") <= maxBucket)
+      .select(col("band"), col("bucket"), col("doc_id").as("dup_of"))
+      .join(broadcast(incBuckets), Seq("band", "bucket"))
+      .select(col("doc_id"), col("dup_of"))
       .distinct()
   }
 

@@ -127,10 +127,16 @@ object Graph {
           round(coalesce(col("mass").cast("double"), lit(0.0d))
             + lit(1.0d - damping) / col("n"), 9).as("rank"))
         .localCheckpoint()
+      // coalesce: sum over the empty delta join (edge frame with no rows
+      // → empty node set) is NULL; an empty graph is converged at 0.
       val delta = next.join(ranks.select(col("node"), col("rank").as("prev")), "node")
-        .agg(sum(abs(col("rank") - col("prev"))).as("d"))
+        .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0d)).as("d"))
         .head().getDouble(0)
       deltas += delta
+      // Round r−1's checkpointed blocks are dead once the delta is read —
+      // free them NOW instead of waiting for a driver GC + ContextCleaner
+      // pass, or executor storage grows O(rounds × |nodes|).
+      graft.spark.CheckpointUtil.unpersistCheckpointed(ranks)
       ranks = next
       rounds += 1
       done = delta <= tol

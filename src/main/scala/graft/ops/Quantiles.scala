@@ -84,6 +84,11 @@ object Quantiles {
     // [[mergedQuantiles]] does (n and err add, items union), so the CDF
     // window below always sees ONE (n, err) per group. Without this,
     // duplicate rows interleave cumw and silently corrupt the bracket.
+    // Checkpointed because TWO consumers read it (`summary` below and the
+    // all-NULL-group branch): without the cut, Catalyst re-derives the
+    // sketch aggregate — one extra full corpus scan — for the second
+    // consumer. Same pattern as [[mergedQuantiles]]'s `per` frame; the
+    // frame itself is O(groups · k·log) rows, cheap to pin.
     val merged = sk
       .select(gcols :+ col("sk.n").as("n1") :+ col("sk.err").as("e1") :+
         col("sk.items").as("i1"): _*)
@@ -91,6 +96,7 @@ object Quantiles {
       .agg(sum(col("n1")).cast("long").as("kll_n"),
         sum(col("e1")).cast("long").as("kll_err"),
         flatten(collect_list(col("i1"))).as("items"))
+      .localCheckpoint()
     val summary = merged
       .select(gcols :+ col("kll_n") :+ col("kll_err") :+
         explode(col("items")).as("it"): _*)
@@ -100,18 +106,18 @@ object Quantiles {
       .withColumn("cumw",
         sum(col("wv")).over(Window.partitionBy(gcols: _*).orderBy(col("v"))))
     val res = exactFromSummary(df, valCol, summary, qs, groupCols, weightCol)
-    if (groupCols.isEmpty) res
-    else {
-      // A group whose values are ALL NULL sketches to zero items; the
-      // explode above would silently drop it, but a plain-SQL aggregate
-      // over a nullable column still emits the group — so surface it
-      // with a NULL quantile value, like the oracle does.
-      val emptyGroups = merged.where(size(col("items")) === 0)
-        .select(gcols: _*)
-        .crossJoin(qs.map(_._1).toDF("quantile"))
-        .withColumn("value", lit(null).cast("double"))
-      res.unionByName(emptyGroups)
-    }
+    // A group whose values are ALL NULL sketches to zero items; the
+    // explode above would silently drop it, but a plain-SQL aggregate
+    // over a nullable column still emits the group (and an UNGROUPED
+    // aggregate emits one row even when every input is NULL) — so
+    // surface those with a NULL quantile value, like the oracle does.
+    // For groupCols.isEmpty, `merged` is the single global groupBy().agg
+    // row, so the same filter yields exactly one all-NULL marker row.
+    val emptyGroups = merged.where(size(col("items")) === 0)
+      .select(gcols: _*)
+      .crossJoin(qs.map(_._1).toDF("quantile"))
+      .withColumn("value", lit(null).cast("double"))
+    res.unionByName(emptyGroups)
   }
 
   /** The mergeable-summaries path: one independent sketch per `sliceCol`

@@ -139,6 +139,95 @@ object Similarity {
         round(col("s").cast("double") / col("n_members"), 6).as("mean_val"))
   }
 
+  /** Full Lloyd training loop: [[kmeansStep]]'s assign→mean round iterated
+    * `maxIters` times (or until the centroids reach a fixed point). Output
+    * is the final round's centroid table, `(cell, dim, n_members,
+    * mean_val)` — one row per non-empty cell × dimension, exactly
+    * [[kmeansStep]]'s schema, so `maxIters = 1` reproduces it bit-for-bit.
+    *
+    * Scale shape of the LOOP:
+    *  - per-round distributed work is ONE corpus scan — the map-only
+    *    native argmax assignment (no join, no corpus shuffle) feeding the
+    *    map-side-combined (cell, dim) hash-aggregate whose shuffle volume
+    *    is O(cells × dims × tasks), corpus-size-independent;
+    *  - ALL loop state lives driver-side and is provably O(K × dim): the
+    *    round's means collect as ≤ K·dim rows and are re-embedded as
+    *    literals in the next round's argmax. Nothing is cached or
+    *    checkpointed, so there is no storage to leak across rounds and
+    *    no lineage to cut — each round's plan is corpus-scan-deep by
+    *    construction (contrast [[graft.ops.Graph.pagerankLoop]], whose
+    *    O(|nodes|) state must live distributed);
+    *  - convergence is detected driver-side at O(K·dim) cost: when the
+    *    6dp-quantized means are component-wise identical to the round's
+    *    input centroids, the next assignment — a deterministic function
+    *    of the centroids — would repeat, so the assignment-change count
+    *    is provably zero without ever joining consecutive assignments.
+    *
+    * Empty cells keep their previous centroid (id and vector), the
+    * standard Lloyd convention, mirrored by the oracle's carry-forward.
+    * Means are exact decimal sums with one final 6dp-rounded division, so
+    * every round — hence the loop — is bit-replayable by an unrolled SQL
+    * CTE chain.
+    */
+  def kmeansTrain(corpus: DataFrame, numCentroids: Int, maxIters: Int,
+                  idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame =
+    kmeansTrainLoop(corpus, numCentroids, maxIters, idCol, embCol)._1
+
+  /** [[kmeansTrain]] plus the number of rounds actually run — the
+    * test/inspection surface. */
+  def kmeansTrainLoop(corpus: DataFrame, numCentroids: Int, maxIters: Int,
+                      idCol: String = "vec_id", embCol: String = "embedding")
+      : (DataFrame, Int) = {
+    require(maxIters >= 1, "k-means needs at least one round")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+      asDouble(col(embCol)).as("e"))
+    // Round-0 centroids: the identical deterministic hash-rank K-row
+    // sample assignCells draws (TakeOrderedAndProject — bounded heap,
+    // O(K) driver rows at any corpus size).
+    val centRows = c
+      .orderBy(h60(concat(lit("cent:"), col("id").cast("string"))).asc,
+        col("id").asc)
+      .limit(numCentroids).collect()
+    require(centRows.nonEmpty, "no centroids: empty corpus")
+    val ids = centRows.map(_.getLong(0))
+    var embs = centRows.map(_.getSeq[Double](1).toArray)
+    var lastMeans = Array.empty[org.apache.spark.sql.Row]
+    var rounds = 0
+    var done = false
+    while (rounds < maxIters && !done) {
+      val means = assignToCentroids(c, "id", "e", ids, embs)
+        .select(col("cell"), posexplode(col("e")))
+        .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").as("v"))
+        .groupBy(col("cell"), col("dim"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("s"))
+        .select(col("cell"), col("dim"), col("n_members"),
+          round(col("s").cast("double") / col("n_members"), 6).as("mean_val"))
+        .collect() // ≤ K·dim rows — bounded driver state by construction
+      lastMeans = means
+      val byCell = means.groupBy(_.getLong(0)).map { case (cell, rs) =>
+        cell -> rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      }
+      val nextEmbs = ids.zip(embs).map { case (id, prev) =>
+        byCell.getOrElse(id, prev)
+      }
+      rounds += 1
+      done = ids.indices.forall(i =>
+        java.util.Arrays.equals(nextEmbs(i), embs(i)))
+      embs = nextEmbs
+    }
+    // The final frame is rebuilt from the already-collected means — no
+    // recompute on action, and only O(K·dim) rows ever materialize.
+    val out = lastMeans.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toDF("cell", "dim", "n_members", "mean_val")
+    (out, rounds)
+  }
+
   /** Product-quantization encode: split the embedding into `subs` equal
     * sub-vectors and replace each with the index of its nearest codebook
     * entry (squared L2, ties to the smaller index) — `subs` small codes

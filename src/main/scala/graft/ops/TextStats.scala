@@ -819,4 +819,77 @@ object TextStats {
         ceil(col("n_source").cast("double") / k).cast("long")))
       .select(col("source"), col("term"), col("cnt"))
   }
+
+  /** Byte-pair-encoding TRAINING: `merges` greedy rounds of "merge the
+    * most frequent adjacent symbol pair", the loop whose single count
+    * phase the `bpe_pairs` query verifies. Output is the learned merge
+    * list `(merge_rank, lhs, rhs, pair_count)` — the artifact a tokenizer
+    * ships — with ties broken deterministically (highest count, then
+    * lexicographically smallest pair).
+    *
+    * Scale shape of the LOOP:
+    *  - the corpus is scanned ONCE, to reduce it to the token vocabulary
+    *    with counts; every round then runs over the checkpointed VOCAB
+    *    frame (O(|vocab|) rows), never the corpus — pair statistics are
+    *    count-weighted per vocabulary word, the standard BPE trick;
+    *  - each word is carried as a space-delimited symbol string
+    *    (`" h e l l o "`); a merge is ONE literal `replace` of
+    *    `" lhs rhs "` with `" lhsrhs "` — left-to-right non-overlapping
+    *    in every engine, which IS greedy BPE application, and boundary
+    *    spaces make matches align to whole symbols only;
+    *  - per-round driver traffic is the 1-row argmax
+    *    (TakeOrderedAndProject — bounded heap, no full sort); the new
+    *    vocab checkpoints and the previous round's blocks are freed, so
+    *    state is O(|vocab|) regardless of round count;
+    *  - the merge list accumulates driver-side (O(merges) rows) and the
+    *    returned frame is built from it directly — no recompute on
+    *    action.
+    *
+    * Stops early when no multi-symbol word remains (merge list is then
+    * shorter than `merges`). Bit-replayable by an unrolled SQL CTE chain:
+    * every round is count → argmax → literal replace, all integer/string
+    * ops.
+    */
+  def bpeLearn(docs: DataFrame, merges: Int,
+               textCol: String = "text"): DataFrame = {
+    require(merges >= 1, "need at least one merge round")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // THE one corpus scan: token vocabulary with counts, then each word
+    // as a boundary-delimited symbol string over single characters.
+    var vocab = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1 ")).as("s"),
+        col("n"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < merges && !exhausted) {
+      val sy = filter(split(col("s"), " "), x => x =!= lit(""))
+      val top = vocab.select(sy.as("sy"), col("n"))
+        .where(size(col("sy")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("sy")) - 1),
+          i => concat(element_at(col("sy"), i), lit(" "),
+            element_at(col("sy"), i + 1)))).as("pr"), col("n"))
+        .groupBy(col("pr")).agg(sum(col("n")).as("total"))
+        .orderBy(col("total").desc, col("pr"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(l, r) = top(0).getString(0).split(" ", 2)
+        round += 1
+        learned += ((round.toLong, l, r, top(0).getLong(1)))
+        // tokens() output is [a-z0-9]+ so the symbols are literal-safe
+        val next = vocab
+          .withColumn("s", expr(s"replace(s, ' $l $r ', ' $l$r ')"))
+          .localCheckpoint()
+        graft.spark.CheckpointUtil.unpersistCheckpointed(vocab)
+        vocab = next
+      }
+    }
+    graft.spark.CheckpointUtil.unpersistCheckpointed(vocab)
+    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
 }

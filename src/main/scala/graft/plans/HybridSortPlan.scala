@@ -49,7 +49,18 @@ import graft.ops.HybridSort
   * independent of partition size — so AQE partition coalescing (which
   * merges by serialized shuffle bytes) can no longer push the operator
   * past the heap. `spillRuns`/`spillBytes` SQL metrics surface the
-  * behavior in the UI and in tests. The production default remains
+  * behavior in the UI and in tests.
+  *
+  * Executor sizing rule: the run buffer is plain heap (UnsafeRow copies
+  * in an ArrayBuffer), NOT registered with Spark's TaskMemoryManager, so
+  * Spark can neither account for it nor ask it to spill under pressure —
+  * each task is individually bounded, but
+  * `concurrent tasks per executor × spillBytes` (plus per-row object
+  * overhead beyond `getSizeInBytes`, roughly +30%) must fit the
+  * executor's non-storage heap. At the defaults (128 MB budget, 8
+  * tasks/executor) that is ~1.3 GiB — well inside a standard 8 GiB
+  * executor; shrink `spark.graft.hybridSort.spillBytes` before raising
+  * task concurrency on small-heap executors. The production default remains
   * [[graft.ops.Sorts.globalSort]]; this operator exists for
   * algorithm-level parity and as the engine's planner-extension showcase
   * (logical node + strategy + exec, injected via [[graft.GraftExtensions]]).
@@ -133,11 +144,17 @@ private[plans] final class ExternalHybridSorter(
   private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
   private var bufBytes = 0L
   private val spills = scala.collection.mutable.ArrayBuffer.empty[File]
+  private val openRuns = scala.collection.mutable.ArrayBuffer.empty[FileRun]
   private val writeBuffer = new Array[Byte](4096)
 
   def sort(iter: Iterator[InternalRow]): Iterator[InternalRow] = {
     val ctx = TaskContext.get()
     if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+      // Close before delete: a consumer that stopped early (LIMIT above
+      // the sort) leaves runs mid-file, and deleting a still-open file
+      // fails on non-POSIX filesystems (and leaks the handle until GC
+      // everywhere).
+      openRuns.foreach(_.close())
       spills.foreach(f => if (f.exists()) f.delete())
     }
     while (iter.hasNext) {
@@ -186,9 +203,13 @@ private[plans] final class ExternalHybridSorter(
   private final class FileRun(file: File) extends Run {
     private val in = new DataInputStream(new BufferedInputStream(
       new FileInputStream(file), 1 << 16))
+    private var closed = false
+    openRuns += this
+    def close(): Unit = if (!closed) { closed = true; in.close() }
     override def advance(): Boolean = {
+      if (closed) return false
       val size = try in.readInt() catch { case _: EOFException => -1 }
-      if (size < 0) { in.close(); false }
+      if (size < 0) { close(); false }
       else {
         val bytes = new Array[Byte](size)
         in.readFully(bytes)

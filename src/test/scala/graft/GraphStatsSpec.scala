@@ -103,6 +103,56 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tight == Set.empty, s"hot item must be excluded, got $tight")
   }
 
+  test("pagerankLoop: one round equals pagerankStep; deltas shrink; tol stops the loop") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"))
+      .toDF("src", "dst")
+    val step = Graph.pagerankStep(edges)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val (r1, rounds1, d1) = Graph.pagerankLoop(edges, 0.85, 1, 0.0)
+    val loop1 = r1.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(loop1 == step, s"round 1 must equal the verified single step: $loop1 vs $step")
+    assert(rounds1 == 1 && d1.length == 1)
+    // tol=0 runs to maxIters; the L1 delta contracts toward the fixpoint
+    val (_, rounds20, d20) = Graph.pagerankLoop(edges, 0.85, 20, 0.0)
+    assert(rounds20 == 20 && d20.length == 20)
+    assert(d20.last < d20.head / 100,
+      s"PageRank deltas must contract over 20 rounds: $d20")
+    // a loose tol stops the loop early, at the first round that clears it
+    val (_, roundsTol, dTol) = Graph.pagerankLoop(edges, 0.85, 20, 1e-3)
+    assert(roundsTol < 20 && dTol.last <= 1e-3 &&
+      dTol.dropRight(1).forall(_ > 1e-3),
+      s"tol must stop at the FIRST clearing round: $dTol")
+  }
+
+  test("pagerankLoop: empty edge frame converges immediately without NPE") {
+    val sp = spark; import sp.implicits._
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val (r, rounds, deltas) = Graph.pagerankLoop(empty, 0.85, 5, 0.0)
+    assert(r.count() == 0 && rounds == 1 && deltas == Seq(0.0))
+  }
+
+  test("pagerankLoop: per-round cost is flat — old checkpoints freed, lineage O(1)") {
+    val sp = spark; import sp.implicits._
+    // degrees deliberately non-uniform (i² mod m is not a bijection) so
+    // uniform rank is NOT stationary and the loop runs all 8 rounds
+    val edges = (1 to 200)
+      .map(i => (s"n${i % 37}", s"n${(i * i) % 23}")).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (r, rounds, _) = Graph.pagerankLoop(edges, 0.85, 8, 0.0)
+    assert(rounds == 8)
+    // live checkpoints after 8 rounds: the loop invariants (edges, node
+    // set, N row, out-degrees) + the FINAL rank frame only — round r−1's
+    // blocks are freed as round r lands, so storage is O(1) in rounds.
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 5,
+      s"checkpoint leak — persistent RDDs grew $before -> $after over 8 rounds")
+    // lineage cut: the returned frame is a bare RDD scan, not an
+    // O(rounds)-deep plan Catalyst would re-derive per action
+    assert(r.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+  }
+
   /** Brute-force 2-D skyline per the dominance definition. */
   private def bruteSkyline(pts: Seq[(Double, Int)]): Set[(Double, Int)] = {
     val d = pts.distinct

@@ -153,8 +153,13 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "winsorize" /* bracket spec + 1-row exact-cuts frame broadcast into the clamp pass */,
       "robust_scale" /* per-group bracket specs (groups × 1 quantile rows) broadcast */,
       "weighted_quantiles" /* |q|-row certified-bracket spec broadcast into the exact pass */,
-      "quantile_bins" /* bracket spec + 1-row cut-array frame broadcast into the bin pass */)
-    val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
+      "weighted_quantiles_grouped" /* summary × |q|-row quantile spec (the corpus joins brackets by KEY) */,
+      "quantile_bins" /* bracket spec + 1-row cut-array frame broadcast into the bin pass */,
+      "stream_quantiles" /* batch exact pass: |q|-row certified-bracket spec broadcast, as kll_quantiles */)
+    // stream_* builders run their streaming query to completion and the
+    // sweep then audits the returned BATCH leg — the part of those
+    // queries this class of guard was blind to through round 7.
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val offenders = names.flatMap { n =>
       val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
@@ -185,16 +190,28 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("kll_quantiles", "kll_quantiles_grouped", "kll_merge", "winsorize")
       .foreach { q =>
         val p = plan(q)
-        // kll_merge's sketch pass runs behind an eager localCheckpoint
-        // (its per-slice summary is materialized once for three tiny
-        // consumers), so the final plan only carries pass 2 for it.
-        if (q != "kll_merge")
-          assert(p.contains("ObjectHashAggregate"),
-            s"$q pass-1 must run kll_sketch as ObjectHashAggregate, " +
-              s"partial then final:\n$p")
+        // Every KLL query's sketch pass now runs behind an eager
+        // localCheckpoint (the merged sketch frame is materialized once
+        // for its two consumers — the CDF summary and the all-NULL-group
+        // branch), so the final plan only carries pass 2. The
+        // hash-not-sort aggregate guard moves to the direct sketch-frame
+        // assertion below.
         assert(!p.contains("SortMergeJoin"),
           s"$q must never shuffle-sort the corpus for the bracket join:\n$p")
       }
+    // The guard the per-query plans can no longer show: kll_sketch must
+    // plan as ObjectHashAggregate (a SortAggregate fallback would SORT
+    // the corpus to feed the sketch — the exact cost it exists to avoid).
+    graft.functions.GraftFunctions.register(spark)
+    val sketchPlan = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.expr(
+        "kll_sketch(cast(l_extendedprice as double), 1024)"))
+      .queryExecution.executedPlan.toString
+    assert(sketchPlan.contains("ObjectHashAggregate"),
+      s"kll_sketch must plan as ObjectHashAggregate, partial then final:\n$sketchPlan")
+    assert(!sketchPlan.contains("SortAggregate"),
+      s"kll_sketch must not fall back to SortAggregate:\n$sketchPlan")
   }
 
   test("corpus-wide sweep: scan multiplicity — no table read more often than its documented budget") {
@@ -269,7 +286,9 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q21_waiting_supplier" -> Map("lineitem" -> 3, "orders" -> 3), // base + EXISTS + NOT EXISTS
       "q22_idle_customers" -> Map("customer" -> 2) // global avg-balance subquery
     ).withDefaultValue(Map.empty)
-    val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
+    // stream_* included: their builders run the stream, the sweep audits
+    // the returned batch leg's scans (see the BNLJ sweep note above)
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val offenders = names.flatMap { n =>
       val p = SparkEntry.queries(n)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -288,13 +307,13 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (the old Tables.events nanosAsLong pattern) changes behavior for
     // every LATER query in the session — the bug class that darkened 25
     // queries in round 4 was only possible because a reader owned session
-    // state. Documented exceptions: the streaming runners (they pin state
-    // partitions and RESTORE them — covered by their own specs, and
-    // stream_* builders execute a full query, so they are excluded here);
-    // session EXTENSIONS (an optimizer rule / strategy added via the
+    // state. The streaming runners pin state partitions and RESTORE them —
+    // this sweep now PROVES that restore by diffing confs across their
+    // full build-and-run, instead of taking their own specs' word for it.
+    // Session EXTENSIONS (an optimizer rule / strategy added via the
     // experimental hook by range_join_auto / hybrid_sort_exec) are not
     // SQL confs and are idempotent — this guard checks confs only.
-    val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val offenders = names.flatMap { n =>
       val before = spark.conf.getAll
       SparkEntry.queries(n)(spark, sfDir).queryExecution.analyzed

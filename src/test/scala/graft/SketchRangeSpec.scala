@@ -237,6 +237,34 @@ class SketchRangeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perCell.sum == 3L)
   }
 
+  test("kmeansTrain: round 1 equals kmeansStep; loop converges; no cached state") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    // two well-separated blobs → Lloyd converges in a handful of rounds
+    val vecs = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i, Seq(base + rnd.nextFloat(), base + rnd.nextFloat()))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val step = toMap(graft.ops.Similarity.kmeansStep(df, 4).collect())
+    val (one, r1) = graft.ops.Similarity.kmeansTrainLoop(df, 4, 1)
+    assert(r1 == 1 && toMap(one.collect()) == step,
+      "maxIters=1 must reproduce kmeansStep bit-for-bit")
+    // loop state is all driver-side: nothing may be left cached/checkpointed
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val (fin, rc) = graft.ops.Similarity.kmeansTrainLoop(df, 4, 50)
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
+      "kmeansTrain must not leave cached RDDs behind")
+    assert(rc < 50, s"two-blob Lloyd should converge well before 50 rounds, ran $rc")
+    // the converged state is a fixed point: a longer budget stops at the
+    // same round with the same means
+    val (again, rc2) = graft.ops.Similarity.kmeansTrainLoop(df, 4, rc + 5)
+    assert(rc2 == rc && toMap(again.collect()) == toMap(fin.collect()))
+  }
+
   test("pqEncode: codes in range, codebook rows encode to themselves exactly") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(7)
