@@ -77,30 +77,28 @@ object Scale {
     }
     // the custom physical operator (HybridSortExec: range scatter via
     // EnsureRequirements + per-partition literal quicksort/insertion
-    // hybrid) over the same frame — the reference's algorithm head-to-head
-    // against Tungsten's sort at 50x the reference's published ceiling.
-    // The literal operator materializes each partition as a row array and
-    // cannot spill (reference parity — the reference sorts in-RAM arrays,
-    // `SequentialQuickInsert.c:40-52`), so the partition count must size
-    // partitions to heap: 256 range partitions keep ~n/256 rows per task.
-    // Exactly the discipline a 100 TB run applies via
-    // spark.sql.shuffle.partitions; Tungsten's sort above needs none of
-    // this because it spills. AQE coalescing must be OFF for this plan:
-    // it merges partitions by SERIALIZED shuffle bytes (64 MB advisory),
-    // but a no-spill operator's live-heap footprint is ~8x its shuffle
-    // bytes, so byte-sized coalescing re-creates the OOM the partition
-    // count was chosen to avoid.
+    // hybrid per run, heap merge of spilled runs) over the same frame —
+    // the reference's algorithm head-to-head against Tungsten's sort at
+    // 50x the reference's published ceiling. Since the round-7 external
+    // rework the operator spills past its run budget, so it runs at the
+    // session's DEFAULT partitioning with AQE coalescing ON — no
+    // partition-sizing discipline, the exact posture Tungsten's sort
+    // gets. Default budget: 128 MB per task run.
     val hybridSec = time {
-      spark.conf.set("spark.sql.shuffle.partitions", "256")
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      ops.Sorts.hybridSortExec(gen.select("value"), 25, "value")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // same plan under a deliberately TINY run budget (8 MB → ~16x the
+    // spilled runs): prices the spill path itself — sequential run I/O +
+    // a wider heap merge — and proves graceful degradation where the
+    // pre-rework operator would have OOMed.
+    val hybridSpillSec = time {
+      spark.conf.set("spark.graft.hybridSort.spillBytes", (8L << 20).toString)
       try ops.Sorts.hybridSortExec(gen.select("value"), 25, "value")
         .write.format("noop").mode("overwrite").save()
-      finally {
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        spark.conf.set("spark.sql.shuffle.partitions", cpus)
-      }
+      finally spark.conf.unset("spark.graft.hybridSort.spillBytes")
     }
-    println(f"""{"n_rows":$n,"global_sort_sec":$sortSec%.1f,"top_k_sec":$topkSec%.1f,"hybrid_exec_sec":$hybridSec%.1f,"cpus":$cpus}""")
+    println(f"""{"n_rows":$n,"global_sort_sec":$sortSec%.1f,"top_k_sec":$topkSec%.1f,"hybrid_exec_sec":$hybridSec%.1f,"hybrid_exec_8mb_budget_sec":$hybridSpillSec%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 

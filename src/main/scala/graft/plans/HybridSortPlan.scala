@@ -54,11 +54,13 @@ import graft.ops.HybridSort
   * Executor sizing rule: the run buffer is plain heap (UnsafeRow copies
   * in an ArrayBuffer), NOT registered with Spark's TaskMemoryManager, so
   * Spark can neither account for it nor ask it to spill under pressure —
-  * each task is individually bounded, but
-  * `concurrent tasks per executor × spillBytes` (plus per-row object
-  * overhead beyond `getSizeInBytes`, roughly +30%) must fit the
-  * executor's non-storage heap. At the defaults (128 MB budget, 8
-  * tasks/executor) that is ~1.3 GiB — well inside a standard 8 GiB
+  * each task is individually bounded, and the budget ledger counts
+  * `getSizeInBytes` PLUS a fixed 64 B/row object overhead
+  * ([[ExternalHybridSorter.RowOverhead]]) so accounted bytes track
+  * RESIDENT bytes even for narrow rows (where raw payload undercounts
+  * ~5×). `concurrent tasks per executor × spillBytes` must fit the
+  * executor's non-storage heap: at the defaults (128 MB budget, 8
+  * tasks/executor) that is ~1 GiB — well inside a standard 8 GiB
   * executor; shrink `spark.graft.hybridSort.spillBytes` before raising
   * task concurrency on small-heap executors. The production default remains
   * [[graft.ops.Sorts.globalSort]]; this operator exists for
@@ -131,6 +133,19 @@ case class HybridSortExec(order: Seq[SortOrder], threshold: Int,
     copy(child = newChild)
 }
 
+private[plans] object ExternalHybridSorter {
+  /** Accounted per-row JVM overhead beyond `getSizeInBytes`: UnsafeRow
+    * object (~40 B: header + baseObject ref + offset/size fields) +
+    * backing byte[] header (~16 B) + buffer slot (~8 B amortized). For a
+    * narrow row (one int: 16 payload bytes) the RESIDENT size is ~5× the
+    * payload — budgeting on payload alone let a 32-task 200M-row run
+    * OOM an 8 GiB heap without ever reaching its spill line. With the
+    * overhead in the ledger, accounted ≈ resident, and
+    * `tasks × spillBytes` is an honest heap bound.
+    */
+  val RowOverhead = 64L
+}
+
 /** Per-task external sort: hybrid quicksort over bounded in-memory runs,
   * length-prefixed UnsafeRow spill files, min-heap merge of runs. Spill
   * files live in the executor's Spark local dir and are deleted on task
@@ -161,7 +176,7 @@ private[plans] final class ExternalHybridSorter(
       // rows from the shuffle reader are reused mutable buffers — copy
       val u = toUnsafe(iter.next()).copy()
       buf += u
-      bufBytes += u.getSizeInBytes
+      bufBytes += u.getSizeInBytes + ExternalHybridSorter.RowOverhead
       if (buf.length >= maxRunRows || bufBytes >= maxRunBytes) spillRun()
     }
     val arr = buf.toArray
