@@ -42,6 +42,7 @@ object Scale {
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     if (args.headOption.contains("range")) return rangeMain(args.drop(1))
     if (args.headOption.contains("graph")) return graphMain(args.drop(1))
+    if (args.headOption.contains("pagerank")) return pagerankMain(args.drop(1))
     if (args.headOption.contains("stream")) return streamMain(args.drop(1))
     if (args.headOption.contains("hhskew")) return hhSkewMain(args.drop(1))
     if (args.headOption.contains("hh")) return hhMain(args.drop(1))
@@ -459,6 +460,45 @@ object Scale {
     }
     val rate = (nInc / math.max(pairSec + triSec, 1e-9)).toLong
     println(f"""{"mode":"graph","n_incidence":$nInc,"fan":$fan,"n_members":$nMembers,"n_edges":$nEdges,"n_triangles":$nTriangles,"pair_build_sec":$pairSec%.1f,"triangle_sec":$triSec%.1f,"incidence_rows_per_sec":$rate,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** PageRank loop at volume: the property under test is FLAT per-round
+    * cost — each round's wall must not grow with the round number, which
+    * is exactly what the per-round lineage cut plus the eager unpersist
+    * of the previous round's checkpoint buy (without them, round r
+    * re-derives rounds 1..r−1 and executor storage holds every round's
+    * rank frame). Edges are a synthetic hash-mixed multigraph with
+    * non-uniform degrees (a uniform permutation graph fixpoints at round
+    * 1 and the loop exits early — the spec caught that once already).
+    */
+  private def pagerankMain(args: Array[String]): Unit = {
+    val nEdges = if (args.nonEmpty) args(0).toLong else 20000000L
+    val nNodes = math.max(nEdges / 20L, 1000L)
+    val iters = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    // hash-mixed src; dst skewed by squaring the hash range so degrees
+    // vary by orders of magnitude (hubs + leaves, the web-graph shape)
+    val edges = spark.range(nEdges)
+      .repartition(cpus.toInt * 2)
+      .select(pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+        pmod(pmod(xxhash64(col("id"), lit(7)), lit(nNodes)) *
+          pmod(xxhash64(col("id"), lit(13)), lit(nNodes)), lit(nNodes)).as("dst"))
+    val t0 = System.nanoTime()
+    val (ranks, rounds, deltas) = ops.Graph.pagerankLoop(edges, 0.85, iters, 0.0)
+    val n = ranks.count()
+    val total = (System.nanoTime() - t0) / 1e9
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    val ds = deltas.map(d => f"$d%.2e").mkString("[\"", "\",\"", "\"]")
+    println(f"""{"mode":"pagerank","n_edges":$nEdges,"n_nodes":$n,"rounds":$rounds,"total_sec":$total%.1f,"sec_per_round":${total / math.max(rounds, 1)}%.1f,"deltas":$ds,"live_persisted_rdds":$persisted,"cpus":$cpus}""")
     spark.stop()
   }
 

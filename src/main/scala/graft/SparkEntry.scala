@@ -114,6 +114,7 @@ object SparkEntry {
   private val PrIters = 3
   private val KmIters = 3
   private val BpeMerges = 6
+  private val Nprobe = 2
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
   private val PmiMinCount = 5
@@ -222,6 +223,27 @@ object SparkEntry {
        |f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols FROM t),
        |s AS (SELECT count(*) AS n_docs, sum(dl) AS tot, $dfCols FROM f),
        |sc AS (SELECT doc_id, round($score, 6) AS bm25 FROM f, s)""".stripMargin
+  }
+
+  /** Shared BPE training CTE chain (token counts → char-split v0 →
+    * BpeMerges rounds of pair-count / argmax / literal merge), carrying
+    * `tok` so the final `v{BpeMerges}` holds every token's trained
+    * segmentation — used by the `bpe_learn` and `bpe_encode` oracles.
+    */
+  private lazy val bpeChainCtes: String = {
+    val rounds = (1 to BpeMerges).map { i =>
+      s"""p$i AS (SELECT unnest(list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j+1])) AS pr, n
+         |  FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS sy, n FROM v${i - 1})),
+         |g$i AS (SELECT pr, CAST(sum(n) AS BIGINT) AS total FROM p$i GROUP BY pr),
+         |b$i AS (SELECT split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs, total
+         |  FROM g$i ORDER BY total DESC, pr LIMIT 1),
+         |v$i AS (SELECT tok, replace(s, ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS s, n
+         |  FROM v${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""btoks AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |tc AS (SELECT tok, count(*) AS n FROM btoks GROUP BY tok),
+       |v0 AS (SELECT tok, ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS s, n FROM tc),
+       |$rounds""".stripMargin
   }
 
   /** Shared IVF cell-assignment CTEs (hash-ranked fixed-K centroids +
@@ -1433,6 +1455,15 @@ object SparkEntry {
       Similarity.annRecall(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5, IvfCentroids)
         .orderBy(col("query_id"))),
 
+    // The IVF recall KNOB priced: recall@5 at nprobe=1 vs nprobe=2 side
+    // by side — multi-probe recovers true neighbors that sit just across
+    // the query's cell boundary for 2x the probe cost, corpus still
+    // never shuffled.
+    "ann_recall_probe" -> ((s, d) =>
+      Similarity.annRecallProbe(emb(s, d), emb(s, d).where(col("vec_id") < 8),
+          5, IvfCentroids, Nprobe)
+        .orderBy(col("query_id"))),
+
     // Cell × label composition audit of the coarse k-means cells — the
     // cluster-purity check run before cells are trusted as dedup units.
     "cluster_mix" -> ((s, d) =>
@@ -1707,6 +1738,12 @@ object SparkEntry {
     // learned merge list, the artifact a tokenizer ships.
     "bpe_learn" -> ((s, d) =>
       TextStats.bpeLearn(docs(s, d), BpeMerges).orderBy(col("merge_rank"))),
+
+    // BPE apply: segment the corpus with the trained merges (token →
+    // symbol-count mapping joined by key, never re-segmenting text) and
+    // report per-source tokenizer fertility.
+    "bpe_encode" -> ((s, d) =>
+      TextStats.bpeFertility(docs(s, d), BpeMerges).orderBy(col("source"))),
 
     // 2-D skyline (Pareto frontier, minimize price and size): the naive
     // formulation is a quadratic NOT-EXISTS self-join; restated as a
@@ -2118,6 +2155,24 @@ object SparkEntry {
         .select(col("interval_id"), col("n_items"),
           col("val_sum").cast("double").as("sum_qty"))
         .orderBy(col("interval_id"))
+    }),
+
+    // Interval×interval overlap join: concurrent shipments per supplier
+    // (pairs of 1996 lineitems whose ship→receipt windows overlap) via
+    // day-bucketized pairing with the first-shared-day allocation — one
+    // row per overlapping pair without any dedup shuffle, where the
+    // naive form is a per-key quadratic comparison.
+    "overlap_join" -> ((s, d) => {
+      val li96 = li(s, d).where(year(col("l_shipdate")) === 1996)
+        .select(col("l_suppkey"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("item_id"),
+          col("l_shipdate").as("ship_lo"),
+          (col("l_shipdate") +
+            expr("make_dt_interval(cast(l_orderkey % 14 as int))")).as("ship_hi"))
+      RangeJoin.overlapPairs(li96, "l_suppkey", "item_id",
+          "ship_lo", "ship_hi")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("l_suppkey"))
     }),
 
     // The same range join written NAIVELY (raw BETWEEN predicate, no
@@ -2648,26 +2703,27 @@ object SparkEntry {
     // replace IS greedy BPE merge application in both engines, and the
     // boundary spaces make matches align to whole symbols only.
     "bpe_learn" -> {
-      val roundCtes = (1 to BpeMerges).map { i =>
-        s"""p$i AS (SELECT unnest(list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j+1])) AS pr, n
-           |  FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS sy, n FROM v${i - 1})),
-           |g$i AS (SELECT pr, CAST(sum(n) AS BIGINT) AS total FROM p$i GROUP BY pr),
-           |b$i AS (SELECT split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs, total
-           |  FROM g$i ORDER BY total DESC, pr LIMIT 1),
-           |v$i AS (SELECT replace(s, ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS s, n
-           |  FROM v${i - 1}, b$i)""".stripMargin
-      }.mkString(",\n")
       val unions = (1 to BpeMerges).map(i =>
         s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, total AS pair_count FROM b$i")
         .mkString("\n UNION ALL ")
-      s"""WITH toks AS (
-         |  SELECT unnest($toksSql) AS tok FROM documents),
-         |tc AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
-         |v0 AS (SELECT ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS s, n FROM tc),
-         |$roundCtes
+      s"""WITH $bpeChainCtes
          |$unions
          |ORDER BY merge_rank""".stripMargin
     },
+
+    // BPE apply: the trained chain's FINAL vocabulary carries each
+    // token's segmentation; corpus tokens join it by key and reduce to
+    // per-source fertility.
+    "bpe_encode" ->
+      s"""WITH $bpeChainCtes,
+         |seg AS (SELECT tok,
+         |    CAST(len(list_filter(string_split(s, ' '), x -> x <> '')) AS BIGINT) AS n_sub
+         |  FROM v$BpeMerges),
+         |tk AS (SELECT source, unnest($toksSql) AS tok FROM documents)
+         |SELECT source, count(*) AS n_tokens, CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         |  round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility
+         |FROM tk JOIN seg USING (tok)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "skyline" ->
       """WITH pp AS (SELECT p_retailprice AS price, min(p_size) AS size_i
@@ -3323,6 +3379,39 @@ object SparkEntry {
          |  CAST(count(i.nbr_id) AS BIGINT) AS n_hit,
          |  round(CAST(count(i.nbr_id) AS DOUBLE) / count(*), 4) AS recall
          |FROM ex e LEFT JOIN ivf i ON e.query_id = i.query_id AND e.nbr_id = i.nbr_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
+    // Multi-probe leg: queries rank ALL K centroids (rn <= Nprobe picks
+    // the probe cells with the same 6dp-cosine/smaller-id kernel the
+    // argmax uses), then retrieve from the probed cells' union.
+    "ann_recall_probe" ->
+      s"""WITH $ivfAssignCte,
+         |qa AS (SELECT * FROM assign WHERE vec_id < 8),
+         |ivf AS (SELECT query_id, nbr_id FROM (
+         |  SELECT q.vec_id AS query_id, a.vec_id AS nbr_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.e", "a.e")} DESC, a.vec_id ASC) AS rn
+         |  FROM qa q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id) WHERE rn <= 5),
+         |qm AS (SELECT vec_id, e, cell FROM (
+         |  SELECT q.vec_id, q.e, cents.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.e", "cents.ce")} DESC, cents.cent_id ASC) AS rn
+         |  FROM (SELECT vec_id, e FROM c WHERE vec_id < 8) q, cents) WHERE rn <= $Nprobe),
+         |ivfn AS (SELECT query_id, nbr_id FROM (
+         |  SELECT qm.vec_id AS query_id, a.vec_id AS nbr_id,
+         |    row_number() OVER (PARTITION BY qm.vec_id ORDER BY ${cosSql("qm.e", "a.e")} DESC, a.vec_id ASC) AS rn
+         |  FROM qm JOIN assign a ON qm.cell = a.cell AND qm.vec_id <> a.vec_id) WHERE rn <= 5),
+         |qb AS (SELECT * FROM c WHERE vec_id < 8),
+         |ex AS (SELECT query_id, nbr_id FROM (
+         |  SELECT qb.vec_id AS query_id, c2.vec_id AS nbr_id,
+         |    row_number() OVER (PARTITION BY qb.vec_id ORDER BY ${cosSql("qb.e", "c2.e")} DESC, c2.vec_id ASC) AS rn
+         |  FROM qb, c c2 WHERE qb.vec_id <> c2.vec_id) WHERE rn <= 5)
+         |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(i1.nbr_id) AS BIGINT) AS hit_p1,
+         |  CAST(count(i2.nbr_id) AS BIGINT) AS hit_p$Nprobe,
+         |  round(CAST(count(i1.nbr_id) AS DOUBLE) / count(*), 4) AS recall_p1,
+         |  round(CAST(count(i2.nbr_id) AS DOUBLE) / count(*), 4) AS recall_p$Nprobe
+         |FROM ex e
+         |LEFT JOIN ivf i1 ON e.query_id = i1.query_id AND e.nbr_id = i1.nbr_id
+         |LEFT JOIN ivfn i2 ON e.query_id = i2.query_id AND e.nbr_id = i2.nbr_id
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     "cluster_mix" ->
@@ -4075,6 +4164,19 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN iv ON l_shipdate >= lo AND l_shipdate <= hi
         |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
+    // The oracle states interval overlap declaratively (per-key quadratic
+    // pair comparison); the engine answers via the day-bucket +
+    // first-shared-day allocation — same pair set, no dedup.
+    "overlap_join" ->
+      """WITH li2 AS (SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS id,
+        |    l_shipdate AS sa,
+        |    l_shipdate + to_days(CAST(l_orderkey % 14 AS INTEGER)) AS ea
+        |  FROM lineitem WHERE year(l_shipdate) = 1996)
+        |SELECT a.l_suppkey, count(*) AS n_overlaps
+        |FROM li2 a JOIN li2 b ON a.l_suppkey = b.l_suppkey AND a.id < b.id
+        |  AND a.sa <= b.ea AND b.sa <= a.ea
+        |GROUP BY a.l_suppkey ORDER BY a.l_suppkey""".stripMargin,
 
     "repetition" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),

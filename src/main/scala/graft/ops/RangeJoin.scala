@@ -83,4 +83,46 @@ object RangeJoin {
       .groupBy(ivCols: _*)
       .agg(sum(col("_rj_n")).as("n_items"), sum(col("_rj_s")).as("val_sum"))
   }
+
+  /** Interval × interval OVERLAP self-join within a key: one output row
+    * per pair of same-key intervals that overlap in time (`id_a < id_b`
+    * orientation) — "concurrent shipments per supplier", "overlapping
+    * sessions per user", the pair primitive behind conflict/concurrency
+    * analytics.
+    *
+    * The naive form (`a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi`) has no
+    * equi-key beyond `key` and quadratically compares every same-key
+    * pair. Bucketized: each interval fans out to the calendar days it
+    * covers and pairs meet on the (key, day) hash key. Two overlapping
+    * intervals share EVERY day of their intersection, so the join alone
+    * would emit each pair once per shared day — the ALLOCATION predicate
+    * `day = greatest(lo_a_day, lo_b_day)` (the first shared day, covered
+    * by both sides whenever they overlap at all) keeps exactly one copy,
+    * with no distinct/dedup shuffle. The exact residual
+    * `lo_a <= hi_b AND lo_b <= hi_a` also handles sub-day timestamps
+    * (sharing a truncated day alone does not imply overlap there).
+    * Shuffle volume: Σ interval-days, linear; bucket sizes are bounded by
+    * per-(key, day) concurrency, never per-key volume.
+    */
+  def overlapPairs(intervals: DataFrame, keyCol: String, idCol: String,
+                   loCol: String, hiCol: String): DataFrame = {
+    val oneDay = expr("interval 1 day")
+    val days = intervals.select(col(keyCol).as("_ov_key"),
+        col(idCol).as("_ov_id"), col(loCol).as("_ov_lo"),
+        col(hiCol).as("_ov_hi"))
+      .withColumn("_ov_lo_day", date_trunc("DAY", col("_ov_lo")))
+      .withColumn("_ov_day", explode(sequence(col("_ov_lo_day"),
+        date_trunc("DAY", col("_ov_hi")), oneDay)))
+    val a = days.select(col("_ov_key"), col("_ov_day"),
+      col("_ov_id").as("id_a"), col("_ov_lo").as("_lo_a"),
+      col("_ov_hi").as("_hi_a"), col("_ov_lo_day").as("_lo_day_a"))
+    val b = days.select(col("_ov_key").as("_k2"), col("_ov_day").as("_d2"),
+      col("_ov_id").as("id_b"), col("_ov_lo").as("_lo_b"),
+      col("_ov_hi").as("_hi_b"), col("_ov_lo_day").as("_lo_day_b"))
+    a.join(b, col("_ov_key") === col("_k2") && col("_ov_day") === col("_d2") &&
+        col("id_a") < col("id_b"))
+      .where(col("_ov_day") === greatest(col("_lo_day_a"), col("_lo_day_b")) &&
+        col("_lo_a") <= col("_hi_b") && col("_lo_b") <= col("_hi_a"))
+      .select(col("_ov_key").as(keyCol), col("id_a"), col("id_b"))
+  }
 }

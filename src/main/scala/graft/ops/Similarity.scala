@@ -109,6 +109,85 @@ object Similarity {
     topPerKey(scored, k)
   }
 
+  /** Multi-probe IVF: each query probes its `nprobe` NEAREST cells, not
+    * just the top one — the standard IVF recall knob (a true neighbor
+    * just across a cell boundary is invisible at nprobe=1; probing the
+    * runner-up cells recovers most of them for nprobe× the probe cost).
+    * `nprobe = 1` reproduces [[ivfTopK]] exactly.
+    *
+    * Scale shape is unchanged from [[ivfTopK]]: the corpus is assigned
+    * map-only and never shuffled; the (queries × nprobe) probe table is
+    * broadcast; per-query top-k via the bounded-heap aggregate. The
+    * query-to-cells ranking runs on a (queries × K) broadcast cross of
+    * the SAME hash-rank centroid table — bounded by contract (small
+    * query set, fixed K), and each corpus vector lives in exactly one
+    * cell so multi-probe never produces duplicate candidates.
+    */
+  def ivfTopKProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                   numCentroids: Int, nprobe: Int,
+                   idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, "nprobe must be at least 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
+      asDouble(col(embCol)).as("c_emb"))
+    val cells = assignCells(c, "nbr_id", "c_emb", numCentroids)
+    val (ids, embs) = sampleCentroids(c, numCentroids)
+    val centDf = ids.zip(embs).toSeq.map { case (i, e) => (i, e.toSeq) }
+      .toDF("cell", "ce")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        asDouble(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", sqrt(dot(col("q_emb"), col("q_emb"))))
+    // (queries × K) cell ranking — 6dp cosine, ties to the smaller cell
+    // id, zero norms → 0.0: the same pinned kernel as the native argmax,
+    // so nprobe=1 picks the identical cell.
+    val qCells = q.crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"),
+        round(cosine(col("q_emb"), col("ce")), 6).as("c_cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("c_cos").desc, col("cell").asc)))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
+    val scored = cells.join(broadcast(qCells), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosineFromNorms(dot(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")), 6).as("cos_sim"))
+    topPerKey(scored, k)
+  }
+
+  /** Recall\@k of the IVF index at nprobe = 1 AND at `nprobe`, against the
+    * exact brute-force neighbors, per query — the calibration table that
+    * prices the recall knob before an index is deployed ("how much recall
+    * does the second probe buy"). All three retrieval legs are the
+    * already-bounded top-k frames, so the comparison costs O(queries·k)
+    * at any corpus scale.
+    */
+  def annRecallProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                     numCentroids: Int, nprobe: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("nbr_id"))
+    val p1 = ivfTopK(corpus, queries, k, numCentroids)
+      .select(col("query_id").as("q1"), col("nbr_id").as("n1"))
+    val pn = ivfTopKProbe(corpus, queries, k, numCentroids, nprobe)
+      .select(col("query_id").as("qn"), col("nbr_id").as("nn"))
+    exact
+      .join(p1, col("query_id") === col("q1") && col("nbr_id") === col("n1"),
+        "left")
+      .join(pn, col("query_id") === col("qn") && col("nbr_id") === col("nn"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("n1")).as("hit_p1"),
+        count(col("nn")).as(s"hit_p$nprobe"),
+        round(count(col("n1")).cast("double") / count(lit(1)), 4)
+          .as("recall_p1"),
+        round(count(col("nn")).cast("double") / count(lit(1)), 4)
+          .as(s"recall_p$nprobe"))
+  }
+
   /** One distributed Lloyd (k-means) iteration over the embedding corpus:
     * assign every vector to its nearest current centroid (the same map-only
     * native argmax [[ivfTopK]] uses — no join, no shuffle of the corpus),
@@ -386,7 +465,18 @@ object Similarity {
                           numCentroids: Int,
                           corpusForCentroids: Option[DataFrame] = None,
                           passThrough: Seq[String] = Nil): DataFrame = {
-    val base = corpusForCentroids.getOrElse(df)
+    val (ids, embs) = sampleCentroids(corpusForCentroids.getOrElse(df),
+      numCentroids)
+    assignToCentroids(df, idName, embName, ids, embs, passThrough)
+  }
+
+  /** The deterministic hash-rank centroid sample behind [[assignCells]]
+    * (TakeOrderedAndProject — bounded heap, O(K) driver rows at any
+    * corpus size), split out so multi-probe assignment can reuse the
+    * IDENTICAL centroid table.
+    */
+  private def sampleCentroids(base: DataFrame,
+                              numCentroids: Int): (Array[Long], Array[Array[Double]]) = {
     val Seq(bId, bEmb) = base.columns.take(2).toSeq
     val centRows = base
       .orderBy(h60(concat(lit("cent:"), col(bId).cast("string"))).asc,
@@ -394,9 +484,7 @@ object Similarity {
       .limit(numCentroids)
       .select(col(bId).cast("long"), col(bEmb)).collect()
     require(centRows.nonEmpty, "no centroids: empty corpus")
-    val ids = centRows.map(_.getLong(0))
-    val embs = centRows.map(_.getSeq[Double](1).toArray)
-    assignToCentroids(df, idName, embName, ids, embs, passThrough)
+    (centRows.map(_.getLong(0)), centRows.map(_.getSeq[Double](1).toArray))
   }
 
   /** Map-only nearest-centroid assignment against an EXPLICIT centroid

@@ -852,6 +852,18 @@ object TextStats {
     */
   def bpeLearn(docs: DataFrame, merges: Int,
                textCol: String = "text"): DataFrame = {
+    val (learned, vocab) = bpeLearnLoop(docs, merges, textCol)
+    graft.spark.CheckpointUtil.unpersistCheckpointed(vocab)
+    learned
+  }
+
+  /** The loop behind [[bpeLearn]], also returning the final vocabulary
+    * frame `(tok, s, n)` — each token with its trained segmentation as
+    * the boundary-delimited symbol string. The caller owns the returned
+    * checkpoint (unpersist when done).
+    */
+  def bpeLearnLoop(docs: DataFrame, merges: Int,
+                   textCol: String = "text"): (DataFrame, DataFrame) = {
     require(merges >= 1, "need at least one merge round")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -860,7 +872,8 @@ object TextStats {
     var vocab = docs
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      .select(concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1 ")).as("s"),
+      .select(col("tok"),
+        concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1 ")).as("s"),
         col("n"))
       .localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -889,7 +902,35 @@ object TextStats {
         vocab = next
       }
     }
-    graft.spark.CheckpointUtil.unpersistCheckpointed(vocab)
-    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    (learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), vocab)
+  }
+
+  /** BPE APPLY — the companion of [[bpeLearn]]: segment the corpus with
+    * the trained merges and report per-source tokenizer FERTILITY
+    * (subword symbols per word token), the statistic a tokenizer is
+    * judged by per language/domain before training on the mix.
+    *
+    * Scale shape: training reduces the corpus to the vocabulary once
+    * (see [[bpeLearnLoop]]); application never re-segments text — the
+    * corpus token stream joins the (tok → symbol count) table by key.
+    * The vocabulary follows a power law, so at corpus scale the mapping
+    * is broadcast-sized after Catalyst prunes it to the two join columns;
+    * the per-source aggregate is map-side combined. One corpus scan for
+    * training, one for application.
+    */
+  def bpeFertility(docs: DataFrame, merges: Int,
+                   textCol: String = "text",
+                   sourceCol: String = "source"): DataFrame = {
+    val (_, vocab) = bpeLearnLoop(docs, merges, textCol)
+    val seg = vocab.select(col("tok"),
+      size(filter(split(col("s"), " "), x => x =!= lit(""))).cast("long")
+        .as("n_sub"))
+    docs.select(col(sourceCol), explode(tokens(col(textCol))).as("tok"))
+      .join(broadcast(seg), Seq("tok"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_sub")).as("n_subwords"),
+        round(sum(col("n_sub")).cast("double") / count(lit(1)), 6)
+          .as("fertility"))
   }
 }

@@ -137,4 +137,32 @@ class HybridSortPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "in-budget partitions must take the zero-IO fast path")
     } finally sp.conf.unset("spark.sql.adaptive.enabled")
   }
+
+  test("early-stopping consumer: spill files are closed and deleted at task end") {
+    val sp = spark
+    // Tiny budget → many spilled runs per task; a LIMIT far below the
+    // partition size stops the merge mid-run, so every run file is still
+    // open when the task finishes. The completion listener must close
+    // them BEFORE deleting (the close-then-delete contract) — asserted by
+    // the executor local dir holding zero graft spill files afterwards.
+    sp.conf.set("spark.graft.hybridSort.spillRows", "500")
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = sp.range(40000).selectExpr(
+        "cast(id * 2654435761 % 50000 as bigint) as k")
+      val got = Sorts.hybridSortExec(df, 25, "k").limit(5)
+        .collect().map(_.getLong(0))
+      assert(got.length == 5 && got.sameElements(got.sorted))
+      val probe = org.apache.spark.sql.GraftSpillUtil.newSpillFile("probe-")
+      val localDir = new java.io.File(probe.getParent)
+      probe.delete()
+      val leaked = localDir.listFiles()
+        .filter(_.getName.startsWith("graft-hybrid-sort-"))
+      assert(leaked.isEmpty,
+        s"early-stopped merge leaked spill files: ${leaked.map(_.getName).toSeq}")
+    } finally {
+      sp.conf.unset("spark.graft.hybridSort.spillRows")
+      sp.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
 }

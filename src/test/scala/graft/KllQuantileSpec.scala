@@ -269,6 +269,24 @@ class KllQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
         weightCol = Some("w"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(wz == weighted, "non-positive weights must be ignored")
+
+    // GROUPED + weighted combined (the weighted_quantiles_grouped shape):
+    // each group's weighted answer equals the unweighted answer over that
+    // group's w-fold-replicated values — groups stay fully independent.
+    val grows = (1 to 3000).map { i =>
+      (s"s${i % 4}", rnd.nextDouble() * 1000, 1L + rnd.nextInt(9).toLong)
+    }
+    val gdf = grows.toDF("g", "v", "w").repartition(5)
+    val gw = Quantiles.exactQuantiles(gdf, "v", qs, k = 128,
+        groupCols = Seq("g"), weightCol = Some("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    grows.groupBy(_._1).foreach { case (g, rs) =>
+      val rep = rs.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }
+      qs.foreach { case (nm, q) =>
+        assert(gw((g, nm)) == exactQ(rep, q), s"group $g $nm")
+      }
+    }
   }
 
   test("robustScale: exact median/MAD and planted-outlier count") {

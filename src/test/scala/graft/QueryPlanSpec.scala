@@ -143,6 +143,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q22_idle_customers", "tfidf_top", "unigram_surprisal",
       "pagerank_step", "gap_fill", "rrf_fusion" /* bm25 leg's stats row */,
       "ann_recall" /* brute-force leg broadcasts the fixed query set */,
+      "ann_recall_probe" /* brute-force leg + the (queries × K centroids) cell-ranking cross, both bounded broadcasts */,
       "semantic_decontaminate" /* bench side small by contract, broadcast */,
       "q11_important_stock" /* 1-row threshold broadcast */,
       "triangle_count" /* 1-row mean-degree threshold + 1-row × 1-row output join */,
@@ -240,6 +241,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // -- accuracy evals: two independent methods over the SAME input,
       //    compared — the re-read IS the experiment
       "ann_recall" -> Map("embeddings" -> 4),      // brute-force leg vs IVF leg, each corpus+queries
+      "ann_recall_probe" -> Map("embeddings" -> 6), // three retrieval legs (exact, nprobe=1, nprobe=2), each corpus+queries
       "bloom_prefilter" -> Map("documents" -> 4),  // sketch build/probe vs exact-join truth, disjoint pushed-filter slices
       "cms_freq" -> Map("documents" -> 2),         // CMS estimate vs exact counts
       "approx_distinct" -> Map("events" -> 2),     // HLL estimate vs exact distinct
@@ -284,6 +286,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q11_important_stock" -> Map("lineitem" -> 2, "nation" -> 2, "supplier" -> 2), // per-key value + global threshold
       "q17_small_quantity" -> Map("lineitem" -> 2), // per-part avg subquery
       "q21_waiting_supplier" -> Map("lineitem" -> 3, "orders" -> 3), // base + EXISTS + NOT EXISTS
+      "overlap_join" -> Map("lineitem" -> 2),      // interval self-join: both pair sides scan the (pruned) source
       "q22_idle_customers" -> Map("customer" -> 2) // global avg-balance subquery
     ).withDefaultValue(Map.empty)
     // stream_* included: their builders run the stream, the sweep audits

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, TextStats}
+import graft.ops.{Dedup, RangeJoin, Similarity, TextStats}
 
 /** Round-8 additions: BPE training (the iterative merge loop whose count
   * phase `bpe_pairs` verifies) pinned to a pure-Scala greedy-BPE
@@ -107,6 +107,73 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"'ab'×2 merges once (count-weighted) then exhausts: ${out2.toSeq}")
     assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
       "bpeLearn must unpersist every round's vocab checkpoint")
+  }
+
+  test("bpeFertility: per-source subword/token ratio from the trained segmentation") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "low lower", "a"), (2L, "low newer", "b"))
+      .toDF("doc_id", "text", "source")
+    // vocab {low:2, lower:1, newer:1}; round 1 pair counts lo=3, ow=3,
+    // we=2, er=2, ne=1, ew=1 → tie lo/ow broken to 'l o' → merge (l,o);
+    // round 2: 'lo w'=3 wins → low=[low], lower=[low,e,r], newer
+    // untouched=[n,e,w,e,r] → lengths 1 / 3 / 5.
+    val out = TextStats.bpeFertility(docs, merges = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      "a" -> ((2L, 4L, 2.0)),   // low(1) + lower(3)
+      "b" -> ((2L, 6L, 3.0))),  // low(1) + newer(5)
+      s"got $out")
+  }
+
+  test("ivfTopKProbe: nprobe=1 equals ivfTopK, nprobe=K equals brute force, recall monotone") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 80L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val k = 5; val cells = 8
+    val p1 = rows(Similarity.ivfTopKProbe(corpus, queries, k, cells, 1))
+    val base = rows(Similarity.ivfTopK(corpus, queries, k, cells))
+    assert(p1 == base, "nprobe=1 must reproduce the single-cell IVF exactly")
+    val pAll = rows(Similarity.ivfTopKProbe(corpus, queries, k, cells, cells))
+    val brute = rows(Similarity.bruteForceTopK(corpus, queries, k))
+    assert(pAll == brute, "probing every cell must equal exact brute force")
+    // recall against brute force can only improve with more probes
+    def hits(s: Set[(Long, Long, Long, Double)]) =
+      s.map(t => (t._1, t._3)).intersect(brute.map(t => (t._1, t._3))).size
+    val p2 = rows(Similarity.ivfTopKProbe(corpus, queries, k, cells, 2))
+    assert(hits(p2) >= hits(p1) && hits(pAll) >= hits(p2),
+      s"recall must be monotone in nprobe: ${hits(p1)} / ${hits(p2)} / ${hits(pAll)}")
+  }
+
+  test("overlapPairs equals the brute-force overlap definition, incl. sub-day residual") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(31)
+    val base = java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime
+    // random intervals over ~10 days, spans 0–3 days with sub-day offsets
+    // (same-truncated-day NON-overlaps must be filtered by the residual)
+    val iv = (1 to 300).map { i =>
+      val key = rnd.nextInt(5).toLong
+      val lo = base + rnd.nextInt(10 * 24) * 3600000L + rnd.nextInt(3600000)
+      val hi = lo + rnd.nextInt(3 * 24) * 3600000L + rnd.nextInt(3600000)
+      (key, i.toLong, new java.sql.Timestamp(lo), new java.sql.Timestamp(hi))
+    }
+    val df = iv.toDF("key", "id", "lo", "hi").repartition(4)
+    val got = RangeJoin.overlapPairs(df, "key", "id", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      a <- iv; b <- iv
+      if a._1 == b._1 && a._2 < b._2 &&
+        !a._3.after(b._4) && !b._3.after(a._4)
+    } yield (a._1, a._2, b._2)).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)} " +
+        s"(${brute.size} brute pairs)")
+    assert(brute.nonEmpty, "test corpus must actually produce overlaps")
   }
 
   test("incrNearDup equals batch minhashPairs restricted to base×incoming") {
