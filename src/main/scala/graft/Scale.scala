@@ -43,6 +43,7 @@ object Scale {
     if (args.headOption.contains("range")) return rangeMain(args.drop(1))
     if (args.headOption.contains("graph")) return graphMain(args.drop(1))
     if (args.headOption.contains("pagerank")) return pagerankMain(args.drop(1))
+    if (args.headOption.contains("incr")) return incrMain(args.drop(1))
     if (args.headOption.contains("stream")) return streamMain(args.drop(1))
     if (args.headOption.contains("hhskew")) return hhSkewMain(args.drop(1))
     if (args.headOption.contains("hh")) return hhMain(args.drop(1))
@@ -972,6 +973,51 @@ object Scale {
     val sec = (System.nanoTime() - t0) / 1e9
     val planted = n / 20
     println(f"""{"mode":"dedup","n_docs":$n,"planted_neardups":$planted,"lsh_pairs_found":$found,"seconds":$sec%.1f,"docs_per_sec":${n / sec}%.0f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Incremental near-dup at volume: build the persisted signature store
+    * over a large BASE corpus once, then probe it with a small incoming
+    * batch — the nightly-ingest shape [[graft.ops.Dedup.incrNearDup]]
+    * exists for. The number that matters is the RATIO: probing must cost
+    * a base SCAN (pruned columns, no shuffle, no re-aggregation), not a
+    * base REBUILD — the store carries its own bucket sizes so the
+    * hot-bucket guard is a scan filter. Batch docs duplicate base docs
+    * (same generator, offset ids), so found candidates ≥ batch size is
+    * the correctness signal riding along.
+    */
+  private def incrMain(args: Array[String]): Unit = {
+    val nBase = if (args.nonEmpty) args(0).toLong else 2000000L
+    val nBatch = if (args.length > 1) args(1).toLong else 20000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    var store: org.apache.spark.sql.DataFrame = null
+    var storeRows = 0L
+    val buildSec = time {
+      store = ops.Dedup.signatureStore(synthDocs(spark, nBase, cpus.toInt),
+        k = 6, bands = 3, shingleN = 3).localCheckpoint()
+      storeRows = store.count()
+    }
+    // the incoming batch re-uses the base generator on an id slice, so
+    // every batch doc has an exact-duplicate base doc to find
+    val batch = synthDocs(spark, nBatch, cpus.toInt)
+    var found = 0L
+    val probeSec = time {
+      found = ops.Dedup.incrNearDup(store, batch, k = 6, bands = 3,
+        shingleN = 3).count()
+    }
+    println(f"""{"mode":"incr","n_base":$nBase,"n_batch":$nBatch,"store_rows":$storeRows,"build_sec":$buildSec%.1f,"probe_sec":$probeSec%.1f,"candidates":$found,"cpus":$cpus}""")
     spark.stop()
   }
 

@@ -1091,6 +1091,19 @@ object SparkEntry {
 
     // Z-order layout: cluster the table by the Morton interleave of two
     // dimensions so scans filtering on EITHER dimension prune files.
+    // Lakehouse OPTIMIZE planning pass: per-partition day chunks packed
+    // sequentially into ~64 KB output files over the chunk MANIFEST only
+    // (one row per chunk, one exchange on the partition key) — the
+    // million-small-files cleanup planned without touching table data.
+    "compaction_plan" -> ((s, d) => {
+      val chunks = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg((count(lit(1)) * 64).as("bytes"))
+      Layout.compactionPlan(chunks, Seq("event_type"), "day", "bytes",
+          64L * 1024)
+        .orderBy(col("event_type"), col("file_group"))
+    }),
+
     "zorder_layout" -> ((s, d) =>
       Layout.zorderCluster(
         li(s, d).select(col("l_orderkey"), col("l_linenumber"),
@@ -3014,6 +3027,18 @@ object SparkEntry {
     "hybrid_sort_exec" ->
       s"""SELECT ${sortCols.mkString(", ")} FROM lineitem
          |ORDER BY l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
+
+    "compaction_plan" ->
+      """WITH chunks AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    count(*) * 64 AS bytes
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day, bytes,
+        |    CAST(coalesce(sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+        |  FROM chunks)
+        |SELECT event_type, bef // 65536 AS file_group,
+        |  count(*) AS n_chunks, CAST(sum(bytes) AS BIGINT) AS file_bytes
+        |FROM cum GROUP BY 1, 2 ORDER BY event_type, file_group""".stripMargin,
 
     "zorder_layout" -> {
       val z = (0 until 10).map { i =>

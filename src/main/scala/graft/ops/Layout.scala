@@ -42,4 +42,41 @@ object Layout {
                     bits: Int = 16): DataFrame =
     df.withColumn("zval", zValue(dimA, dimB, bits))
       .orderBy(col("zval"))
+
+  /** Compaction PLAN: assign each partition's chunks (small files /
+    * row-group slices, one row each with a byte size) to target-sized
+    * output files — the planning pass behind every lakehouse OPTIMIZE /
+    * rewrite job, where the small-files problem is measured in millions
+    * of objects at 100 TB. Chunks are packed SEQUENTIALLY in `orderCol`
+    * order (preserving any clustering the table already has — a
+    * first-fit-decreasing packer would destroy z-order/sort locality):
+    * file group = `(running_bytes_before_chunk) div targetBytes`, so
+    * every group holds ~targetBytes (the last chunk of a group may
+    * overflow it — the standard tolerance, since splitting a chunk means
+    * rewriting rows, which is the EXECUTE step's job, not the plan's).
+    *
+    * Pure window arithmetic over the chunk MANIFEST (one row per chunk,
+    * never the data): one exchange on the partition key, cost
+    * O(chunks) regardless of table volume — exactly what lets the plan
+    * run as a cheap scheduled pass over a million-file table. Output:
+    * one row per planned output file `(partCols..., file_group,
+    * n_chunks, file_bytes)`.
+    */
+  def compactionPlan(chunks: DataFrame, partCols: Seq[String],
+                     orderCol: String, bytesCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val gcols = partCols.map(col)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(gcols: _*).orderBy(col(orderCol))
+      .rowsBetween(W.unboundedPreceding, -1)
+    chunks
+      .withColumn("_cp_before", coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      // integer `div`, not `/`: long division must stay exact in every
+      // engine (Spark's `/` on longs is a double divide)
+      .withColumn("file_group", expr(s"_cp_before div ${targetBytes}L"))
+      .groupBy(gcols :+ col("file_group"): _*)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col(bytesCol)).cast("long").as("file_bytes"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, RangeJoin, Similarity, TextStats}
+import graft.ops.{Dedup, Layout, RangeJoin, Similarity, TextStats}
 
 /** Round-8 additions: BPE training (the iterative merge loop whose count
   * phase `bpe_pairs` verifies) pinned to a pure-Scala greedy-BPE
@@ -148,6 +148,37 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p2 = rows(Similarity.ivfTopKProbe(corpus, queries, k, cells, 2))
     assert(hits(p2) >= hits(p1) && hits(pAll) >= hits(p2),
       s"recall must be monotone in nprobe: ${hits(p1)} / ${hits(p2)} / ${hits(pAll)}")
+  }
+
+  test("compactionPlan: sequential packing equals the reference fold, totals preserved") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(41)
+    val chunks = (1 to 400).map { i =>
+      (s"p${i % 3}", i.toLong, 1000L + rnd.nextInt(50000).toLong)
+    }
+    val target = 100000L
+    val got = Layout.compactionPlan(chunks.toDF("part", "ord", "bytes")
+        .repartition(4), Seq("part"), "ord", "bytes", target)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // reference: sequential fold in ord order per partition
+    val want = chunks.groupBy(_._1).flatMap { case (p, cs) =>
+      var before = 0L
+      cs.sortBy(_._2).map { case (_, _, b) =>
+        val grp = before / target; before += b; (p, grp, b)
+      }.groupBy { case (_, g, _) => g }.map { case (g, rs) =>
+        (p, g) -> (rs.size.toLong, rs.map(_._3).sum)
+      }
+    }.toMap
+    assert(got == want, s"got $got\nwant $want")
+    // totals preserved; group overflow bounded by one chunk
+    chunks.groupBy(_._1).foreach { case (p, cs) =>
+      val planned = got.collect { case ((`p`, _), (_, b)) => b }
+      assert(planned.sum == cs.map(_._3).sum)
+      val maxChunk = cs.map(_._3).max
+      planned.foreach(b => assert(b < target + maxChunk,
+        s"group in $p exceeds target by more than one chunk: $b"))
+    }
   }
 
   test("overlapPairs equals the brute-force overlap definition, incl. sub-day residual") {
