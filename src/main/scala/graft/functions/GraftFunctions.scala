@@ -81,6 +81,18 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "misra_gries(item, k) takes (string, int literal)")
       }),
+    ("lex_min",
+      "lex_min(e) - min over any orderable type as an ObjectHashAggregate (no SortAggregate fallback)",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => LexExtreme(c, isMin = true)
+        case _ => throw new IllegalArgumentException("lex_min(e) takes 1 argument")
+      }),
+    ("lex_max",
+      "lex_max(e) - max over any orderable type as an ObjectHashAggregate (no SortAggregate fallback)",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => LexExtreme(c, isMin = false)
+        case _ => throw new IllegalArgumentException("lex_max(e) takes 1 argument")
+      }),
     ("kll_sketch",
       "kll_sketch(value[, weight], k) - bounded mergeable quantile sketch with a certified rank-error bound",
       (exprs: Seq[Expression]) => exprs match {

@@ -52,17 +52,22 @@ object Dedup {
     * across otherwise-distinct pages (headers, license blocks, nav bars).
     * One hash-aggregate whose shuffle rows are (16-byte digest, two ids):
     * chunk bodies never move, so at 100 TB this costs one digest scan +
-    * one small shuffle regardless of chunk size.
+    * one small shuffle regardless of chunk size. The keep-first reduction
+    * is the native `lex_min` ([[graft.functions.LexExtreme]]) — the
+    * built-in `min(struct)` cannot live in a hash-agg buffer and falls
+    * back to SortAggregate, sorting every partition before aggregating.
     */
-  def chunkDedup(chunks: DataFrame): DataFrame =
+  def chunkDedup(chunks: DataFrame): DataFrame = {
+    GraftFunctions.register(chunks.sparkSession)
     chunks.select(md5(col("chunk_text")).as("chunk_md5"),
         col("doc_id"), col("chunk_id"))
       .groupBy(col("chunk_md5"))
-      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keep"),
+      .agg(expr("lex_min(struct(doc_id, chunk_id))").as("keep"),
         count(lit(1)).as("n_copies"))
       .select(col("keep.doc_id").as("doc_id"),
         col("keep.chunk_id").as("chunk_id"),
         col("chunk_md5"), col("n_copies"))
+  }
 
   /** doc_id + MinHash signature: `sig` is an array of k universal-hash
     * minima over `shingleN`-word shingles, computed by the native one-pass

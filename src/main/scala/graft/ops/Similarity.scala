@@ -555,6 +555,7 @@ object Similarity {
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame, tau: Double,
                             idCol: String = "vec_id",
                             embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).cast("long").as("vec_id"),
         asDouble(col(embCol)).as("c_emb"))
       .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
@@ -567,7 +568,11 @@ object Similarity {
           col("c_nrm"), col("b_nrm")), 6).as("cos_sim"))
       .where(col("cos_sim") >= tau)
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos_sim"), col("bench_id"))).as("m"))
+      // native lex_max: the built-in max(struct) falls back to
+      // SortAggregate (struct buffers don't fit a hash-agg row); the
+      // typed-imperative form keeps the argmax an O(1)-state hash
+      // aggregate with map-side combine
+      .agg(expr("lex_max(struct(cos_sim, bench_id))").as("m"))
       .select(col("vec_id"), col("m.bench_id").as("bench_id"),
         col("m.cos_sim").as("cos_sim"))
   }

@@ -76,12 +76,18 @@ object Stats {
         struct(lit(n).as("col_name"), c.cast("string").as("v"))
       }: _*)).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+    // native lex_min/lex_max: built-in min/max over STRINGS cannot live
+    // in a hash-agg buffer (varlen) and drag the whole multi-aggregate
+    // into SortAggregate — every partition of the stacked frame sorted
+    // just to take a min. The typed-imperative form keeps the profile
+    // one ObjectHashAggregate with map-side combine.
+    graft.functions.GraftFunctions.register(df.sparkSession)
     stacked.groupBy(col("col_name")).agg(
       count(lit(1)).as("n_rows"),
       sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
       countDistinct(col("v")).as("n_distinct"),
-      min(col("v")).as("min_val"),
-      max(col("v")).as("max_val"))
+      expr("lex_min(v)").as("min_val"),
+      expr("lex_max(v)").as("max_val"))
   }
 
   /** 2-D skyline (Pareto frontier, minimize both columns): rows for which

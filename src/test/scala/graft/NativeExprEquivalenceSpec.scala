@@ -102,6 +102,47 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native.toSeq == decl.toSeq)
   }
 
+  test("LexExtreme == built-in min/max on strings and structs; plans ObjectHashAggregate") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 2000).map { i =>
+      val g = i % 7
+      val s = if (i % 13 == 0) null
+        else rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString
+      (g, s, rnd.nextInt(1000).toLong, rnd.nextInt(50).toLong)
+    }
+    val df = rows.toDF("g", "s", "a", "b").repartition(5)
+    // strings, with nulls ignored exactly like the built-in
+    val nat = df.groupBy("g")
+      .agg(expr("lex_min(s)").as("mn"), expr("lex_max(s)").as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    val ref = df.groupBy("g").agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(nat == ref, s"string min/max drift: $nat vs $ref")
+    // structs (the keep-first dedup reduction)
+    val natS = df.groupBy("g").agg(expr("lex_min(struct(a, b))").as("m"))
+      .select(col("g"), col("m.a"), col("m.b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val refS = df.groupBy("g").agg(min(struct(col("a"), col("b"))).as("m"))
+      .select(col("g"), col("m.a"), col("m.b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(natS == refS, "struct lex_min drift")
+    // all-null group → null, like the built-in
+    val allNull = Seq((1, null: String), (1, null: String)).toDF("g", "s")
+    assert(allNull.groupBy("g").agg(expr("lex_min(s)")).head().isNullAt(1))
+    // the point of the function: hash aggregation, never a sort fallback
+    val plan = df.groupBy("g").agg(expr("lex_min(struct(a, b))"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      s"lex_min must plan as ObjectHashAggregate:\n$plan")
+    val builtinPlan = df.groupBy("g").agg(min(struct(col("a"), col("b"))))
+      .queryExecution.executedPlan.toString
+    assert(builtinPlan.contains("SortAggregate"),
+      "precondition drifted: built-in min(struct) no longer sort-aggregates — " +
+        "if Spark gained hash support for it, lex_min can be retired")
+  }
+
   test("sortedSink round-trip: files concatenated in order give the global order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
