@@ -44,6 +44,7 @@ object Scale {
     if (args.headOption.contains("graph")) return graphMain(args.drop(1))
     if (args.headOption.contains("pagerank")) return pagerankMain(args.drop(1))
     if (args.headOption.contains("incr")) return incrMain(args.drop(1))
+    if (args.headOption.contains("lex")) return lexMain(args.drop(1))
     if (args.headOption.contains("stream")) return streamMain(args.drop(1))
     if (args.headOption.contains("hhskew")) return hhSkewMain(args.drop(1))
     if (args.headOption.contains("hh")) return hhMain(args.drop(1))
@@ -973,6 +974,54 @@ object Scale {
     val sec = (System.nanoTime() - t0) / 1e9
     val planted = n / 20
     println(f"""{"mode":"dedup","n_docs":$n,"planted_neardups":$planted,"lsh_pairs_found":$found,"seconds":$sec%.1f,"docs_per_sec":${n / sec}%.0f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** lex_min/lex_max vs the built-in min/max SortAggregate fallback, at
+    * token-stream volume: the same keep-first struct reduction
+    * ([[graft.ops.Dedup.chunkDedup]]'s shape) run both ways over a
+    * synthetic (digest, doc_id, chunk_id) stream with duplicates, results
+    * hard-asserted identical. The built-in path sorts every partition of
+    * the stream before aggregating (SortAggregate has no partial-agg
+    * hash map); the typed-imperative path is one O(1)-state comparison
+    * per row with map-side combine.
+    */
+  private def lexMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000000L
+    val nKeys = if (args.length > 1) args(1).toLong else n / 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    def rows = spark.range(n).repartition(cpus.toInt * 2)
+      .select(pmod(xxhash64(col("id")), lit(nKeys)).as("k"),
+        pmod(xxhash64(col("id"), lit(3)), lit(1000000L)).as("doc_id"),
+        pmod(xxhash64(col("id"), lit(5)), lit(64L)).as("chunk_id"))
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    var cs = 0L
+    val builtinSec = time {
+      cs = rows.groupBy(col("k"))
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keep"))
+        .select(sum(col("keep.doc_id") + col("keep.chunk_id")))
+        .head().getLong(0)
+    }
+    var cs2 = 0L
+    val lexSec = time {
+      cs2 = rows.groupBy(col("k"))
+        .agg(expr("lex_min(struct(doc_id, chunk_id))").as("keep"))
+        .select(sum(col("keep.doc_id") + col("keep.chunk_id")))
+        .head().getLong(0)
+    }
+    require(cs == cs2, s"lex_min diverged from min(struct): $cs vs $cs2")
+    println(f"""{"mode":"lex","n_rows":$n,"n_keys":$nKeys,"builtin_sortagg_sec":$builtinSec%.1f,"lex_objhash_sec":$lexSec%.1f,"checksum":$cs,"cpus":$cpus}""")
     spark.stop()
   }
 
