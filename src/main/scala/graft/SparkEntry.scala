@@ -246,6 +246,30 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
+  /** Incremental near-dup oracle, shared by the batch (`incr_neardup`)
+    * and streaming (`stream_neardup`) probes — both produce exactly the
+    * (incoming doc, base doc) pairs sharing any LSH band bucket of the
+    * base store, hot buckets excluded.
+    */
+  private lazy val incrNearDupSql: String = {
+    val r = MinhashK / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val bucket = s"array_to_string(sig[${b * r + 1}:${b * r + r}], ',')"
+      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $sigCte,
+       |buckets AS ($bandSelects),
+       |bb AS (SELECT * FROM buckets WHERE doc_id < 400),
+       |cnt AS (SELECT band, bucket, count(*) AS bkt_n FROM bb GROUP BY band, bucket),
+       |store AS (SELECT bb.doc_id, bb.band, bb.bucket, cnt.bkt_n
+       |  FROM bb JOIN cnt USING (band, bucket)),
+       |inc AS (SELECT * FROM buckets WHERE doc_id >= 400)
+       |SELECT DISTINCT i.doc_id AS doc_id, s.doc_id AS dup_of
+       |FROM inc i JOIN store s ON i.band = s.band AND i.bucket = s.bucket
+       |WHERE s.bkt_n <= $MaxBucket
+       |ORDER BY doc_id, dup_of""".stripMargin
+  }
+
   /** Shared IVF cell-assignment CTEs (hash-ranked fixed-K centroids +
     * nearest-centroid argmax) — used by both `knn_ivf` and `kmeans_step`.
     */
@@ -2297,6 +2321,24 @@ object SparkEntry {
       streaming.StreamOps.runToParquet(s, dd).orderBy(col("digest"))
     }),
 
+    // Streaming incremental NEAR-dup: the persisted base signature store
+    // probed by a bounded doc stream — each micro-batch bands map-side
+    // and stream-static joins the store; same output as the batch
+    // incr_neardup by construction.
+    "stream_neardup" -> ((s, d) => {
+      val store = Dedup.signatureStore(docs(s, d).where(col("doc_id") < 400),
+        MinhashK, MinhashBands, ShingleN)
+      val path = s"$d/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream.schema(schema)
+        .parquet(streaming.StreamOps.stageDir(path))
+        .where(col("doc_id") >= 400)
+      val flagged = streaming.StreamOps.nearDupProbeStream(stream, store,
+        MinhashK, MinhashBands, ShingleN, MaxBucket)
+      streaming.StreamOps.runToParquet(s, flagged)
+        .orderBy(col("doc_id"), col("dup_of"))
+    }),
+
     // flatMapGroupsWithState sessionization run as a bounded stream. The
     // staged source is ONE file → ONE micro-batch, and the watermark
     // delay exceeds the corpus time span, so the trailing no-data batch
@@ -3194,24 +3236,11 @@ object SparkEntry {
     // Same banded-signature construction as minhash_pairs, but split
     // base/incoming: base buckets carry their own precomputed size (the
     // persisted store), the incoming batch joins against them.
-    "incr_neardup" -> {
-      val r = MinhashK / MinhashBands
-      val bandSelects = (0 until MinhashBands).map { b =>
-        val bucket = s"array_to_string(sig[${b * r + 1}:${b * r + r}], ',')"
-        s"SELECT doc_id, $b AS band, $bucket AS bucket FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH $sigCte,
-         |buckets AS ($bandSelects),
-         |bb AS (SELECT * FROM buckets WHERE doc_id < 400),
-         |cnt AS (SELECT band, bucket, count(*) AS bkt_n FROM bb GROUP BY band, bucket),
-         |store AS (SELECT bb.doc_id, bb.band, bb.bucket, cnt.bkt_n
-         |  FROM bb JOIN cnt USING (band, bucket)),
-         |inc AS (SELECT * FROM buckets WHERE doc_id >= 400)
-         |SELECT DISTINCT i.doc_id AS doc_id, s.doc_id AS dup_of
-         |FROM inc i JOIN store s ON i.band = s.band AND i.bucket = s.bucket
-         |WHERE s.bkt_n <= $MaxBucket
-         |ORDER BY doc_id, dup_of""".stripMargin
-    },
+    "incr_neardup" -> incrNearDupSql,
+
+    // Arrival slicing cannot change which (doc, base) pairs share an LSH
+    // bucket, so the streaming probe's oracle IS the batch one.
+    "stream_neardup" -> incrNearDupSql,
 
     "exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -125,7 +125,7 @@ object Dedup {
     * bucket key — the shared kernel of [[minhashPairs]] (self-join dedup)
     * and the [[signatureStore]]/[[incrNearDup]] incremental path.
     */
-  private def bandBuckets(sig: DataFrame, bands: Int, r: Int): DataFrame = {
+  private[graft] def bandBuckets(sig: DataFrame, bands: Int, r: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", slice(col("sig"), b * r + 1, r).cast("array<string>")).as("bucket"))

@@ -49,6 +49,34 @@ object StreamOps {
     rows.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming incremental near-dup — the streaming twin of
+    * [[graft.ops.Dedup.incrNearDup]]: each micro-batch of incoming docs
+    * is MinHash-banded map-side (the same native signature expressions —
+    * pure projections, streaming-safe) and stream-static joined against
+    * the persisted base signature store. The store side is a plain batch
+    * frame, re-probed per micro-batch with its hot-bucket guard as a
+    * static filter; candidate pairs dedupe across bands through
+    * `dropDuplicates` state (bounded: O(flagged pairs), and a pair's
+    * band rows always arrive in the doc's own batch). Output schema and
+    * values equal the batch `incr_neardup` exactly — arrival slicing
+    * cannot change which (doc, base) pairs share a bucket.
+    */
+  def nearDupProbeStream(docs: DataFrame, store: DataFrame, k: Int,
+                         bands: Int, shingleN: Int,
+                         maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val sig = docs
+      .select(col("doc_id"), shingles(tokens(col("text")), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), minhash31(col("sh"), k).as("sig"))
+    val incBuckets = graft.ops.Dedup.bandBuckets(sig, bands, k / bands)
+    store.where(col("bkt_n") <= maxBucket)
+      .select(col("band"), col("bucket"), col("doc_id").as("dup_of"))
+      .join(incBuckets, Seq("band", "bucket"))
+      .select(col("doc_id"), col("dup_of"))
+      .dropDuplicates("doc_id", "dup_of")
+  }
+
   /** Streaming per-source heavy hitters — the `misra_gries` sketch AS
     * STREAMING STATE: a complete-mode `groupBy(source)` aggregation keeps
     * one bounded ≤ k-entry summary per source in the state store, folding
