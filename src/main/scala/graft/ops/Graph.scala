@@ -68,10 +68,11 @@ object Graph {
     * frame; the driver only sequences rounds and reads a 1-row delta.
     *
     * Scale shape of the LOOP (the step's shape is documented above):
-    *  - the loop-invariant frames — edges, the node set, out-degrees —
-    *    are materialized ONCE before round 1 and reused every round;
-    *    per-round work is two keyed shuffles (src-join, dst-aggregate)
-    *    over the edge list, nothing else;
+    *  - the loop-invariant frames — the node set and the edge list with
+    *    its out-degree FOLDED ON (the edges ⋈ degrees join is invariant,
+    *    so it runs once, not once per round) — are materialized before
+    *    round 1 and reused every round; per-round work is two keyed
+    *    shuffles (src-join with the ranks, dst-aggregate), nothing else;
     *  - each round's rank frame is `localCheckpoint`ed: the lineage cut
     *    that keeps round r's plan O(1) deep instead of O(r) — without it
     *    Catalyst re-derives EVERY previous round inside round r's plan
@@ -104,8 +105,13 @@ object Graph {
       .localCheckpoint()
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
       .localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // The edges ⋈ out-degrees join is LOOP-INVARIANT — fold the degree
+    // onto each edge once and free the raw edge frame; every round then
+    // pays one join (degreed edges ⋈ current ranks) instead of two.
+    val eo = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint()
+    graft.spark.CheckpointUtil.unpersistCheckpointed(e)
     // r0 = the uniform start vector, materialized like every later round
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), (lit(1.0d) / col("n")).as("rank"))
@@ -114,8 +120,7 @@ object Graph {
     var rounds = 0
     var done = false
     while (rounds < maxIters && !done) {
-      val contrib = e
-        .join(outdeg, "src")
+      val contrib = eo
         .join(ranks.select(col("node").as("src"), col("rank").as("r_prev")), "src")
         .select(col("dst"),
           round(lit(damping) * col("r_prev") / col("outdeg"), 15)
