@@ -1463,8 +1463,9 @@ object SparkEntry {
       Similarity.pqEncode(emb(s, d), PqSubs, PqK)
         .orderBy(col("vec_id"))),
 
-    // PQ-ADC approximate top-k: corpus scanned as 8-byte codes, query
-    // distance tables broadcast as literals — the RAM-resident ANN probe.
+    // PQ-ADC approximate top-k: corpus scanned as 8-byte codes, the
+    // query-side distance-table frame broadcast-joined (constant plan
+    // size in the query count) — the RAM-resident ANN probe.
     "knn_pq" -> ((s, d) =>
       Similarity.pqTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5,
           PqSubs, PqK)

@@ -338,17 +338,25 @@ object Similarity {
 
   /** PQ asymmetric-distance (ADC) top-k: the full product-quantization
     * search path. The corpus is encoded to `subs` codes (native
-    * [[graft.functions.PqCodes]], map-only); each query precomputes a
-    * `subs × k` distance TABLE against the codebook driver-side (k·dim
-    * work, query count is small by contract — the same broadcast-small
-    * pattern as the IVF centroids); a corpus vector's approximate
-    * distance is then `subs` literal-array lookups summed — no embedding
-    * is ever re-read, which is the point: at 100 TB the scan touches
-    * 8-byte codes, not 256-byte vectors. Per-query top-k via the
-    * bounded-heap `topk_by_score` aggregate (score = −distance), k rows
-    * per task into the shuffle.
+    * [[graft.functions.PqCodes]], map-only); each query's `subs × k`
+    * distance TABLE against the codebook is computed ON the query frame —
+    * a map-only projection whose expression tree embeds only the CODEBOOK
+    * (O(k·dim) literals, the same bounded driver state the IVF centroids
+    * are), so the plan is constant-size no matter how many queries arrive
+    * (the former design inlined one table per query as literals — fine
+    * for a handful, a plan explosion at 10⁵). The table frame —
+    * `subs × k` doubles per query, smaller than the raw query vectors —
+    * broadcast-joins the code scan; a corpus vector's approximate
+    * distance is then `subs` array lookups summed — no embedding is ever
+    * re-read, which is the point: at 100 TB the scan touches 8-byte
+    * codes, not 256-byte vectors. Per-query top-k via the bounded-heap
+    * `topk_by_score` aggregate (score = −distance), k rows per task into
+    * the shuffle. For query sets too large to broadcast, pre-bucket both
+    * sides with the IVF coarse quantizer and shuffle-join on the cell —
+    * this operator is the per-cell kernel either way.
     *
-    * ADC sums are left-associated and rounded to 6dp before ranking so
+    * ADC sums are left-associated (both the per-entry squared-difference
+    * chains and the `subs` lookups) and rounded to 6dp before ranking so
     * the SQL oracle ranks identical values.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
@@ -361,36 +369,29 @@ object Similarity {
       graft.functions.PqCodes(
         org.apache.spark.sql.GraftColumnBridge.expression(col("e")),
         cents, subs))
-    val qRows = queries
-      .select(col(idCol).cast("long"), asDouble(col(embCol))).collect()
-    require(qRows.nonEmpty, "no query vectors")
-    val perQuery = qRows.map { r =>
-      val qid = r.getLong(0)
-      val qe = r.getSeq[Double](1).toArray
-      val dt = Array.tabulate(subs) { s =>
-        Array.tabulate(cents.length) { j =>
-          var acc = 0.0d
-          var i = 0
-          while (i < subDim) {
-            val d = qe(s * subDim + i) - cents(j)(s * subDim + i)
-            acc += d * d
-            i += 1
-          }
-          acc
-        }
-      }
-      val adc = (0 until subs).map { s =>
-        element_at(lit(dt(s)),
-          (element_at(col("codes"), s + 1) + 1).cast("int"))
-      }.reduceLeft(_ + _)
-      struct(lit(qid).as("query_id"), round(adc, 6).as("adc"))
-    }
+    // dts[s][j] = ||q_sub(s) − cent_j_sub(s)||², the ADC lookup table,
+    // as one nested array column over the query frame.
+    val dts = array((0 until subs).map { s =>
+      array(cents.indices.map { j =>
+        (0 until subDim).map { i =>
+          val p = s * subDim + i
+          val diff = element_at(col("qe"), p + 1) - lit(cents(j)(p))
+          diff * diff
+        }.reduceLeft(_ + _)
+      }: _*)
+    }: _*)
+    val qdt = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        asDouble(col(embCol)).as("qe"))
+      .select(col("query_id"), dts.as("dts"))
+    val adc = (0 until subs).map { s =>
+      element_at(element_at(col("dts"), s + 1),
+        (element_at(col("codes"), s + 1) + 1).cast("int"))
+    }.reduceLeft(_ + _)
     val scored = c.withColumn("codes", codes)
-      .select(col(idCol).as("nbr_id"),
-        explode(array(perQuery.toIndexedSeq: _*)).as("qa"))
-      .select(col("qa.query_id").as("query_id"), col("nbr_id"),
-        col("qa.adc").as("adc"))
-      .where(col("query_id") =!= col("nbr_id"))
+      .select(col(idCol).as("nbr_id"), col("codes"))
+      .join(broadcast(qdt), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"), round(adc, 6).as("adc"))
     GraftFunctions.register(scored.sparkSession)
     scored.groupBy(col("query_id"))
       .agg(expr(s"topk_by_score(-adc, nbr_id, $topK)").as("top"))

@@ -143,6 +143,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q22_idle_customers", "tfidf_top", "unigram_surprisal",
       "pagerank_step", "gap_fill", "rrf_fusion" /* bm25 leg's stats row */,
       "ann_recall" /* brute-force leg broadcasts the fixed query set */,
+      "knn_pq" /* broadcast of the bounded query-side ADC distance tables */,
       "ann_recall_probe" /* brute-force leg + the (queries × K centroids) cell-ranking cross, both bounded broadcasts */,
       "semantic_decontaminate" /* bench side small by contract, broadcast */,
       "q11_important_stock" /* 1-row threshold broadcast */,
@@ -250,6 +251,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       //    pushed filters make each role's scan partial where applicable
       "knn_bruteforce" -> Map("embeddings" -> 2),  // corpus role + query role (vec_id<8 pushed)
       "knn_ivf" -> Map("embeddings" -> 2),
+      "knn_pq" -> Map("embeddings" -> 2),          // code-scan role + ADC-table query role
       "semantic_dedup" -> Map("embeddings" -> 2),
       "semantic_decontaminate" -> Map("embeddings" -> 2), // corpus role + broadcast bench role
       "asof_join" -> Map("events" -> 2),           // quote stream + trade stream roles
