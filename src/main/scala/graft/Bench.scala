@@ -42,7 +42,13 @@ object Bench {
     // deschedules vCPUs for 30s+ windows, inflating whichever single
     // stage is running; min-of-2 keeps one stall from masquerading as a
     // query regression. Declared in the output ("agg":"min_of_2").
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset (local iteration only — the driver
+    // never sets it, so per-round benches always cover every query).
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         // noop sink, not count(): under an aggregate Catalyst removes the

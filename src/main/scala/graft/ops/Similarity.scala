@@ -340,11 +340,14 @@ object Similarity {
     * search path. The corpus is encoded to `subs` codes (native
     * [[graft.functions.PqCodes]], map-only); each query's `subs × k`
     * distance TABLE against the codebook is computed ON the query frame —
-    * a map-only projection whose expression tree embeds only the CODEBOOK
-    * (O(k·dim) literals, the same bounded driver state the IVF centroids
-    * are), so the plan is constant-size no matter how many queries arrive
-    * (the former design inlined one table per query as literals — fine
-    * for a handful, a plan explosion at 10⁵). The table frame —
+    * per-(query, codebook-entry) distance rows against the k-row codebook
+    * frame (bounded driver state, broadcast), assembled per query by one
+    * tiny entry-ordered aggregate — so the plan is constant-size AND
+    * small-expression no matter how many queries arrive (the former
+    * design inlined one table per query as literals — fine for a
+    * handful, a plan explosion at 10⁵; inlining the k×subs codebook
+    * chains as one projection is no better: ~10⁴ expression nodes cost
+    * seconds of analysis + codegen every run). The table frame —
     * `subs × k` doubles per query, smaller than the raw query vectors —
     * broadcast-joins the code scan; a corpus vector's approximate
     * distance is then `subs` array lookups summed — no embedding is ever
@@ -369,24 +372,36 @@ object Similarity {
       graft.functions.PqCodes(
         org.apache.spark.sql.GraftColumnBridge.expression(col("e")),
         cents, subs))
-    // dts[s][j] = ||q_sub(s) − cent_j_sub(s)||², the ADC lookup table,
-    // as one nested array column over the query frame.
-    val dts = array((0 until subs).map { s =>
-      array(cents.indices.map { j =>
-        (0 until subDim).map { i =>
-          val p = s * subDim + i
-          val diff = element_at(col("qe"), p + 1) - lit(cents(j)(p))
-          diff * diff
-        }.reduceLeft(_ + _)
-      }: _*)
+    // Per-(query, codebook-entry) distance rows against the k-row codebook
+    // FRAME (not k×subs inlined literal chains — a single giant projection
+    // costs seconds of analysis + codegen per run), then one tiny
+    // aggregate assembles each query's lookup table ordered by entry id.
+    // dtj[j+1][s+1] = ||q_sub(s) − cent_j_sub(s)||².
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbook = broadcast(
+      cents.zipWithIndex.map { case (ce, j) => (j, ce.toSeq) }
+        .toSeq.toDF("j", "ce"))
+    val entryDists = array((0 until subs).map { s =>
+      (0 until subDim).map { i =>
+        val p = s * subDim + i
+        val diff = element_at(col("qe"), p + 1) - element_at(col("ce"), p + 1)
+        diff * diff
+      }.reduceLeft(_ + _)
     }: _*)
     val qdt = queries
       .select(col(idCol).cast("long").as("query_id"),
         asDouble(col(embCol)).as("qe"))
-      .select(col("query_id"), dts.as("dts"))
+      .crossJoin(cbook)
+      .select(col("query_id"), col("j"), entryDists.as("ds"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("ds")))),
+        x => x.getField("ds")).as("dtj"))
     val adc = (0 until subs).map { s =>
-      element_at(element_at(col("dts"), s + 1),
-        (element_at(col("codes"), s + 1) + 1).cast("int"))
+      element_at(
+        element_at(col("dtj"),
+          (element_at(col("codes"), s + 1) + 1).cast("int")),
+        s + 1)
     }.reduceLeft(_ + _)
     val scored = c.withColumn("codes", codes)
       .select(col(idCol).as("nbr_id"), col("codes"))
