@@ -208,8 +208,22 @@ object Scale {
       pairs = ops.Similarity.semanticDedup(embs, cells, minCosine = 0.9).count()
     }
     val pqSec = time(noop(ops.Similarity.pqEncode(embs, subs = 8, k = 16)))
+    // The full PQ-ADC search (encode → code scan → table lookups → top-k):
+    // the compressed-domain twin of the brute-force leg above. Its recall
+    // against the exact top-10 prices the compression: data here is
+    // near-uniform (the hardest case for a 16-entry codebook), so this is
+    // a floor, not a showcase.
+    def q8 = embs.where(col("vec_id") < 8)
+    val pqSearchSec = time(noop(
+      ops.Similarity.pqTopK(embs, q8, topK = 10, subs = 8, k = 16)))
+    val exactTop = ops.Similarity.bruteForceTopK(embs, q8, k = 10)
+      .select(col("query_id"), col("nbr_id"))
+    val pqTop = ops.Similarity.pqTopK(embs, q8, topK = 10, subs = 8, k = 16)
+      .select(col("query_id").as("q"), col("nbr_id").as("nb"))
+    val pqHits = exactTop.join(pqTop,
+      col("query_id") === col("q") && col("nbr_id") === col("nb")).count()
     val plantedPairs = n / 50
-    println(f"""{"mode":"ann","n_vectors":$n,"dim":$dim,"knn8_sec":$knnSec%.1f,"semdedup_sec":$semSec%.1f,"semdedup_pairs":$pairs,"planted_neardups":$plantedPairs,"pq_encode_sec":$pqSec%.1f,"cells":$cells,"cpus":$cpus}""")
+    println(f"""{"mode":"ann","n_vectors":$n,"dim":$dim,"knn8_sec":$knnSec%.1f,"semdedup_sec":$semSec%.1f,"semdedup_pairs":$pairs,"planted_neardups":$plantedPairs,"pq_encode_sec":$pqSec%.1f,"pq_search_sec":$pqSearchSec%.1f,"pq_recall10":${pqHits / 80.0}%.3f,"cells":$cells,"cpus":$cpus}""")
     spark.stop()
   }
 
