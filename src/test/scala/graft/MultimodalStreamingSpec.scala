@@ -346,4 +346,45 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exactly one row per digest, and it is the FIRST-seen doc_id
     assert(got.toSeq == Seq(("d1", 1L), ("d2", 3L)))
   }
+
+  test("nearDupProbeStream: arrival slicing cannot change the flagged pair set") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = spark.sqlContext
+    val baseTexts = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "one two three four five six seven eight nine ten",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "completely different text about astronomy and distant stars")
+    val base = baseTexts.toDF("doc_id", "text")
+    // 10/13 are exact copies of base docs (every band matches — flagged
+    // deterministically), 11 a near copy, 12 unrelated
+    val incSeq = Seq(
+      10L -> baseTexts(0)._2,
+      11L -> "one two three four five six seven eight nine maybe",
+      12L -> "unrelated musings on cooking pasta with garlic sauces",
+      13L -> baseTexts(2)._2)
+    val (k, bands, n) = (6, 3, 3)
+    val store = graft.ops.Dedup.signatureStore(base, k, bands, n).localCheckpoint()
+    val batch = graft.ops.Dedup
+      .incrNearDup(store, incSeq.toDF("doc_id", "text"), k, bands, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.contains((10L, 0L)) && batch.contains((13L, 2L)),
+      s"exact copies must be flagged against their base docs: $batch")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = StreamOps.nearDupProbeStream(stream, store, k, bands, n)
+      .writeStream.format("memory").queryName("neardup_t")
+      .outputMode("append").start()
+    // two micro-batches, splitting the flagged docs across them — the
+    // store is static, so slicing must be invisible in the output
+    mem.addData(incSeq(0), incSeq(2))
+    q.processAllAvailable()
+    mem.addData(incSeq(1), incSeq(3))
+    q.processAllAvailable()
+    val streamed = spark.table("neardup_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(streamed == batch,
+      s"streaming probe diverged from batch incrNearDup: $streamed vs $batch")
+  }
 }
