@@ -73,11 +73,19 @@ object Graph {
     *    so it runs once, not once per round) — are materialized before
     *    round 1 and reused every round; per-round work is two keyed
     *    shuffles (src-join with the ranks, dst-aggregate), nothing else;
-    *  - each round's rank frame is `localCheckpoint`ed: the lineage cut
-    *    that keeps round r's plan O(1) deep instead of O(r) — without it
-    *    Catalyst re-derives EVERY previous round inside round r's plan
-    *    and per-iteration cost grows without bound (at cluster scale a
-    *    reliable-storage checkpoint plays this role);
+    *    N is collected ONCE into a driver literal (one long — the only
+    *    loop-invariant small enough to inline), so no round carries a
+    *    1-row broadcast join for it;
+    *  - each round's rank frame is `localCheckpoint`ed LAZILY: the
+    *    lineage cut that keeps round r's plan O(1) deep instead of O(r)
+    *    — without it Catalyst re-derives EVERY previous round inside
+    *    round r's plan and per-iteration cost grows without bound (at
+    *    cluster scale a reliable-storage checkpoint plays this role).
+    *    Lazy matters: the round's ONE action — the delta read — both
+    *    computes the new ranks and materializes their checkpoint, so a
+    *    round costs one Spark job, not two (the eager-checkpoint +
+    *    delta-read pair would double the per-round scheduling floor,
+    *    which DOMINATES when |nodes| is small relative to job overhead);
     *  - convergence is the L1 delta Σ|r_i − r_{i−1}| — one 1-row
     *    aggregate per round, the only driver-side data movement. The
     *    loop stops at `delta ≤ tol` or `maxIters`.
@@ -98,12 +106,13 @@ object Graph {
   def pagerankLoop(edges: DataFrame, damping: Double, maxIters: Int,
                    tol: Double): (DataFrame, Int, Seq[Double]) = {
     require(maxIters >= 1, "pagerank needs at least one iteration")
-    val e = edges.localCheckpoint()
+    // e is checkpointed LAZILY — the eager `nodes` materialization below
+    // is its first consumer and pays for it; `eo` (the second and last
+    // consumer) then reads the cached blocks, after which e is freed.
+    val e = edges.localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
-    val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
       .localCheckpoint()
     // The edges ⋈ out-degrees join is LOOP-INVARIANT — fold the degree
     // onto each edge once and free the raw edge frame; every round then
@@ -112,10 +121,14 @@ object Graph {
       .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint()
     graft.spark.CheckpointUtil.unpersistCheckpointed(e)
-    // r0 = the uniform start vector, materialized like every later round
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0d) / col("n")).as("rank"))
-      .localCheckpoint()
+    // N is loop-invariant and one long — collect it once; on an empty
+    // graph no row ever evaluates the 1/n expressions below.
+    val n = nodes.count().toDouble
+    // r0 = the uniform start vector; lazy — round 1's delta read
+    // materializes it alongside round 1's own frame.
+    var ranks = nodes
+      .select(col("node"), lit(1.0d / n).as("rank"))
+      .localCheckpoint(eager = false)
     val deltas = scala.collection.mutable.ArrayBuffer.empty[Double]
     var rounds = 0
     var done = false
@@ -126,12 +139,12 @@ object Graph {
           round(lit(damping) * col("r_prev") / col("outdeg"), 15)
             .cast(Dec).as("c"))
       val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("mass"))
-      val next = nodes.crossJoin(broadcast(nRow))
+      val next = nodes
         .join(inMass, col("node") === col("dst"), "left")
         .select(col("node"),
           round(coalesce(col("mass").cast("double"), lit(0.0d))
-            + lit(1.0d - damping) / col("n"), 9).as("rank"))
-        .localCheckpoint()
+            + lit((1.0d - damping) / n), 9).as("rank"))
+        .localCheckpoint(eager = false)
       // coalesce: sum over the empty delta join (edge frame with no rows
       // → empty node set) is NULL; an empty graph is converged at 0.
       val delta = next.join(ranks.select(col("node"), col("rank").as("prev")), "node")
