@@ -112,6 +112,7 @@ object SparkEntry {
   private val ZipfK = 256
   private val PrDamping = 0.85
   private val PrIters = 3
+  private val BfsHops = 3
   private val KmIters = 3
   private val BpeMerges = 6
   private val Nprobe = 2
@@ -1539,6 +1540,13 @@ object SparkEntry {
     "source_mix" -> ((s, d) =>
       TextStats.sourceMix(docs(s, d)).orderBy(col("source"))),
 
+    // Quarter-power temperature epoch plan: expected docs per source for
+    // a 1M-doc epoch under p_i ∝ n_i^0.25, plus the implied upsampling
+    // boost — the data-mixing step between curation and training.
+    "temperature_mix" -> ((s, d) =>
+      TextStats.temperatureMix(docs(s, d), epochDocs = 1000000L)
+        .orderBy(col("source"))),
+
     "lang_id" -> ((s, d) =>
       TextStats.langId(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -1749,6 +1757,34 @@ object SparkEntry {
           concat(lit("s:"), col("l_suppkey")).as("dst"))
       Graph.pagerankConverged(edges, PrDamping, maxIters = PrIters, tol = 0.0)
         .orderBy(col("node"))
+    }),
+
+    // K-hop BFS reachability over the UNDIRECTED customer↔supplier graph
+    // (each order line links its customer and supplier both ways, via a
+    // single-scan explode — no union re-scan), restricted to bulk lines
+    // (l_quantity ≥ 48, a pushed-down scan filter that SPARSIFIES the
+    // otherwise near-complete bipartite graph into one with real
+    // multi-level structure) and seeded from a thin customer slice: the
+    // blast-radius query of the iterative-loop family. Hops cap at
+    // BfsHops; the loop stops earlier on an empty frontier, which the
+    // unrolled oracle reproduces level by level.
+    "bfs_reach" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val l = li(s, d).where(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("c"),
+          concat(lit("s:"), col("l_suppkey")).as("sup"))
+      val edges = pairs.select(explode(array(
+          struct(col("c").as("src"), col("sup").as("dst")),
+          struct(col("sup").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = Tables.customer(s, d)
+        .where(col("c_nationkey") === 0 && col("c_custkey") % 20 === 0)
+        .select(concat(lit("c:"), col("c_custkey")).as("node"))
+      Graph.bfsHops(edges, seeds, BfsHops)
+        .select(col("node"), col("hops").cast("long").as("hops"))
+        .orderBy(col("hops"), col("node"))
     }),
 
     // BPE merge-step count phase: adjacent character-pair frequencies over
@@ -3490,6 +3526,24 @@ object SparkEntry {
          |  round(CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE), 6) AS mix_weight
          |FROM w ORDER BY source""".stripMargin,
 
+    // sqrt(sqrt(n)) is the engine-portable quarter power (sqrt is IEEE
+    // correctly rounded, pow is not); floor(x+0.5) avoids half-even
+    // round disagreements on exact halves.
+    "temperature_mix" ->
+      """WITH g AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |    CAST(sqrt(sqrt(CAST(n_docs AS DOUBLE))) AS DECIMAL(18,15)) AS w
+        |  FROM g),
+        |x AS (SELECT source, n_docs,
+        |    CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE) AS p
+        |  FROM w),
+        |y AS (SELECT source, n_docs, p,
+        |    CAST(floor(1000000.0 * p + 0.5) AS BIGINT) AS expected_docs
+        |  FROM x)
+        |SELECT source, n_docs, round(p, 6) AS mix_weight, expected_docs,
+        |  round(CAST(expected_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS boost
+        |FROM y ORDER BY source""".stripMargin,
+
     "vocab_topk" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
          |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
@@ -3871,6 +3925,29 @@ object SparkEntry {
          |r0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nn),
          |$rounds
          |SELECT node, rank FROM r$PrIters ORDER BY node""".stripMargin
+    },
+
+    // BFS unrolled level by level: h_i is level i's frontier (new nodes
+    // only — the NOT IN prunes everything already visited), v_i the
+    // visited set after level i. An empty h_i makes every later level
+    // empty too, which matches the engine loop's early stop.
+    "bfs_reach" -> {
+      val levels = (1 to BfsHops).map { i =>
+        s"""h$i AS (SELECT DISTINCT e.dst AS node FROM e JOIN h${i - 1} f ON e.src = f.node
+           |  WHERE e.dst NOT IN (SELECT node FROM v${i - 1})),
+           |v$i AS (SELECT * FROM v${i - 1} UNION ALL SELECT node, $i AS hops FROM h$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE l_quantity >= 48),
+         |e AS (SELECT c AS src, s AS dst FROM p UNION SELECT s, c FROM p),
+         |h0 AS (SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR) AS node
+         |  FROM customer WHERE c_nationkey = 0 AND c_custkey % 20 = 0),
+         |v0 AS (SELECT node, 0 AS hops FROM h0),
+         |$levels
+         |SELECT node, CAST(hops AS BIGINT) AS hops FROM v$BfsHops
+         |ORDER BY hops, node""".stripMargin
     },
 
     // Levenshtein over candidate pairs; both engines implement the

@@ -162,6 +162,57 @@ object Graph {
     (ranks, rounds, deltas.toSeq)
   }
 
+  /** Minimum-hop BFS from a seed set over a directed edge list, capped at
+    * `maxHops` levels: returns `(node, hops)` with `hops = 0` for seeds
+    * and the SHORTEST directed distance otherwise — the reachability /
+    * blast-radius primitive (lineage tracing, contamination spread,
+    * k-hop neighborhoods) in the same driver-sequenced loop family as
+    * [[pagerankConverged]].
+    *
+    * Scale shape — frontier expansion, never an adjacency matrix or a
+    * transitive closure:
+    *  - the DISTINCT edge list is checkpointed once (multi-edges add
+    *    nothing to reachability, so they are collapsed before the loop —
+    *    a web-scale hot page's 10⁶ duplicate in-links would otherwise
+    *    multiply every frontier join);
+    *  - each level is one keyed join (edges ⋈ frontier on src — the
+    *    per-level cost is the edges INCIDENT to the frontier, not |E|),
+    *    one distinct, and one left-anti join against the visited set:
+    *    all hash-partitioned on the node key, nothing quadratic;
+    *  - the visited set (the loop state) is lazily `localCheckpoint`ed
+    *    per level and the previous level's blocks are freed once the
+    *    next materializes — the same O(1)-lineage / O(1)-storage
+    *    discipline as the PageRank loop. The ONE driver action per
+    *    level is the new-node count, which doubles as the
+    *    materialization trigger and the termination test (an empty
+    *    frontier ends the loop before `maxHops`).
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "bfs needs a non-negative hop cap")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var visited = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0).as("hops"))
+      .localCheckpoint(eager = false)
+    // the frontier is carved from the checkpointed visited frame (its
+    // newest level) rather than checkpointed separately — one cached
+    // frame of loop state per level, not two
+    var level = 0
+    var grew = visited.count() > 0
+    while (level < maxHops && grew) {
+      val frontier = visited.where(col("hops") === level).select(col("node"))
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(level + 1).as("hops"))
+      val grown = visited.unionAll(next).localCheckpoint(eager = false)
+      level += 1
+      grew = grown.where(col("hops") === level).limit(1).count() > 0
+      graft.spark.CheckpointUtil.unpersistCheckpointed(visited)
+      visited = grown
+    }
+    visited
+  }
+
   /** Co-occurrence edges from an (item, member) incidence list: members
     * sharing an item pair up (s1 < s2 orientation, so each undirected
     * edge is built once), and only pairs whose shared-item count clears

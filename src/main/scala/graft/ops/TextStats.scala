@@ -509,6 +509,43 @@ object TextStats {
           sum(col("w")).over(all).cast("double"), 6).as("mix_weight"))
   }
 
+  /** Epoch planning under temperature sampling: each source's share of a
+    * training epoch when source probabilities are flattened with a
+    * QUARTER-power temperature, p_i ∝ n_i^0.25 — the heavy-tail
+    * reweighting multilingual pretraining uses to keep low-resource
+    * sources from vanishing (α≈0.2–0.3 in the published recipes). Where
+    * [[sourceMix]] reports token-share weights at α=1/2, this op plans
+    * DOC counts for a concrete epoch budget: expected docs drawn per
+    * source and the implied per-source sampling boost (draws per held
+    * doc — >1 means upsampling).
+    *
+    * One |sources|-row aggregate off a single corpus scan; the totals are
+    * unpartitioned window sums over the reduced rows (O(sources), never
+    * O(corpus)). Determinism across engines: n^0.25 is computed as
+    * sqrt(sqrt(n)) — sqrt is IEEE-754 correctly rounded EVERYWHERE, while
+    * `pow` is not (Java's Math.pow is only 1-ulp accurate), so the
+    * composed form is the bit-replayable spelling of the quarter power —
+    * then quantized to DECIMAL(18,15) so the renormalization denominator
+    * is an exact order-free sum. Expected docs round via floor(x + 0.5)
+    * (half-even `round` differs between engines on exact halves).
+    */
+  def temperatureMix(docs: DataFrame, epochDocs: Long): DataFrame = {
+    val dec15 = org.apache.spark.sql.types.DecimalType(18, 15)
+    val all = Window.partitionBy()
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", sqrt(sqrt(col("n_docs").cast("double"))).cast(dec15))
+      .withColumn("p", col("w").cast("double") /
+        sum(col("w")).over(all).cast("double"))
+      .withColumn("expected_docs",
+        floor(lit(epochDocs.toDouble) * col("p") + lit(0.5)).cast("long"))
+      .select(col("source"), col("n_docs"),
+        round(col("p"), 6).as("mix_weight"),
+        col("expected_docs"),
+        round(col("expected_docs").cast("double") /
+          col("n_docs").cast("double"), 4).as("boost"))
+  }
+
   /** Tokenizer-vocabulary build: the `k` highest-count corpus tokens with
     * their ranks. One token-keyed hash-aggregate (map-side combined), then
     * `orderBy(...).limit(k)` — Spark's `TakeOrderedAndProject`, a bounded

@@ -153,6 +153,46 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
   }
 
+  test("bfsHops: shortest directed hops, cap, early stop, and isolation") {
+    val sp = spark; import sp.implicits._
+    // chain a→b→c→d plus a shortcut a→c, a cycle d→a, and an island x→y
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+      ("d", "a"), ("x", "y")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    def run(cap: Int): Map[String, Int] =
+      Graph.bfsHops(edges, seeds, cap)
+        .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    // full run: the shortcut wins over the chain (c at 1, not 2); the
+    // island never appears; the cycle does not re-enter the seed
+    assert(run(5) == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+    // cap truncates strictly below the graph's reach
+    assert(run(1) == Map("a" -> 0, "b" -> 1, "c" -> 1))
+    assert(run(0) == Map("a" -> 0))
+    // directedness: seeding a sink explores nothing
+    val back = Graph.bfsHops(edges, Seq("y").toDF("node"), 4)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(back == Map("y" -> 0))
+    // empty seed frame: empty result, no NPE
+    assert(Graph.bfsHops(edges, Seq.empty[String].toDF("node"), 3).count() == 0)
+  }
+
+  test("bfsHops: per-level storage is flat and the result is lineage-cut") {
+    val sp = spark; import sp.implicits._
+    // a 12-level path graph forces 12 loop rounds
+    val edges = (0 until 12).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val r = Graph.bfsHops(edges, Seq("n0").toDF("node"), 12)
+    assert(r.collect().map(x => (x.getString(0), x.getInt(1))).toMap ==
+      (0 to 12).map(i => (s"n$i", i)).toMap)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // live blocks after the loop: the edge checkpoint + the final
+    // visited frame only — each level frees its predecessor
+    assert(after - before <= 3,
+      s"checkpoint leak — persistent RDDs grew $before -> $after over 12 levels")
+    assert(r.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+  }
+
   /** Brute-force 2-D skyline per the dominance definition. */
   private def bruteSkyline(pts: Seq[(Double, Int)]): Set[(Double, Int)] = {
     val d = pts.distinct

@@ -268,4 +268,29 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"the base store must never be shuffled for the probe:\n$plan")
   }
+
+  test("temperatureMix: quarter-power weights, epoch counts, and boost") {
+    val sp = spark; import sp.implicits._
+    // 16 and 81 docs: n^0.25 = 2 and 3 exactly → weights 2/5 and 3/5
+    val docs = ((1 to 16).map(i => (i.toLong, "x", "small")) ++
+      (1 to 81).map(i => (100L + i, "x", "big")))
+      .toDF("doc_id", "text", "source")
+    val r = ops.TextStats.temperatureMix(docs, epochDocs = 100L)
+      .collect().map(x => (x.getString(0),
+        (x.getLong(1), x.getDouble(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r("small") == ((16L, 0.4, 40L, 2.5)),
+      s"small source must get weight 2/5 and 2.5x boost: $r")
+    assert(r("big") == ((81L, 0.6, 60L, 0.7407)), s"big: $r")
+    // weights renormalize to 1 and expected docs sum to the epoch budget
+    assert(r.values.map(_._2).sum == 1.0 && r.values.map(_._3).sum == 100L)
+  }
+
+  test("temperatureMix plan: one corpus scan, reduced-row windows only") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a", "s")).toDF("doc_id", "text", "source")
+    val plan = ops.TextStats.temperatureMix(docs, 10L)
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan ExistingRDD".r.findAllIn(plan).size <= 1,
+      s"corpus must be scanned once:\n$plan")
+  }
 }
