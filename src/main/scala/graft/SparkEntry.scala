@@ -1472,6 +1472,19 @@ object SparkEntry {
           PqSubs, PqK)
         .orderBy(col("query_id"), col("rank"))),
 
+    // Scalar (uint8) quantization: per-dim affine codes against the
+    // corpus's [min, max] — one broadcast 1-row bounds aggregate, then a
+    // map-only encode; the 4x-compression rung below PQ.
+    "sq_encode" -> ((s, d) =>
+      Similarity.sqEncode(emb(s, d), EmbDim).orderBy(col("vec_id"))),
+
+    // SQ asymmetric search: exact query vs uint8 reconstruction — the
+    // scan reads 1-byte codes, the bounds ride as a broadcast row.
+    "knn_sq" -> ((s, d) =>
+      Similarity.sqTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5,
+          EmbDim)
+        .orderBy(col("query_id"), col("rank"))),
+
     // One distributed Lloyd iteration: map-only nearest-centroid assign,
     // then the centroid update as a single map-side-combined hash-aggregate
     // (decimal component sums — order-independent, oracle-replayable).
@@ -3404,6 +3417,13 @@ object SparkEntry {
 
     "pq_encode" -> pqEncodeSql,
 
+    "sq_encode" ->
+      s"""WITH $sqCte
+         |SELECT vec_id, array_to_string(codes, ',') AS codes
+         |FROM codes ORDER BY vec_id""".stripMargin,
+
+    "knn_sq" -> knnSqSql,
+
     // 6dp-rounded cosines on both sides; best-match tie toward larger
     // bench_id = the struct-max ordering, mirrored by DESC row_number.
     "semantic_decontaminate" ->
@@ -4497,6 +4517,40 @@ object SparkEntry {
        |pick AS (SELECT vec_id, s, j FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM dists)
        |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** Shared SQ CTEs: per-dim [min, max] bounds pivoted to ordered lists
+    * (so subscripting matches Spark's element_at positions) and the
+    * uint8 code lists via the same fixed-order floor((v−mn)·255/(mx−mn)
+    * + 0.5) arithmetic the engine uses.
+    */
+  private lazy val sqCte: String =
+    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |px AS (SELECT i AS dim, e[i] AS v FROM c, range(1, ${EmbDim + 1}) t(i)),
+       |mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM px GROUP BY dim),
+       |mma AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM mm),
+       |codes AS (SELECT vec_id,
+       |    list(CASE WHEN mxs[i] = mns[i] THEN 0
+       |      ELSE CAST(floor((e[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5) AS INT) END
+       |      ORDER BY i) AS codes
+       |  FROM c, mma, range(1, ${EmbDim + 1}) t(i) GROUP BY vec_id)""".stripMargin
+
+  /** SQ-ADC search oracle: the reconstruction and the dim-term distance
+    * chain are spelled with the exact operation order of
+    * [[graft.ops.Similarity.sqTopK]]'s expression tree.
+    */
+  private def knnSqSql: String = {
+    val distTerms = (1 to EmbDim).map { i =>
+      s"(q.e[$i] - (m.mns[$i] + CAST(x.codes[$i] AS DOUBLE) * (m.mxs[$i] - m.mns[$i]) / 255.0))" +
+        s" * (q.e[$i] - (m.mns[$i] + CAST(x.codes[$i] AS DOUBLE) * (m.mxs[$i] - m.mns[$i]) / 255.0))"
+    }.mkString(" + ")
+    s"""WITH $sqCte,
+       |scored AS (SELECT q.vec_id AS query_id, x.vec_id AS nbr_id,
+       |    round($distTerms, 6) AS sq_dist
+       |  FROM codes x, mma m, c q WHERE q.vec_id < 8 AND q.vec_id <> x.vec_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, sq_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq_dist ASC, nbr_id ASC) AS rn FROM scored)
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   private def pqEncodeSql: String = {

@@ -441,6 +441,90 @@ object Similarity {
     c.select(col(idCol) +: codeCols: _*)
   }
 
+  /** Scalar (uint8) quantization encode: each dimension affinely mapped
+    * to 0..255 against the corpus's per-dimension [min, max] — the 4×
+    * compression rung between raw floats and product quantization (PQ
+    * keeps 8 codes per vector, SQ keeps one PER DIMENSION with far lower
+    * reconstruction error; FAISS ships both for exactly this trade).
+    * Output: `(idCol, codes)` with the codes CSV-joined (the driver's
+    * comparator cannot hash array cells).
+    *
+    * Scale shape: the per-dim bounds are ONE aggregate with 2·dim
+    * min/max slots — map-side combined, a 1-row result, no explode and
+    * no per-dim shuffle — broadcast back over the corpus; encoding is a
+    * pure map-only projection. Determinism: min/max of floats cast to
+    * double are exact and order-free, and the code is
+    * `floor((v−mn)·255/(mx−mn) + 0.5)` — fixed-order double arithmetic
+    * plus floor, identical in any engine (half-even `round` is not).
+    * Constant dimensions code to 0.
+    */
+  def sqEncode(corpus: DataFrame, dim: Int,
+               idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame =
+    sqPrep(corpus, dim, idCol, embCol)
+      .select(col(idCol),
+        array_join(col("codes").cast("array<string>"), ",").as("codes"))
+
+  /** SQ asymmetric-distance top-k: squared L2 of the EXACT query vector
+    * against each corpus vector's reconstruction
+    * `mn_d + code_d·(mx_d−mn_d)/255` — the search path that scans 1-byte
+    * codes instead of 4-byte floats (the reconstruction constants are a
+    * 2·dim broadcast row, so at 100 TB the scan moves a quarter of the
+    * bytes and no embedding is ever re-read). Queries broadcast into the
+    * code scan; per-query top-k via the bounded-heap `topk_by_score`
+    * aggregate (k rows per task into the one shuffle). The distance is a
+    * left-associated dim-term chain rounded to 6dp before ranking, so
+    * the SQL oracle ranks identical values; ties break to the smaller
+    * neighbor id. For query sets too large to broadcast, pre-bucket both
+    * sides with the IVF coarse quantizer — this is the per-cell kernel.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, topK: Int, dim: Int,
+             idCol: String = "vec_id",
+             embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      asDouble(col(embCol)).as("qe"))
+    val recon = (i: Int) =>
+      element_at(col("mns"), i) +
+        element_at(col("codes"), i).cast("double") *
+          (element_at(col("mxs"), i) - element_at(col("mns"), i)) / lit(255.0)
+    val dist = (1 to dim).map { i =>
+      val diff = element_at(col("qe"), i) - recon(i)
+      diff * diff
+    }.reduceLeft(_ + _)
+    val scored = sqPrep(corpus, dim, idCol, embCol)
+      .select(col(idCol).cast("long").as("nbr_id"),
+        col("codes"), col("mns"), col("mxs"))
+      .join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"), round(dist, 6).as("sq_dist"))
+    GraftFunctions.register(scored.sparkSession)
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(-sq_dist, nbr_id, $topK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nbr_id").as("nbr_id"), (-col("col.cos_sim")).as("sq_dist"))
+  }
+
+  /** Shared SQ preparation: corpus with per-dim bound arrays riding as a
+    * broadcast 1-row crossJoin and the uint8 code array computed
+    * map-only.
+    */
+  private def sqPrep(corpus: DataFrame, dim: Int,
+                     idCol: String, embCol: String): DataFrame = {
+    val c = corpus.select(col(idCol), asDouble(col(embCol)).as("e"))
+    val mm = c.agg(
+      array((1 to dim).map(i => min(element_at(col("e"), i))): _*).as("mns"),
+      array((1 to dim).map(i => max(element_at(col("e"), i))): _*).as("mxs"))
+    val code = (i: Int) => {
+      val v = element_at(col("e"), i)
+      val mn = element_at(col("mns"), i)
+      val mx = element_at(col("mxs"), i)
+      when(mx === mn, lit(0)).otherwise(
+        floor((v - mn) * lit(255.0) / (mx - mn) + lit(0.5)).cast("int"))
+    }
+    c.crossJoin(broadcast(mm))
+      .withColumn("codes", array((1 to dim).map(code): _*))
+  }
+
   /** Shared PQ preparation: normalized corpus + deterministic hash-ranked
     * codebook (the same bounded selection the IVF coarse quantizer uses).
     */

@@ -144,6 +144,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pagerank_step", "gap_fill", "rrf_fusion" /* bm25 leg's stats row */,
       "ann_recall" /* brute-force leg broadcasts the fixed query set */,
       "knn_pq" /* broadcast of the bounded query-side ADC distance tables */,
+      "sq_encode" /* 1-row per-dim bounds broadcast cross */,
+      "knn_sq" /* 1-row bounds cross + fixed query-set broadcast */,
       "ann_recall_probe" /* brute-force leg + the (queries × K centroids) cell-ranking cross, both bounded broadcasts */,
       "semantic_decontaminate" /* bench side small by contract, broadcast */,
       "q11_important_stock" /* 1-row threshold broadcast */,
@@ -270,6 +272,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       //    columnar re-read would cost more than the read
       "value_zscore" -> Map("events" -> 2),
       "emb_outliers" -> Map("embeddings" -> 2),
+      "sq_encode" -> Map("embeddings" -> 2),     // per-dim bounds pass + map-only encode pass
+      "knn_sq" -> Map("embeddings" -> 3),        // bounds pass + code-scan role + query role (vec_id<8 pushed)
       "quality_filter" -> Map("documents" -> 2),   // per-language quantile cut needs the full distribution first
       "gap_fill" -> Map("events" -> 3),            // per-key bounds, dense spine, observed join
       "source_entropy" -> Map("documents" -> 2),

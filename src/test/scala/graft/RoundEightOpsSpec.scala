@@ -269,6 +269,38 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the base store must never be shuffled for the probe:\n$plan")
   }
 
+  test("sqEncode: affine uint8 codes against per-dim corpus bounds") {
+    val sp = spark; import sp.implicits._
+    // dim bounds: [0,10] and [10,30]; third dim constant → code 0
+    val corpus = Seq(
+      (1L, Array(0f, 10f, 7f)),
+      (2L, Array(5f, 20f, 7f)),
+      (3L, Array(10f, 30f, 7f))).toDF("vec_id", "embedding")
+    val r = ops.Similarity.sqEncode(corpus, 3)
+      .collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    // 5 of [0,10] → floor(127.5 + 0.5) = 128 (the +0.5 tips the half)
+    assert(r == Map(1L -> "0,0,0", 2L -> "128,128,0", 3L -> "255,255,0"),
+      s"codes: $r")
+  }
+
+  test("sqTopK: ranks by reconstruction distance with smaller-id ties") {
+    val sp = spark; import sp.implicits._
+    // 1-D line: reconstructions are exact (codes 0/128/255 → 0/~5.02/10),
+    // so distances order as the raw values do from the query at 0
+    val corpus = Seq(
+      (0L, Array(0f)), (1L, Array(5f)), (2L, Array(10f)), (3L, Array(5f)))
+      .toDF("vec_id", "embedding")
+    val got = ops.Similarity.sqTopK(corpus,
+        corpus.where($"vec_id" === 0), topK = 3, dim = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // vec 1 and 3 share the code (128) hence the distance — tie to id 1
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L), s"order: ${got.toSeq}")
+    assert(got(0)._3 == got(1)._3, s"equal codes must tie: ${got.toSeq}")
+    val expected = math.pow(128.0 * 10.0 / 255.0, 2)
+    assert(math.abs(got(0)._3 - expected) < 1e-6,
+      s"distance must be vs the RECONSTRUCTION (${got(0)._3} vs $expected)")
+  }
+
   test("temperatureMix: quarter-power weights, epoch counts, and boost") {
     val sp = spark; import sp.implicits._
     // 16 and 81 docs: n^0.25 = 2 and 3 exactly → weights 2/5 and 3/5
