@@ -50,6 +50,8 @@ object Scale {
     if (args.headOption.contains("hh")) return hhMain(args.drop(1))
     if (args.headOption.contains("kllskew")) return kllSkewMain(args.drop(1))
     if (args.headOption.contains("kll")) return kllMain(args.drop(1))
+    if (args.headOption.contains("sparse")) return sparseMain(args.drop(1))
+    if (args.headOption.contains("shard")) return shardMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -1116,6 +1118,82 @@ object Scale {
     val sec = (System.nanoTime() - t0) / 1e9
     val (nDocs, flagged) = (agg.getLong(0), agg.getLong(1))
     println(f"""{"mode":"spans","n_docs":$n,"docs_with_grams":$nDocs,"docs_flagged":$flagged,"planted_docs":${n / 20},"seconds":$sec%.1f,"docs_per_sec":${n / sec}%.0f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** `sparse` mode: [[graft.ops.TextStats.sparseKnn]] at corpus volume.
+    * Synthetic docs of 24 tokens drawn from a power-law vocabulary
+    * (token id = floor(V·u³) over a hash-uniform u, so the head is
+    * stopword-dense and the tail is sparse, like real text). Times the
+    * WHOLE op — postings build + idf + norms + broadcast search — and
+    * reports the result count so the run can't be dead-code-eliminated.
+    * The interesting scale fact: search cost tracks the POSTINGS OF THE
+    * QUERIED TERMS, not the corpus, because the broadcast query-term
+    * join prunes everything else before the (query, doc) aggregate.
+    */
+  private def sparseMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val vocab = if (args.length > 1) args(1).toLong else 200000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    val nTok = 24
+    val toks = (0 until nTok).map { j =>
+      val u = pmod(xxhash64(col("id"), lit(j)), lit(1L << 20))
+        .cast("double") / (1L << 20).toDouble
+      concat(lit("t"), floor(u * u * u * vocab).cast("long").cast("string"))
+    }
+    def docs = spark.range(n).repartition(cpus.toInt * 2)
+      .select(col("id").as("doc_id"), concat_ws(" ", toks: _*).as("text"))
+    // query the dense head, the mid-range, and the sparse tail
+    val queries = Seq(
+      (0L, "t0 t1 t2"),
+      (1L, s"t${vocab / 64} t${vocab / 32} t${vocab / 16}"),
+      (2L, s"t${vocab - 1} t${vocab - 2} t${vocab / 2}"))
+    val t0 = System.nanoTime()
+    val res = ops.TextStats.sparseKnn(docs, queries, k = 10).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(res.nonEmpty && res.forall(_.getDouble(3) > 0), "empty/zero results")
+    println(f"""{"mode":"sparse","n_docs":$n,"vocab":$vocab,"tokens_per_doc":$nTok,"result_rows":${res.length},"seconds":$sec%.1f,"docs_per_sec":${n / sec}%.0f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** `shard` mode: [[graft.ops.TextStats.shuffleShard]] at epoch-export
+    * volume. Verifies the two claims that matter at 100 TB: mod-hash
+    * shards are UNIFORM (max/min shard size ratio ≈ 1 — so no straggler
+    * shard, unlike range sharding under key skew), and the within-shard
+    * ranking costs per-shard independent sorts only (wall time scales
+    * with n/shards per task, never a global sort).
+    */
+  private def shardMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000000L
+    val shards = if (args.length > 1) args(1).toInt else 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    def rows = spark.range(n).repartition(cpus.toInt * 2)
+      .select(col("id").cast("string").as("doc_id"))
+    val t0 = System.nanoTime()
+    val sizes = ops.TextStats.shuffleShard(rows, "doc_id", "epoch1", shards)
+      .groupBy(col("shard")).agg(count(lit(1)).as("sz"), max(col("pos")).as("mx"))
+      .collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(sizes.length == shards && sizes.forall(r => r.getLong(1) == r.getLong(2)),
+      "every shard present, positions contiguous to the shard size")
+    val (mn, mx) = (sizes.map(_.getLong(1)).min, sizes.map(_.getLong(1)).max)
+    println(f"""{"mode":"shard","n_rows":$n,"shards":$shards,"min_shard":$mn,"max_shard":$mx,"balance":${mx.toDouble / mn}%.4f,"seconds":$sec%.1f,"rows_per_sec":${n / sec}%.0f,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -102,6 +102,12 @@ object SparkEntry {
   private val BmK = 20
   private val BmK1 = 1.2
   private val BmB = 0.75
+  private val SparseQueries = Seq(
+    (0L, "sort merge join"),
+    (1L, "spark stream window"),
+    (2L, "hash join filter scan"))
+  private val SparseK = 10
+  private val ShardN = 8
   private val WsK = 50
   private val WsM = 1L << 20
   private val DupSpanN = 8
@@ -1661,6 +1667,20 @@ object SparkEntry {
     "inverted_index" -> ((s, d) =>
       TextStats.invertedIndex(docs(s, d), minDf = 5, maxPostings = 20)
         .orderBy(col("term"))),
+
+    // Sparse (tf-idf cosine) retrieval through a REAL inverted index:
+    // term-partitioned postings, broadcast query terms, exact-decimal dot
+    // products, bounded-heap per-query top-k. The term-at-a-time dual of
+    // the dense knn_* family.
+    "sparse_knn" -> ((s, d) =>
+      TextStats.sparseKnn(docs(s, d), SparseQueries, SparseK)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // Deterministic epoch shuffle + fixed-count shard assignment: the
+    // training-export step, reproducible across engines and re-runs.
+    "shuffle_shard" -> ((s, d) =>
+      TextStats.shuffleShard(docs(s, d), "doc_id", "shuf1", ShardN)
+        .orderBy(col("shard"), col("pos"))),
 
     // Reproducible 10% corpus sample keyed on doc_id (same subset in any
     // engine / any re-run — the train/holdout split primitive).
@@ -3755,6 +3775,53 @@ object SparkEntry {
          |  list_sort(list(doc_id)) AS ids FROM t GROUP BY term)
          |SELECT term, df, array_to_string(ids[1:20], ',') AS postings
          |FROM g WHERE df >= 5 ORDER BY term""".stripMargin,
+
+    // Weights fixed as DECIMAL(18,6) after a 6dp round, so every sum is
+    // exact-decimal (order-independent) in both engines; sqrt / one
+    // multiply / one divide are single IEEE ops on identical inputs.
+    "sparse_knn" -> {
+      val qvals = SparseQueries
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+         |  GROUP BY doc_id, term),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM p),
+         |idf AS (SELECT term, round(ln((SELECT n FROM nd) / count(*)), 6) AS idf
+         |  FROM p GROUP BY term),
+         |wp AS (SELECT p.doc_id, p.term,
+         |    CAST(round(p.tf * idf.idf, 6) AS DECIMAL(18,6)) AS w
+         |  FROM p JOIN idf USING (term)),
+         |dn AS (SELECT doc_id, round(sqrt(CAST(sum(w * w) AS DOUBLE)), 6)
+         |    AS dnorm FROM wp GROUP BY doc_id),
+         |q(query_id, qtext) AS (VALUES $qvals),
+         |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+         |    unnest(list_filter(string_split_regex(lower(qtext),
+         |      '[^a-z0-9]+'), t -> t <> '')) AS term FROM q),
+         |qw AS (SELECT query_id, term, CAST(idf AS DECIMAL(18,6)) AS wq
+         |  FROM qt JOIN idf USING (term)),
+         |qn AS (SELECT query_id, round(sqrt(CAST(sum(wq * wq) AS DOUBLE)), 6)
+         |    AS qnorm FROM qw GROUP BY query_id),
+         |m AS (SELECT qw.query_id, wp.doc_id,
+         |    CAST(sum(wp.w * qw.wq) AS DOUBLE) AS dot
+         |  FROM wp JOIN qw USING (term) GROUP BY 1, 2),
+         |sc AS (SELECT m.query_id, m.doc_id,
+         |    round(m.dot / (dn.dnorm * qn.qnorm), 6) AS score
+         |  FROM m JOIN dn USING (doc_id) JOIN qn USING (query_id)),
+         |r AS (SELECT query_id, doc_id, score, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT)
+         |    AS rank FROM sc)
+         |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= $SparseK
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "shuffle_shard" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    ${h60Sql("'shuf1:' || doc_id")} AS hv FROM documents)
+         |SELECT doc_id, CAST(hv % $ShardN AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY hv % $ShardN
+         |    ORDER BY hv, doc_id) AS BIGINT) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin,
 
     "chunk_dedup" -> {
       val stride = ChunkTokens - ChunkOverlap

@@ -1017,4 +1017,115 @@ object TextStats {
         round(sum(col("n_sub")).cast("double") / count(lit(1)), 6)
           .as("fertility"))
   }
+
+  /** SPARSE k-NN retrieval over tf-idf document vectors — the inverted-
+    * index (term-at-a-time) search shape, complementing the dense-vector
+    * family in [[graft.ops.Similarity]]: [[bm25]] scores a FIXED term set
+    * map-only; this op builds a real term-partitioned index and answers a
+    * batch of free-text queries by cosine similarity.
+    *
+    * Scale shape, stage by stage:
+    *   - postings `(doc_id, term, tf)`: explode + hash aggregate — the
+    *     map-side combine collapses within-doc repeats before the one
+    *     term/doc-keyed shuffle; the corpus parquet is scanned ONCE
+    *     (postings are `localCheckpoint`ed and every later stage derives
+    *     from them, including N = distinct doc count — no second scan).
+    *   - idf and document norms are term- and doc-keyed aggregates over
+    *     the postings, never over the corpus.
+    *   - search: the query-term frame (|queries|·|terms| rows) is
+    *     BROADCAST against the postings, so only postings of terms that
+    *     some query mentions flow into the (query, doc)-keyed partial
+    *     aggregate; per-query top-k uses the bounded-heap `topk_by_score`
+    *     aggregate — k rows per task per query cross the final exchange,
+    *     never a corpus-sized window.
+    *
+    * Cross-engine determinism: idf and per-term weights are rounded to
+    * 6 dp then fixed as DECIMAL(18,6), so dot products and squared norms
+    * are EXACT decimal sums (order-independent — safe under any partial-
+    * aggregation schedule); the only floating steps are one sqrt, one
+    * multiply, one divide on identical inputs, then a final 6 dp round.
+    * Ties at the k boundary break on smaller doc_id in both engines.
+    */
+  def sparseKnn(docs: DataFrame, queries: Seq[(Long, String)],
+                k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import docs.sparkSession.implicits._
+    val postings = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // N for idf = docs that produced at least one token (documented
+    // semantics: untokenizable docs are outside the vector space).
+    val nDocs = postings.agg(
+      countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    // idf (vocab-sized) and the weighted postings (corpus-sized) each
+    // feed 2+ consumers; checkpoint both so each term/doc shuffle runs
+    // ONCE — Catalyst would otherwise re-derive the whole subtree per
+    // consumer (the round-7 exactFromSketches lesson).
+    val idf = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        round(log(col("n_docs") / col("df")), 6).as("idf"))
+      .localCheckpoint()
+    val wp = postings.join(idf, "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * col("idf"), 6)
+          .cast("decimal(18,6)").as("w"))
+      .localCheckpoint()
+    val dnorm = wp.groupBy(col("doc_id"))
+      .agg(round(sqrt(sum(col("w") * col("w")).cast("double")), 6)
+        .as("dnorm"))
+    val scored = wp.join(dnorm, "doc_id")
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(array_distinct(tokens(col("qtext")))).as("term"))
+      .join(idf, "term")
+      .select(col("query_id"), col("term"),
+        col("idf").cast("decimal(18,6)").as("wq"))
+    val qnorm = qterms.groupBy(col("query_id"))
+      .agg(round(sqrt(sum(col("wq") * col("wq")).cast("double")), 6)
+        .as("qnorm"))
+    val qside = qterms.join(qnorm, "query_id")
+    scored.join(broadcast(qside), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w") * col("wq")).cast("double").as("dot"),
+        max(col("dnorm")).as("dnorm"), max(col("qnorm")).as("qnorm"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("dot") / (col("dnorm") * col("qnorm")), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(score, doc_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nbr_id").as("doc_id"),
+        col("col.cos_sim").as("score"))
+  }
+
+  /** Deterministic training-export shuffle: every row gets a seeded
+    * 60-bit hash, a shard (`h mod numShards`), and a within-shard
+    * position (rank by `(h, key)`) — the "global shuffle" step every
+    * epoch pipeline needs before writing fixed-count training shards,
+    * made a pure function of `(salt, key)` so re-runs, resumed jobs and
+    * other engines produce the IDENTICAL example order.
+    *
+    * Scale shape: the hash is a map-only projection; the mod-hash shard
+    * assignment is uniform by construction (no skew, unlike key-range
+    * sharding); ranking partitions by shard, so each shard orders
+    * independently — a per-partition external sort (spillable), NEVER a
+    * global sort, and `row_number` streams over it with O(1) state.
+    * Size `numShards` so one shard's rows fit a task's spill budget;
+    * a writer would follow with `partitionBy(shard)`.
+    */
+  def shuffleShard(df: DataFrame, keyCol: String, salt: String,
+                   numShards: Int): DataFrame = {
+    require(numShards > 0, s"shuffleShard: numShards must be > 0, got $numShards")
+    val h = h60(concat(lit(salt), lit(":"), col(keyCol)))
+    df.select(col(keyCol), h.as("hv"))
+      .withColumn("shard", (col("hv") % numShards).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("hv"), col(keyCol))).cast("long"))
+      .select(col(keyCol), col("shard"), col("pos"))
+  }
 }

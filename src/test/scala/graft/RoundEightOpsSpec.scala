@@ -325,4 +325,77 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("LocalTableScan|Scan ExistingRDD".r.findAllIn(plan).size <= 1,
       s"corpus must be scanned once:\n$plan")
   }
+
+  test("sparseKnn equals a plain-Scala tf-idf cosine reference") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq(
+      (1L, "sort merge sort quick"),
+      (2L, "merge join hash join join"),
+      (3L, "window stream stream"),
+      (4L, "sort stream window hash"),
+      (5L, "quick quick quick"))
+    val docsDf = corpus.toDF("doc_id", "text")
+    val queries = Seq((0L, "sort merge"), (1L, "stream hash quick"))
+    val got = ops.TextStats.sparseKnn(docsDf, queries, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+
+    // reference: same 6dp-round-then-exact-sum discipline
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq }.toMap
+    val n = toks.size.toDouble
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val idf = df.map { case (t, d) => t -> r6(math.log(n / d)) }
+    val w = toks.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, xs) =>
+        t -> BigDecimal(r6(xs.size * idf(t))) } }
+    val dnorm = w.map { case (id, m) =>
+      id -> r6(math.sqrt((m.values.map(x => x * x).sum).toDouble)) }
+    val expected = queries.flatMap { case (qid, qtext) =>
+      val qts = qtext.split(" ").distinct.filter(idf.contains).toSeq
+      val wq = qts.map(t => t -> BigDecimal(r6(idf(t)))).toMap
+      val qn = r6(math.sqrt(wq.values.map(x => x * x).sum.toDouble))
+      val scoresAll = toks.keys.toSeq.map { d =>
+        val dot = qts.map(t => w(d).getOrElse(t, BigDecimal(0)) * wq(t)).sum
+        d -> r6(dot.toDouble / (dnorm(d) * qn))
+      }.filter { case (d, _) => qts.exists(w(d).contains) }
+      scoresAll.sortBy { case (d, s) => (-s, d) }.take(3).zipWithIndex
+        .map { case ((d, s), i) => (qid, (i + 1).toLong, d, s) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected,
+      s"got ${got.toSeq}\nexpected $expected")
+  }
+
+  test("sparseKnn plan: bounded-heap top-k, no corpus-sized window") {
+    val sp = spark; import sp.implicits._
+    val docsDf = Seq((1L, "sort merge")).toDF("doc_id", "text")
+    val plan = ops.TextStats.sparseKnn(docsDf, Seq((0L, "sort")), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("topk_by_score"), s"must use the bounded heap:\n$plan")
+    assert(!plan.contains("Window"), s"no window top-k at scale:\n$plan")
+  }
+
+  test("shuffleShard: exact partition into contiguous ranks, stable order") {
+    val sp = spark; import sp.implicits._
+    val docsDf = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val rows = ops.TextStats.shuffleShard(docsDf, "doc_id", "s1", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sorted.toSeq == (1L to 200L), "every key exactly once")
+    rows.groupBy(_._2).foreach { case (shard, xs) =>
+      assert(xs.map(_._3).sorted.toSeq == (1L to xs.length.toLong),
+        s"shard $shard positions must be contiguous from 1")
+    }
+    // pure function of (salt, key): same assignment on a re-run,
+    // different salt reshuffles
+    val again = ops.TextStats.shuffleShard(docsDf, "doc_id", "s1", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq, "determinism across runs")
+    val other = ops.TextStats.shuffleShard(docsDf, "doc_id", "s2", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.toSeq != other.sorted.toSeq, "salt must reshuffle")
+  }
 }
