@@ -120,6 +120,12 @@ object SparkEntry {
   private val PrIters = 3
   private val BfsHops = 3
   private val KmIters = 3
+  private val PcaRounds = 3
+  private val DpEps = 0.5
+  private val DpSalt = "dp-r8"
+  private val DpMinGroup = 5
+  private val LrRounds = 3
+  private val LrRate = 1.0
   private val BpeMerges = 6
   private val Nprobe = 2
   private val ChunkTokens = 64
@@ -258,6 +264,34 @@ object SparkEntry {
     * (incoming doc, base doc) pairs sharing any LSH band bucket of the
     * base store, hot buckets excluded.
     */
+  /** Shared logistic-regression CTE chain: the feature frame `f`
+    * (y = is-English, x0 bias, x1 kilo-chars, x2 hecto-tokens, all
+    * 6-dp-quantized) plus `LrRounds` unrolled GD rounds; `wr$LrRounds`
+    * holds the final weights `(w_x0, w_x1, w_x2)` — the exact replay of
+    * [[graft.ops.Learn.trainWeights]].
+    */
+  private lazy val logregCtes: String = {
+    val rounds = (1 to LrRounds).map { r =>
+      s"""g$r AS (SELECT count(*) AS n,
+         |  CAST(sum(CAST(rr * x0 AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+         |  CAST(sum(CAST(rr * x1 AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+         |  CAST(sum(CAST(rr * x2 AS DECIMAL(28,12))) AS DOUBLE) AS g2
+         |  FROM (SELECT round(1.0/(1.0 + exp(-(x0*w_x0 + x1*w_x1 + x2*w_x2))), 6) - y AS rr,
+         |    x0, x1, x2 FROM f, wr${r - 1}) t),
+         |wr$r AS (SELECT round(w_x0 - $LrRate * (g0 / n), 6) AS w_x0,
+         |  round(w_x1 - $LrRate * (g1 / n), 6) AS w_x1,
+         |  round(w_x2 - $LrRate * (g2 / n), 6) AS w_x2 FROM wr${r - 1}, g$r)""".stripMargin
+    }.mkString(",\n")
+    s"""f AS (SELECT CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |  CAST(1.0 AS DOUBLE) AS x0,
+       |  round(CAST(n_chars AS DOUBLE) / 1000.0, 6) AS x1,
+       |  round(CAST(len($toksSql) AS DOUBLE) / 100.0, 6) AS x2
+       |  FROM documents),
+       |wr0 AS (SELECT CAST(0.0 AS DOUBLE) AS w_x0, CAST(0.0 AS DOUBLE) AS w_x1,
+       |  CAST(0.0 AS DOUBLE) AS w_x2),
+       |$rounds""".stripMargin
+  }
+
   private lazy val incrNearDupSql: String = {
     val r = MinhashK / MinhashBands
     val bandSelects = (0 until MinhashBands).map { b =>
@@ -1506,6 +1540,40 @@ object SparkEntry {
     "kmeans_train" -> ((s, d) =>
       Similarity.kmeansTrain(emb(s, d), IvfCentroids, KmIters)
         .orderBy(col("cell"), col("dim"))),
+
+    // Privacy-safe release of the per-(source, lang) composition report:
+    // seeded-Laplace DP counts (pure function of salt+group — replayable,
+    // no shared random state) with small-group k-suppression. The noise
+    // layer is map-only over the aggregated rows: zero distributed cost.
+    "dp_counts" -> ((s, d) =>
+      Privacy.suppressSmall(
+        Privacy.dpCounts(docs(s, d), Seq("source", "lang"), DpEps, DpSalt),
+        DpMinGroup)
+        .orderBy(col("source"), col("lang"))),
+
+    // Top principal component by distributed power iteration: per round
+    // ONE corpus scan (the centered projection score rides the same
+    // projection that feeds the posexplode) into a dim-group decimal
+    // aggregate; loop state is O(dim) driver-side literals, kmeans_train
+    // style — nothing cached, shuffle O(dims × tasks) per round.
+    "pca_power" -> ((s, d) =>
+      Similarity.pcaPower(emb(s, d), PcaRounds, EmbDim).orderBy(col("dim"))),
+
+    // Batch-GD logistic regression (is-English from length/token-count
+    // features): each round is ONE corpus scan into a 1-row aggregate
+    // (one decimal gradient sum per feature); loop state is the
+    // O(features) driver-side weight vector — the pca_power/kmeans_train
+    // discipline applied to model fitting.
+    "logreg_train" -> ((s, d) =>
+      Learn.logregTrain(docs(s, d), LrRounds, LrRate)
+        .orderBy(col("feature"))),
+
+    // Rank (Mann-Whitney) AUC of the trained classifier on its corpus —
+    // tie-aware, computed over per-score buckets (≤ 10⁶+1 at 6 dp) so no
+    // per-row global rank exists in the plan; the numerator is exact
+    // integer arithmetic until one final rounded division.
+    "auc_eval" -> ((s, d) =>
+      Learn.aucOfTrained(docs(s, d), LrRounds, LrRate)),
 
     // Recall@5 of the IVF index vs exact brute force — the ANN analog of
     // sketch_eval: measure the approximation before trusting the index.
@@ -3492,6 +3560,66 @@ object SparkEntry {
          |$roundCtes
          |SELECT cell, dim, n_members, mean_val
          |FROM m$KmIters ORDER BY cell, dim""".stripMargin
+    },
+
+    "dp_counts" ->
+      s"""WITH g AS (SELECT source, lang, count(*) AS n_true
+         |  FROM documents GROUP BY source, lang),
+         |u AS (SELECT source, lang, n_true,
+         |  CAST(${h60Sql(s"'$DpSalt:' || source || '|' || lang")} AS DOUBLE)
+         |    / 1152921504606846976.0 AS uu FROM g),
+         |l AS (SELECT source, lang, n_true,
+         |  ${-1.0 / DpEps} * sign(uu - 0.5)
+         |    * ln(greatest(1e-12, 1.0 - 2.0 * abs(uu - 0.5))) AS lap FROM u)
+         |SELECT source, lang, n_true,
+         |  greatest(0, n_true + CAST(round(lap, 0) AS BIGINT)) AS n_released
+         |FROM l WHERE n_true >= $DpMinGroup ORDER BY source, lang""".stripMargin,
+
+    "logreg_train" ->
+      s"""WITH $logregCtes
+         |SELECT * FROM (
+         |  SELECT 'x0' AS feature, w_x0 AS weight FROM wr$LrRounds
+         |  UNION ALL SELECT 'x1', w_x1 FROM wr$LrRounds
+         |  UNION ALL SELECT 'x2', w_x2 FROM wr$LrRounds) t ORDER BY feature""".stripMargin,
+
+    "auc_eval" ->
+      s"""WITH $logregCtes,
+         |sc AS (SELECT round(1.0/(1.0 + exp(-(x0*w_x0 + x1*w_x1 + x2*w_x2))), 6) AS score, y
+         |  FROM f, wr$LrRounds),
+         |b AS (SELECT score, count(*) AS nb, CAST(sum(y) AS BIGINT) AS pb FROM sc GROUP BY score),
+         |rk AS (SELECT nb, pb,
+         |  2 * COALESCE(sum(nb) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + nb + 1 AS avgrank2 FROM b),
+         |a AS (SELECT CAST(sum(nb) AS BIGINT) AS n, CAST(sum(pb) AS BIGINT) AS n_pos,
+         |  sum(pb * avgrank2) AS sum2 FROM rk)
+         |SELECT n, n_pos,
+         |  round(CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * (n - n_pos)), 6) AS auc
+         |FROM a""".stripMargin,
+
+    "pca_power" -> {
+      val roundCtes = (1 to PcaRounds).map { r =>
+        s"""s$r AS (SELECT vec_id, CAST(sum(CAST(cv * vv AS DECIMAL(28,12))) AS DOUBLE) AS sc
+           |  FROM cx JOIN v${r - 1} USING (dim) GROUP BY vec_id),
+           |u$r AS (SELECT dim, CAST(sum(CAST(sc * cv AS DECIMAL(28,12))) AS DOUBLE) AS u
+           |  FROM cx JOIN s$r USING (vec_id) GROUP BY dim),
+           |n$r AS (SELECT CAST(sum(CAST(u * u AS DECIMAL(28,12))) AS DOUBLE) AS norm2 FROM u$r),
+           |g$r AS (SELECT CASE WHEN (SELECT u FROM u$r ORDER BY abs(u) DESC, dim ASC LIMIT 1) < 0
+           |  THEN -1.0 ELSE 1.0 END AS sg),
+           |v$r AS (SELECT dim, round(sg * u / sqrt(norm2), 6) AS vv FROM u$r, n$r, g$r)""".stripMargin
+      }.mkString(",\n")
+      val v0 = BigDecimal(1.0 / math.sqrt(EmbDim.toDouble))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |px AS (SELECT vec_id, i AS dim, CAST(CAST(e[i] AS DECIMAL(18,6)) AS DOUBLE) AS vq
+         |  FROM c, range(1, ${EmbDim + 1}) t(i)),
+         |mu AS (SELECT dim, round(CAST(sum(CAST(vq AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+         |  FROM px GROUP BY dim),
+         |cnt AS (SELECT count(*) AS n FROM c),
+         |cx AS (SELECT vec_id, dim, vq - mu AS cv FROM px JOIN mu USING (dim)),
+         |v0 AS (SELECT i AS dim, CAST($v0 AS DOUBLE) AS vv FROM range(1, ${EmbDim + 1}) t(i)),
+         |$roundCtes
+         |SELECT v$PcaRounds.dim, vv AS loading, round(sqrt(norm2) / n, 6) AS eigval
+         |FROM v$PcaRounds, n$PcaRounds, cnt ORDER BY dim""".stripMargin
     },
 
     "ann_recall" ->

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.h60
+
+/** Privacy-preserving release of corpus statistics — the step between
+  * "we computed per-group counts" and "we may publish them" for a
+  * training-data pipeline (dataset cards, per-source composition reports,
+  * public data statements).
+  *
+  * Two standard treatments, composable:
+  *
+  *  - [[dpCounts]]: ε-differentially-private counts via the Laplace
+  *    mechanism (sensitivity 1 for a per-row group count). The noise is
+  *    drawn by inverse-CDF from a SEEDED uniform — `h60(salt ‖ group)` /
+  *    2^60 — so the release is a pure function of (salt, group): re-runs,
+  *    retries and other engines reproduce the identical release, and the
+  *    noise draw consumes no shared random state across executors (a
+  *    `rand()`-based draw would be neither replayable nor
+  *    partitioning-stable). One aggregate computes the true counts
+  *    (map-side combined, shuffle O(groups × tasks)); the noise is a
+  *    map-only expression over the aggregated rows, so the privacy layer
+  *    adds ZERO distributed cost at any corpus size.
+  *
+  *  - [[suppressSmall]]: k-anonymity-style suppression — groups with
+  *    fewer than `k` members are dropped from the release instead of
+  *    being published with noise so large the row is useless (or with a
+  *    count so small the row is identifying).
+  *
+  * Determinism/portability: the uniform is clamped away from {0, ½, 1}
+  * before the two `ln` branches, the noise is rounded to an INTEGER
+  * (release counts are integers), and negative releases clamp to 0 —
+  * every step replays bit-for-bit in the DuckDB oracle.
+  *
+  * Caveat (documented, not hidden): a hash-seeded draw is pseudo-random
+  * per GROUP, which is the standard determinism/testability trade for
+  * data-release pipelines; for a formal adversarial ε guarantee the salt
+  * must stay secret, exactly like the seed of any PRNG-based mechanism.
+  */
+object Privacy {
+
+  /** Seeded uniform in (0, 1): h60 of (salt ‖ key), scaled. */
+  private def seededUniform(salt: String, key: Column): Column =
+    h60(concat(lit(salt + ":"), key)).cast("double") / lit(math.pow(2.0, 60))
+
+  /** Laplace(0, b) noise by inverse CDF from the seeded uniform —
+    * -b·sgn(u−½)·ln(1−2|u−½|), with the log argument clamped to keep the
+    * tail finite when u lands on an endpoint.
+    */
+  private def laplace(u: Column, b: Double): Column = {
+    val t = greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    lit(-b) * signum(u - lit(0.5)) * log(t)
+  }
+
+  /** ε-DP per-group counts: `(groupCols…, n_true, n_released)` with
+    * `n_released = max(0, n_true + round(Laplace(1/ε)))`. `n_true` rides
+    * along for verification/audit; a production release would drop it.
+    */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], eps: Double,
+               salt: String): DataFrame = {
+    require(eps > 0, "epsilon must be positive")
+    val b = 1.0 / eps
+    val key = concat_ws("|", groupCols.map(col): _*)
+    val noisy = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+      .select((groupCols.map(col) :+
+        col("n_true") :+
+        (col("n_true") + round(laplace(seededUniform(salt, key), b), 0)
+          .cast("long")).as("shifted")): _*)
+    noisy.select((groupCols.map(col) :+
+      col("n_true") :+
+      greatest(lit(0L), col("shifted")).as("n_released")): _*)
+  }
+
+  /** k-anonymity-style suppression: keep only groups with ≥ k members.
+    * Runs on the aggregated frame — O(groups) rows — so it composes with
+    * [[dpCounts]] for free.
+    */
+  def suppressSmall(counts: DataFrame, k: Long,
+                    nCol: String = "n_true"): DataFrame =
+    counts.where(col(nCol) >= k)
+}

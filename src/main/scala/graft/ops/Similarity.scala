@@ -806,6 +806,101 @@ object Similarity {
         (col("max_absz") > zThreshold).as("outlier"))
   }
 
+  /** Top principal direction of the embedding corpus by distributed power
+    * iteration — the dimensionality-reduction / feature-QA primitive (drift
+    * detection, whitening, "is one axis eating all the variance?") an
+    * embedding pipeline runs before trusting its vectors.
+    *
+    * Each round applies the centered covariance operator without ever
+    * materializing the d×d matrix: score_i = ⟨x_i − μ, v⟩ per row, then
+    * u = Σ_i score_i·(x_i − μ) per dimension — both inside ONE corpus scan
+    * (the score rides the projection that feeds the posexplode, so the
+    * round's plan is scan → map → 64-group hash-aggregate). Like
+    * [[kmeansTrain]], ALL loop state is driver-side and O(dim): the
+    * round's u collects as ≤ dim rows, is normalized/sign-fixed on the
+    * driver, and re-enters round r+1 as an array literal. Nothing is
+    * cached or checkpointed; shuffle volume is O(dims × tasks) per round
+    * regardless of corpus size.
+    *
+    * Engine-portable arithmetic: inputs quantize to 6-dp decimals, μ is an
+    * exact decimal mean rounded to 6 dp, the per-row score is an ORDER-FREE
+    * decimal fold (each product cast to DECIMAL(28,12), decimal addition
+    * exact), as are the per-dim u sums and the norm² reduction — so no
+    * floating-point fold order leaks into the result and an unrolled SQL
+    * CTE chain replays the loop bit-for-bit. The eigenvector's sign is
+    * pinned by making the largest-|u| component (smallest dim on ties)
+    * positive; loadings are 6-dp-rounded each round.
+    *
+    * Output: one row per dimension, `(dim, loading, eigval)` — `loading`
+    * the unit top-eigenvector component, `eigval` the Rayleigh estimate
+    * ‖u‖/n of the top covariance eigenvalue (constant across rows).
+    */
+  def pcaPower(corpus: DataFrame, rounds: Int, dim: Int,
+               embCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1, "power iteration needs at least one round")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    // 6-dp-quantized double input — the same portable basis as embStats.
+    val c = corpus.select(
+      transform(asDouble(col(embCol)), x => x.cast(dec6).cast("double")).as("e"))
+    val muRows = c.select(posexplode(col("e")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        col("col").cast(dec6).as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("dim"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("mu"))
+      .collect()
+    require(muRows.nonEmpty, "pcaPower: empty corpus")
+    val n = muRows.head.getLong(1)
+    val mu = muRows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    require(mu.length == dim, s"pcaPower: corpus dim ${mu.length} != $dim")
+    val muLit = array(mu.map(lit(_)): _*)
+    // Order-free decimal fold of a double-product array.
+    def decDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, w) => x * w), lit(0).cast(dec),
+        (acc, p) => (acc + p.cast(dec)).cast(dec)).cast("double")
+    // Mirrors the engines' double→DECIMAL(28,12) cast (shortest decimal
+    // representation, HALF_UP) so the driver-side norm² reduction is the
+    // same exact decimal sum the oracle computes.
+    def q12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    var v = Array.fill(dim)(roundTo(1.0 / math.sqrt(dim.toDouble), 6))
+    var eigval = 0.0d
+    for (_ <- 1 to rounds) {
+      val vLit = array(v.map(lit(_)): _*)
+      val u = c
+        .select(zip_with(col("e"), muLit, (x, m) => x - m).as("ce"))
+        .select(col("ce"), decDot(col("ce"), vLit).as("score"))
+        .select(col("score"), posexplode(col("ce")))
+        .groupBy((col("pos") + 1).cast("long").as("dim"))
+        .agg(sum((col("score") * col("col")).cast(dec)).as("s"))
+        .select(col("dim"), col("s").cast("double").as("u"))
+        .collect() // ≤ dim rows — bounded driver state by construction
+        .sortBy(_.getLong(0)).map(_.getDouble(1))
+      val norm2 = u.map(x => q12(x * x)).sum.toDouble
+      require(norm2 > 0, "pcaPower: corpus has zero centered variance")
+      val norm = math.sqrt(norm2)
+      val jStar = u.indices.minBy(j => (-math.abs(u(j)), j))
+      val sg = if (u(jStar) < 0) -1.0 else 1.0
+      v = u.map(x => roundTo(sg * x / norm, 6))
+      eigval = roundTo(norm / n, 6)
+    }
+    val ev = eigval
+    v.zipWithIndex
+      .map { case (l, j) => ((j + 1).toLong, l, ev) }.toSeq
+      .toDF("dim", "loading", "eigval")
+  }
+
+  /** HALF_UP (away-from-zero on ties) rounding of a double via its shortest
+    * decimal representation — the same value `round(x, s)` produces in
+    * Spark SQL and DuckDB. */
+  private def roundTo(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
   /** Per-query top-k by similarity (desc), deterministic tie-break on id.
     * Bounded-heap aggregate with map-side partial aggregation — see
     * [[graft.functions.TopKByScore]].

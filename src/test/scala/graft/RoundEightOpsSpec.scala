@@ -398,4 +398,130 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.sorted.toSeq != other.sorted.toSeq, "salt must reshuffle")
   }
+
+  test("aucEval: exact tie-aware rank AUC on hand-computed cases") {
+    val sp = spark; import sp.implicits._
+    // perfect separation
+    val perfect = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))
+      .toDF("score", "y")
+    assert(ops.Learn.aucEval(perfect).head().getDouble(2) == 1.0)
+    // anti-separation
+    val anti = Seq((0.1, 1.0), (0.9, 0.0)).toDF("score", "y")
+    assert(ops.Learn.aucEval(anti).head().getDouble(2) == 0.0)
+    // all scores tied → avgrank equal → AUC exactly 0.5
+    val tied = Seq((0.5, 1.0), (0.5, 0.0), (0.5, 1.0), (0.5, 0.0))
+      .toDF("score", "y")
+    assert(ops.Learn.aucEval(tied).head().getDouble(2) == 0.5)
+    // mixed with a tie straddling classes: scores (.3:neg, .5:pos, .5:neg, .7:pos)
+    // ranks: .3→1, .5→avg 2.5, .7→4; R_pos = 2.5+4 = 6.5; P=2,N=2
+    // AUC = (6.5 - 3) / 4 = 0.875
+    val mixed = Seq((0.3, 0.0), (0.5, 1.0), (0.5, 0.0), (0.7, 1.0))
+      .toDF("score", "y")
+    val row = ops.Learn.aucEval(mixed).head()
+    assert(row.getLong(0) == 4 && row.getLong(1) == 2)
+    assert(row.getDouble(2) == 0.875, s"got ${row.getDouble(2)}")
+  }
+
+  test("logreg trainWeights: learns a separable direction, deterministic replay") {
+    val sp = spark; import sp.implicits._
+    // y = 1 iff x1 > 0, cleanly separable on the x1 axis
+    val feats = (1 to 80).map { i =>
+      val x1 = if (i % 2 == 0) 1.0 + (i % 5) * 0.1 else -1.0 - (i % 5) * 0.1
+      (if (x1 > 0) 1.0 else 0.0, 1.0, x1)
+    }.toDF("y", "x0", "x1")
+    val w = ops.Learn.trainWeights(feats, Seq("x0", "x1"), rounds = 5, lr = 2.0)
+    assert(w(1) > 0.5, s"x1 weight must go positive, got ${w.toSeq}")
+    // training separates: AUC of the fitted scores is 1 on this data
+    val z = col("x0") * lit(w(0)) + col("x1") * lit(w(1))
+    val auc = ops.Learn
+      .aucEval(feats.select(round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"), col("y")))
+      .head().getDouble(2)
+    assert(auc == 1.0, s"separable data must reach AUC 1, got $auc")
+    val w2 = ops.Learn.trainWeights(feats, Seq("x0", "x1"), rounds = 5, lr = 2.0)
+    assert(w.toSeq == w2.toSeq, "bit-identical weights on a re-run")
+  }
+
+  test("aucEval plan: bucket-level window only — no per-row global rank") {
+    val sp = spark; import sp.implicits._
+    val scored = Seq((0.5, 1.0), (0.4, 0.0)).toDF("score", "y")
+    val plan = ops.Learn.aucEval(scored).queryExecution.optimizedPlan.toString
+    // the window must sit ABOVE the score-bucket aggregate in the plan
+    // (rank work is O(buckets)): Window's child chain contains Aggregate
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("Aggregate", winIdx)
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must rank pre-bucketed rows, not the corpus:\n$plan")
+  }
+
+  test("dpCounts: replayable seeded noise, zero-noise at huge epsilon, clamp + suppression") {
+    val sp = spark; import sp.implicits._
+    val df = (1 to 100).map { i =>
+      (i.toLong, s"g${i % 7}") }.toDF("id", "grp")
+    // eps → ∞ means b → 0: every release equals the true count
+    val exact = ops.Privacy.dpCounts(df, Seq("grp"), eps = 1e9, salt = "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    exact.foreach { case (g, t, rel) => assert(t == rel, s"$g: $t vs $rel") }
+    assert(exact.map(_._2).sum == 100)
+    // pure function of (salt, group): re-run identical, salt change not
+    val a = ops.Privacy.dpCounts(df, Seq("grp"), 0.3, "s1").collect().map(_.toSeq)
+    val b = ops.Privacy.dpCounts(df, Seq("grp"), 0.3, "s1").collect().map(_.toSeq)
+    val c = ops.Privacy.dpCounts(df, Seq("grp"), 0.3, "s2").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "identical release on a re-run")
+    assert(a.toSeq != c.toSeq, "different salt must redraw the noise")
+    // releases never negative even at tiny epsilon (huge noise)
+    val noisy = ops.Privacy.dpCounts(df, Seq("grp"), 0.01, "s3")
+      .collect().map(_.getLong(2))
+    assert(noisy.forall(_ >= 0L), "clamped at zero")
+    // suppression drops small groups on the TRUE count
+    val small = (1 to 9).map(i => (i.toLong, if (i <= 2) "rare" else "big"))
+      .toDF("id", "grp")
+    val kept = ops.Privacy.suppressSmall(
+      ops.Privacy.dpCounts(small, Seq("grp"), 1e9, "s"), 3)
+      .collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("big"), s"got ${kept.toSeq}")
+  }
+
+  test("pcaPower: recovers a planted dominant direction, unit + sign-fixed") {
+    val sp = spark; import sp.implicits._
+    val dim = 8
+    // Planted top direction along dim 1: big variance on axis 0, small
+    // deterministic "noise" elsewhere.
+    val corpus = (0 until 48).map { i =>
+      val a = (i % 7) - 3.0 // mean 0, spread ±3
+      val v = Array.tabulate(dim) { j =>
+        val noise = (((i * 31 + j * 17) % 11) - 5) / 50.0f
+        if (j == 0) (3.0 * a).toFloat + noise else noise
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.pcaPower(corpus, rounds = 3, dim = dim)
+      .orderBy(col("dim")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (1L to dim), "one row per dimension")
+    val loadings = got.map(_._2)
+    val norm = math.sqrt(loadings.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"unit eigenvector, got norm $norm")
+    // planted axis dominates, and the sign convention makes it positive
+    assert(math.abs(loadings(0)) > 0.99, s"dim-1 loading ${loadings(0)}")
+    assert(loadings(0) > 0, "largest-|u| component must be positive")
+    val ev = got.map(_._3).distinct
+    assert(ev.length == 1 && ev.head > 0, s"constant positive eigval: ${ev.toSeq}")
+    // eigval ≈ variance along the planted axis (9 * Var(a) ≈ 36)
+    assert(ev.head > 20 && ev.head < 50, s"Rayleigh estimate off: ${ev.head}")
+  }
+
+  test("pcaPower rounds are replayable: rounds=1 state feeds rounds=2") {
+    val sp = spark; import sp.implicits._
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(6)(j => ((i * 13 + j * 7) % 9 - 4) / 3.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+    // determinism across runs (the loop is a pure function of the corpus)
+    val a = Similarity.pcaPower(corpus, 2, 6).collect().map(_.toSeq)
+    val b = Similarity.pcaPower(corpus, 2, 6).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "bit-identical re-run")
+    // more rounds move the estimate (not a fixed point after round 1)
+    val r1 = Similarity.pcaPower(corpus, 1, 6).collect().map(_.getDouble(1)).toSeq
+    val r3 = Similarity.pcaPower(corpus, 3, 6).collect().map(_.getDouble(1)).toSeq
+    assert(r1 != r3, "power iteration must actually iterate")
+  }
 }
