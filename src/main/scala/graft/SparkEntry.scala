@@ -292,6 +292,35 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
+  /** Shared power-iteration CTE chain: quantized per-dim frame `px`,
+    * means `mu`, centered frame `cx`, and `PcaRounds` unrolled rounds;
+    * `v$PcaRounds` holds the final unit loadings — the exact replay of
+    * [[graft.ops.Similarity.pcaPowerLoop]].
+    */
+  private lazy val pcaCtes: String = {
+    val roundCtes = (1 to PcaRounds).map { r =>
+      s"""s$r AS (SELECT vec_id, CAST(sum(CAST(cv * vv AS DECIMAL(28,12))) AS DOUBLE) AS sc
+         |  FROM cx JOIN v${r - 1} USING (dim) GROUP BY vec_id),
+         |u$r AS (SELECT dim, CAST(sum(CAST(sc * cv AS DECIMAL(28,12))) AS DOUBLE) AS u
+         |  FROM cx JOIN s$r USING (vec_id) GROUP BY dim),
+         |n$r AS (SELECT CAST(sum(CAST(u * u AS DECIMAL(28,12))) AS DOUBLE) AS norm2 FROM u$r),
+         |g$r AS (SELECT CASE WHEN (SELECT u FROM u$r ORDER BY abs(u) DESC, dim ASC LIMIT 1) < 0
+         |  THEN -1.0 ELSE 1.0 END AS sg),
+         |v$r AS (SELECT dim, round(sg * u / sqrt(norm2), 6) AS vv FROM u$r, n$r, g$r)""".stripMargin
+    }.mkString(",\n")
+    val v0 = BigDecimal(1.0 / math.sqrt(EmbDim.toDouble))
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |px AS (SELECT vec_id, i AS dim, CAST(CAST(e[i] AS DECIMAL(18,6)) AS DOUBLE) AS vq
+       |  FROM c, range(1, ${EmbDim + 1}) t(i)),
+       |mu AS (SELECT dim, round(CAST(sum(CAST(vq AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+       |  FROM px GROUP BY dim),
+       |cnt AS (SELECT count(*) AS n FROM c),
+       |cx AS (SELECT vec_id, dim, vq - mu AS cv FROM px JOIN mu USING (dim)),
+       |v0 AS (SELECT i AS dim, CAST($v0 AS DOUBLE) AS vv FROM range(1, ${EmbDim + 1}) t(i)),
+       |$roundCtes""".stripMargin
+  }
+
   private lazy val incrNearDupSql: String = {
     val r = MinhashK / MinhashBands
     val bandSelects = (0 until MinhashBands).map { b =>
@@ -1558,6 +1587,21 @@ object SparkEntry {
     // style — nothing cached, shuffle O(dims × tasks) per round.
     "pca_power" -> ((s, d) =>
       Similarity.pcaPower(emb(s, d), PcaRounds, EmbDim).orderBy(col("dim"))),
+
+    // Apply the fitted transform: per-vector first principal score and
+    // reconstruction residual (the "how much the top axis does NOT
+    // explain" outlier signal). Training state enters as O(dim) literals
+    // — the projection pass is map-only, no join, no shuffle.
+    "pca_project" -> ((s, d) =>
+      Similarity.pcaProject(emb(s, d), PcaRounds, EmbDim)
+        .orderBy(col("vec_id"))),
+
+    // Reliability diagram of the trained classifier: centile score bins
+    // vs empirical positive rate — ONE corpus scan into ≤ 100 groups; mean
+    // scores are exact decimal sums, rates exact integer ratios.
+    "calibration_bins" -> ((s, d) =>
+      Learn.calibrationOfTrained(docs(s, d), LrRounds, LrRate)
+        .orderBy(col("bin"))),
 
     // Batch-GD logistic regression (is-English from length/token-count
     // features): each round is ONE corpus scan into a 1-row aggregate
@@ -3596,31 +3640,30 @@ object SparkEntry {
          |  round(CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * (n - n_pos)), 6) AS auc
          |FROM a""".stripMargin,
 
-    "pca_power" -> {
-      val roundCtes = (1 to PcaRounds).map { r =>
-        s"""s$r AS (SELECT vec_id, CAST(sum(CAST(cv * vv AS DECIMAL(28,12))) AS DOUBLE) AS sc
-           |  FROM cx JOIN v${r - 1} USING (dim) GROUP BY vec_id),
-           |u$r AS (SELECT dim, CAST(sum(CAST(sc * cv AS DECIMAL(28,12))) AS DOUBLE) AS u
-           |  FROM cx JOIN s$r USING (vec_id) GROUP BY dim),
-           |n$r AS (SELECT CAST(sum(CAST(u * u AS DECIMAL(28,12))) AS DOUBLE) AS norm2 FROM u$r),
-           |g$r AS (SELECT CASE WHEN (SELECT u FROM u$r ORDER BY abs(u) DESC, dim ASC LIMIT 1) < 0
-           |  THEN -1.0 ELSE 1.0 END AS sg),
-           |v$r AS (SELECT dim, round(sg * u / sqrt(norm2), 6) AS vv FROM u$r, n$r, g$r)""".stripMargin
-      }.mkString(",\n")
-      val v0 = BigDecimal(1.0 / math.sqrt(EmbDim.toDouble))
-        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |px AS (SELECT vec_id, i AS dim, CAST(CAST(e[i] AS DECIMAL(18,6)) AS DOUBLE) AS vq
-         |  FROM c, range(1, ${EmbDim + 1}) t(i)),
-         |mu AS (SELECT dim, round(CAST(sum(CAST(vq AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
-         |  FROM px GROUP BY dim),
-         |cnt AS (SELECT count(*) AS n FROM c),
-         |cx AS (SELECT vec_id, dim, vq - mu AS cv FROM px JOIN mu USING (dim)),
-         |v0 AS (SELECT i AS dim, CAST($v0 AS DOUBLE) AS vv FROM range(1, ${EmbDim + 1}) t(i)),
-         |$roundCtes
+    "pca_power" ->
+      s"""WITH $pcaCtes
          |SELECT v$PcaRounds.dim, vv AS loading, round(sqrt(norm2) / n, 6) AS eigval
-         |FROM v$PcaRounds, n$PcaRounds, cnt ORDER BY dim""".stripMargin
-    },
+         |FROM v$PcaRounds, n$PcaRounds, cnt ORDER BY dim""".stripMargin,
+
+    "pca_project" ->
+      s"""WITH $pcaCtes,
+         |sf AS (SELECT vec_id, CAST(sum(CAST(cv * vv AS DECIMAL(28,12))) AS DOUBLE) AS s
+         |  FROM cx JOIN v$PcaRounds USING (dim) GROUP BY vec_id),
+         |cf AS (SELECT vec_id, CAST(sum(CAST(cv * cv AS DECIMAL(28,12))) AS DOUBLE) AS cc
+         |  FROM cx GROUP BY vec_id)
+         |SELECT vec_id, round(s, 6) AS pc1,
+         |  round(sqrt(greatest(0.0, cc - s * s)), 6) AS resid
+         |FROM sf JOIN cf USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+    "calibration_bins" ->
+      s"""WITH $logregCtes,
+         |sc AS (SELECT round(1.0/(1.0 + exp(-(x0*w_x0 + x1*w_x1 + x2*w_x2))), 6) AS score, y
+         |  FROM f, wr$LrRounds)
+         |SELECT least(99, CAST(floor(score * 100) AS BIGINT)) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_score,
+         |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+         |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "ann_recall" ->
       s"""WITH $ivfAssignCte,

@@ -148,6 +148,36 @@ object Learn {
             * (col("n") - col("n_pos")).cast("double")), 6).as("auc"))
   }
 
+  /** Reliability diagram of the trained classifier: centile bins of the
+    * 6-dp sigmoid score vs the empirical positive rate — the calibration
+    * check run before classifier scores are trusted as probabilities
+    * (e.g. as sampling weights in a quality-filtered mixture).
+    *
+    * One corpus scan into ≤ 100 groups (map-side combined); the mean score
+    * is an exact DECIMAL(18,6) sum of already-6-dp scores and the positive
+    * rate an exact integer ratio, so every engine reproduces the bins
+    * bit-for-bit. Output: `(bin, n, mean_score, frac_pos)`.
+    */
+  def calibrationOfTrained(docs: DataFrame, rounds: Int,
+                           lr: Double): DataFrame = {
+    val names = Seq("x0", "x1", "x2")
+    val feats = docFeatures(docs)
+    val w = trainWeights(feats, names, rounds, lr)
+    val z = names.zip(w).map { case (n, wv) => col(n) * lit(wv) }
+      .reduceLeft(_ + _)
+    val dec6 = DecimalType(18, 6)
+    feats.select(sigmoid6(z).as("score"), col("y"))
+      .select(least(lit(99L), floor(col("score") * 100).cast("long")).as("bin"),
+        col("score"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score").cast(dec6)).as("ssum"),
+        sum(col("y")).as("ysum"))
+      .select(col("bin"), col("n"),
+        round(col("ssum").cast("double") / col("n"), 6).as("mean_score"),
+        round(col("ysum") / col("n"), 6).as("frac_pos"))
+  }
+
   private def roundTo(x: Double, scale: Int): Double =
     BigDecimal(x).setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP)
       .toDouble

@@ -837,9 +837,22 @@ object Similarity {
     */
   def pcaPower(corpus: DataFrame, rounds: Int, dim: Int,
                embCol: String = "embedding"): DataFrame = {
-    require(rounds >= 1, "power iteration needs at least one round")
     val spark = corpus.sparkSession
     import spark.implicits._
+    val (_, v, eigval, _) = pcaPowerLoop(corpus, rounds, dim, embCol)
+    v.zipWithIndex
+      .map { case (l, j) => ((j + 1).toLong, l, eigval) }.toSeq
+      .toDF("dim", "loading", "eigval")
+  }
+
+  /** The loop behind [[pcaPower]], returning `(mu, v, eigval, n)` — shared
+    * with [[pcaProject]] so projection uses EXACTLY the direction training
+    * produced.
+    */
+  def pcaPowerLoop(corpus: DataFrame, rounds: Int, dim: Int,
+                   embCol: String = "embedding")
+      : (Array[Double], Array[Double], Double, Long) = {
+    require(rounds >= 1, "power iteration needs at least one round")
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     // 6-dp-quantized double input — the same portable basis as embStats.
@@ -888,10 +901,43 @@ object Similarity {
       v = u.map(x => roundTo(sg * x / norm, 6))
       eigval = roundTo(norm / n, 6)
     }
-    val ev = eigval
-    v.zipWithIndex
-      .map { case (l, j) => ((j + 1).toLong, l, ev) }.toSeq
-      .toDF("dim", "loading", "eigval")
+    (mu, v, eigval, n)
+  }
+
+  /** Map-only projection of the corpus onto the trained top component —
+    * the "apply the fitted transform" half of PCA: per vector its first
+    * principal score `pc1 = ⟨x − μ, v⟩` and the reconstruction residual
+    * `resid = √(‖x − μ‖² − pc1²)` (v is unit up to 6-dp rounding), the
+    * one-number "how much of this vector the top axis does NOT explain"
+    * outlier signal.
+    *
+    * Training state (μ, v) enters as O(dim) literals, so the projection
+    * pass is map-only — no join, no shuffle, one corpus scan; both inner
+    * products are order-free decimal folds, so the oracle replays them
+    * exactly. Output: `(vec_id, pc1, resid)`.
+    */
+  def pcaProject(corpus: DataFrame, rounds: Int, dim: Int,
+                 idCol: String = "vec_id",
+                 embCol: String = "embedding"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val (mu, v, _, _) = pcaPowerLoop(corpus, rounds, dim, embCol)
+    val muLit = array(mu.map(lit(_)): _*)
+    val vLit = array(v.map(lit(_)): _*)
+    def decDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, w) => x * w), lit(0).cast(dec),
+        (acc, p) => (acc + p.cast(dec)).cast(dec)).cast("double")
+    corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        zip_with(
+          transform(asDouble(col(embCol)), x => x.cast(dec6).cast("double")),
+          muLit, (x, m) => x - m).as("ce"))
+      .select(col("vec_id"),
+        decDot(col("ce"), vLit).as("s"),
+        decDot(col("ce"), col("ce")).as("cc"))
+      .select(col("vec_id"), round(col("s"), 6).as("pc1"),
+        round(sqrt(greatest(lit(0.0d), col("cc") - col("s") * col("s"))), 6)
+          .as("resid"))
   }
 
   /** HALF_UP (away-from-zero on ties) rounding of a double via its shortest

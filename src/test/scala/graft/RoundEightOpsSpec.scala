@@ -510,6 +510,50 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ev.head > 20 && ev.head < 50, s"Rayleigh estimate off: ${ev.head}")
   }
 
+  test("pcaProject: pc1 + residual decompose the centered norm; planted axis projects clean") {
+    val sp = spark; import sp.implicits._
+    val dim = 8
+    val corpus = (0 until 48).map { i =>
+      val a = (i % 7) - 3.0
+      val v = Array.tabulate(dim) { j =>
+        val noise = (((i * 31 + j * 17) % 11) - 5) / 50.0f
+        if (j == 0) (3.0 * a).toFloat + noise else noise
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.pcaProject(corpus, 3, dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 48)
+    // pythagoras: pc1² + resid² ≈ ‖x − μ‖² — the residual never exceeds
+    // the noise scale on this data (planted axis carries the variance)
+    rows.foreach { case (id, pc1, resid) =>
+      assert(resid >= 0 && resid < 0.5, s"vec $id residual $resid too big")
+    }
+    // pc1 tracks the planted coefficient ordering
+    val byId = rows.sortBy(_._1).map(_._2)
+    val coeff = (0 until 48).map(i => 3.0 * ((i % 7) - 3.0))
+    val ord = byId.zip(coeff).sortBy(_._2).map(_._1)
+    assert(ord.sliding(2).forall(p => p(0) <= p(1) + 0.2),
+      "pc1 must be monotone in the planted coefficient")
+  }
+
+  test("calibrationOfTrained: bins partition the corpus, rates and means in range") {
+    val sp = spark; import sp.implicits._
+    val docsDf = (1 to 60).map { i =>
+      (i.toLong, ("word " * (i % 20 + 1)).trim,
+        if (i % 3 == 0) "en" else "de", s"s${i % 4}", (i % 20 + 1) * 5L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bins = ops.Learn.calibrationOfTrained(docsDf, 3, 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(bins.map(_._2).sum == 60, "bins must partition the corpus")
+    bins.foreach { case (b, n, ms, fp) =>
+      assert(b >= 0 && b <= 99 && n > 0)
+      assert(ms >= b / 100.0 - 1e-6 && ms < (b + 1) / 100.0 + 1e-6,
+        s"bin $b mean score $ms outside its bounds")
+      assert(fp >= 0.0 && fp <= 1.0)
+    }
+  }
+
   test("pcaPower rounds are replayable: rounds=1 state feeds rounds=2") {
     val sp = spark; import sp.implicits._
     val corpus = (0 until 30).map { i =>
