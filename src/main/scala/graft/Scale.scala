@@ -52,6 +52,7 @@ object Scale {
     if (args.headOption.contains("kll")) return kllMain(args.drop(1))
     if (args.headOption.contains("sparse")) return sparseMain(args.drop(1))
     if (args.headOption.contains("shard")) return shardMain(args.drop(1))
+    if (args.headOption.contains("train")) return trainMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -490,6 +491,67 @@ object Scale {
     * non-uniform degrees (a uniform permutation graph fixpoints at round
     * 1 and the loop exits early — the spec caught that once already).
     */
+  /** Driver-state training loops at volume: batch-GD logistic regression
+    * (`logreg_train`'s `trainWeights`) over nine-figure feature rows and
+    * PCA power iteration (`pca_power`'s `pcaPowerLoop`) over seven-figure
+    * 64-dim vectors. The loops' scale contract — ALL state is an
+    * O(features)/O(dim) driver-side literal vector, nothing cached or
+    * checkpointed — predicts (a) per-round wall time is FLAT (doubling
+    * rounds doubles total), (b) the block manager holds ZERO frames after
+    * any number of rounds, and (c) a re-run is bit-identical. This mode
+    * measures (a), asserts (b) and (c), and prints all three.
+    */
+  private def trainMain(args: Array[String]): Unit = {
+    val nLr = if (args.nonEmpty) args(0).toLong else 100000000L
+    val nPca = if (args.length > 1) args(1).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // --- logreg: separable-ish synthetic features, y = [2·x1 + x2/2 > 0]
+    // (plain `range` — already evenly partitioned; a repartition here
+    // would bill a synthetic-data shuffle to every round)
+    val feats = spark.range(0L, nLr, 1L, cpus.toInt * 2)
+      .select(lit(1.0d).as("x0"),
+        round(pmod(xxhash64(col("id"), lit(3)), lit(1000)).cast("double")
+          / 500.0d - 1.0d, 6).as("x1"),
+        round(pmod(xxhash64(col("id"), lit(5)), lit(1000)).cast("double")
+          / 500.0d - 1.0d, 6).as("x2"))
+      .select(when(col("x1") * 2.0d + col("x2") * 0.5d > 0, 1.0d)
+        .otherwise(0.0d).as("y"), col("x0"), col("x1"), col("x2"))
+    ops.Learn.trainWeights(feats, Seq("x0", "x1", "x2"), 1, 1.0) // warm
+    val (w5, t5) = time(ops.Learn.trainWeights(feats, Seq("x0", "x1", "x2"), 5, 1.0))
+    val (w10, t10) = time(ops.Learn.trainWeights(feats, Seq("x0", "x1", "x2"), 10, 1.0))
+    val (w5b, _) = time(ops.Learn.trainWeights(feats, Seq("x0", "x1", "x2"), 5, 1.0))
+    require(w5.toSeq == w5b.toSeq, "re-run must be bit-identical")
+    require(w10(1) > w5(1) && w5(1) > 0, "x1 weight must keep growing")
+    // --- pca: 64-dim vectors, variance planted on dim 0
+    val corpus = spark.range(0L, nPca, 1L, cpus.toInt * 2)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          when(j === 0,
+            pmod(xxhash64(col("id")), lit(4000)).cast("double") / 100.0d - 20.0d)
+            .otherwise(pmod(xxhash64(col("id"), j), lit(200)).cast("double")
+              / 100.0d - 1.0d).cast("float")).as("embedding"))
+    ops.Similarity.pcaPowerLoop(corpus, 1, 64) // warm
+    val (r3, p3) = time(ops.Similarity.pcaPowerLoop(corpus, 3, 64))
+    val (r6, p6) = time(ops.Similarity.pcaPowerLoop(corpus, 6, 64))
+    require(math.abs(r6._2(0)) > 0.99, "planted axis must dominate")
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    require(persisted == 0, s"training loops must leave no cached state, found $persisted")
+    println(f"""{"mode":"train","n_logreg":$nLr,"logreg_sec_5r":$t5%.1f,"logreg_sec_10r":$t10%.1f,"logreg_sec_per_round":${t10 / 10}%.2f,"w10":[${w10.map(x => f"$x%.4f").mkString(",")}],"n_pca":$nPca,"pca_sec_3r":$p3%.1f,"pca_sec_6r":$p6%.1f,"pca_sec_per_round":${p6 / 6}%.2f,"pca_top_loading":${r6._2(0)}%.4f,"pca_eigval":${r6._3}%.2f,"live_persisted_rdds":$persisted,"cpus":$cpus}""")
+    spark.stop()
+  }
+
   private def pagerankMain(args: Array[String]): Unit = {
     val nEdges = if (args.nonEmpty) args(0).toLong else 20000000L
     val nNodes = math.max(nEdges / 20L, 1000L)
