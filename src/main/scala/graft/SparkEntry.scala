@@ -2443,6 +2443,22 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Privacy-safe release of a LIVE counter: the complete-mode streaming
+    // count by event type runs to completion, then the seeded-Laplace
+    // release + k-suppression layer (the exact batch dp_counts discipline,
+    // via Privacy.release) publishes the final state — noise is a pure
+    // function of (salt, group), so the release is identical however the
+    // stream was micro-batched.
+    "stream_dp_counts" -> ((s, d) => {
+      val agg = streaming.StreamOps.eventsStream(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_true"))
+      Privacy.suppressSmall(
+        Privacy.release(streaming.StreamOps.runToCompletion(s, agg),
+          Seq("event_type"), DpEps, DpSalt),
+        DpMinGroup)
+        .orderBy(col("event_type"))
+    }),
+
     // Streaming dedup on the document digest through the PARQUET sink
     // (append mode, checkpointed, exactly-once file commits) — the
     // production shape of an incremental corpus-dedup pass. Only the
@@ -3618,6 +3634,19 @@ object SparkEntry {
          |SELECT source, lang, n_true,
          |  greatest(0, n_true + CAST(round(lap, 0) AS BIGINT)) AS n_released
          |FROM l WHERE n_true >= $DpMinGroup ORDER BY source, lang""".stripMargin,
+
+    "stream_dp_counts" ->
+      s"""WITH g AS (SELECT event_type, count(*) AS n_true
+         |  FROM events GROUP BY event_type),
+         |u AS (SELECT event_type, n_true,
+         |  CAST(${h60Sql(s"'$DpSalt:' || event_type")} AS DOUBLE)
+         |    / 1152921504606846976.0 AS uu FROM g),
+         |l AS (SELECT event_type, n_true,
+         |  ${-1.0 / DpEps} * sign(uu - 0.5)
+         |    * ln(greatest(1e-12, 1.0 - 2.0 * abs(uu - 0.5))) AS lap FROM u)
+         |SELECT event_type, n_true,
+         |  greatest(0, n_true + CAST(round(lap, 0) AS BIGINT)) AS n_released
+         |FROM l WHERE n_true >= $DpMinGroup ORDER BY event_type""".stripMargin,
 
     "logreg_train" ->
       s"""WITH $logregCtes

@@ -59,19 +59,29 @@ object Privacy {
     * along for verification/audit; a production release would drop it.
     */
   def dpCounts(df: DataFrame, groupCols: Seq[String], eps: Double,
-               salt: String): DataFrame = {
+               salt: String): DataFrame =
+    release(
+      df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_true")),
+      groupCols, eps, salt)
+
+  /** The noise layer alone, over an ALREADY-aggregated counts frame —
+    * lets the same release discipline apply to counters produced by any
+    * upstream (a batch groupBy, a streaming complete-mode aggregate, a
+    * sketch readout). Map-only over O(groups) rows.
+    */
+  def release(counts: DataFrame, groupCols: Seq[String], eps: Double,
+              salt: String, nCol: String = "n_true"): DataFrame = {
     require(eps > 0, "epsilon must be positive")
     val b = 1.0 / eps
     val key = concat_ws("|", groupCols.map(col): _*)
-    val noisy = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_true"))
+    counts
+      .select((groupCols.map(col) :+
+        col(nCol).as("n_true") :+
+        (col(nCol) + round(laplace(seededUniform(salt, key), b), 0)
+          .cast("long")).as("shifted")): _*)
       .select((groupCols.map(col) :+
         col("n_true") :+
-        (col("n_true") + round(laplace(seededUniform(salt, key), b), 0)
-          .cast("long")).as("shifted")): _*)
-    noisy.select((groupCols.map(col) :+
-      col("n_true") :+
-      greatest(lit(0L), col("shifted")).as("n_released")): _*)
+        greatest(lit(0L), col("shifted")).as("n_released")): _*)
   }
 
   /** k-anonymity-style suppression: keep only groups with ≥ k members.

@@ -479,6 +479,14 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ops.Privacy.dpCounts(small, Seq("grp"), 1e9, "s"), 3)
       .collect().map(_.getString(0))
     assert(kept.toSeq == Seq("big"), s"got ${kept.toSeq}")
+    // release over pre-aggregated counts ≡ dpCounts over the raw rows —
+    // the contract that lets a streaming complete-mode counter reuse the
+    // exact batch release (stream_dp_counts)
+    val pre = df.groupBy(col("grp")).agg(count(lit(1)).as("n_true"))
+    val viaRelease = ops.Privacy.release(pre, Seq("grp"), 0.3, "s1")
+      .collect().map(_.toSeq)
+    assert(viaRelease.toSeq.sortBy(_.toString) == a.toSeq.sortBy(_.toString),
+      "release(counts) must equal dpCounts(raw)")
   }
 
   test("pcaPower: recovers a planted dominant direction, unit + sign-fixed") {
