@@ -1619,6 +1619,15 @@ object SparkEntry {
     "auc_eval" -> ((s, d) =>
       Learn.aucOfTrained(docs(s, d), LrRounds, LrRate)),
 
+    // Mean reciprocal rank of the first same-label neighbor in the exact
+    // cosine top-5 — the third leg of the retrieval-eval family (recall:
+    // ann_recall, graded gain: ndcg_eval, first-hit rank: here). All
+    // post-retrieval work is bounded: label lookup joins the corpus
+    // against the broadcast ranked frame, RR sums are exact decimals.
+    "mrr_eval" -> ((s, d) =>
+      Similarity.mrrAt(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5)
+        .orderBy(col("query_id"))),
+
     // Recall@5 of the IVF index vs exact brute force — the ANN analog of
     // sketch_eval: measure the approximation before trusting the index.
     "ann_recall" -> ((s, d) =>
@@ -3693,6 +3702,22 @@ object SparkEntry {
          |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_score,
          |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
          |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "mrr_eval" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+         |qb AS (SELECT * FROM c WHERE vec_id < 8),
+         |ex AS (SELECT query_id, nbr_id, rn FROM (
+         |  SELECT qb.vec_id AS query_id, c2.vec_id AS nbr_id,
+         |    row_number() OVER (PARTITION BY qb.vec_id ORDER BY ${cosSql("qb.e", "c2.e")} DESC, c2.vec_id ASC) AS rn
+         |  FROM qb, c c2 WHERE qb.vec_id <> c2.vec_id) t WHERE rn <= 5),
+         |rel AS (SELECT e2.query_id, CAST(min(e2.rn) AS BIGINT) AS fr
+         |  FROM ex e2 JOIN c nb ON e2.nbr_id = nb.vec_id JOIN qb q ON e2.query_id = q.vec_id
+         |  WHERE nb.label = q.label GROUP BY e2.query_id),
+         |rr AS (SELECT q.vec_id AS query_id, COALESCE(r.fr, 0) AS first_rank,
+         |  CASE WHEN r.fr IS NULL THEN 0.0 ELSE round(1.0 / r.fr, 6) END AS rr
+         |  FROM qb q LEFT JOIN rel r ON q.vec_id = r.query_id),
+         |s AS (SELECT round(CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mrr FROM rr)
+         |SELECT query_id, first_rank, rr, mrr FROM rr, s ORDER BY query_id""".stripMargin,
 
     "ann_recall" ->
       s"""WITH $ivfAssignCte,

@@ -940,6 +940,49 @@ object Similarity {
           .as("resid"))
   }
 
+  /** Retrieval-eval companion to [[annRecall]]/`ndcg_eval`: mean
+    * reciprocal rank of the first SAME-LABEL neighbor in the exact cosine
+    * top-k — the "how high does the first relevant hit rank" metric,
+    * with label agreement as the relevance oracle.
+    *
+    * Scale shape: everything after [[bruteForceTopK]] (one corpus scan,
+    * bounded per-query heaps) is bounded — the label lookup joins the
+    * corpus against the BROADCAST (queries × k)-row ranked frame
+    * (corpus side map-only), and the reciprocal ranks aggregate over
+    * ≤ queries rows. The tiny RR frame is checkpointed before being read
+    * twice (per-query rows + the MRR summary), so no corpus re-scan
+    * hides behind the second consumer. RR sums are exact decimals —
+    * order-free, engine-portable.
+    *
+    * Output: `(query_id, first_rank, rr, mrr)` — `first_rank`/`rr` are 0
+    * for queries with no same-label neighbor in the top-k; `mrr` is the
+    * constant corpus-level mean.
+    */
+  def mrrAt(corpus: DataFrame, queries: DataFrame, k: Int,
+            idCol: String = "vec_id", embCol: String = "embedding",
+            labelCol: String = "label"): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val top = bruteForceTopK(corpus, queries, k, idCol, embCol)
+    val nbrLab = corpus.select(col(idCol).cast("long").as("nbr_id"),
+      col(labelCol).as("nlabel"))
+    val labeled = nbrLab.join(broadcast(top), "nbr_id")
+    val qlab = queries.select(col(idCol).cast("long").as("query_id"),
+      col(labelCol).as("qlabel"))
+    val firsts = labeled.join(broadcast(qlab), "query_id")
+      .where(col("nlabel") === col("qlabel"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_rank"))
+    val rr = qlab.join(firsts, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("first_rank"), lit(0L)).as("first_rank"),
+        when(col("first_rank").isNull, lit(0.0d))
+          .otherwise(round(lit(1.0d) / col("first_rank"), 6)).as("rr"))
+      .localCheckpoint() // ≤ queries rows; read twice below
+    val summary = rr.agg(
+      round(sum(col("rr").cast(dec6)).cast("double") / count(lit(1)), 6)
+        .as("mrr"))
+    rr.crossJoin(broadcast(summary))
+  }
+
   /** HALF_UP (away-from-zero on ties) rounding of a double via its shortest
     * decimal representation — the same value `round(x, s)` produces in
     * Spark SQL and DuckDB. */

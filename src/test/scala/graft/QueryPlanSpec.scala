@@ -151,6 +151,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q11_important_stock" /* 1-row threshold broadcast */,
       "triangle_count" /* 1-row mean-degree threshold + 1-row × 1-row output join */,
       "ndcg_eval" /* bm25 leg's 1-row stats broadcast + final 1-row dcg × 1-row idcg cross */,
+      "mrr_eval" /* per-query RR rows × the 1-row MRR summary broadcast */,
       "kll_quantiles" /* |q|-row certified-bracket spec broadcast into the exact pass */,
       "kll_quantiles_grouped" /* summary × |q|-row quantile spec (the corpus joins brackets by KEY) */,
       "kll_merge" /* 1-row totals + |q|-row bracket spec broadcasts */,
@@ -252,6 +253,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // -- one table in TWO OR MORE SEMANTIC ROLES (self-join family);
       //    pushed filters make each role's scan partial where applicable
       "knn_bruteforce" -> Map("embeddings" -> 2),  // corpus role + query role (vec_id<8 pushed)
+      "mrr_eval" -> Map("embeddings" -> 4),        // corpus + query retrieval roles + corpus-label + query-label lookups; RR frame checkpointed so neither re-scans
       "knn_ivf" -> Map("embeddings" -> 2),
       "knn_pq" -> Map("embeddings" -> 2),          // code-scan role + ADC-table query role
       "semantic_dedup" -> Map("embeddings" -> 2),

@@ -518,6 +518,26 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ev.head > 20 && ev.head < 50, s"Rayleigh estimate off: ${ev.head}")
   }
 
+  test("mrrAt: first same-label hit ranks, zero for missed queries, exact mean") {
+    val sp = spark; import sp.implicits._
+    // 2-d embeddings: two tight clusters on opposite axes; labels pick
+    // which cluster is "relevant" per query.
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),  // query: cluster A, label 1
+      (1L, Seq(0.9f, 0.1f), 2),  // nearest to q0 but WRONG label
+      (2L, Seq(0.8f, 0.2f), 1),  // first same-label hit for q0 → rank 2
+      (3L, Seq(0.0f, 1.0f), 9),  // query: isolated label 9 → no hit
+      (4L, Seq(0.1f, 0.9f), 2)).toDF("vec_id", "embedding", "label")
+    val queries = corpus.where(col("vec_id") === 0L || col("vec_id") === 3L)
+    val rows = ops.Similarity.mrrAt(corpus, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 2L, 0.5), (3L, 0L, 0.0)), s"got ${rows.toSeq}")
+    // mrr = (0.5 + 0.0) / 2, constant on every row
+    assert(rows.forall(_._4 == 0.25), s"got ${rows.map(_._4).toSeq}")
+  }
+
   test("pcaProject: pc1 + residual decompose the centered norm; planted axis projects clean") {
     val sp = spark; import sp.implicits._
     val dim = 8
