@@ -126,6 +126,7 @@ object SparkEntry {
   private val DpMinGroup = 5
   private val LrRounds = 3
   private val LrRate = 1.0
+  private val DocPplLambda = 0.75
   private val BpeMerges = 6
   private val Nprobe = 2
   private val ChunkTokens = 64
@@ -1848,6 +1849,14 @@ object SparkEntry {
     // leg is a bounded-heap top-k — the corpus never shuffles.
     "ndcg_eval" -> ((s, d) =>
       TextStats.ndcgAt(docs(s, d), BmTerms, NdcgK, BmK1, BmB)),
+
+    // The CCNet-style perplexity filter: per-doc perplexity under an
+    // interpolated bigram LM trained on the corpus's own stream, flagged
+    // against the corpus mean + 2σ. LM joins run on reduced vocabularies;
+    // the per-doc frame is checkpointed before its two consumers.
+    "doc_perplexity" -> ((s, d) =>
+      TextStats.docPerplexity(docs(s, d), DocPplLambda)
+        .orderBy(col("doc_id"))),
 
     // Power-law health check of the token vocabulary: OLS fit of
     // ln(count) ~ ln(rank) over the top-256 tokens. Corpus-sized work is
@@ -4103,6 +4112,31 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
          |  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_surprisal
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "doc_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bgs AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+         |  THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         |  ELSE [] END) AS bg FROM toks),
+         |tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgs GROUP BY 1, 2),
+         |cab AS (SELECT bg, count(*) AS cab FROM bgs GROUP BY 1),
+         |cw AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS cw FROM bgs GROUP BY 1),
+         |cu AS (SELECT term, count(*) AS cu FROM (SELECT unnest(tk) AS term FROM toks) GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM (SELECT unnest(tk) AS term FROM toks) t2),
+         |x AS (SELECT t.doc_id, t.tf,
+         |  t.tf * CAST(round(-ln($DocPplLambda * (CAST(c.cab AS DOUBLE) / CAST(w.cw AS DOUBLE))
+         |    + ${1 - DocPplLambda} * (CAST(u.cu AS DOUBLE) / tot.tot)), 6) AS DECIMAL(18,6)) AS c
+         |  FROM tf t JOIN cab c USING (bg) JOIN cw w ON string_split(t.bg, ' ')[1] = w.w1
+         |  JOIN cu u ON string_split(t.bg, ' ')[2] = u.term, tot),
+         |g AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  round(exp(CAST(sum(c) AS DOUBLE) / sum(tf)), 6) AS ppl FROM x GROUP BY doc_id),
+         |st AS (SELECT round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_ppl,
+         |  round(sqrt(greatest(0.0, (CAST(sum(v * v) AS DOUBLE)
+         |    - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(*)) / count(*))), 6) AS std_ppl
+         |  FROM (SELECT CAST(ppl AS DECIMAL(18,6)) AS v FROM g) q)
+         |SELECT doc_id, n_bigrams, ppl,
+         |  ppl > mean_ppl + 2.0 * std_ppl AS flagged
+         |FROM g, st ORDER BY doc_id""".stripMargin,
 
     "pmi_bigrams" ->
       s"""WITH toks AS (SELECT $toksSql AS tk FROM documents),

@@ -802,6 +802,71 @@ object TextStats {
         round(col("s").cast("double") / col("n_bigrams"), 6).as("avg_surprisal"))
   }
 
+  /** Per-document PERPLEXITY under an interpolated bigram LM —
+    * p̂(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/T — with a corpus-level
+    * outlier gate (ppl > mean + 2σ): the CCNet-style perplexity filter,
+    * the single most standard LLM-corpus quality gate, here with the LM
+    * trained on the corpus' own token stream (interpolation playing the
+    * role of backoff so unseen-prefix bigrams never hit a zero).
+    *
+    * Shape: one LM-training leg per aggregate — tf / c(w₁w₂) / c(w₁·)
+    * on the bigram stream plus c(w₂) / T on the token stream, five
+    * budgeted corpus scans (a production run would stage the tokenized
+    * stream once instead; the re-scan-vs-stage trade is the same one
+    * [[bigramSurprisal]] documents) — every aggregate map-side combined
+    * so the count joins run on REDUCED vocabularies, never the stream;
+    * the 1-row token total broadcasts.
+    * Per-bigram surprisals quantize to 6-dp decimals before
+    * the tf-weighted sum (fold-order-free), and the per-doc frame is
+    * checkpointed before its two consumers (the output rows and the
+    * 1-row mean/σ stats broadcast), so the LM never re-trains behind the
+    * second consumer. Docs with < 2 tokens have no bigrams and drop out.
+    *
+    * Output: `(doc_id, n_bigrams, ppl, flagged)`, `flagged` decided on
+    * the 6-dp ppl against the 6-dp-rounded mean + 2σ threshold — no
+    * last-ulp strandling in any engine.
+    */
+  def docPerplexity(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, "interpolation weight in (0,1)")
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val big = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1])) ELSE array() END"))
+        .as("bg"))
+    val tf = big.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val cab = big.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+    val cw = big.select(split(col("bg"), " ").getItem(0).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val tok = docs.select(explode(tokens(col("text"))).as("term"))
+    val cu = tok.groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val tot = tok.agg(count(lit(1)).cast("double").as("tot"))
+    val p = lit(lambda) * (col("cab").cast("double") / col("cw").cast("double")) +
+      lit(1 - lambda) * (col("cu").cast("double") / col("tot"))
+    val perDoc = tf.join(cab, "bg")
+      .join(cw, split(col("bg"), " ").getItem(0) === col("w1"))
+      .join(cu, split(col("bg"), " ").getItem(1) === col("term"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * round(-log(p), 6).cast(dec6)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("c")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(col("s").cast("double") / col("n_bigrams")), 6).as("ppl"))
+      .localCheckpoint() // O(docs) rows; read by the stats leg AND the output
+    val stats = perDoc
+      .select(col("ppl").cast(dec6).as("v"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("sv2"))
+      .select(round(col("sv").cast("double") / col("n"), 6).as("mean_ppl"),
+        round(sqrt(greatest(lit(0.0d),
+          (col("sv2").cast("double") -
+            col("sv").cast("double") * col("sv").cast("double") / col("n"))
+            / col("n"))), 6).as("std_ppl"))
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_bigrams"), col("ppl"),
+        (col("ppl") > col("mean_ppl") + lit(2.0d) * col("std_ppl")).as("flagged"))
+  }
+
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))

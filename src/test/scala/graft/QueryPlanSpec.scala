@@ -152,6 +152,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "triangle_count" /* 1-row mean-degree threshold + 1-row × 1-row output join */,
       "ndcg_eval" /* bm25 leg's 1-row stats broadcast + final 1-row dcg × 1-row idcg cross */,
       "mrr_eval" /* per-query RR rows × the 1-row MRR summary broadcast */,
+      "doc_perplexity" /* per-doc ppl rows × the 1-row mean/σ gate broadcast */,
       "kll_quantiles" /* |q|-row certified-bracket spec broadcast into the exact pass */,
       "kll_quantiles_grouped" /* summary × |q|-row quantile spec (the corpus joins brackets by KEY) */,
       "kll_merge" /* 1-row totals + |q|-row bracket spec broadcasts */,
@@ -285,6 +286,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tfidf_top" -> Map("documents" -> 3),
       "unigram_surprisal" -> Map("documents" -> 3),
       "bigram_surprisal" -> Map("documents" -> 3),
+      "doc_perplexity" -> Map("documents" -> 5),   // bigram LM legs (tf / c_ab / c_w1) + unigram legs (c_w2, T); per-doc frame checkpointed so the stats leg re-scans nothing
       // -- TPC-H correlated-subquery shapes: the spec's own semantics
       //    (scalar-subquery threshold, EXISTS/NOT EXISTS legs, two
       //    nation roles) read a table more than once

@@ -518,6 +518,32 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ev.head > 20 && ev.head < 50, s"Rayleigh estimate off: ${ev.head}")
   }
 
+  test("docPerplexity: repetition scores low, token soup scores high, gate flags the tail") {
+    val sp = spark; import sp.implicits._
+    // many templated docs (predictable bigrams) + one shuffled-soup doc
+    // over the same vocabulary
+    val template = "alpha beta gamma delta epsilon zeta"
+    val soup = "zeta gamma alpha epsilon beta delta gamma zeta delta alpha"
+    val docsDf = ((1 to 12).map(i => (i.toLong, template)) :+ (99L, soup))
+      .toDF("doc_id", "text")
+    val rows = ops.TextStats.docPerplexity(docsDf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == 13)
+    val byId = rows.map(t => t._1 -> t).toMap
+    val tmplPpl = byId(1L)._3
+    val soupPpl = byId(99L)._3
+    assert(rows.forall(_._3 > 0), "perplexity is positive")
+    assert(soupPpl > 2 * tmplPpl,
+      s"soup must be high-perplexity: $soupPpl vs template $tmplPpl")
+    assert(byId(99L)._4, "the soup doc must be flagged by the mean+2sigma gate")
+    assert((1 to 12).forall(i => !byId(i.toLong)._4), "templated docs unflagged")
+    // deterministic replay
+    val again = ops.TextStats.docPerplexity(docsDf)
+      .collect().map(_.toSeq)
+    assert(rows.map(t => Seq(t._1, t._2, t._3, t._4)).toSeq == again.toSeq)
+  }
+
   test("mrrAt: first same-label hit ranks, zero for missed queries, exact mean") {
     val sp = spark; import sp.implicits._
     // 2-d embeddings: two tight clusters on opposite axes; labels pick
