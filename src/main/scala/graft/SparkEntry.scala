@@ -1850,6 +1850,13 @@ object SparkEntry {
     "ndcg_eval" -> ((s, d) =>
       TextStats.ndcgAt(docs(s, d), BmTerms, NdcgK, BmK1, BmB)),
 
+    // Distribution-shift monitor: per-source Jensen–Shannon divergence
+    // against the corpus term distribution; the absent-term tail is
+    // closed-form, so only present (source, term) pairs materialize and
+    // ONE scan (the checkpointed count frame) feeds all four aggregates.
+    "source_divergence" -> ((s, d) =>
+      TextStats.sourceDivergence(docs(s, d)).orderBy(col("source"))),
+
     // The CCNet-style perplexity filter: per-doc perplexity under an
     // interpolated bigram LM trained on the corpus's own stream, flagged
     // against the corpus mean + 2σ. LM joins run on reduced vocabularies;
@@ -4112,6 +4119,26 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
          |  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_surprisal
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "source_divergence" ->
+      s"""WITH st AS (SELECT source, term, count(*) AS cst
+         |  FROM (SELECT source, unnest($toksSql) AS term FROM documents) t0 GROUP BY 1, 2),
+         |ts AS (SELECT source, sum(cst) AS ts FROM st GROUP BY 1),
+         |ct AS (SELECT term, sum(cst) AS ct FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cst) AS DOUBLE) AS tot FROM st),
+         |x AS (SELECT source,
+         |  CAST(round(p * ln(p / m) + q * ln(q / m), 9) AS DECIMAL(28,9)) AS contrib,
+         |  CAST(round(q, 9) AS DECIMAL(28,9)) AS qr FROM (
+         |    SELECT st.source,
+         |      CAST(cst AS DOUBLE) / CAST(ts AS DOUBLE) AS p,
+         |      CAST(ct AS DOUBLE) / tot AS q,
+         |      (CAST(cst AS DOUBLE) / CAST(ts AS DOUBLE) + CAST(ct AS DOUBLE) / tot) / 2.0 AS m
+         |    FROM st JOIN ts USING (source) JOIN ct USING (term), tot) t1),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+         |  sum(contrib) AS s, sum(qr) AS qcov FROM x GROUP BY 1)
+         |SELECT source, n_terms,
+         |  round(0.5 * CAST(s AS DOUBLE) + ${0.5d * math.log(2.0d)} * (1.0 - CAST(qcov AS DOUBLE)), 6) AS js
+         |FROM g ORDER BY source""".stripMargin,
 
     "doc_perplexity" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -802,6 +802,48 @@ object TextStats {
         round(col("s").cast("double") / col("n_bigrams"), 6).as("avg_surprisal"))
   }
 
+  /** Distribution-shift monitor: Jensen–Shannon divergence of each
+    * source's term distribution against the whole corpus — the
+    * "did this feed drift?" check run before a source is re-weighted or
+    * re-crawled. JS (unlike KL) is finite, symmetric and bounded by ln 2,
+    * so one number per source is comparable across sources and rounds.
+    *
+    * The sum over terms ABSENT from a source is closed-form —
+    * Σ_{t∉S} q·ln(q/(q/2)) = ln 2 · (1 − Σ_{t∈S} q) — so only
+    * (source, term) pairs that actually occur ever materialize: no
+    * vocab × sources blow-up, no outer join against the vocabulary.
+    *
+    * ONE corpus scan builds the (source, term) count frame (map-side
+    * combined, checkpointed — its four consumers re-aggregate the
+    * REDUCED frame, never the stream); per-term contributions quantize
+    * to 9-dp decimals before the per-source sums (fold-order-free, the
+    * [[sourceEntropy]] contract). Output: `(source, n_terms, js)`.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val st = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cst"))
+      .localCheckpoint() // reduced (source × present-term) frame, read 4×
+    val ts = st.groupBy(col("source")).agg(sum(col("cst")).as("ts"))
+    val ct = st.groupBy(col("term")).agg(sum(col("cst")).as("ct"))
+    val tot = st.agg(sum(col("cst")).cast("double").as("tot"))
+    val p = col("cst").cast("double") / col("ts").cast("double")
+    val q = col("ct").cast("double") / col("tot")
+    val m = (p + q) / lit(2.0d)
+    val perSource = st.join(ts, "source").join(ct, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        round(p * log(p / m) + q * log(q / m), 9).cast(dec9).as("contrib"),
+        round(q, 9).cast(dec9).as("qr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("s"),
+        sum(col("qr")).as("qcov"))
+    val halfLnTwo = 0.5d * math.log(2.0d)
+    perSource.select(col("source"), col("n_terms"),
+      round(lit(0.5d) * col("s").cast("double")
+        + lit(halfLnTwo) * (lit(1.0d) - col("qcov").cast("double")), 6).as("js"))
+  }
+
   /** Per-document PERPLEXITY under an interpolated bigram LM —
     * p̂(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/T — with a corpus-level
     * outlier gate (ppl > mean + 2σ): the CCNet-style perplexity filter,

@@ -153,6 +153,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ndcg_eval" /* bm25 leg's 1-row stats broadcast + final 1-row dcg × 1-row idcg cross */,
       "mrr_eval" /* per-query RR rows × the 1-row MRR summary broadcast */,
       "doc_perplexity" /* per-doc ppl rows × the 1-row mean/σ gate broadcast */,
+      "source_divergence" /* 1-row corpus-total broadcast cross */,
       "kll_quantiles" /* |q|-row certified-bracket spec broadcast into the exact pass */,
       "kll_quantiles_grouped" /* summary × |q|-row quantile spec (the corpus joins brackets by KEY) */,
       "kll_merge" /* 1-row totals + |q|-row bracket spec broadcasts */,

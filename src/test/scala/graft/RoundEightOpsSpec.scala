@@ -518,6 +518,28 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ev.head > 20 && ev.head < 50, s"Rayleigh estimate off: ${ev.head}")
   }
 
+  test("sourceDivergence: zero for an undiverged source, symmetric, bounded by ln 2") {
+    val sp = spark; import sp.implicits._
+    // single source ⇒ P = Q ⇒ JS exactly 0
+    val one = Seq((1L, "aaa bbb ccc", "s0"), (2L, "aaa bbb", "s0"))
+      .toDF("doc_id", "text", "source")
+    val z = ops.TextStats.sourceDivergence(one).collect()
+    assert(z.length == 1 && z.head.getDouble(2) == 0.0, s"got ${z.toSeq}")
+    // two equal-size sources with DISJOINT vocabularies: both diverge
+    // identically; JS(δ, 50/50 mix) = ln 2 − (1/2)ln(3/2) − ... ≈ 0.2158,
+    // well inside (0, ln 2)
+    val disjoint = Seq(
+      (1L, "aaa aaa aaa aaa", "sa"), (2L, "bbb bbb bbb bbb", "sb"))
+      .toDF("doc_id", "text", "source")
+    val d = ops.TextStats.sourceDivergence(disjoint)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(d.map(_._1).toSeq == Seq("sa", "sb"))
+    assert(d(0)._3 == d(1)._3, "symmetric construction ⇒ equal divergence")
+    assert(d(0)._3 > 0.2 && d(0)._3 < 0.22, s"got ${d(0)._3}")
+    assert(d.forall(_._3 < math.log(2.0)), "JS is bounded by ln 2")
+  }
+
   test("docPerplexity: repetition scores low, token soup scores high, gate flags the tail") {
     val sp = spark; import sp.implicits._
     // many templated docs (predictable bigrams) + one shuffled-soup doc
