@@ -1288,6 +1288,30 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Schema evolution survives the sink: two parquet batches with
+    // DRIFTED schemas (early batch lacks source/n_chars — the classic
+    // "the crawler added fields later" shape) land in one dataset dir;
+    // the mergeSchema read unifies them (missing columns NULL), and the
+    // aggregate proves both generations stay queryable together. At
+    // scale the per-file footer schemas merge on the driver — no data
+    // pass; readers prune to the union schema as usual.
+    "schema_drift" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_drift").toString
+      val doc = docs(s, d)
+      doc.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("append").parquet(path)
+      doc.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("lang"), col("source").isNotNull.as("with_source"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("n_chars_sum"))
+        .orderBy(col("lang"), col("with_source"))
+    }),
+
     "json_roundtrip" -> ((s, d) => {
       val path = java.nio.file.Files
         .createTempDirectory("graft_json").toString
@@ -4119,6 +4143,15 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
          |  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_surprisal
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "schema_drift" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, source IS NOT NULL AS with_source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS n_chars_sum
+        |FROM u GROUP BY 1, 2 ORDER BY lang, with_source""".stripMargin,
 
     "source_divergence" ->
       s"""WITH st AS (SELECT source, term, count(*) AS cst
