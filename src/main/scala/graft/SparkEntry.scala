@@ -356,6 +356,25 @@ object SparkEntry {
   private val sortCols =
     Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
 
+  /** Scratch directory for the sink/round-trip queries, removed on JVM
+    * exit. The returned DataFrame is lazy — the directory must outlive
+    * this call (the harness collects later, possibly several times), so
+    * the earliest safe cleanup point is process exit; the shutdown hook
+    * stops repeated bench/verify runs from accumulating dead copies in
+    * /tmp across JVMs.
+    */
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   private def li(s: SparkSession, d: String): DataFrame = Tables.lineitem(s, d)
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
@@ -870,8 +889,7 @@ object SparkEntry {
     // write tab-framed lines, read them back with the text source, and
     // re-derive the typed columns by splitting at the first tab.
     "text_roundtrip" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_text").toString
+      val path = tempDir("graft_text")
       docs(s, d)
         .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
         .write.mode("overwrite").text(path)
@@ -1143,8 +1161,7 @@ object SparkEntry {
       // the bucketed layout is a one-time table-design cost, not part of
       // the join: write it once per session (bench run 2 times the join)
       if (!s.catalog.tableExists("graft_orders_b")) {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_bucketed").toString
+        val base = tempDir("graft_bucketed")
         Tables.orders(s, d).write.mode("overwrite").format("parquet")
           .option("path", s"$base/orders_b")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -1167,8 +1184,7 @@ object SparkEntry {
     // are never listed or read. At 100 TB this is the difference between
     // scanning one status partition and scanning the table.
     "partitioned_scan" -> ((s, d) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_part").toString
+      val base = tempDir("graft_part")
       Tables.orders(s, d).write.mode("overwrite")
         .partitionBy("o_orderstatus").parquet(base)
       s.read.parquet(base)
@@ -1252,8 +1268,7 @@ object SparkEntry {
     // (file, offset) order with NO re-sort — matching the ORDER BY oracle
     // proves the sink preserved global order end-to-end.
     "sorted_sink" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_sorted_sink").toString
+      val path = tempDir("graft_sorted_sink")
       Sorts.sortedSink(li(s, d).select(sortCols.map(col): _*), path,
         col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       Sorts.readSortedSink(s, path)
@@ -1265,8 +1280,7 @@ object SparkEntry {
     // the exactly-once distributed-write pattern. The digest is over keys
     // (not formatted rows) so the oracle recomputes it engine-portably.
     "digest_sink" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_digest").toString
+      val path = tempDir("graft_digest")
       li(s, d)
         .select(h60(concat(
           col("l_orderkey").cast("string"), lit(":"),
@@ -1280,8 +1294,7 @@ object SparkEntry {
     // through a written CSV / JSON copy and back, against the parquet
     // oracle — proves header/quoting/type inference plumbing.
     "csv_roundtrip" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_csv").toString
+      val path = tempDir("graft_csv")
       val nation = Tables.nation(s, d)
       nation.write.mode("overwrite").option("header", "true").csv(path)
       s.read.option("header", "true").schema(nation.schema).csv(path)
@@ -1296,8 +1309,7 @@ object SparkEntry {
     // scale the per-file footer schemas merge on the driver — no data
     // pass; readers prune to the union schema as usual.
     "schema_drift" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_drift").toString
+      val path = tempDir("graft_drift")
       val doc = docs(s, d)
       doc.where(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"))
@@ -1313,8 +1325,7 @@ object SparkEntry {
     }),
 
     "json_roundtrip" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_json").toString
+      val path = tempDir("graft_json")
       val supplier = Tables.supplier(s, d)
       supplier.write.mode("overwrite").json(path)
       s.read.schema(supplier.schema).json(path)
@@ -1322,8 +1333,7 @@ object SparkEntry {
     }),
 
     "orc_roundtrip" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_orc").toString
+      val path = tempDir("graft_orc")
       val part = Tables.part(s, d)
       part.write.mode("overwrite").orc(path)
       s.read.orc(path).orderBy(col("p_partkey"))
@@ -1597,12 +1607,17 @@ object SparkEntry {
 
     // Privacy-safe release of the per-(source, lang) composition report:
     // seeded-Laplace DP counts (pure function of salt+group — replayable,
-    // no shared random state) with small-group k-suppression. The noise
-    // layer is map-only over the aggregated rows: zero distributed cost.
+    // no shared random state) with small-group suppression ON THE NOISED
+    // count, so a group's presence in the release is itself a function of
+    // noised values only (the (ε,δ)-DP stability-histogram release —
+    // thresholding the TRUE count would leak presence deterministically).
+    // The noise layer is map-only over the aggregated rows: zero
+    // distributed cost. n_true rides along for the oracle; a production
+    // release drops it.
     "dp_counts" -> ((s, d) =>
       Privacy.suppressSmall(
         Privacy.dpCounts(docs(s, d), Seq("source", "lang"), DpEps, DpSalt),
-        DpMinGroup)
+        DpMinGroup, nCol = "n_released")
         .orderBy(col("source"), col("lang"))),
 
     // Top principal component by distributed power iteration: per round
@@ -2504,7 +2519,7 @@ object SparkEntry {
       Privacy.suppressSmall(
         Privacy.release(streaming.StreamOps.runToCompletion(s, agg),
           Seq("event_type"), DpEps, DpSalt),
-        DpMinGroup)
+        DpMinGroup, nCol = "n_released")
         .orderBy(col("event_type"))
     }),
 
@@ -3679,10 +3694,12 @@ object SparkEntry {
          |    / 1152921504606846976.0 AS uu FROM g),
          |l AS (SELECT source, lang, n_true,
          |  ${-1.0 / DpEps} * sign(uu - 0.5)
-         |    * ln(greatest(1e-12, 1.0 - 2.0 * abs(uu - 0.5))) AS lap FROM u)
-         |SELECT source, lang, n_true,
+         |    * ln(greatest(1e-12, 1.0 - 2.0 * abs(uu - 0.5))) AS lap FROM u),
+         |r AS (SELECT source, lang, n_true,
          |  greatest(0, n_true + CAST(round(lap, 0) AS BIGINT)) AS n_released
-         |FROM l WHERE n_true >= $DpMinGroup ORDER BY source, lang""".stripMargin,
+         |FROM l)
+         |SELECT source, lang, n_true, n_released
+         |FROM r WHERE n_released >= $DpMinGroup ORDER BY source, lang""".stripMargin,
 
     "stream_dp_counts" ->
       s"""WITH g AS (SELECT event_type, count(*) AS n_true
@@ -3692,10 +3709,12 @@ object SparkEntry {
          |    / 1152921504606846976.0 AS uu FROM g),
          |l AS (SELECT event_type, n_true,
          |  ${-1.0 / DpEps} * sign(uu - 0.5)
-         |    * ln(greatest(1e-12, 1.0 - 2.0 * abs(uu - 0.5))) AS lap FROM u)
-         |SELECT event_type, n_true,
+         |    * ln(greatest(1e-12, 1.0 - 2.0 * abs(uu - 0.5))) AS lap FROM u),
+         |r AS (SELECT event_type, n_true,
          |  greatest(0, n_true + CAST(round(lap, 0) AS BIGINT)) AS n_released
-         |FROM l WHERE n_true >= $DpMinGroup ORDER BY event_type""".stripMargin,
+         |FROM l)
+         |SELECT event_type, n_true, n_released
+         |FROM r WHERE n_released >= $DpMinGroup ORDER BY event_type""".stripMargin,
 
     "logreg_train" ->
       s"""WITH $logregCtes
@@ -3715,7 +3734,9 @@ object SparkEntry {
          |a AS (SELECT CAST(sum(nb) AS BIGINT) AS n, CAST(sum(pb) AS BIGINT) AS n_pos,
          |  sum(pb * avgrank2) AS sum2 FROM rk)
          |SELECT n, n_pos,
-         |  round(CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * (n - n_pos)), 6) AS auc
+         |  CASE WHEN n_pos > 0 AND n_pos < n THEN
+         |    round(CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * (n - n_pos)), 6)
+         |  ELSE NULL END AS auc
          |FROM a""".stripMargin,
 
     "pca_power" ->

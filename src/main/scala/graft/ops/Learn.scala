@@ -140,12 +140,17 @@ object Learn {
       sum(col("nb")).as("n"),
       sum(col("pb")).as("n_pos"),
       sum(col("pb").cast(big) * col("avgrank2")).as("sum2"))
-    // AUC = (Σ_pos avgrank − P(P+1)/2) / (P·(N−P)), doubled through
+    // AUC = (Σ_pos avgrank − P(P+1)/2) / (P·(N−P)), doubled through.
+    // A single-class corpus (P=0 or P=N) has no rank AUC — guard the
+    // zero denominator explicitly so the result is NULL on every engine
+    // (an unguarded 0/0 is NULL in Spark but NaN/Inf in DuckDB).
     agg.select(col("n"), col("n_pos"),
-      round(
-        (col("sum2") - col("n_pos").cast(big) * (col("n_pos") + 1)).cast("double")
-          / (lit(2.0d) * col("n_pos").cast("double")
-            * (col("n") - col("n_pos")).cast("double")), 6).as("auc"))
+      when(col("n_pos") > 0 && col("n_pos") < col("n"),
+        round(
+          (col("sum2") - col("n_pos").cast(big) * (col("n_pos") + 1)).cast("double")
+            / (lit(2.0d) * col("n_pos").cast("double")
+              * (col("n") - col("n_pos")).cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("auc"))
   }
 
   /** Reliability diagram of the trained classifier: centile bins of the

@@ -24,10 +24,21 @@ import graft.functions.h60
   *    map-only expression over the aggregated rows, so the privacy layer
   *    adds ZERO distributed cost at any corpus size.
   *
-  *  - [[suppressSmall]]: k-anonymity-style suppression — groups with
-  *    fewer than `k` members are dropped from the release instead of
-  *    being published with noise so large the row is useless (or with a
-  *    count so small the row is identifying).
+  *  - [[suppressSmall]]: small-group suppression. WHICH column it
+  *    thresholds decides what guarantee the composition keeps:
+  *
+  *      - on the NOISED count (`nCol = "n_released"`): a group's
+  *        presence in the release is a function of noised values only —
+  *        the standard "stability histogram" release for data-dependent
+  *        domains, (ε, δ)-DP with δ ≤ ½·exp(−ε·(k−1)) per group (the
+  *        probability that a group present only through the one
+  *        differing row clears the threshold). This is what the shipped
+  *        `dp_counts` / `stream_dp_counts` queries do.
+  *      - on the TRUE count (`nCol = "n_true"`, the default): presence
+  *        in the release is a deterministic function of the raw data —
+  *        the composition is k-anonymity-style suppression ONLY, not
+  *        ε-DP, however much noise rides on the published count. Use
+  *        this form only when the group-key domain is public.
   *
   * Determinism/portability: the uniform is clamped away from {0, ½, 1}
   * before the two `ln` branches, the noise is rounded to an INTEGER
@@ -84,9 +95,11 @@ object Privacy {
         greatest(lit(0L), col("shifted")).as("n_released")): _*)
   }
 
-  /** k-anonymity-style suppression: keep only groups with ≥ k members.
-    * Runs on the aggregated frame — O(groups) rows — so it composes with
-    * [[dpCounts]] for free.
+  /** Small-group suppression: keep only groups where `nCol` ≥ k. Runs on
+    * the aggregated frame — O(groups) rows — so it composes with
+    * [[dpCounts]] for free. Pass `nCol = "n_released"` to threshold the
+    * NOISED count (the (ε, δ)-DP stability-histogram release); the
+    * default `n_true` form is k-anonymity-only — see the object docs.
     */
   def suppressSmall(counts: DataFrame, k: Long,
                     nCol: String = "n_true"): DataFrame =

@@ -420,6 +420,12 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val row = ops.Learn.aucEval(mixed).head()
     assert(row.getLong(0) == 4 && row.getLong(1) == 2)
     assert(row.getDouble(2) == 0.875, s"got ${row.getDouble(2)}")
+    // single-class corpora have no rank AUC: the guarded denominator
+    // must yield NULL, not a divide-by-zero NaN/Inf
+    val allPos = Seq((0.9, 1.0), (0.1, 1.0)).toDF("score", "y")
+    assert(ops.Learn.aucEval(allPos).head().isNullAt(2))
+    val allNeg = Seq((0.9, 0.0), (0.1, 0.0)).toDF("score", "y")
+    assert(ops.Learn.aucEval(allNeg).head().isNullAt(2))
   }
 
   test("logreg trainWeights: learns a separable direction, deterministic replay") {
@@ -479,6 +485,15 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ops.Privacy.dpCounts(small, Seq("grp"), 1e9, "s"), 3)
       .collect().map(_.getString(0))
     assert(kept.toSeq == Seq("big"), s"got ${kept.toSeq}")
+    // the DP-preserving form thresholds the NOISED count: at eps → ∞ the
+    // noised count equals the true count, so the same groups survive —
+    // but the filter column is n_released (presence decided by noised
+    // values only; the shipped dp_counts query uses this form)
+    val keptNoised = ops.Privacy.suppressSmall(
+      ops.Privacy.dpCounts(small, Seq("grp"), 1e9, "s"), 3,
+      nCol = "n_released")
+      .collect().map(_.getString(0))
+    assert(keptNoised.toSeq == Seq("big"), s"got ${keptNoised.toSeq}")
     // release over pre-aggregated counts ≡ dpCounts over the raw rows —
     // the contract that lets a streaming complete-mode counter reuse the
     // exact batch release (stream_dp_counts)
