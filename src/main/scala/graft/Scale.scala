@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.Scale graph [nInc]"     (default 10,000,000)
   *   sbt "runMain graft.Scale hh [n] [vocab]"   (default 100M × 10M)
   *   sbt "runMain graft.Scale hhskew [n] [nSmall]" (default 100M × 20)
+  *   sbt "runMain graft.Scale perplexity [nDocs] [vocab]" (default 4M × 100k)
   *
   * `dedup` mode drives the MinHash-LSH near-dup pipeline (the same
   * operators as the `minhash_pairs` query, same k/bands) over synthetic
@@ -53,6 +54,7 @@ object Scale {
     if (args.headOption.contains("sparse")) return sparseMain(args.drop(1))
     if (args.headOption.contains("shard")) return shardMain(args.drop(1))
     if (args.headOption.contains("train")) return trainMain(args.drop(1))
+    if (args.headOption.contains("perplexity")) return perplexityMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -1193,6 +1195,63 @@ object Scale {
     * QUERIED TERMS, not the corpus, because the broadcast query-term
     * join prunes everything else before the (query, doc) aggregate.
     */
+  /** `perplexity` mode: the CCNet-style quality gate at 10⁸ tokens over
+    * the STAGE-ONCE tokenized corpus ([[graft.ops.TextStage]]). Measures
+    * the three-way split a production run has: one tokenize+stage pass,
+    * then [[graft.ops.TextStats.docPerplexityTk]] (five aggregates) and
+    * [[graft.ops.TextStats.sourceDivergenceTk]] both reading the SAME
+    * staged frame — the cross-consumer reuse that makes staging pay:
+    * the regex tokenizer runs once for 100M tokens, not 6+ times.
+    * Asserts the gate flags a sane fraction (> 0, < 20%) and that no
+    * cached state survives the run.
+    */
+  private def perplexityMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 4000000L
+    val vocab = if (args.length > 1) args(1).toLong else 100000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    val nTok = 25
+    // zipf-ish vocabulary (u³ skews mass to small ids) + 1% planted
+    // "token soup" docs drawing uniformly from the whole vocabulary —
+    // high-perplexity outliers the gate should flag
+    val toks = (0 until nTok).map { j =>
+      val u = pmod(xxhash64(col("id"), lit(j)), lit(1L << 20))
+        .cast("double") / (1L << 20).toDouble
+      val soup = pmod(xxhash64(col("id"), lit(j + 1000)), lit(vocab))
+      concat(lit("t"),
+        when(col("id") % 100 === 0, soup)
+          .otherwise(floor(u * u * u * vocab).cast("long")).cast("string"))
+    }
+    def docs = spark.range(n).repartition(cpus.toInt * 2)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), (col("id") % 8).cast("string")).as("source"),
+        concat_ws(" ", toks: _*).as("text"))
+    val t0 = System.nanoTime()
+    val staged = ops.TextStage.tokenized(spark, docs, s"scale_ppl_$n")
+    val nTokens = staged.selectExpr("sum(size(tk))").head().getLong(0)
+    val tStage = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val flagged = ops.TextStats.docPerplexityTk(staged)
+      .where(col("flagged")).count()
+    val tPpl = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val div = ops.TextStats.sourceDivergenceTk(
+      staged.select(col("source"), col("tk"))).collect()
+    val tDiv = (System.nanoTime() - t2) / 1e9
+    require(flagged > 0 && flagged < n / 5, s"gate flagged $flagged of $n")
+    require(div.length == 8, s"expected 8 sources, got ${div.length}")
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    println(f"""{"mode":"perplexity","n_docs":$n,"n_tokens":$nTokens,"vocab":$vocab,"stage_seconds":$tStage%.1f,"ppl_seconds":$tPpl%.1f,"div_seconds":$tDiv%.1f,"flagged":$flagged,"cached_rdds":$cached,"tokens_per_sec":${nTokens / (tStage + tPpl + tDiv)}%.0f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
   private def sparseMain(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 2000000L
     val vocab = if (args.length > 1) args(1).toLong else 200000L

@@ -100,17 +100,28 @@ object Learn {
     w
   }
 
+  /** The default demo-classifier feature list, shared by every trainer
+    * and apply-pass so artifacts line up by name. */
+  val featureNames: Seq[String] = Seq("x0", "x1", "x2")
+
   /** Train on the corpus, score the SAME corpus with the final weights,
     * and report the rank AUC — the end-to-end "did the cheap classifier
     * learn anything" check. One row: `(n, n_pos, auc)`.
     */
   def aucOfTrained(docs: DataFrame, rounds: Int, lr: Double): DataFrame = {
-    val names = Seq("x0", "x1", "x2")
     val feats = docFeatures(docs)
-    val w = trainWeights(feats, names, rounds, lr)
-    val z = names.zip(w).map { case (n, wv) => col(n) * lit(wv) }
+    aucOfWeights(docs, trainWeights(feats, featureNames, rounds, lr))
+  }
+
+  /** The APPLY half of [[aucOfTrained]]: score the corpus with an
+    * explicit (typically artifact-loaded — see [[ModelStore]]) weight
+    * vector and report the rank AUC. Map-only scoring into [[aucEval]]'s
+    * bucketed rank — no training job runs here.
+    */
+  def aucOfWeights(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val z = featureNames.zip(w).map { case (n, wv) => col(n) * lit(wv) }
       .reduceLeft(_ + _)
-    aucEval(feats.select(sigmoid6(z).as("score"), col("y")))
+    aucEval(docFeatures(docs).select(sigmoid6(z).as("score"), col("y")))
   }
 
   /** Tie-aware ROC-AUC over `(score, y)` rows, WITHOUT a per-row global
@@ -164,14 +175,19 @@ object Learn {
     * bit-for-bit. Output: `(bin, n, mean_score, frac_pos)`.
     */
   def calibrationOfTrained(docs: DataFrame, rounds: Int,
-                           lr: Double): DataFrame = {
-    val names = Seq("x0", "x1", "x2")
-    val feats = docFeatures(docs)
-    val w = trainWeights(feats, names, rounds, lr)
-    val z = names.zip(w).map { case (n, wv) => col(n) * lit(wv) }
+                           lr: Double): DataFrame =
+    calibrationOfWeights(docs,
+      trainWeights(docFeatures(docs), featureNames, rounds, lr))
+
+  /** The APPLY half of [[calibrationOfTrained]]: bin the corpus with an
+    * explicit (artifact-loaded) weight vector — one map-only scan into
+    * ≤ 100 groups, no training job.
+    */
+  def calibrationOfWeights(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val z = featureNames.zip(w).map { case (n, wv) => col(n) * lit(wv) }
       .reduceLeft(_ + _)
     val dec6 = DecimalType(18, 6)
-    feats.select(sigmoid6(z).as("score"), col("y"))
+    docFeatures(docs).select(sigmoid6(z).as("score"), col("y"))
       .select(least(lit(99L), floor(col("score") * 100).cast("long")).as("bin"),
         col("score"), col("y"))
       .groupBy(col("bin"))

@@ -114,6 +114,11 @@ object ModelStore {
     centroids.coalesce(1).write.mode("overwrite").parquet(path)
 
   def loadCentroids(spark: SparkSession, path: String): DataFrame =
+    loadFrame(spark, path)
+
+  /** Any artifact read back as the frame it was saved as — the generic
+    * "dump the store" surface behind the `*_store` queries. */
+  def loadFrame(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
   // ---- SQ per-dim bounds: rows (dim, mn, mx) ---------------------------

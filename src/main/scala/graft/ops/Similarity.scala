@@ -325,15 +325,8 @@ object Similarity {
   def pqEncode(corpus: DataFrame, subs: Int, k: Int,
                idCol: String = "vec_id",
                embCol: String = "embedding"): DataFrame = {
-    val (c, cents) = pqPrep(corpus, subs, k, idCol, embCol)
-    val codes = org.apache.spark.sql.GraftColumnBridge.column(
-      graft.functions.PqCodes(
-        org.apache.spark.sql.GraftColumnBridge.expression(col("e")),
-        cents, subs))
-    val codeCols = (0 until subs).map(s =>
-      element_at(col("codes"), s + 1).as(s"c$s"))
-    c.withColumn("codes", codes)
-      .select(col(idCol) +: codeCols: _*)
+    val (_, cents) = pqPrep(corpus, subs, k, idCol, embCol)
+    pqEncodeWith(corpus, subs, cents, idCol, embCol)
   }
 
   /** PQ asymmetric-distance (ADC) top-k: the full product-quantization
@@ -366,7 +359,21 @@ object Similarity {
              subs: Int, k: Int,
              idCol: String = "vec_id",
              embCol: String = "embedding"): DataFrame = {
-    val (c, cents) = pqPrep(corpus, subs, k, idCol, embCol)
+    val (_, cents) = pqPrep(corpus, subs, k, idCol, embCol)
+    pqTopKWith(corpus, queries, topK, subs, cents, idCol, embCol)
+  }
+
+  /** [[pqTopK]] against an EXPLICIT (artifact-loaded) codebook — no
+    * sampling scan; the ADC search shape is unchanged.
+    */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, topK: Int,
+                 subs: Int, cents: Array[Array[Double]],
+                 idCol: String = "vec_id",
+                 embCol: String = "embedding"): DataFrame = {
+    require(cents.head.length % subs == 0,
+      s"dim ${cents.head.length} not divisible into $subs sub-vectors")
+    val c = corpus.select(col(idCol).cast("long").as(idCol),
+      asDouble(col(embCol)).as("e"))
     val subDim = cents.head.length / subs
     val codes = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.PqCodes(
@@ -480,7 +487,24 @@ object Similarity {
     */
   def sqTopK(corpus: DataFrame, queries: DataFrame, topK: Int, dim: Int,
              idCol: String = "vec_id",
-             embCol: String = "embedding"): DataFrame = {
+             embCol: String = "embedding"): DataFrame =
+    sqTopKFrom(sqPrep(corpus, dim, idCol, embCol), queries, topK, dim,
+      idCol, embCol)
+
+  /** [[sqTopK]] against an EXPLICIT (artifact-loaded — see [[ModelStore]])
+    * bounds codebook: the bounds enter as O(dim) literals, so the encode
+    * leg is pure map-only — the 1-row bounds aggregate and its broadcast
+    * crossJoin disappear from the plan entirely.
+    */
+  def sqTopKWith(corpus: DataFrame, queries: DataFrame, topK: Int, dim: Int,
+                 mns: Array[Double], mxs: Array[Double],
+                 idCol: String = "vec_id",
+                 embCol: String = "embedding"): DataFrame =
+    sqTopKFrom(sqPrepWith(corpus, dim, mns, mxs, idCol, embCol),
+      queries, topK, dim, idCol, embCol)
+
+  private def sqTopKFrom(prep: DataFrame, queries: DataFrame, topK: Int,
+                         dim: Int, idCol: String, embCol: String): DataFrame = {
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       asDouble(col(embCol)).as("qe"))
     val recon = (i: Int) =>
@@ -491,7 +515,7 @@ object Similarity {
       val diff = element_at(col("qe"), i) - recon(i)
       diff * diff
     }.reduceLeft(_ + _)
-    val scored = sqPrep(corpus, dim, idCol, embCol)
+    val scored = prep
       .select(col(idCol).cast("long").as("nbr_id"),
         col("codes"), col("mns"), col("mxs"))
       .join(broadcast(q), col("query_id") =!= col("nbr_id"))
@@ -525,23 +549,98 @@ object Similarity {
       .withColumn("codes", array((1 to dim).map(code): _*))
   }
 
+  /** [[sqPrep]] with the bounds as EXPLICIT literals (artifact-loaded —
+    * see [[ModelStore]]): same `mns`/`mxs`/`codes` columns, but pure
+    * map-only — no bounds aggregate, no broadcast crossJoin.
+    */
+  private def sqPrepWith(corpus: DataFrame, dim: Int, mns: Array[Double],
+                         mxs: Array[Double], idCol: String,
+                         embCol: String): DataFrame = {
+    require(mns.length == dim && mxs.length == dim, "bounds dim mismatch")
+    val code = (i: Int) => {
+      val v = element_at(col("e"), i)
+      val mn = lit(mns(i - 1))
+      val mx = lit(mxs(i - 1))
+      if (mxs(i - 1) == mns(i - 1)) lit(0)
+      else floor((v - mn) * lit(255.0) / (mx - mn) + lit(0.5)).cast("int")
+    }
+    corpus.select(col(idCol), asDouble(col(embCol)).as("e"))
+      .withColumn("mns", array(mns.map(lit(_)): _*))
+      .withColumn("mxs", array(mxs.map(lit(_)): _*))
+      .withColumn("codes", array((1 to dim).map(code): _*))
+  }
+
+  /** The SQ "codebook" as driver arrays: per-dim [min, max] — ONE
+    * aggregate with 2·dim slots, a 1-row collect. The train half of the
+    * [[sqTopKWith]]/[[sqEncodeWith]] apply paths.
+    */
+  def sqBoundsArrays(corpus: DataFrame, dim: Int,
+                     embCol: String = "embedding")
+      : (Array[Double], Array[Double]) = {
+    val c = corpus.select(asDouble(col(embCol)).as("e"))
+    val row = c.agg(
+      array((1 to dim).map(i => min(element_at(col("e"), i))): _*).as("mns"),
+      array((1 to dim).map(i => max(element_at(col("e"), i))): _*).as("mxs"))
+      .head()
+    (row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray)
+  }
+
+  /** [[sqEncode]] against an explicit bounds codebook — pure map-only. */
+  def sqEncodeWith(corpus: DataFrame, dim: Int, mns: Array[Double],
+                   mxs: Array[Double], idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame =
+    sqPrepWith(corpus, dim, mns, mxs, idCol, embCol)
+      .select(col(idCol),
+        array_join(col("codes").cast("array<string>"), ",").as("codes"))
+
   /** Shared PQ preparation: normalized corpus + deterministic hash-ranked
     * codebook (the same bounded selection the IVF coarse quantizer uses).
     */
   private def pqPrep(corpus: DataFrame, subs: Int, k: Int,
                      idCol: String, embCol: String): (DataFrame, Array[Array[Double]]) = {
-    val c = corpus.select(col(idCol).cast("long").as(idCol),
-      asDouble(col(embCol)).as("e"))
-    val centRows = c
+    val cents = pqCodebook(corpus, k, idCol, embCol)
+    require(cents.head.length % subs == 0,
+      s"dim ${cents.head.length} not divisible into $subs sub-vectors")
+    (corpus.select(col(idCol).cast("long").as(idCol),
+      asDouble(col(embCol)).as("e")), cents)
+  }
+
+  /** The PQ codebook as driver arrays: the deterministic hash-ranked
+    * k-row sample (TakeOrderedAndProject — bounded heap, O(k·dim) driver
+    * state at any corpus size). The train half of the
+    * [[pqEncodeWith]]/[[pqTopKWith]] apply paths — persist it with
+    * [[ModelStore.savePqCodebook]].
+    */
+  def pqCodebook(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+                 embCol: String = "embedding"): Array[Array[Double]] = {
+    val centRows = corpus
+      .select(col(idCol).cast("long").as(idCol), asDouble(col(embCol)).as("e"))
       .orderBy(h60(concat(lit("cent:"), col(idCol).cast("string"))).asc,
         col(idCol).asc)
       .limit(k)
       .select(col("e")).collect()
     require(centRows.nonEmpty, "no codebook rows: empty corpus")
-    val cents = centRows.map(_.getSeq[Double](0).toArray)
+    centRows.map(_.getSeq[Double](0).toArray)
+  }
+
+  /** [[pqEncode]] against an EXPLICIT (artifact-loaded) codebook — the
+    * sampling scan disappears; encoding stays a pure map-only projection.
+    */
+  def pqEncodeWith(corpus: DataFrame, subs: Int,
+                   cents: Array[Array[Double]], idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
     require(cents.head.length % subs == 0,
       s"dim ${cents.head.length} not divisible into $subs sub-vectors")
-    (c, cents)
+    val c = corpus.select(col(idCol).cast("long").as(idCol),
+      asDouble(col(embCol)).as("e"))
+    val codes = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqCodes(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("e")),
+        cents, subs))
+    val codeCols = (0 until subs).map(s =>
+      element_at(col("codes"), s + 1).as(s"c$s"))
+    c.withColumn("codes", codes)
+      .select(col(idCol) +: codeCols: _*)
   }
 
   /** Nearest-centroid (max cosine) cell id per row; ties broken by smaller
@@ -919,9 +1018,20 @@ object Similarity {
   def pcaProject(corpus: DataFrame, rounds: Int, dim: Int,
                  idCol: String = "vec_id",
                  embCol: String = "embedding"): DataFrame = {
+    val (mu, v, _, _) = pcaPowerLoop(corpus, rounds, dim, embCol)
+    pcaProjectWith(corpus, mu, v, idCol, embCol)
+  }
+
+  /** The APPLY half of [[pcaProject]]: project onto an EXPLICIT (μ, v) —
+    * typically artifact-loaded (see [[ModelStore]]) — so no training
+    * loop runs. Same map-only one-scan shape: state enters as O(dim)
+    * literals, both inner products are order-free decimal folds.
+    */
+  def pcaProjectWith(corpus: DataFrame, mu: Array[Double], v: Array[Double],
+                     idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val (mu, v, _, _) = pcaPowerLoop(corpus, rounds, dim, embCol)
     val muLit = array(mu.map(lit(_)): _*)
     val vLit = array(v.map(lit(_)): _*)
     def decDot(a: Column, b: Column): Column =
@@ -981,6 +1091,58 @@ object Similarity {
       round(sum(col("rr").cast(dec6)).cast("double") / count(lit(1)), 6)
         .as("mrr"))
     rr.crossJoin(broadcast(summary))
+  }
+
+  /** Mean average precision @ k — the fourth leg of the retrieval-eval
+    * family (recall: [[annRecall]], graded gain: `ndcg_eval`, first-hit
+    * rank: [[mrrAt]], full-ranking precision: here). Per query over the
+    * exact cosine top-k, with label agreement as the relevance oracle:
+    * AP = (Σ over relevant positions r of precision@r) / R, where
+    * R = #relevant in the top-k; queries with no relevant neighbor score
+    * 0. The prefix-precision sum exercises a per-query running count —
+    * but ONLY over the bounded (|queries| × k)-row ranked frame, never
+    * the corpus (the window partitions ≤ k rows per query).
+    *
+    * Determinism: precision@r quantizes to a 6-dp decimal before the
+    * per-query sum (fold-order-free), AP and MAP round at 6 dp. The tiny
+    * per-query frame is checkpointed before its two consumers (rows +
+    * the 1-row MAP broadcast). Output:
+    * `(query_id, n_rel, ap, map)` — `map` is the constant corpus mean.
+    */
+  def mapAt(corpus: DataFrame, queries: DataFrame, k: Int,
+            idCol: String = "vec_id", embCol: String = "embedding",
+            labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val top = bruteForceTopK(corpus, queries, k, idCol, embCol)
+    val nbrLab = corpus.select(col(idCol).cast("long").as("nbr_id"),
+      col(labelCol).as("nlabel"))
+    val labeled = nbrLab.join(broadcast(top), "nbr_id")
+    val qlab = queries.select(col(idCol).cast("long").as("query_id"),
+      col(labelCol).as("qlabel"))
+    val marked = labeled.join(broadcast(qlab), "query_id")
+      .select(col("query_id"), col("rank"),
+        (col("nlabel") === col("qlabel")).cast("long").as("rel"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixed = marked.select(col("query_id"), col("rank"), col("rel"),
+      sum(col("rel")).over(w).as("cumrel"))
+    val agg = prefixed.groupBy(col("query_id")).agg(
+      sum(col("rel")).as("n_rel"),
+      sum(when(col("rel") === 1,
+        round(col("cumrel").cast("double") / col("rank"), 6).cast(dec6))
+        .otherwise(lit(0).cast(dec6))).as("psum"))
+    val perQ = qlab.join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          round(col("psum").cast("double") / col("n_rel"), 6))
+          .otherwise(lit(0.0d)).as("ap"))
+      .localCheckpoint() // ≤ queries rows; read twice below
+    val summary = perQ.agg(
+      round(sum(col("ap").cast(dec6)).cast("double") / count(lit(1)), 6)
+        .as("map"))
+    perQ.crossJoin(broadcast(summary))
   }
 
   /** HALF_UP (away-from-zero on ties) rounding of a double via its shortest

@@ -781,9 +781,16 @@ object TextStats {
     * (same contract as the unigram scorer). Documents with fewer than two
     * tokens have no bigrams and drop out.
     */
-  def bigramSurprisal(docs: DataFrame): DataFrame = {
+  def bigramSurprisal(docs: DataFrame): DataFrame =
+    bigramSurprisalTk(docs.select(col("doc_id"), tokens(col("text")).as("tk")))
+
+  /** [[bigramSurprisal]] over an ALREADY-tokenized `(doc_id, tk)` frame —
+    * the stage-once path (see [[TextStage]]): all three aggregates read
+    * pre-split token arrays, the regex tokenizer never runs here.
+    */
+  def bigramSurprisalTk(tkDocs: DataFrame): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val big = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val big = tkDocs
       .select(col("doc_id"), explode(expr(
         "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1])) ELSE array() END"))
         .as("bg"))
@@ -819,9 +826,15 @@ object TextStats {
     * to 9-dp decimals before the per-source sums (fold-order-free, the
     * [[sourceEntropy]] contract). Output: `(source, n_terms, js)`.
     */
-  def sourceDivergence(docs: DataFrame): DataFrame = {
+  def sourceDivergence(docs: DataFrame): DataFrame =
+    sourceDivergenceTk(
+      docs.select(col("source"), tokens(col("text")).as("tk")))
+
+  /** [[sourceDivergence]] over an already-tokenized `(source, tk)` frame
+    * — the stage-once path (see [[TextStage]]). */
+  def sourceDivergenceTk(tkDocs: DataFrame): DataFrame = {
     val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
-    val st = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+    val st = tkDocs.select(col("source"), explode(col("tk")).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cst"))
       .localCheckpoint() // reduced (source × present-term) frame, read 4×
     val ts = st.groupBy(col("source")).agg(sum(col("cst")).as("ts"))
@@ -852,12 +865,13 @@ object TextStats {
     * role of backoff so unseen-prefix bigrams never hit a zero).
     *
     * Shape: one LM-training leg per aggregate — tf / c(w₁w₂) / c(w₁·)
-    * on the bigram stream plus c(w₂) / T on the token stream, five
-    * budgeted corpus scans (a production run would stage the tokenized
-    * stream once instead; the re-scan-vs-stage trade is the same one
-    * [[bigramSurprisal]] documents) — every aggregate map-side combined
-    * so the count joins run on REDUCED vocabularies, never the stream;
-    * the 1-row token total broadcasts.
+    * on the bigram stream plus c(w₂) / T on the token stream. The
+    * production path is [[docPerplexityTk]] over a [[TextStage]]-staged
+    * tokenized frame (the tokenizer runs ONCE, at staging time; the five
+    * aggregates read pre-split columnar arrays); this text-input wrapper
+    * tokenizes inline per aggregate and exists for ad-hoc use. Every
+    * aggregate is map-side combined so the count joins run on REDUCED
+    * vocabularies, never the stream; the 1-row token total broadcasts.
     * Per-bigram surprisals quantize to 6-dp decimals before
     * the tf-weighted sum (fold-order-free), and the per-doc frame is
     * checkpointed before its two consumers (the output rows and the
@@ -868,10 +882,19 @@ object TextStats {
     * the 6-dp ppl against the 6-dp-rounded mean + 2σ threshold — no
     * last-ulp strandling in any engine.
     */
-  def docPerplexity(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
+  def docPerplexity(docs: DataFrame, lambda: Double = 0.75): DataFrame =
+    docPerplexityTk(
+      docs.select(col("doc_id"), tokens(col("text")).as("tk")), lambda)
+
+  /** [[docPerplexity]] over an already-tokenized `(doc_id, tk)` frame —
+    * the stage-once path the original docstring called for (see
+    * [[TextStage]]): all five LM aggregates read pre-split token arrays;
+    * the tokenizer ran once at staging time, not five times here.
+    */
+  def docPerplexityTk(tkDocs: DataFrame, lambda: Double = 0.75): DataFrame = {
     require(lambda > 0 && lambda < 1, "interpolation weight in (0,1)")
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val big = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val big = tkDocs
       .select(col("doc_id"), explode(expr(
         "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1])) ELSE array() END"))
         .as("bg"))
@@ -879,7 +902,7 @@ object TextStats {
     val cab = big.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
     val cw = big.select(split(col("bg"), " ").getItem(0).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cw"))
-    val tok = docs.select(explode(tokens(col("text"))).as("term"))
+    val tok = tkDocs.select(explode(col("tk")).as("term"))
     val cu = tok.groupBy(col("term")).agg(count(lit(1)).as("cu"))
     val tot = tok.agg(count(lit(1)).cast("double").as("tot"))
     val p = lit(lambda) * (col("cab").cast("double") / col("cw").cast("double")) +
@@ -909,9 +932,15 @@ object TextStats {
         (col("ppl") > col("mean_ppl") + lit(2.0d) * col("std_ppl")).as("flagged"))
   }
 
-  def unigramSurprisal(docs: DataFrame): DataFrame = {
+  def unigramSurprisal(docs: DataFrame): DataFrame =
+    unigramSurprisalTk(
+      docs.select(col("doc_id"), tokens(col("text")).as("tk")))
+
+  /** [[unigramSurprisal]] over an already-tokenized `(doc_id, tk)` frame
+    * — the stage-once path (see [[TextStage]]). */
+  def unigramSurprisalTk(tkDocs: DataFrame): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tok = tkDocs.select(col("doc_id"), explode(col("tk")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val tc = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = tok.agg(count(lit(1)).cast("double").as("tot"))

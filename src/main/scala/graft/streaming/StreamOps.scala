@@ -194,6 +194,24 @@ object StreamOps {
     * (state partitions, unlike batch shuffles, cannot be changed later
     * without rebuilding state — size generously there).
     */
+  /** Streaming-leg fingerprint: the state-operator names of the LAST
+    * completed graft streaming run, captured from the final micro-batch's
+    * progress by every `runTo*` helper. The streaming analog of the batch
+    * plan-fingerprint snapshot — a silent switch from, say, a streaming
+    * dedup to a full aggregation (or a stateful operator appearing in a
+    * supposedly stateless stream-static join) shows up here as a changed
+    * name list. Names are Spark's own (`stateStoreSave`, `dedupe`,
+    * `symmetricHashJoin`, `transformWithStateExec`, …).
+    */
+  def lastStateOps: Seq[String] = lastStateOpsRef.get
+  private val lastStateOpsRef =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+  private def recordStateOps(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val p = q.lastProgress
+    lastStateOpsRef.set(
+      if (p == null) Nil else p.stateOperators.map(_.operatorName).toSeq)
+  }
+
   private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -223,6 +241,7 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      recordStateOps(q)
     }
     spark.table(name)
   }
@@ -244,6 +263,7 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      recordStateOps(q)
     }
     spark.read.schema(out.schema).parquet(s"$base/data")
   }
@@ -272,6 +292,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordStateOps(q)
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("n_rows", LongType, nullable = false),
@@ -371,6 +392,7 @@ object StreamOps {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        recordStateOps(q)
       }
       spark.table(name)
     } finally prev match {

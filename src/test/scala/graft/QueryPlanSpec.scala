@@ -144,14 +144,14 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pagerank_step", "gap_fill", "rrf_fusion" /* bm25 leg's stats row */,
       "ann_recall" /* brute-force leg broadcasts the fixed query set */,
       "knn_pq" /* broadcast of the bounded query-side ADC distance tables */,
-      "sq_encode" /* 1-row per-dim bounds broadcast cross */,
-      "knn_sq" /* 1-row bounds cross + fixed query-set broadcast */,
+      "knn_sq" /* fixed query-set broadcast (bounds are artifact-loaded literals now — no bounds cross) */,
       "ann_recall_probe" /* brute-force leg + the (queries × K centroids) cell-ranking cross, both bounded broadcasts */,
       "semantic_decontaminate" /* bench side small by contract, broadcast */,
       "q11_important_stock" /* 1-row threshold broadcast */,
       "triangle_count" /* 1-row mean-degree threshold + 1-row × 1-row output join */,
       "ndcg_eval" /* bm25 leg's 1-row stats broadcast + final 1-row dcg × 1-row idcg cross */,
       "mrr_eval" /* per-query RR rows × the 1-row MRR summary broadcast */,
+      "map_eval" /* per-query AP rows × the 1-row MAP summary broadcast */,
       "doc_perplexity" /* per-doc ppl rows × the 1-row mean/σ gate broadcast */,
       "source_divergence" /* 1-row corpus-total broadcast cross */,
       "kll_quantiles" /* |q|-row certified-bracket spec broadcast into the exact pass */,
@@ -283,11 +283,14 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "source_entropy" -> Map("documents" -> 2),
       // -- reduced-vocabulary join designs: term-count aggregate leg(s) +
       //    the per-doc scan; re-scan beats materializing the exploded
-      //    token stream (larger than the corpus) at any scale
+      //    token stream (larger than the corpus) at any scale.
+      //    The LM family (doc_perplexity / bigram_surprisal /
+      //    unigram_surprisal / source_divergence) is NOT here any more:
+      //    those read the TextStage staged token frame — documents.parquet
+      //    is scanned once at staging time and ZERO times per query (the
+      //    dedicated staged-plan test below pins that), so they fall
+      //    under the default budget.
       "tfidf_top" -> Map("documents" -> 3),
-      "unigram_surprisal" -> Map("documents" -> 3),
-      "bigram_surprisal" -> Map("documents" -> 3),
-      "doc_perplexity" -> Map("documents" -> 5),   // bigram LM legs (tf / c_ab / c_w1) + unigram legs (c_w2, T); per-doc frame checkpointed so the stats leg re-scans nothing
       // -- TPC-H correlated-subquery shapes: the spec's own semantics
       //    (scalar-subquery threshold, EXISTS/NOT EXISTS legs, two
       //    nation roles) read a table more than once
@@ -314,6 +317,29 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(offenders.isEmpty,
       s"scan-multiplicity regressions:\n${offenders.mkString("\n")}")
+  }
+
+  test("LM family reads the staged token frame: zero documents scans, bounded staged scans") {
+    // TextStage stages the tokenized corpus ONCE per process; every LM
+    // aggregate must read the staged parquet (location prefix
+    // graft_toks), never re-tokenize documents.parquet. Budgets are the
+    // aggregate counts of each design — creep here means an aggregate
+    // fell off the staged frame.
+    val budgets = Map(
+      "doc_perplexity" -> 0,     // per-doc ppl frame is checkpointed: the 5 LM aggregates ran at build time, over the staged frame
+      "bigram_surprisal" -> 3,   // tf / c_ab / c_w1
+      "unigram_surprisal" -> 3,  // tf / term counts / total
+      "source_divergence" -> 0)  // (source,term) frame is checkpointed
+    budgets.foreach { case (name, maxStaged) =>
+      val p = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("documents.parquet"),
+        s"$name must read the staged token frame, not re-tokenize documents:\n$p")
+      val staged = "graft_toks".r.findAllIn(p).length
+      assert(staged <= maxStaged,
+        s"$name staged-frame scans $staged exceed budget $maxStaged:\n$p")
+    }
   }
 
   test("corpus-wide sweep: building a query never mutates session SQL conf") {

@@ -601,6 +601,38 @@ class RoundEightOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_._4 == 0.25), s"got ${rows.map(_._4).toSeq}")
   }
 
+  test("mapAt: hand-computed average precision, zero for missed queries, exact mean") {
+    val sp = spark; import sp.implicits._
+    // same fixture as mrrAt: q0's top-3 is (v1 wrong, v2 RIGHT, v4 wrong)
+    // → AP = P@2 / 1 = 0.5; q3 (label 9) has no relevant → AP = 0.
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.9f, 0.1f), 2),
+      (2L, Seq(0.8f, 0.2f), 1),
+      (3L, Seq(0.0f, 1.0f), 9),
+      (4L, Seq(0.1f, 0.9f), 2)).toDF("vec_id", "embedding", "label")
+    val queries = corpus.where(col("vec_id") === 0L || col("vec_id") === 3L)
+    val rows = ops.Similarity.mapAt(corpus, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 1L, 0.5), (3L, 0L, 0.0)), s"got ${rows.toSeq}")
+    assert(rows.forall(_._4 == 0.25), s"got ${rows.map(_._4).toSeq}")
+
+    // multi-relevant prefix sums: ranks 1 and 3 relevant →
+    // AP = (1/1 + 2/3) / 2 = 0.8333335 → 0.833334 at 6-dp HALF_UP
+    val corpus2 = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.99f, 0.01f), 1),   // rank 1, relevant
+      (2L, Seq(0.9f, 0.1f), 2),     // rank 2, wrong
+      (3L, Seq(0.8f, 0.2f), 1)      // rank 3, relevant
+    ).toDF("vec_id", "embedding", "label")
+    val r2 = ops.Similarity.mapAt(corpus2,
+        corpus2.where(col("vec_id") === 0L), k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(r2.toSeq == Seq((2L, 0.833334, 0.833334)), s"got ${r2.toSeq}")
+  }
+
   test("pcaProject: pc1 + residual decompose the centered norm; planted axis projects clean") {
     val sp = spark; import sp.implicits._
     val dim = 8
