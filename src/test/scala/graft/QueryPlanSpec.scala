@@ -235,8 +235,9 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // -- two-pass sketch + exact designs: pass 2 re-reads by design,
       //    trading a second cheap columnar scan for never shuffling the
       //    full distinct key space
-      "heavy_hitters" -> Map("documents" -> 2),
-      "domain_heavy_hitters" -> Map("documents" -> 2),
+      // heavy_hitters / domain_heavy_hitters: both passes read the
+      // TextStage staged token frame now — zero documents scans (the
+      // staged-plan test below pins the whole family)
       "kll_quantiles" -> Map("lineitem" -> 2),         // sketch pass + exact windowed pass
       "kll_quantiles_grouped" -> Map("lineitem" -> 2),
       "winsorize" -> Map("lineitem" -> 3),             // sketch + exact-cut + clamp passes
@@ -280,7 +281,6 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "knn_sq" -> Map("embeddings" -> 3),        // bounds pass + code-scan role + query role (vec_id<8 pushed)
       "quality_filter" -> Map("documents" -> 2),   // per-language quantile cut needs the full distribution first
       "gap_fill" -> Map("events" -> 3),            // per-key bounds, dense spine, observed join
-      "source_entropy" -> Map("documents" -> 2),
       // -- reduced-vocabulary join designs: term-count aggregate leg(s) +
       //    the per-doc scan; re-scan beats materializing the exploded
       //    token stream (larger than the corpus) at any scale.
@@ -290,7 +290,6 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       //    is scanned once at staging time and ZERO times per query (the
       //    dedicated staged-plan test below pins that), so they fall
       //    under the default budget.
-      "tfidf_top" -> Map("documents" -> 3),
       // -- TPC-H correlated-subquery shapes: the spec's own semantics
       //    (scalar-subquery threshold, EXISTS/NOT EXISTS legs, two
       //    nation roles) read a table more than once
@@ -329,7 +328,17 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_perplexity" -> 0,     // per-doc ppl frame is checkpointed: the 5 LM aggregates ran at build time, over the staged frame
       "bigram_surprisal" -> 3,   // tf / c_ab / c_w1
       "unigram_surprisal" -> 3,  // tf / term counts / total
-      "source_divergence" -> 0)  // (source,term) frame is checkpointed
+      "source_divergence" -> 0,  // (source,term) frame is checkpointed
+      "vocab_topk" -> 1,
+      "zipf_slope" -> 1,
+      "tfidf_top" -> 3,          // tf / df legs + the 1-row doc total
+      "source_entropy" -> 2,     // (source,term) counts + totals reduce from them; both legs read staged
+      "heavy_hitters" -> 2,      // sketch pass + exact pass (the two-pass design, now regex-free)
+      "domain_heavy_hitters" -> 2,
+      "pmi_bigrams" -> 2,        // bigram + unigram count legs (checkpointed; totals reduce from them)
+      "bm25_search" -> 0,        // tf projection is checkpointed at build time
+      "ndcg_eval" -> 0,          // same checkpointed tf projection feeds rank + labels
+      "sparse_knn" -> 0)         // postings/idf/weighted-postings all checkpointed
     budgets.foreach { case (name, maxStaged) =>
       val p = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.explainString(
