@@ -341,6 +341,32 @@ object SparkEntry {
        |ORDER BY doc_id, dup_of""".stripMargin
   }
 
+  /** Shared Lloyd-loop CTE chain (`cents0` hash-ranked seed → KmIters
+    * assign/mean rounds; `m$KmIters` holds the final per-(cell, dim)
+    * means) — used by `kmeans_train` (the artifact dump) and
+    * `kmeans_assign` (the apply pass).
+    */
+  private lazy val kmeansCtes: String = {
+    val roundCtes = (1 to KmIters).map { r =>
+      s"""a$r AS (SELECT vec_id, e, cell FROM (
+         |  SELECT c.vec_id, c.e, ct.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
+         |  FROM c, cents${r - 1} ct) WHERE rn = 1),
+         |px$r AS (SELECT cell, i AS dim, e[i] AS v FROM a$r, range(1, ${EmbDim + 1}) t(i)),
+         |m$r AS (SELECT cell, dim, count(*) AS n_members,
+         |    round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_val
+         |  FROM px$r GROUP BY cell, dim),
+         |cents$r AS (SELECT cell AS cent_id, list(mean_val ORDER BY dim) AS ce
+         |    FROM m$r GROUP BY cell
+         |  UNION ALL SELECT cent_id, ce FROM cents${r - 1} p
+         |    WHERE NOT EXISTS (SELECT 1 FROM m$r g WHERE g.cell = p.cent_id))""".stripMargin
+    }.mkString(",\n")
+    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents0 AS (SELECT vec_id AS cent_id, e AS ce FROM c
+       |  ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfCentroids),
+       |$roundCtes""".stripMargin
+  }
+
   /** Shared IVF cell-assignment CTEs (hash-ranked fixed-K centroids +
     * nearest-centroid argmax) — used by both `knn_ivf` and `kmeans_step`.
     */
@@ -1677,6 +1703,17 @@ object SparkEntry {
       ModelStore.loadCentroids(s, kmeansArtifact(s, d))
         .orderBy(col("cell"), col("dim"))),
 
+    // The APPLY half of kmeans_train: every corpus vector assigned to its
+    // nearest SHIPPED centroid — the artifact loads as O(K·dim) literals
+    // into the native argmax, so the pass is map-only: no join, no
+    // shuffle, the scoring shape a deployed clustering model runs at
+    // 100 TB. Oracle replays the full Lloyd chain then assigns.
+    "kmeans_assign" -> ((s, d) => {
+      val (ids, embs) = ModelStore.centroidArrays(s, kmeansArtifact(s, d))
+      Similarity.assignCellsWith(emb(s, d), ids, embs)
+        .orderBy(col("vec_id"))
+    }),
+
     // Privacy-safe release of the per-(source, lang) composition report:
     // seeded-Laplace DP counts (pure function of salt+group — replayable,
     // no shared random state) with small-group suppression ON THE NOISED
@@ -2648,6 +2685,23 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("term").asc).limit(20)
       streaming.StreamOps.runToCompletion(s, top)
         .orderBy(col("cnt").desc, col("term").asc)
+    }),
+
+    // Streaming APPLY of the persisted classifier: the weight artifact
+    // (trained once per process — the SAME artifact auc_eval and
+    // calibration_bins load) scores a live document stream map-only;
+    // per-lang counts + exact-decimal score sums aggregate in complete
+    // mode, so the release is identical however the stream was
+    // micro-batched. Model-artifact × streaming — the deployed shape of
+    // a quality gate on a crawl feed.
+    "stream_score" -> ((s, d) => {
+      val w = ModelStore.loadWeights(s, Learn.featureNames, logregArtifact(s, d))
+      val path = s"$d/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream.schema(schema)
+        .parquet(streaming.StreamOps.stageDir(path))
+      streaming.StreamOps.runToCompletion(s, Learn.scoreByLang(stream, w))
+        .orderBy(col("lang"))
     }),
 
     // Streaming per-source heavy hitters: the misra_gries sketch lives in
@@ -3787,28 +3841,21 @@ object SparkEntry {
     // table (empty cells carry their centroid forward), with the same
     // decimal component sums and 6dp mean rounding — bit-identical by
     // induction on rounds.
-    "kmeans_train" -> {
-      val roundCtes = (1 to KmIters).map { r =>
-        s"""a$r AS (SELECT vec_id, e, cell FROM (
-           |  SELECT c.vec_id, c.e, ct.cent_id AS cell,
-           |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
-           |  FROM c, cents${r - 1} ct) WHERE rn = 1),
-           |px$r AS (SELECT cell, i AS dim, e[i] AS v FROM a$r, range(1, ${EmbDim + 1}) t(i)),
-           |m$r AS (SELECT cell, dim, count(*) AS n_members,
-           |    round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_val
-           |  FROM px$r GROUP BY cell, dim),
-           |cents$r AS (SELECT cell AS cent_id, list(mean_val ORDER BY dim) AS ce
-           |    FROM m$r GROUP BY cell
-           |  UNION ALL SELECT cent_id, ce FROM cents${r - 1} p
-           |    WHERE NOT EXISTS (SELECT 1 FROM m$r g WHERE g.cell = p.cent_id))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |cents0 AS (SELECT vec_id AS cent_id, e AS ce FROM c
-         |  ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfCentroids),
-         |$roundCtes
+    "kmeans_train" ->
+      s"""WITH $kmeansCtes
          |SELECT cell, dim, n_members, mean_val
-         |FROM m$KmIters ORDER BY cell, dim""".stripMargin
-    },
+         |FROM m$KmIters ORDER BY cell, dim""".stripMargin,
+
+    // The apply half: assignment against the SHIPPED centroid table
+    // (m$KmIters — exactly the artifact rows), same argmax + tie-break.
+    "kmeans_assign" ->
+      s"""WITH $kmeansCtes,
+         |shipped AS (SELECT cell AS cent_id, list(mean_val ORDER BY dim) AS ce
+         |  FROM m$KmIters GROUP BY cell)
+         |SELECT vec_id, cell FROM (
+         |  SELECT c.vec_id, ct.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
+         |  FROM c, shipped ct) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "dp_counts" ->
       s"""WITH g AS (SELECT source, lang, count(*) AS n_true
@@ -3846,6 +3893,20 @@ object SparkEntry {
          |  SELECT 'x0' AS feature, w_x0 AS weight FROM wr$LrRounds
          |  UNION ALL SELECT 'x1', w_x1 FROM wr$LrRounds
          |  UNION ALL SELECT 'x2', w_x2 FROM wr$LrRounds) t ORDER BY feature""".stripMargin,
+
+    "stream_score" ->
+      s"""WITH $logregCtes,
+         |fl AS (SELECT lang, CAST(1.0 AS DOUBLE) AS x0,
+         |  round(CAST(n_chars AS DOUBLE) / 1000.0, 6) AS x1,
+         |  round(CAST(len($toksSql) AS DOUBLE) / 100.0, 6) AS x2
+         |  FROM documents),
+         |sc AS (SELECT lang,
+         |  round(1.0/(1.0 + exp(-(x0*w_x0 + x1*w_x1 + x2*w_x2))), 6) AS score
+         |  FROM fl, wr$LrRounds)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_score
+         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
 
     "auc_eval" ->
       s"""WITH $logregCtes,

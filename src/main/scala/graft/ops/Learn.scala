@@ -179,6 +179,30 @@ object Learn {
     calibrationOfWeights(docs,
       trainWeights(docFeatures(docs), featureNames, rounds, lr))
 
+  /** Streaming-safe APPLY of a persisted classifier: score documents
+    * map-only with explicit (artifact-loaded) weights and aggregate per
+    * language — `(lang, n, n_flagged, mean_score)`, flagged at score ≥ ½.
+    * ONE aggregate (complete-mode-legal on a stream: counts and the
+    * exact-decimal score sum are micro-batch-order-free), so the batch
+    * and streaming answers are identical by construction.
+    */
+  def scoreByLang(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val dec6 = DecimalType(18, 6)
+    val feats = docs.select(col("lang"),
+      lit(1.0d).as("x0"),
+      round(col("n_chars").cast("double") / 1000.0d, 6).as("x1"),
+      round(size(tokens(col("text"))).cast("double") / 100.0d, 6).as("x2"))
+    val z = featureNames.zip(w).map { case (n, wv) => col(n) * lit(wv) }
+      .reduceLeft(_ + _)
+    feats.select(col("lang"), sigmoid6(z).as("score"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("score") >= 0.5d).cast("long")).as("n_flagged"),
+        sum(col("score").cast(dec6)).as("ssum"))
+      .select(col("lang"), col("n"), col("n_flagged"),
+        round(col("ssum").cast("double") / col("n"), 6).as("mean_score"))
+  }
+
   /** The APPLY half of [[calibrationOfTrained]]: bin the corpus with an
     * explicit (artifact-loaded) weight vector — one map-only scan into
     * ≤ 100 groups, no training job.

@@ -121,6 +121,19 @@ object ModelStore {
   def loadFrame(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The centroid artifact as driver arrays `(cell ids, mean vectors)` —
+    * the literal table [[Similarity.assignCellsWith]] embeds. O(K·dim)
+    * rows by the k-means loop's own bound.
+    */
+  def centroidArrays(spark: SparkSession, path: String)
+      : (Array[Long], Array[Array[Double]]) = {
+    val rows = loadFrame(spark, path).collect()
+    require(rows.nonEmpty, s"empty centroid artifact at $path")
+    val byCell = rows.groupBy(_.getLong(0)).toArray.sortBy(_._1)
+    (byCell.map(_._1),
+      byCell.map { case (_, rs) => rs.sortBy(_.getLong(1)).map(_.getDouble(3)) })
+  }
+
   // ---- SQ per-dim bounds: rows (dim, mn, mx) ---------------------------
 
   def saveSqBounds(spark: SparkSession, mns: Array[Double],

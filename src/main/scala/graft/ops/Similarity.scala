@@ -1093,6 +1093,22 @@ object Similarity {
     rr.crossJoin(broadcast(summary))
   }
 
+  /** Map-only cell assignment against an EXPLICIT (artifact-loaded —
+    * see [[ModelStore.centroidArrays]]) centroid table: the APPLY half of
+    * [[kmeansTrain]]. The centroids embed as literals in the native
+    * argmax expression, so the corpus is never joined, shuffled, or
+    * windowed — the shipped-model scoring pass at any scale. Output:
+    * `(idCol, cell)`.
+    */
+  def assignCellsWith(df: DataFrame, ids: Array[Long],
+                      embs: Array[Array[Double]],
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame =
+    assignToCentroids(
+      df.select(col(idCol), asDouble(col(embCol)).as("e")),
+      idCol, "e", ids, embs)
+      .select(col(idCol), col("cell"))
+
   /** Mean average precision @ k — the fourth leg of the retrieval-eval
     * family (recall: [[annRecall]], graded gain: `ndcg_eval`, first-hit
     * rank: [[mrrAt]], full-ranking precision: here). Per query over the

@@ -43,6 +43,7 @@ class StreamStateOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "stream_heavy_hitters" -> Seq("stateStoreSave"),   // Misra-Gries agg state
     "stream_quantiles" -> Seq("stateStoreSave"),       // KLL agg state
     "stream_approx_distinct" -> Seq("stateStoreSave"), // HLL register agg state
+    "stream_score" -> Seq("stateStoreSave"),           // per-lang scoring agg
     "stream_dedup" -> Seq("dedupeWithinWatermark"),    // watermark-bounded dedup
     "stream_neardup" -> Seq("dedupe"),                 // candidate-pair dedup
     "stream_join" -> Seq("symmetricHashJoin"),         // two-sided buffered join
