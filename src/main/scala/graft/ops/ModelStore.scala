@@ -57,16 +57,45 @@ object ModelStore {
 
   private val fitted = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Train-once-per-JVM: the first caller for `key` runs `train` against
-    * a fresh artifact path and every caller gets that path back. A rare
+  /** Durable store root: when `GRAFT_STORE_DIR` (env) or `graft.store.dir`
+    * (system property) is set, artifacts live at
+    * `<root>/<prefix>_<md5(key)>` and survive the process — a later run
+    * with the same key LOADS instead of retraining (train-once, ever:
+    * the production contract). A `_graft_fit_done` marker written after
+    * `train` completes makes a crashed half-written artifact invisible;
+    * without the marker the next run retrains into the same directory.
+    * Unset (the default, and what the test harness uses), artifacts are
+    * process-scoped scratch dirs.
+    */
+  private def storeRoot: Option[String] =
+    sys.env.get("GRAFT_STORE_DIR").orElse(sys.props.get("graft.store.dir"))
+
+  private def keyHash(key: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Train-once: the first caller for `key` runs `train` against an
+    * artifact path and every caller gets that path back — per process by
+    * default, across processes under a durable [[storeRoot]]. A rare
     * concurrent first-call may train twice (both runs are deterministic,
     * last path wins) — never wrong, at worst one redundant training.
     */
   def fit(key: String, prefix: String)(train: String => Unit): String =
-    fitted.getOrElseUpdate(key, {
-      val p = scratchDir(prefix)
-      train(p)
-      p
+    fitted.getOrElseUpdate(key, storeRoot match {
+      case Some(root) =>
+        val dir = new java.io.File(root, s"${prefix}_${keyHash(key)}")
+        val marker = new java.io.File(dir, "_graft_fit_done")
+        if (!marker.isFile) {
+          dir.mkdirs()
+          train(dir.toString)
+          java.nio.file.Files.write(marker.toPath,
+            key.getBytes("UTF-8")): Unit
+        }
+        dir.toString
+      case None =>
+        val p = scratchDir(prefix)
+        train(p)
+        p
     })
 
   /** Test hook: forget every fitted artifact (files stay until JVM exit). */

@@ -88,6 +88,39 @@ class ModelStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     ModelStore.reset()
   }
 
+  test("durable store root: a second process loads instead of retraining") {
+    val root = java.nio.file.Files.createTempDirectory("t_store_root").toString
+    System.setProperty("graft.store.dir", root)
+    try {
+      ModelStore.reset()
+      var trained = 0
+      def fitOnce() = ModelStore.fit("durable-k1", "t_dur") { p =>
+        trained += 1
+        ModelStore.saveWeights(spark, Seq("a"), Array(2.5), p)
+      }
+      val p1 = fitOnce()
+      assert(trained == 1)
+      assert(new java.io.File(p1, "_graft_fit_done").isFile,
+        "completion marker must exist after training")
+      // simulate a NEW process: the in-memory memo is gone, the durable
+      // artifact is not — fit must load, not retrain
+      ModelStore.reset()
+      val p2 = fitOnce()
+      assert(p2 == p1, "same key must resolve to the same durable dir")
+      assert(trained == 1, s"second process must not retrain, got $trained")
+      assert(ModelStore.loadWeights(spark, Seq("a"), p2).toSeq == Seq(2.5))
+      // a half-written artifact (no marker) is retrained into place
+      ModelStore.reset()
+      assert(new java.io.File(p1, "_graft_fit_done").delete())
+      fitOnce()
+      assert(trained == 2, "missing marker must force a retrain")
+      assert(ModelStore.loadWeights(spark, Seq("a"), p1).toSeq == Seq(2.5))
+    } finally {
+      System.clearProperty("graft.store.dir")
+      ModelStore.reset()
+    }
+  }
+
   test("apply-from-artifact equals train-then-apply (logreg + PCA + SQ + PQ)") {
     val sp = spark; import sp.implicits._
     val docsDf = (1 to 60).map { i =>
