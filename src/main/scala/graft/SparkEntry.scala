@@ -1703,6 +1703,18 @@ object SparkEntry {
       ModelStore.loadCentroids(s, kmeansArtifact(s, d))
         .orderBy(col("cell"), col("dim"))),
 
+    // IVF search with the SHIPPED quantizer: the kmeans artifact is the
+    // coarse quantizer (train it once, ship it, search with it — the
+    // FAISS-IVF deployment flow); corpus and queries assign map-only
+    // against the loaded centroids, then the standard IVF probe (corpus
+    // never shuffled, query cells broadcast, bounded-heap top-k).
+    "knn_ivf_trained" -> ((s, d) => {
+      val (ids, embs) = ModelStore.centroidArrays(s, kmeansArtifact(s, d))
+      Similarity.ivfTopKWith(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5,
+          ids, embs)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The APPLY half of kmeans_train: every corpus vector assigned to its
     // nearest SHIPPED centroid — the artifact loads as O(K·dim) literals
     // into the native argmax, so the pass is map-only: no join, no
@@ -3782,6 +3794,21 @@ object SparkEntry {
          |q AS (SELECT * FROM assign WHERE vec_id < 8),
          |scored AS (SELECT q.vec_id AS query_id, a.vec_id AS nbr_id, ${cosSql("q.e", "a.e")} AS cos_sim
          |  FROM q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn FROM scored)
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "knn_ivf_trained" ->
+      s"""WITH $kmeansCtes,
+         |shipped AS (SELECT cell AS cent_id, list(mean_val ORDER BY dim) AS ce
+         |  FROM m$KmIters GROUP BY cell),
+         |assign2 AS (SELECT vec_id, e, cell FROM (
+         |  SELECT c.vec_id, c.e, ct.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
+         |  FROM c, shipped ct) WHERE rn = 1),
+         |q AS (SELECT * FROM assign2 WHERE vec_id < 8),
+         |scored AS (SELECT q.vec_id AS query_id, a.vec_id AS nbr_id, ${cosSql("q.e", "a.e")} AS cos_sim
+         |  FROM q JOIN assign2 a ON q.cell = a.cell AND q.vec_id <> a.vec_id)
          |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn FROM scored)
          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,

@@ -109,6 +109,32 @@ object Similarity {
     topPerKey(scored, k)
   }
 
+  /** [[ivfTopK]] against an EXPLICIT (artifact-loaded — see
+    * [[ModelStore.centroidArrays]]) coarse-quantizer table: the
+    * train-the-quantizer/ship-it/search-with-it IVF flow — corpus and
+    * queries both assign map-only against the SHIPPED k-means centroids
+    * (no sampling scan, no training); everything after assignment is
+    * [[ivfTopK]]'s shape (corpus never shuffled, query cells broadcast,
+    * bounded-heap per-query top-k).
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                  ids: Array[Long], embs: Array[Array[Double]],
+                  idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
+      asDouble(col(embCol)).as("c_emb"))
+    val cells = assignToCentroids(c, "nbr_id", "c_emb", ids, embs)
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      asDouble(col(embCol)).as("q_emb"))
+    val qCells = assignToCentroids(q, "query_id", "q_emb", ids, embs)
+    val scored = cells.join(broadcast(qCells), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosineFromNorms(dot(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")), 6).as("cos_sim"))
+    topPerKey(scored, k)
+  }
+
   /** Multi-probe IVF: each query probes its `nprobe` NEAREST cells, not
     * just the top one — the standard IVF recall knob (a true neighbor
     * just across a cell boundary is invisible at nprobe=1; probing the

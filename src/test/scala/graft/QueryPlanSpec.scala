@@ -258,6 +258,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "knn_bruteforce" -> Map("embeddings" -> 2),  // corpus role + query role (vec_id<8 pushed)
       "mrr_eval" -> Map("embeddings" -> 4),        // corpus + query retrieval roles + corpus-label + query-label lookups; RR frame checkpointed so neither re-scans
       "knn_ivf" -> Map("embeddings" -> 2),
+      "knn_ivf_trained" -> Map("embeddings" -> 2), // corpus role + query role (vec_id<8 pushed); centroids come from the artifact, not a scan
       "knn_pq" -> Map("embeddings" -> 2),          // code-scan role + ADC-table query role
       "semantic_dedup" -> Map("embeddings" -> 2),
       "semantic_decontaminate" -> Map("embeddings" -> 2), // corpus role + broadcast bench role
