@@ -66,6 +66,12 @@ object ModelStore {
     * without the marker the next run retrains into the same directory.
     * Unset (the default, and what the test harness uses), artifacts are
     * process-scoped scratch dirs.
+    *
+    * Caveat: keys embed the input DIRECTORY and hyper-parameters, not
+    * the corpus content — regenerating data in place under the same path
+    * would serve a stale durable artifact. Production keys should fold
+    * in a corpus version (snapshot id, table version); delete the
+    * artifact dir (or its marker) to force a retrain.
     */
   private def storeRoot: Option[String] =
     sys.env.get("GRAFT_STORE_DIR").orElse(sys.props.get("graft.store.dir"))
