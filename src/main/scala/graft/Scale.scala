@@ -1299,7 +1299,10 @@ object Scale {
         concat(lit("s"), (col("id") % 8).cast("string")).as("source"),
         concat_ws(" ", toks: _*).as("text"))
     val t0 = System.nanoTime()
-    val staged = ops.TextStage.tokenized(spark, docs, s"scale_ppl_$n")
+    // vocab is part of the staging key: under GRAFT_STORE_DIR a re-run
+    // with the same n but a different vocab must re-stage, not read the
+    // other vocab's token corpus
+    val staged = ops.TextStage.tokenized(spark, docs, s"scale_ppl_${n}_$vocab")
     val nTokens = staged.selectExpr("sum(size(tk))").head().getLong(0)
     val tStage = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()

@@ -129,6 +129,9 @@ object SparkEntry {
   private val DocPplLambda = 0.75
   private val BpeMerges = 6
   private val Nprobe = 2
+  private val PcaM = 3
+  private val SparseMaxDfFrac = 0.97
+  private val CompactTargetBytes = 64L * 1024
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
   private val PmiMinCount = 5
@@ -322,6 +325,70 @@ object SparkEntry {
        |$roundCtes""".stripMargin
   }
 
+  /** Unrolled top-m PCA replay: the same quantized-input / decimal-μ /
+    * centered-frame base as [[pcaCtes]], then per component t and round
+    * r the power image u, its Gram-Schmidt projections onto the FIXED
+    * earlier components (exact decimal sums, classical GS on u), the
+    * deflated w (left-associated subtraction in ascending j — the chain
+    * `Similarity.pcaTopMLoop` evaluates), and the normalized/sign-fixed
+    * 6-dp loadings. `cv{t}_{R}` holds component t's final loadings,
+    * `ev{t}` its eigenvalue.
+    */
+  private lazy val pcaTopMCtes: String = {
+    val v0 = BigDecimal(1.0 / math.sqrt(EmbDim.toDouble))
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val comps = (1 to PcaM).map { t =>
+      val rounds = (1 to PcaRounds).map { r =>
+        val projCtes = (1 until t).map { j =>
+          s"""pj${t}_${r}_$j AS (SELECT CAST(sum(CAST(u * vv$j AS DECIMAL(28,12))) AS DOUBLE) AS pj
+             |  FROM uu${t}_$r JOIN fv$j USING (dim))""".stripMargin
+        }
+        val wExpr =
+          if (t == 1) "u AS w"
+          else "u - " + (1 until t)
+            .map(j => s"pj${t}_${r}_$j.pj * vv$j").mkString(" - ") + " AS w"
+        val wFrom =
+          if (t == 1) s"uu${t}_$r"
+          else s"uu${t}_$r" +
+            (1 until t).map(j => s" JOIN fv$j USING (dim)").mkString +
+            (1 until t).map(j => s", pj${t}_${r}_$j").mkString
+        // Every multiply-referenced per-round CTE is MATERIALIZED: the
+        // optimizer otherwise inlines each reference, and with ww/cv
+        // referenced ~3× per round the expansion is 3^(m·rounds) subtree
+        // copies — planning alone never terminates at depth 9. Each
+        // materialization is ≤ dim (or corpus) rows.
+        (Seq(
+          s"""sc${t}_$r AS MATERIALIZED (SELECT vec_id, CAST(sum(CAST(cv * vv AS DECIMAL(28,12))) AS DOUBLE) AS sc
+             |  FROM cx JOIN cv${t}_${r - 1} USING (dim) GROUP BY vec_id)""".stripMargin,
+          s"""uu${t}_$r AS MATERIALIZED (SELECT dim, CAST(sum(CAST(sc * cv AS DECIMAL(28,12))) AS DOUBLE) AS u
+             |  FROM cx JOIN sc${t}_$r USING (vec_id) GROUP BY dim)""".stripMargin) ++
+          projCtes ++ Seq(
+          s"ww${t}_$r AS MATERIALIZED (SELECT dim, $wExpr FROM $wFrom)",
+          s"nn${t}_$r AS MATERIALIZED (SELECT CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE) AS norm2 FROM ww${t}_$r)",
+          s"gg${t}_$r AS (SELECT CASE WHEN (SELECT w FROM ww${t}_$r ORDER BY abs(w) DESC, dim ASC LIMIT 1) < 0 THEN -1.0 ELSE 1.0 END AS sg)",
+          s"cv${t}_$r AS MATERIALIZED (SELECT dim, round(sg * w / sqrt(norm2), 6) AS vv FROM ww${t}_$r, nn${t}_$r, gg${t}_$r)"))
+          .mkString(",\n")
+      }.mkString(",\n")
+      s"""cv${t}_0 AS (SELECT dim, vv FROM v0x),
+         |$rounds,
+         |fv$t AS (SELECT dim, vv AS vv$t FROM cv${t}_$PcaRounds),
+         |ev$t AS (SELECT round(sqrt(norm2) / n, 6) AS ev FROM nn${t}_$PcaRounds, cnt)""".stripMargin
+    }.mkString(",\n")
+    // cx is referenced 2× per (component, round) — MATERIALIZED, or the
+    // optimizer inlines it per reference and each inlining re-opens the
+    // parquet (fd exhaustion at m·rounds references) and re-derives the
+    // centering.
+    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |px AS (SELECT vec_id, i AS dim, CAST(CAST(e[i] AS DECIMAL(18,6)) AS DOUBLE) AS vq
+       |  FROM c, range(1, ${EmbDim + 1}) t(i)),
+       |mu AS (SELECT dim, round(CAST(sum(CAST(vq AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+       |  FROM px GROUP BY dim),
+       |cnt AS (SELECT count(*) AS n FROM c),
+       |cx AS MATERIALIZED (SELECT vec_id, dim, vq - mu AS cv FROM px JOIN mu USING (dim)),
+       |v0x AS (SELECT i AS dim, CAST($v0 AS DOUBLE) AS vv FROM range(1, ${EmbDim + 1}) t(i)),
+       |$comps""".stripMargin
+  }
+
   private lazy val incrNearDupSql: String = {
     val r = MinhashK / MinhashBands
     val bandSelects = (0 until MinhashBands).map { b =>
@@ -404,33 +471,49 @@ object SparkEntry {
   // ---- fitted-state artifacts (train ONCE per JVM; apply-passes LOAD —
   //      see ModelStore) -------------------------------------------------
 
+  /** Content-versioned corpus id for fit keys: the input dir PLUS its
+    * file-listing fingerprint ([[ModelStore.fingerprint]] — relative
+    * path/size/mtime digest, one cheap metadata walk). A corpus
+    * regenerated in place under the same path changes the fingerprint,
+    * so no fitted artifact (or staged token frame) can ever be served
+    * stale — the durable-store analog of keying on a table snapshot id.
+    */
+  private def cid(d: String): String = s"$d|${ModelStore.fingerprint(d)}"
+
   private def logregArtifact(s: SparkSession, d: String): String =
-    ModelStore.fit(s"logreg|$d|$LrRounds|$LrRate", "graft_m_logreg") { p =>
+    ModelStore.fit(s"logreg|${cid(d)}|$LrRounds|$LrRate", "graft_m_logreg") { p =>
       ModelStore.saveWeights(s, Learn.featureNames,
         Learn.trainWeights(Learn.docFeatures(docs(s, d)),
           Learn.featureNames, LrRounds, LrRate), p)
     }
 
   private def pcaArtifact(s: SparkSession, d: String): String =
-    ModelStore.fit(s"pca|$d|$PcaRounds|$EmbDim", "graft_m_pca") { p =>
+    ModelStore.fit(s"pca|${cid(d)}|$PcaRounds|$EmbDim", "graft_m_pca") { p =>
       val (mu, v, eig, n) = Similarity.pcaPowerLoop(emb(s, d), PcaRounds, EmbDim)
       ModelStore.savePca(s, mu, v, eig, n, p)
     }
 
   private def kmeansArtifact(s: SparkSession, d: String): String =
-    ModelStore.fit(s"kmeans|$d|$IvfCentroids|$KmIters", "graft_m_kmeans") { p =>
+    ModelStore.fit(s"kmeans|${cid(d)}|$IvfCentroids|$KmIters", "graft_m_kmeans") { p =>
       ModelStore.saveCentroids(
         Similarity.kmeansTrain(emb(s, d), IvfCentroids, KmIters), p)
     }
 
+  private def pcaMArtifact(s: SparkSession, d: String): String =
+    ModelStore.fit(s"pcam|${cid(d)}|$PcaRounds|$EmbDim|$PcaM", "graft_m_pcam") { p =>
+      val (mu, comps, eigs, n) =
+        Similarity.pcaTopMLoop(emb(s, d), PcaRounds, EmbDim, PcaM)
+      ModelStore.savePcaM(s, mu, comps, eigs, n, p)
+    }
+
   private def sqArtifact(s: SparkSession, d: String): String =
-    ModelStore.fit(s"sq|$d|$EmbDim", "graft_m_sq") { p =>
+    ModelStore.fit(s"sq|${cid(d)}|$EmbDim", "graft_m_sq") { p =>
       val (mns, mxs) = Similarity.sqBoundsArrays(emb(s, d), EmbDim)
       ModelStore.saveSqBounds(s, mns, mxs, p)
     }
 
   private def bpeArtifact(s: SparkSession, d: String): String =
-    ModelStore.fit(s"bpe|$d|$BpeMerges", "graft_m_bpe") { p =>
+    ModelStore.fit(s"bpe|${cid(d)}|$BpeMerges", "graft_m_bpe") { p =>
       val (learned, vocab) = TextStats.bpeLearnLoopTk(stagedToks(s, d), BpeMerges)
       learned.coalesce(1).write.mode("overwrite").parquet(s"$p/merges")
       vocab.coalesce(1).write.mode("overwrite").parquet(s"$p/vocab")
@@ -438,7 +521,7 @@ object SparkEntry {
     }
 
   private def pqArtifact(s: SparkSession, d: String): String =
-    ModelStore.fit(s"pq|$d|$PqK", "graft_m_pq") { p =>
+    ModelStore.fit(s"pq|${cid(d)}|$PqK", "graft_m_pq") { p =>
       ModelStore.savePqCodebook(s, Similarity.pqCodebook(emb(s, d), PqK), p)
     }
 
@@ -448,7 +531,7 @@ object SparkEntry {
     * read the staged columnar token arrays.
     */
   private def stagedToks(s: SparkSession, d: String): DataFrame =
-    ops.TextStage.tokenized(s, docs(s, d), d)
+    ops.TextStage.tokenized(s, docs(s, d), cid(d))
 
   private def li(s: SparkSession, d: String): DataFrame = Tables.lineitem(s, d)
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
@@ -1286,7 +1369,38 @@ object SparkEntry {
         .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
         .agg((count(lit(1)) * 64).as("bytes"))
       Layout.compactionPlan(chunks, Seq("event_type"), "day", "bytes",
-          64L * 1024)
+          CompactTargetBytes)
+        .orderBy(col("event_type"), col("file_group"))
+    }),
+
+    // EXECUTE the plan compaction_plan only emits — the write half of
+    // OPTIMIZE: every row routed to its chunk's planned output file
+    // (broadcast manifest join), ONE exchange on the planned file key so
+    // each file is written by exactly one task, per-file
+    // sortWithinPartitions (never a global sort), then the rewritten
+    // table is READ BACK and its per-file stats compared to the oracle's
+    // replay of the plan — proving rows landed per plan with day
+    // clustering preserved (disjoint contiguous min/max_day per group).
+    // The rewrite runs once per process+corpus (ModelStore.fit); later
+    // invocations re-verify the same artifact.
+    "compaction_exec" -> ((s, d) => {
+      val outRoot = ModelStore.fit(
+        s"compact|${cid(d)}|$CompactTargetBytes", "graft_compact") { p =>
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), date_trunc("DAY", col("ts")).as("day"),
+            col("event_id"))
+        val chunks = ev.groupBy(col("event_type"), col("day"))
+          .agg((count(lit(1)) * 64).as("bytes"))
+        Layout.compactionExec(ev, Seq("event_type"), "day", "bytes",
+          CompactTargetBytes, chunks, p): Unit
+      }
+      s.read.parquet(outRoot)
+        .withColumn("file_group", col("file_group").cast("long"))
+        .groupBy(col("event_type"), col("file_group"))
+        .agg(countDistinct(col("day")).as("n_chunks"),
+          count(lit(1)).as("n_rows"),
+          min(col("day")).cast("date").cast("string").as("min_day"),
+          max(col("day")).cast("date").cast("string").as("max_day"))
         .orderBy(col("event_type"), col("file_group"))
     }),
 
@@ -1770,6 +1884,28 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Top-m principal components by power iteration WITH DEFLATION
+    // (classical Gram-Schmidt of each round's image against the fixed
+    // earlier components — O(dim·m) driver state, one corpus scan per
+    // component-round): the ≥2-component basis whitening/decorrelation
+    // needs, which single-component pca_power cannot give. Trained once
+    // per process into the store; the oracle replays all m unrolled
+    // component chains.
+    "pca_topm" -> ((s, d) =>
+      ModelStore.loadFrame(s, pcaMArtifact(s, d))
+        .select(col("component"), col("dim"), col("v").as("loading"),
+          col("eigval"))
+        .orderBy(col("component"), col("dim"))),
+
+    // Apply the fitted m-component transform FROM THE ARTIFACT: (μ, V_m)
+    // load as O(dim·m) literals — one map-only scan yields all m
+    // principal scores per vector, no join, no shuffle, no training.
+    "pca_scores" -> ((s, d) => {
+      val (mu, comps, _, _) = ModelStore.loadPcaM(s, pcaMArtifact(s, d))
+      Similarity.pcaProjectMWith(emb(s, d), mu, comps)
+        .orderBy(col("vec_id"))
+    }),
+
     // Reliability diagram of the classifier, scored with ARTIFACT-LOADED
     // weights: ONE map-only corpus scan into ≤ 100 groups; mean scores
     // are exact decimal sums, rates exact integer ratios.
@@ -1825,6 +1961,38 @@ object SparkEntry {
       Similarity.annRecallProbe(emb(s, d), emb(s, d).where(col("vec_id") < 8),
           5, IvfCentroids, Nprobe)
         .orderBy(col("query_id"))),
+
+    // The recall knob of the DEPLOYED index priced: recall@5 of the
+    // shipped-quantizer IVF (knn_ivf_trained's artifact) at nprobe=1 vs
+    // nprobe=2 against exact brute force — ann_recall_probe prices a
+    // sampled quantizer nothing deploys; this row prices the one the
+    // index actually serves. Corpus still assigned map-only against the
+    // loaded centroids, never shuffled.
+    "ann_recall_trained" -> ((s, d) => {
+      val (ids, embs) = ModelStore.centroidArrays(s, kmeansArtifact(s, d))
+      Similarity.annRecallTrained(emb(s, d),
+          emb(s, d).where(col("vec_id") < 8), 5, ids, embs, Nprobe)
+        .orderBy(col("query_id"))
+    }),
+
+    // Durable artifact store through the FRONT DOOR: the SQ bounds train
+    // into a FIXED durable root that survives this process, keyed by the
+    // corpus content fingerprint — the first process (e.g. Verify)
+    // trains and atomically publishes; every later process (Bench, the
+    // test suite) genuinely LOADS state trained by a prior process.
+    // Green vs the recompute oracle proves load-from-prior-process ≡
+    // train; the fingerprint key means regenerated data can never serve
+    // a stale artifact.
+    "store_durable" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_store_durable").toString
+      val path = ModelStore.fitAt(root,
+        s"sq|${cid(d)}|$EmbDim", "graft_d_sq") { p =>
+        val (mns, mxs) = Similarity.sqBoundsArrays(emb(s, d), EmbDim)
+        ModelStore.saveSqBounds(s, mns, mxs, p)
+      }
+      ModelStore.loadFrame(s, path).orderBy(col("dim"))
+    }),
 
     // Cell × label composition audit of the coarse k-means cells — the
     // cluster-purity check run before cells are trusted as dedup units.
@@ -1981,6 +2149,16 @@ object SparkEntry {
     "sparse_knn" -> ((s, d) =>
       TextStats.sparseKnnTk(stagedToks(s, d), SparseQueries, SparseK)
         .orderBy(col("query_id"), col("rank"))),
+
+    // The sparse-retrieval accuracy probe (sketch_eval/ann_recall
+    // analog): recall@k of the df-PRUNED inverted index — posting lists
+    // capped at 97% of N, the hot-list bound a 100 TB index ships with —
+    // against the exact unpruned tf-idf cosine. Queries whose every
+    // term is pruned honestly score 0.
+    "sparse_recall" -> ((s, d) =>
+      TextStats.sparseRecallTk(stagedToks(s, d), SparseQueries, SparseK,
+          SparseMaxDfFrac)
+        .orderBy(col("query_id"))),
 
     // Deterministic epoch shuffle + fixed-count shard assignment: the
     // training-export step, reproducible across engines and re-runs.
@@ -3515,6 +3693,28 @@ object SparkEntry {
         |  count(*) AS n_chunks, CAST(sum(bytes) AS BIGINT) AS file_bytes
         |FROM cum GROUP BY 1, 2 ORDER BY event_type, file_group""".stripMargin,
 
+    // Replays the plan (chunk → file_group) and aggregates the SOURCE
+    // rows per planned file; the engine reads the same stats back from
+    // the files it physically wrote — green proves the rewrite routed
+    // every row per plan with day clustering intact.
+    "compaction_exec" ->
+      """WITH ev AS (SELECT event_type, date_trunc('day', ts) AS day, event_id FROM events),
+        |chunks AS (SELECT event_type, day, count(*) * 64 AS bytes
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day, bytes,
+        |    CAST(coalesce(sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+        |  FROM chunks),
+        |plan AS (SELECT event_type, day, bef // 65536 AS file_group FROM cum),
+        |j AS (SELECT ev.event_type, plan.file_group, ev.day
+        |  FROM ev JOIN plan USING (event_type, day))
+        |SELECT event_type, CAST(file_group AS BIGINT) AS file_group,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(min(day) AS DATE) AS VARCHAR) AS min_day,
+        |  CAST(CAST(max(day) AS DATE) AS VARCHAR) AS max_day
+        |FROM j GROUP BY 1, 2 ORDER BY event_type, file_group""".stripMargin,
+
     "zorder_layout" -> {
       val z = (0 until 10).map { i =>
         s"((((l_partkey % 1024) >> $i) & 1) << ${2 * i + 1}) + " +
@@ -3829,6 +4029,14 @@ object SparkEntry {
       s"""WITH $sqCte
          |SELECT dim, mn, mx FROM mm ORDER BY dim""".stripMargin,
 
+    // Durable front door: the engine loads SQ bounds published to a
+    // cross-process store by whichever process ran first; the oracle
+    // recomputes the training — green proves load-from-prior-process ≡
+    // train.
+    "store_durable" ->
+      s"""WITH $sqCte
+         |SELECT dim, mn, mx FROM mm ORDER BY dim""".stripMargin,
+
     "pq_store" ->
       s"""WITH $pqCte
          |SELECT j AS code, i AS dim, ce[i] AS v
@@ -3966,6 +4174,28 @@ object SparkEntry {
          |  round(sqrt(greatest(0.0, cc - s * s)), 6) AS resid
          |FROM sf JOIN cf USING (vec_id) ORDER BY vec_id""".stripMargin,
 
+    "pca_topm" -> {
+      val unions = (1 to PcaM).map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS component, dim, vv AS loading,
+           |  (SELECT ev FROM ev$t) AS eigval FROM cv${t}_$PcaRounds""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $pcaTopMCtes
+         |$unions
+         |ORDER BY component, dim""".stripMargin
+    },
+
+    "pca_scores" -> {
+      val scoreCtes = (1 to PcaM).map { t =>
+        s"""ps$t AS (SELECT vec_id, round(CAST(sum(CAST(cv * vv AS DECIMAL(28,12))) AS DOUBLE), 6) AS pc$t
+           |  FROM cx JOIN cv${t}_$PcaRounds USING (dim) GROUP BY vec_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $pcaTopMCtes,
+         |$scoreCtes
+         |SELECT c.vec_id, ${(1 to PcaM).map(t => s"pc$t").mkString(", ")}
+         |FROM c ${(1 to PcaM).map(t => s"JOIN ps$t USING (vec_id)").mkString(" ")}
+         |ORDER BY vec_id""".stripMargin
+    },
+
     "calibration_bins" ->
       s"""WITH $logregCtes,
          |sc AS (SELECT round(1.0/(1.0 + exp(-(x0*w_x0 + x1*w_x1 + x2*w_x2))), 6) AS score, y
@@ -4055,6 +4285,45 @@ object SparkEntry {
          |  SELECT qm.vec_id AS query_id, a.vec_id AS nbr_id,
          |    row_number() OVER (PARTITION BY qm.vec_id ORDER BY ${cosSql("qm.e", "a.e")} DESC, a.vec_id ASC) AS rn
          |  FROM qm JOIN assign a ON qm.cell = a.cell AND qm.vec_id <> a.vec_id) WHERE rn <= 5),
+         |qb AS (SELECT * FROM c WHERE vec_id < 8),
+         |ex AS (SELECT query_id, nbr_id FROM (
+         |  SELECT qb.vec_id AS query_id, c2.vec_id AS nbr_id,
+         |    row_number() OVER (PARTITION BY qb.vec_id ORDER BY ${cosSql("qb.e", "c2.e")} DESC, c2.vec_id ASC) AS rn
+         |  FROM qb, c c2 WHERE qb.vec_id <> c2.vec_id) WHERE rn <= 5)
+         |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(i1.nbr_id) AS BIGINT) AS hit_p1,
+         |  CAST(count(i2.nbr_id) AS BIGINT) AS hit_p$Nprobe,
+         |  round(CAST(count(i1.nbr_id) AS DOUBLE) / count(*), 4) AS recall_p1,
+         |  round(CAST(count(i2.nbr_id) AS DOUBLE) / count(*), 4) AS recall_p$Nprobe
+         |FROM ex e
+         |LEFT JOIN ivf i1 ON e.query_id = i1.query_id AND e.nbr_id = i1.nbr_id
+         |LEFT JOIN ivfn i2 ON e.query_id = i2.query_id AND e.nbr_id = i2.nbr_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
+    // Shipped-quantizer recall: the same three-leg compare as
+    // ann_recall_probe, but cells come from the replayed Lloyd loop's
+    // FINAL centroids (what the deployed index actually probes).
+    "ann_recall_trained" ->
+      s"""WITH $kmeansCtes,
+         |shipped AS (SELECT cell AS cent_id, list(mean_val ORDER BY dim) AS ce
+         |  FROM m$KmIters GROUP BY cell),
+         |assign2 AS (SELECT vec_id, e, cell FROM (
+         |  SELECT c.vec_id, c.e, ct.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
+         |  FROM c, shipped ct) WHERE rn = 1),
+         |qa AS (SELECT * FROM assign2 WHERE vec_id < 8),
+         |ivf AS (SELECT query_id, nbr_id FROM (
+         |  SELECT q.vec_id AS query_id, a.vec_id AS nbr_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.e", "a.e")} DESC, a.vec_id ASC) AS rn
+         |  FROM qa q JOIN assign2 a ON q.cell = a.cell AND q.vec_id <> a.vec_id) WHERE rn <= 5),
+         |qm AS (SELECT vec_id, e, cell FROM (
+         |  SELECT q.vec_id, q.e, ct.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
+         |  FROM (SELECT vec_id, e FROM c WHERE vec_id < 8) q, shipped ct) WHERE rn <= $Nprobe),
+         |ivfn AS (SELECT query_id, nbr_id FROM (
+         |  SELECT qm.vec_id AS query_id, a.vec_id AS nbr_id,
+         |    row_number() OVER (PARTITION BY qm.vec_id ORDER BY ${cosSql("qm.e", "a.e")} DESC, a.vec_id ASC) AS rn
+         |  FROM qm JOIN assign2 a ON qm.cell = a.cell AND qm.vec_id <> a.vec_id) WHERE rn <= 5),
          |qb AS (SELECT * FROM c WHERE vec_id < 8),
          |ex AS (SELECT query_id, nbr_id FROM (
          |  SELECT qb.vec_id AS query_id, c2.vec_id AS nbr_id,
@@ -4338,6 +4607,56 @@ object SparkEntry {
          |    AS rank FROM sc)
          |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= $SparseK
          |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Two full retrieval legs over one postings base: exact (unpruned)
+    // and df-pruned (HAVING df <= frac·N; idf keeps the unpruned N),
+    // then per-query recall of pruned against exact.
+    "sparse_recall" -> {
+      val qvals = SparseQueries
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      def leg(sfx: String, idfCte: String): String =
+        s"""wp$sfx AS (SELECT p.doc_id, p.term,
+           |    CAST(round(p.tf * $idfCte.idf, 6) AS DECIMAL(18,6)) AS w
+           |  FROM p JOIN $idfCte USING (term)),
+           |dn$sfx AS (SELECT doc_id, round(sqrt(CAST(sum(w * w) AS DOUBLE)), 6)
+           |    AS dnorm FROM wp$sfx GROUP BY doc_id),
+           |qw$sfx AS (SELECT query_id, term, CAST(idf AS DECIMAL(18,6)) AS wq
+           |  FROM qt JOIN $idfCte USING (term)),
+           |qn$sfx AS (SELECT query_id, round(sqrt(CAST(sum(wq * wq) AS DOUBLE)), 6)
+           |    AS qnorm FROM qw$sfx GROUP BY query_id),
+           |m$sfx AS (SELECT qw$sfx.query_id, wp$sfx.doc_id,
+           |    CAST(sum(wp$sfx.w * qw$sfx.wq) AS DOUBLE) AS dot
+           |  FROM wp$sfx JOIN qw$sfx USING (term) GROUP BY 1, 2),
+           |sc$sfx AS (SELECT m$sfx.query_id, m$sfx.doc_id,
+           |    round(m$sfx.dot / (dn$sfx.dnorm * qn$sfx.qnorm), 6) AS score
+           |  FROM m$sfx JOIN dn$sfx USING (doc_id) JOIN qn$sfx USING (query_id)),
+           |r$sfx AS (SELECT query_id, doc_id FROM (
+           |  SELECT query_id, doc_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           |  FROM sc$sfx) WHERE rank <= $SparseK)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+         |  GROUP BY doc_id, term),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM p),
+         |idfx AS (SELECT term, round(ln((SELECT n FROM nd) / count(*)), 6) AS idf
+         |  FROM p GROUP BY term),
+         |idfp AS (SELECT term, round(ln((SELECT n FROM nd) / count(*)), 6) AS idf
+         |  FROM p GROUP BY term
+         |  HAVING count(*) <= $SparseMaxDfFrac * (SELECT n FROM nd)),
+         |q(query_id, qtext) AS (VALUES $qvals),
+         |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+         |    unnest(list_filter(string_split_regex(lower(qtext),
+         |      '[^a-z0-9]+'), t -> t <> '')) AS term FROM q),
+         |${leg("x", "idfx")},
+         |${leg("pp", "idfp")}
+         |SELECT rx.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(rpp.doc_id) AS BIGINT) AS n_hit,
+         |  round(CAST(count(rpp.doc_id) AS DOUBLE) / count(*), 4) AS recall
+         |FROM rx LEFT JOIN rpp
+         |  ON rx.query_id = rpp.query_id AND rx.doc_id = rpp.doc_id
+         |GROUP BY rx.query_id ORDER BY rx.query_id""".stripMargin
     },
 
     "shuffle_shard" ->

@@ -64,7 +64,20 @@ object Layout {
     */
   def compactionPlan(chunks: DataFrame, partCols: Seq[String],
                      orderCol: String, bytesCol: String,
-                     targetBytes: Long): DataFrame = {
+                     targetBytes: Long): DataFrame =
+    compactionAssign(chunks, partCols, orderCol, bytesCol, targetBytes)
+      .groupBy(partCols.map(col) :+ col("file_group"): _*)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col(bytesCol)).cast("long").as("file_bytes"))
+
+  /** The per-chunk half of [[compactionPlan]]: every manifest row with
+    * its assigned `file_group` — what the EXECUTE step joins back to the
+    * data to route rows into their planned output files. Same cost
+    * shape: window arithmetic over the manifest, never the data.
+    */
+  def compactionAssign(chunks: DataFrame, partCols: Seq[String],
+                       orderCol: String, bytesCol: String,
+                       targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
     val gcols = partCols.map(col)
     val W = org.apache.spark.sql.expressions.Window
@@ -75,8 +88,43 @@ object Layout {
       // integer `div`, not `/`: long division must stay exact in every
       // engine (Spark's `/` on longs is a double divide)
       .withColumn("file_group", expr(s"_cp_before div ${targetBytes}L"))
-      .groupBy(gcols :+ col("file_group"): _*)
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(col(bytesCol)).cast("long").as("file_bytes"))
+      .drop("_cp_before")
+  }
+
+  /** EXECUTE the compaction plan — the write half of OPTIMIZE, matching
+    * [[compactionPlan]]'s planner: route every data row to its chunk's
+    * planned output file and rewrite, one physical file per planned
+    * group, clustering preserved.
+    *
+    * Shape, by construction:
+    *  - the chunk→group manifest is broadcast (O(chunks) rows — for a
+    *    manifest too large to broadcast, shuffle-join on the chunk key;
+    *    the kernel is unchanged);
+    *  - ONE exchange, on `(partCols, file_group)` — `repartition` by the
+    *    planned file key, so each output file is written by exactly one
+    *    task (the small-files cure: a million source chunks leave as
+    *    `ceil(bytes/target)` files);
+    *  - `sortWithinPartitions(orderCol)` keeps rows clustered INSIDE
+    *    each file — a per-file in-memory/spill sort, never a global
+    *    sort (sequential packing already guarantees file-level order:
+    *    group g's chunks all precede group g+1's in `orderCol`).
+    *
+    * Returns the written root; callers verify by reading back (see the
+    * `compaction_exec` query, whose oracle replays the expected
+    * per-file row statistics from the source table).
+    */
+  def compactionExec(data: DataFrame, partCols: Seq[String],
+                     orderCol: String, bytesCol: String,
+                     targetBytes: Long, chunks: DataFrame,
+                     outDir: String): String = {
+    val assign = compactionAssign(chunks, partCols, orderCol, bytesCol,
+      targetBytes).select((partCols :+ orderCol :+ "file_group").map(col): _*)
+    data.join(broadcast(assign), partCols :+ orderCol)
+      .repartition((partCols :+ "file_group").map(col): _*)
+      .sortWithinPartitions(col(orderCol))
+      .write.mode("overwrite")
+      .partitionBy(partCols :+ "file_group": _*)
+      .parquet(outDir)
+    outDir
   }
 }

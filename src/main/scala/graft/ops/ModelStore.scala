@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   *  - [[fit]]: a train-once-per-JVM memo. The first query that needs an
   *    artifact trains and writes it; every later query (and every later
   *    invocation of the same query — the bench runs each twice) loads
-  *    the existing file. Keyed by (kind | input dir | hyper-params), so
-  *    different scale factors or settings never share state.
+  *    the existing file. Keyed by (kind | input dir | content
+  *    [[fingerprint]] | hyper-params), so different scale factors,
+  *    settings, or a corpus REGENERATED under the same path never share
+  *    state.
   *
   * Scale shape: artifacts are O(state) rows — KB at any corpus size —
   * and loading is a driver-side read of exactly that state, mirroring
@@ -57,21 +59,18 @@ object ModelStore {
 
   private val fitted = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private val MarkerName = "_graft_fit_done"
+
   /** Durable store root: when `GRAFT_STORE_DIR` (env) or `graft.store.dir`
     * (system property) is set, artifacts live at
     * `<root>/<prefix>_<md5(key)>` and survive the process — a later run
     * with the same key LOADS instead of retraining (train-once, ever:
-    * the production contract). A `_graft_fit_done` marker written after
-    * `train` completes makes a crashed half-written artifact invisible;
-    * without the marker the next run retrains into the same directory.
-    * Unset (the default, and what the test harness uses), artifacts are
-    * process-scoped scratch dirs.
+    * the production contract). Unset (the default, and what the test
+    * harness uses), artifacts are process-scoped scratch dirs.
     *
-    * Caveat: keys embed the input DIRECTORY and hyper-parameters, not
-    * the corpus content — regenerating data in place under the same path
-    * would serve a stale durable artifact. Production keys should fold
-    * in a corpus version (snapshot id, table version); delete the
-    * artifact dir (or its marker) to force a retrain.
+    * Keys should fold in a [[fingerprint]] of the input data (the
+    * shipped queries do) so a corpus regenerated in place under the same
+    * path can never serve a stale artifact.
     */
   private def storeRoot: Option[String] =
     sys.env.get("GRAFT_STORE_DIR").orElse(sys.props.get("graft.store.dir"))
@@ -80,29 +79,145 @@ object ModelStore {
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Content fingerprint of an input directory: md5 over the sorted
+    * listing of every file's (relative path, size, mtime) — one cheap
+    * O(files) metadata walk, no data read. Folded into [[fit]] keys so
+    * the durable store can never serve an artifact trained on a corpus
+    * that has since been rewritten under the same path (same-path
+    * regeneration changes sizes or mtimes even when row counts match).
+    * At lakehouse scale the same role is played by a table snapshot /
+    * version id; a file-listing digest is its filesystem equivalent.
+    */
+  def fingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return "absent"
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      stream.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val rel = root.relativize(p).toString
+          val sz = java.nio.file.Files.size(p)
+          val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
+          lines += s"$rel|$sz|$mt"
+        }
+      }
+    } finally stream.close()
+    keyHash(lines.sorted.mkString("\n")).take(16)
+  }
+
   /** Train-once: the first caller for `key` runs `train` against an
     * artifact path and every caller gets that path back — per process by
     * default, across processes under a durable [[storeRoot]]. A rare
-    * concurrent first-call may train twice (both runs are deterministic,
-    * last path wins) — never wrong, at worst one redundant training.
+    * concurrent first-call may train twice (both runs are deterministic)
+    * — never wrong, at worst one redundant training: under a durable
+    * root each racer trains into its OWN temp directory and the artifact
+    * is published by a single atomic rename (see [[durableFit]]), so
+    * interleaved writes can never produce a mixed artifact.
     */
   def fit(key: String, prefix: String)(train: String => Unit): String =
     fitted.getOrElseUpdate(key, storeRoot match {
-      case Some(root) =>
-        val dir = new java.io.File(root, s"${prefix}_${keyHash(key)}")
-        val marker = new java.io.File(dir, "_graft_fit_done")
-        if (!marker.isFile) {
-          dir.mkdirs()
-          train(dir.toString)
-          java.nio.file.Files.write(marker.toPath,
-            key.getBytes("UTF-8")): Unit
-        }
-        dir.toString
+      case Some(root) => durableFit(root, key, prefix, train)
       case None =>
         val p = scratchDir(prefix)
         train(p)
         p
     })
+
+  /** [[fit]] against an EXPLICIT durable root, independent of the
+    * `GRAFT_STORE_DIR` setting — the front-door surface for pipelines
+    * that manage their own artifact location. Same atomic-publish
+    * contract as [[fit]] under a durable root.
+    */
+  def fitAt(root: String, key: String, prefix: String)
+           (train: String => Unit): String =
+    fitted.getOrElseUpdate(s"@$root|$key", durableFit(root, key, prefix, train))
+
+  /** Durable train-or-load with crash/concurrency safety:
+    *
+    *  1. a completed artifact is recognized by its [[MarkerName]] file —
+    *     present means train wrote everything AND the readback check
+    *     passed, so loaders never see a partial artifact;
+    *  2. training runs in a UNIQUE temp directory under the same root
+    *     (same filesystem), is integrity-checked ([[verifyArtifact]]:
+    *     every parquet part committed under a `_SUCCESS`, every footer
+    *     ending in the `PAR1` magic), gets its marker, and is published
+    *     by ONE atomic rename — two concurrent writers each build their
+    *     own candidate and exactly one rename wins, so interleaved
+    *     `mode("overwrite")` writes into a shared directory (the failure
+    *     mode of publish-in-place) cannot happen;
+    *  3. a directory at the final path WITHOUT a marker is debris from a
+    *     crashed pre-rename writer (or a kill between rename steps) —
+    *     it is replaced, never trusted.
+    */
+  private def durableFit(root: String, key: String, prefix: String,
+                         train: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = new java.io.File(root, s"${prefix}_${keyHash(key)}")
+    val marker = new java.io.File(dir, MarkerName)
+    if (marker.isFile) return dir.toString
+    Files.createDirectories(Paths.get(root)): Unit
+    val tmp = Files.createTempDirectory(Paths.get(root), s".${prefix}_fit_")
+    try {
+      train(tmp.toString)
+      verifyArtifact(tmp.toFile)
+      Files.write(tmp.resolve(MarkerName), key.getBytes("UTF-8")): Unit
+      try Files.move(tmp, dir.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+      catch { case _: java.nio.file.FileSystemException =>
+        if (marker.isFile) rmTree(tmp.toFile) // lost the race; winner is complete
+        else { // pre-rename debris behind the final name: replace it
+          rmTree(dir)
+          try Files.move(tmp, dir.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+          catch { case _: java.nio.file.FileSystemException =>
+            // a racer republished between the delete and the retry — its
+            // artifact is complete (marker precedes every publish); keep it
+            require(marker.isFile, s"cannot publish artifact at $dir")
+            rmTree(tmp.toFile)
+          }
+        }
+      }
+    } catch { case e: Throwable => rmTree(tmp.toFile); throw e }
+    dir.toString
+  }
+
+  /** Readback integrity check before an artifact is published: every
+    * directory holding parquet parts must carry Spark's `_SUCCESS`
+    * commit marker, every `part-*` file must end with the parquet
+    * `PAR1` footer magic, and at least one part must exist — a torn
+    * write (killed executor, full disk) fails here instead of becoming
+    * a permanent durable artifact.
+    */
+  private def verifyArtifact(dir: java.io.File): Unit = {
+    var parts = 0
+    def walk(f: java.io.File): Unit = {
+      val cs = Option(f.listFiles()).getOrElse(Array.empty)
+      val partFiles = cs.filter(c => c.isFile && c.getName.startsWith("part-"))
+      if (partFiles.nonEmpty) {
+        require(cs.exists(_.getName == "_SUCCESS"),
+          s"artifact dir ${f} has parts but no _SUCCESS commit marker")
+        partFiles.foreach { p =>
+          parts += 1
+          val raf = new java.io.RandomAccessFile(p, "r")
+          try {
+            require(raf.length >= 8, s"truncated parquet part $p")
+            raf.seek(raf.length - 4)
+            val magic = new Array[Byte](4)
+            raf.readFully(magic)
+            require(new String(magic, "US-ASCII") == "PAR1",
+              s"parquet part $p missing PAR1 footer — torn write")
+          } finally raf.close()
+        }
+      }
+      cs.filter(_.isDirectory).foreach(walk)
+    }
+    walk(dir)
+    require(parts > 0, s"artifact $dir contains no parquet parts")
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree)
+    f.delete(): Unit
+  }
 
   /** Test hook: forget every fitted artifact (files stay until JVM exit). */
   def reset(): Unit = fitted.clear()
@@ -141,6 +256,36 @@ object ModelStore {
     require(rows.nonEmpty, s"empty PCA artifact at $path")
     (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)),
       rows.head.getDouble(3), rows.head.getLong(4))
+  }
+
+  // ---- top-m PCA state: rows (component, dim, mu, v, eigval, n) — mu
+  //      and n repeat per component so one frame carries the whole
+  //      transform (O(m·dim) rows either way) ---------------------------
+
+  def savePcaM(spark: SparkSession, mu: Array[Double],
+               comps: Array[Array[Double]], eigvals: Array[Double],
+               n: Long, path: String): Unit = {
+    import spark.implicits._
+    require(comps.length == eigvals.length, "comps/eigvals length mismatch")
+    require(comps.forall(_.length == mu.length), "mu/component dim mismatch")
+    val rows = for {
+      (v, t) <- comps.zipWithIndex.toSeq
+      j <- mu.indices
+    } yield ((t + 1).toLong, (j + 1).toLong, mu(j), v(j), eigvals(t), n)
+    rows.toDF("component", "dim", "mu", "v", "eigval", "n")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPcaM(spark: SparkSession, path: String)
+      : (Array[Double], Array[Array[Double]], Array[Double], Long) = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"empty PCA-m artifact at $path")
+    val byComp = rows.groupBy(_.getLong(0)).toArray.sortBy(_._1)
+    val first = byComp.head._2.sortBy(_.getLong(1))
+    (first.map(_.getDouble(2)),
+      byComp.map { case (_, rs) => rs.sortBy(_.getLong(1)).map(_.getDouble(3)) },
+      byComp.map { case (_, rs) => rs.head.getDouble(4) },
+      rows.head.getLong(5))
   }
 
   // ---- k-means centroids: the (cell, dim, n_members, mean_val) frame --

@@ -47,8 +47,15 @@ import graft.functions.h60
   *
   * Caveat (documented, not hidden): a hash-seeded draw is pseudo-random
   * per GROUP, which is the standard determinism/testability trade for
-  * data-release pipelines; for a formal adversarial ε guarantee the salt
-  * must stay secret, exactly like the seed of any PRNG-based mechanism.
+  * data-release pipelines. The formal (ε)- and (ε, δ)-DP claims above
+  * therefore hold only against an adversary who does NOT know the salt:
+  * the noise is a deterministic function of (salt, group), so anyone
+  * holding the salt can subtract it exactly — treat the salt as a secret
+  * key, exactly like the seed of any PRNG-based mechanism. Likewise the
+  * shipped frames carry `n_true` next to `n_released` for verification
+  * and audit ONLY; a production release must drop `n_true` (and the
+  * salt), or the mechanism releases the exact counts it was supposed to
+  * protect.
   */
 object Privacy {
 

@@ -153,13 +153,43 @@ object Similarity {
                    numCentroids: Int, nprobe: Int,
                    idCol: String = "vec_id",
                    embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
+      asDouble(col(embCol)).as("c_emb"))
+    val (ids, embs) = sampleCentroids(c, numCentroids)
+    probeTopK(corpus, queries, k, ids, embs, nprobe, idCol, embCol)
+  }
+
+  /** Multi-probe IVF with the SHIPPED (artifact-loaded) quantizer — the
+    * recall knob [[ivfTopKProbe]] has, on the [[ivfTopKWith]] deploy
+    * flow: without it a deployed index cannot trade probe cost for
+    * recall. `nprobe = 1` reproduces [[ivfTopKWith]] exactly (same
+    * pinned cell-ranking kernel). Scale shape unchanged: corpus assigned
+    * map-only against O(K·dim) literals and never shuffled; the
+    * (queries × nprobe) probe table broadcast; bounded-heap top-k.
+    */
+  def ivfTopKProbeWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                       ids: Array[Long], embs: Array[Array[Double]],
+                       nprobe: Int,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding"): DataFrame =
+    probeTopK(corpus, queries, k, ids, embs, nprobe, idCol, embCol)
+
+  /** Shared multi-probe kernel: assign the corpus to the given centroid
+    * table map-only, rank every query's `nprobe` nearest cells over the
+    * broadcast (queries × K) cross, probe them. Each corpus vector lives
+    * in exactly one cell, so multi-probe never yields duplicate
+    * candidates.
+    */
+  private def probeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        ids: Array[Long], embs: Array[Array[Double]],
+                        nprobe: Int, idCol: String,
+                        embCol: String): DataFrame = {
     require(nprobe >= 1, "nprobe must be at least 1")
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
       asDouble(col(embCol)).as("c_emb"))
-    val cells = assignCells(c, "nbr_id", "c_emb", numCentroids)
-    val (ids, embs) = sampleCentroids(c, numCentroids)
+    val cells = assignToCentroids(c, "nbr_id", "c_emb", ids, embs)
     val centDf = ids.zip(embs).toSeq.map { case (i, e) => (i, e.toSeq) }
       .toDF("cell", "ce")
     val q = queries.select(col(idCol).cast("long").as("query_id"),
@@ -198,6 +228,38 @@ object Similarity {
     val p1 = ivfTopK(corpus, queries, k, numCentroids)
       .select(col("query_id").as("q1"), col("nbr_id").as("n1"))
     val pn = ivfTopKProbe(corpus, queries, k, numCentroids, nprobe)
+      .select(col("query_id").as("qn"), col("nbr_id").as("nn"))
+    exact
+      .join(p1, col("query_id") === col("q1") && col("nbr_id") === col("n1"),
+        "left")
+      .join(pn, col("query_id") === col("qn") && col("nbr_id") === col("nn"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("n1")).as("hit_p1"),
+        count(col("nn")).as(s"hit_p$nprobe"),
+        round(count(col("n1")).cast("double") / count(lit(1)), 4)
+          .as("recall_p1"),
+        round(count(col("nn")).cast("double") / count(lit(1)), 4)
+          .as(s"recall_p$nprobe"))
+  }
+
+  /** [[annRecallProbe]] for the SHIPPED quantizer: recall\@k of
+    * [[ivfTopKWith]] (nprobe = 1) and [[ivfTopKProbeWith]] (at `nprobe`)
+    * against exact brute force — the calibration row a deployed index's
+    * recall knob is priced with, run against the artifact the index
+    * actually serves (the sampled-quantizer [[annRecallProbe]] prices a
+    * quantizer nothing deploys). Same bounded shape: all three legs are
+    * top-k frames, comparison costs O(queries·k) at any corpus scale.
+    */
+  def annRecallTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+                       ids: Array[Long], embs: Array[Array[Double]],
+                       nprobe: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("nbr_id"))
+    val p1 = ivfTopKWith(corpus, queries, k, ids, embs)
+      .select(col("query_id").as("q1"), col("nbr_id").as("n1"))
+    val pn = ivfTopKProbeWith(corpus, queries, k, ids, embs, nprobe)
       .select(col("query_id").as("qn"), col("nbr_id").as("nn"))
     exact
       .join(p1, col("query_id") === col("q1") && col("nbr_id") === col("n1"),
@@ -977,7 +1039,40 @@ object Similarity {
   def pcaPowerLoop(corpus: DataFrame, rounds: Int, dim: Int,
                    embCol: String = "embedding")
       : (Array[Double], Array[Double], Double, Long) = {
+    val (mu, comps, eigs, n) = pcaTopMLoop(corpus, rounds, dim, 1, embCol)
+    (mu, comps(0), eigs(0), n)
+  }
+
+  /** Top-m principal components by power iteration WITH DEFLATION: each
+    * component runs the same per-round one-scan update [[pcaPowerLoop]]
+    * uses, but the round's image u is Gram-Schmidt-orthogonalized
+    * against every ALREADY-FIXED component before normalization
+    * (classical GS on u: p_j = ⟨u, v_j⟩, then w = u − Σ_j p_j·v_j, j
+    * ascending), so the iteration converges to the next-largest
+    * eigenvector instead of re-finding the top one. `m = 1` reproduces
+    * [[pcaPowerLoop]] bit-for-bit (empty projection set).
+    *
+    * Scale shape is the loop's, m times: per (component, round) ONE
+    * corpus scan into the dim-group decimal aggregate; ALL deflation
+    * state is driver-side and O(dim·m) — the projections are m−1 exact
+    * decimal folds over dim-length arrays. Nothing distributed grows
+    * with m.
+    *
+    * Engine-portable arithmetic, like the 1-component loop: projections
+    * p_j are order-free decimal sums of u·v_j products; the subtraction
+    * runs per-dimension in ascending j (left-associated doubles, the
+    * same chain an unrolled SQL `u - p1*v1 - p2*v2` evaluates); norms,
+    * signs, and 6-dp rounds as before — so an unrolled CTE chain
+    * replays every component exactly.
+    *
+    * Returns `(mu, components (m × dim unit vectors), eigvals (m),
+    * n)`.
+    */
+  def pcaTopMLoop(corpus: DataFrame, rounds: Int, dim: Int, m: Int,
+                  embCol: String = "embedding")
+      : (Array[Double], Array[Array[Double]], Array[Double], Long) = {
     require(rounds >= 1, "power iteration needs at least one round")
+    require(m >= 1 && m <= dim, s"need 1 <= m <= dim, got m=$m dim=$dim")
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     // 6-dp-quantized double input — the same portable basis as embStats.
@@ -1005,28 +1100,46 @@ object Similarity {
     // same exact decimal sum the oracle computes.
     def q12(x: Double): BigDecimal =
       BigDecimal(x).setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP)
-    var v = Array.fill(dim)(roundTo(1.0 / math.sqrt(dim.toDouble), 6))
-    var eigval = 0.0d
-    for (_ <- 1 to rounds) {
-      val vLit = array(v.map(lit(_)): _*)
-      val u = c
-        .select(zip_with(col("e"), muLit, (x, m) => x - m).as("ce"))
-        .select(col("ce"), decDot(col("ce"), vLit).as("score"))
-        .select(col("score"), posexplode(col("ce")))
-        .groupBy((col("pos") + 1).cast("long").as("dim"))
-        .agg(sum((col("score") * col("col")).cast(dec)).as("s"))
-        .select(col("dim"), col("s").cast("double").as("u"))
-        .collect() // ≤ dim rows — bounded driver state by construction
-        .sortBy(_.getLong(0)).map(_.getDouble(1))
-      val norm2 = u.map(x => q12(x * x)).sum.toDouble
-      require(norm2 > 0, "pcaPower: corpus has zero centered variance")
-      val norm = math.sqrt(norm2)
-      val jStar = u.indices.minBy(j => (-math.abs(u(j)), j))
-      val sg = if (u(jStar) < 0) -1.0 else 1.0
-      v = u.map(x => roundTo(sg * x / norm, 6))
-      eigval = roundTo(norm / n, 6)
+    val v0 = Array.fill(dim)(roundTo(1.0 / math.sqrt(dim.toDouble), 6))
+    val comps = Array.ofDim[Array[Double]](m)
+    val eigs = Array.ofDim[Double](m)
+    for (t <- 0 until m) {
+      var v = v0
+      var eigval = 0.0d
+      for (_ <- 1 to rounds) {
+        val vLit = array(v.map(lit(_)): _*)
+        val u = c
+          .select(zip_with(col("e"), muLit, (x, mm) => x - mm).as("ce"))
+          .select(col("ce"), decDot(col("ce"), vLit).as("score"))
+          .select(col("score"), posexplode(col("ce")))
+          .groupBy((col("pos") + 1).cast("long").as("dim"))
+          .agg(sum((col("score") * col("col")).cast(dec)).as("s"))
+          .select(col("dim"), col("s").cast("double").as("u"))
+          .collect() // ≤ dim rows — bounded driver state by construction
+          .sortBy(_.getLong(0)).map(_.getDouble(1))
+        // Deflation: classical Gram-Schmidt of u against the fixed
+        // components — p_j from u (not the running w), exact decimal
+        // sums, then left-associated per-dim subtraction in ascending j.
+        val w = u.clone()
+        for (j <- 0 until t) {
+          val pj = u.indices
+            .map(dd => q12(u(dd) * comps(j)(dd))).sum.toDouble
+          var dd = 0
+          while (dd < w.length) { w(dd) -= pj * comps(j)(dd); dd += 1 }
+        }
+        val norm2 = w.map(x => q12(x * x)).sum.toDouble
+        require(norm2 > 0,
+          s"pcaPower: zero variance left for component ${t + 1}")
+        val norm = math.sqrt(norm2)
+        val jStar = w.indices.minBy(j => (-math.abs(w(j)), j))
+        val sg = if (w(jStar) < 0) -1.0 else 1.0
+        v = w.map(x => roundTo(sg * x / norm, 6))
+        eigval = roundTo(norm / n, 6)
+      }
+      comps(t) = v
+      eigs(t) = eigval
     }
-    (mu, v, eigval, n)
+    (mu, comps, eigs, n)
   }
 
   /** Map-only projection of the corpus onto the trained top component —
@@ -1074,6 +1187,35 @@ object Similarity {
       .select(col("vec_id"), round(col("s"), 6).as("pc1"),
         round(sqrt(greatest(lit(0.0d), col("cc") - col("s") * col("s"))), 6)
           .as("resid"))
+  }
+
+  /** Map-only projection onto m EXPLICIT (artifact-loaded) components —
+    * the apply half of [[pcaTopMLoop]]: per vector its m principal
+    * scores `pc_t = ⟨x − μ, v_t⟩`, one output column each. All training
+    * state enters as O(dim·m) literals, so the pass is one scan, no
+    * join, no shuffle, at any corpus size; every inner product is the
+    * same order-free decimal fold [[pcaProjectWith]] uses. Output:
+    * `(vec_id, pc1 … pcm)`.
+    */
+  def pcaProjectMWith(corpus: DataFrame, mu: Array[Double],
+                      comps: Array[Array[Double]],
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val muLit = array(mu.map(lit(_)): _*)
+    def decDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, w) => x * w), lit(0).cast(dec),
+        (acc, p) => (acc + p.cast(dec)).cast(dec)).cast("double")
+    val scoreCols = comps.zipWithIndex.map { case (v, t) =>
+      round(decDot(col("ce"), array(v.map(lit(_)): _*)), 6).as(s"pc${t + 1}")
+    }
+    corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        zip_with(
+          transform(asDouble(col(embCol)), x => x.cast(dec6).cast("double")),
+          muLit, (x, mm) => x - mm).as("ce"))
+      .select(col("vec_id") +: scoreCols.toSeq: _*)
   }
 
   /** Retrieval-eval companion to [[annRecall]]/`ndcg_eval`: mean

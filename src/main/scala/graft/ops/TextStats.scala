@@ -1260,7 +1260,7 @@ object TextStats {
     * stage-once path (see [[TextStage]]); only the tiny query strings
     * tokenize here. */
   def sparseKnnTk(tkDocs: DataFrame, queries: Seq[(Long, String)],
-                  k: Int): DataFrame = {
+                  k: Int, maxDfFrac: Option[Double] = None): DataFrame = {
     graft.functions.GraftFunctions.register(tkDocs.sparkSession)
     import tkDocs.sparkSession.implicits._
     val postings = tkDocs
@@ -1276,9 +1276,19 @@ object TextStats {
     // feed 2+ consumers; checkpoint both so each term/doc shuffle runs
     // ONCE — Catalyst would otherwise re-derive the whole subtree per
     // consumer (the round-7 exactFromSketches lesson).
+    // maxDfFrac = posting-list pruning, the standard lever against hot
+    // lists at scale (a stopword's postings are O(corpus); capping df
+    // bounds every list the search ever walks; a FRACTION of N, like
+    // Lucene/sklearn max_df, so the knob means the same thing at any
+    // corpus size). Terms over the cap are dropped from the INDEX: idf
+    // still uses the unpruned N, but weights, document norms, and query
+    // terms all live in the pruned vector space — that IS what a
+    // deployed pruned index scores with.
     val idf = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
+      .where(maxDfFrac.map(f => col("df") <= lit(f) * col("n_docs"))
+        .getOrElse(lit(true)))
       .select(col("term"),
         round(log(col("n_docs") / col("df")), 6).as("idf"))
       .localCheckpoint()
@@ -1313,6 +1323,34 @@ object TextStats {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.nbr_id").as("doc_id"),
         col("col.cos_sim").as("score"))
+  }
+
+  /** Sparse-retrieval accuracy probe — the [[graft.ops.Similarity.annRecall]]
+    * analog for the inverted index: recall\@k of the df-PRUNED index
+    * (posting lists capped at `maxDfFrac`·N — the lever that bounds hot
+    * lists at 100 TB) against the exact unpruned tf-idf cosine top-k,
+    * per query. Prices the prune knob before it ships, exactly as
+    * `sketch_eval` prices MinHash and `ann_recall*` price dense ANN.
+    *
+    * Both legs are the already-bounded top-k frames (O(queries·k)
+    * rows), so the comparison costs nothing at any corpus scale; the
+    * heavy lifting stays inside the two independently-scale-shaped
+    * retrieval plans. Queries whose every term is pruned simply score
+    * no hits (recall 0) — the honest answer a pruned index gives.
+    */
+  def sparseRecallTk(tkDocs: DataFrame, queries: Seq[(Long, String)],
+                     k: Int, maxDfFrac: Double): DataFrame = {
+    val exact = sparseKnnTk(tkDocs, queries, k)
+      .select(col("query_id"), col("doc_id"))
+    val pruned = sparseKnnTk(tkDocs, queries, k, Some(maxDfFrac))
+      .select(col("query_id").as("pq"), col("doc_id").as("pd"))
+    exact.join(pruned,
+        col("query_id") === col("pq") && col("doc_id") === col("pd"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("pd")).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 4)
+          .as("recall"))
   }
 
   /** Deterministic training-export shuffle: every row gets a seeded

@@ -146,6 +146,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "knn_pq" /* broadcast of the bounded query-side ADC distance tables */,
       "knn_sq" /* fixed query-set broadcast (bounds are artifact-loaded literals now — no bounds cross) */,
       "ann_recall_probe" /* brute-force leg + the (queries × K centroids) cell-ranking cross, both bounded broadcasts */,
+      "ann_recall_trained" /* same legs against the shipped quantizer: brute-force + cell-ranking crosses, bounded */,
       "semantic_decontaminate" /* bench side small by contract, broadcast */,
       "q11_important_stock" /* 1-row threshold broadcast */,
       "triangle_count" /* 1-row mean-degree threshold + 1-row × 1-row output join */,
@@ -249,6 +250,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       //    compared — the re-read IS the experiment
       "ann_recall" -> Map("embeddings" -> 4),      // brute-force leg vs IVF leg, each corpus+queries
       "ann_recall_probe" -> Map("embeddings" -> 6), // three retrieval legs (exact, nprobe=1, nprobe=2), each corpus+queries
+      "ann_recall_trained" -> Map("embeddings" -> 6), // same three legs against the SHIPPED quantizer (centroids from the artifact, no sampling scan)
       "bloom_prefilter" -> Map("documents" -> 4),  // sketch build/probe vs exact-join truth, disjoint pushed-filter slices
       "cms_freq" -> Map("documents" -> 2),         // CMS estimate vs exact counts
       "approx_distinct" -> Map("events" -> 2),     // HLL estimate vs exact distinct
@@ -279,7 +281,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "value_zscore" -> Map("events" -> 2),
       "emb_outliers" -> Map("embeddings" -> 2),
       "sq_encode" -> Map("embeddings" -> 2),     // per-dim bounds pass + map-only encode pass
-      "knn_sq" -> Map("embeddings" -> 3),        // bounds pass + code-scan role + query role (vec_id<8 pushed)
+      "knn_sq" -> Map("embeddings" -> 2),        // code-scan role + query role (vec_id<8 pushed); bounds are artifact-loaded literals, no in-plan bounds pass
       "quality_filter" -> Map("documents" -> 2),   // per-language quantile cut needs the full distribution first
       "gap_fill" -> Map("events" -> 3),            // per-key bounds, dense spine, observed join
       // -- reduced-vocabulary join designs: term-count aggregate leg(s) +
@@ -339,7 +341,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pmi_bigrams" -> 2,        // bigram + unigram count legs (checkpointed; totals reduce from them)
       "bm25_search" -> 0,        // tf projection is checkpointed at build time
       "ndcg_eval" -> 0,          // same checkpointed tf projection feeds rank + labels
-      "sparse_knn" -> 0)         // postings/idf/weighted-postings all checkpointed
+      "sparse_knn" -> 0,         // postings/idf/weighted-postings all checkpointed
+      "sparse_recall" -> 0)      // both legs' postings/idf checkpointed at build
     budgets.foreach { case (name, maxStaged) =>
       val p = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.explainString(
