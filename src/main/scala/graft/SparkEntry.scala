@@ -1829,6 +1829,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ — BOTH shipped artifacts composed, the index shape
+    // trillion-vector deployments run (FAISS IndexIVFPQ): the k-means
+    // artifact routes (coarse cells), the PQ codebook scores (ADC over
+    // 8-byte codes); corpus assigned + encoded in ONE map-only pass,
+    // queries probe nprobe cells, distances are code-table lookups —
+    // bytes touched per query ≈ (corpus/K)·nprobe codes, never vectors.
+    "knn_ivfpq" -> ((s, d) => {
+      val (ids, embs) = ModelStore.centroidArrays(s, kmeansArtifact(s, d))
+      val cents = ModelStore.loadPqCodebook(s, pqArtifact(s, d))
+      Similarity.ivfPqTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8), 5,
+          ids, embs, PqSubs, cents, Nprobe)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The APPLY half of kmeans_train: every corpus vector assigned to its
     // nearest SHIPPED centroid — the artifact loads as O(K·dim) literals
     // into the native argmax, so the pass is map-only: no join, no
@@ -4063,6 +4077,8 @@ object SparkEntry {
 
     "knn_pq" -> knnPqSql,
 
+    "knn_ivfpq" -> knnIvfPqSql,
+
     "kmeans_step" ->
       s"""WITH $ivfAssignCte,
          |px AS (SELECT cell, i AS dim, e[i] AS v FROM assign, range(1, ${EmbDim + 1}) t(i)),
@@ -4185,14 +4201,21 @@ object SparkEntry {
     },
 
     "pca_scores" -> {
-      val scoreCtes = (1 to PcaM).map { t =>
-        s"""ps$t AS (SELECT vec_id, round(CAST(sum(CAST(cv * vv AS DECIMAL(28,12))) AS DOUBLE), 6) AS pc$t
+      // raw (unrounded) scores feed the residual, 6-dp rounds feed the
+      // pc columns — the engine's exact split
+      val rawCtes = (1 to PcaM).map { t =>
+        s"""psr$t AS (SELECT vec_id, CAST(sum(CAST(cv * vv AS DECIMAL(28,12))) AS DOUBLE) AS s$t
            |  FROM cx JOIN cv${t}_$PcaRounds USING (dim) GROUP BY vec_id)""".stripMargin
       }.mkString(",\n")
+      val residExpr = (1 to PcaM).map(t => s"s$t * s$t")
+        .foldLeft("cc")((a, b) => s"$a - $b")
       s"""WITH $pcaTopMCtes,
-         |$scoreCtes
-         |SELECT c.vec_id, ${(1 to PcaM).map(t => s"pc$t").mkString(", ")}
-         |FROM c ${(1 to PcaM).map(t => s"JOIN ps$t USING (vec_id)").mkString(" ")}
+         |$rawCtes,
+         |cf AS (SELECT vec_id, CAST(sum(CAST(cv * cv AS DECIMAL(28,12))) AS DOUBLE) AS cc
+         |  FROM cx GROUP BY vec_id)
+         |SELECT c.vec_id, ${(1 to PcaM).map(t => s"round(s$t, 6) AS pc$t").mkString(", ")},
+         |  round(sqrt(greatest(0.0, $residExpr)), 6) AS resid_m
+         |FROM c ${(1 to PcaM).map(t => s"JOIN psr$t USING (vec_id)").mkString(" ")} JOIN cf USING (vec_id)
          |ORDER BY vec_id""".stripMargin
     },
 
@@ -5545,6 +5568,57 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |scored AS (SELECT query_id, nbr_id, round($adcSum, 6) AS adc
        |  FROM wide WHERE query_id <> nbr_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, nbr_id ASC) AS rn FROM scored)
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF-PQ oracle: the Lloyd-chain replay supplies the coarse cells
+    * (same `shipped`/`assign2` as `knn_ivf_trained`), the hash-ranked
+    * PQ sample supplies the codebook, the ADC table is the [[knnPqSql]]
+    * pivot, and the cell restriction joins the corpus assignment to the
+    * query's nprobe probed cells. The oracle scores ALL pairs then
+    * filters by cell — value-equal to the engine's probe-only plan.
+    */
+  private def knnIvfPqSql: String = {
+    val subDim = EmbDim / PqSubs
+    val distSelects = (0 until PqSubs).map { s =>
+      val terms = (0 until subDim).map { i =>
+        val p = s * subDim + i + 1
+        s"(c.e[$p] - pqc.ce[$p]) * (c.e[$p] - pqc.ce[$p])"
+      }.mkString(" + ")
+      s"SELECT c.vec_id, $s AS s, pqc.j, $terms AS d FROM c, pqc"
+    }.mkString(" UNION ALL ")
+    val dCols = (0 until PqSubs).map { s =>
+      s"max(CASE WHEN qd.s = $s THEN qd.d END) AS d$s"
+    }.mkString(", ")
+    val adcSum = (0 until PqSubs).map(s => s"d$s").mkString(" + ")
+    s"""WITH $kmeansCtes,
+       |shipped AS (SELECT cell AS cent_id, list(mean_val ORDER BY dim) AS ce
+       |  FROM m$KmIters GROUP BY cell),
+       |assign2 AS (SELECT vec_id, cell FROM (
+       |  SELECT c.vec_id, ct.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
+       |  FROM c, shipped ct) WHERE rn = 1),
+       |qcells AS (SELECT vec_id, cell FROM (
+       |  SELECT q.vec_id, ct.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
+       |  FROM (SELECT vec_id, e FROM c WHERE vec_id < 8) q, shipped ct) WHERE rn <= $Nprobe),
+       |pqc AS (SELECT row_number() OVER (ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS j, e AS ce
+       |  FROM c ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $PqK),
+       |dists AS ($distSelects),
+       |pick AS (SELECT vec_id, s, j FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM dists)
+       |  WHERE rn = 1),
+       |qd AS (SELECT vec_id, s, j, d FROM dists WHERE vec_id < 8),
+       |wide AS (SELECT qd.vec_id AS query_id, x.vec_id AS nbr_id, $dCols
+       |  FROM pick x JOIN qd ON qd.s = x.s AND qd.j = x.j
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT w.query_id, w.nbr_id, round($adcSum, 6) AS adc
+       |  FROM wide w
+       |  JOIN assign2 na ON na.vec_id = w.nbr_id
+       |  JOIN qcells qc ON qc.vec_id = w.query_id AND qc.cell = na.cell
+       |  WHERE w.query_id <> w.nbr_id)
        |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, adc FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, nbr_id ASC) AS rn FROM scored)
        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin

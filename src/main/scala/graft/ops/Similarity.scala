@@ -510,6 +510,94 @@ object Similarity {
         col("col.nbr_id").as("nbr_id"), (-col("col.cos_sim")).as("adc"))
   }
 
+  /** IVF-PQ: the coarse quantizer ROUTES, the product quantizer SCORES —
+    * the composed index shape trillion-vector deployments actually run
+    * (FAISS `IndexIVFPQ`): both quantizers are SHIPPED artifacts
+    * (k-means centroids for the cells, the PQ codebook for the codes),
+    * the corpus is assigned AND encoded in one map-only projection
+    * (O(K·dim) + O(k·dim) literals — never joined, never shuffled, and
+    * the search reads 8-byte codes, not 256-byte vectors), each query
+    * probes its `nprobe` nearest cells, and within the probed cells the
+    * asymmetric distance is `subs` lookups into the query's broadcast
+    * distance table. Cost per query ≈ (corpus/K)·nprobe code reads —
+    * the two knobs (cells, nprobe) price recall against bytes touched.
+    *
+    * Determinism as [[pqTopKWith]]: left-associated ADC sums, 6-dp
+    * rounds before ranking, ties to the smaller neighbor id; cell
+    * ranking is the same pinned 6-dp cosine / smaller-cell-id kernel
+    * the native argmax uses, so nprobe=1 probes the argmax cell.
+    * Output: `(query_id, rank, nbr_id, adc)`.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+                coarseIds: Array[Long], coarseEmbs: Array[Array[Double]],
+                subs: Int, cents: Array[Array[Double]], nprobe: Int,
+                idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, "nprobe must be at least 1")
+    require(cents.head.length % subs == 0,
+      s"dim ${cents.head.length} not divisible into $subs sub-vectors")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = cents.head.length / subs
+    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
+      asDouble(col(embCol)).as("e"))
+    // ONE map-only projection: coarse cell (native argmax over the
+    // shipped centroids) + PQ codes (native encoder over the shipped
+    // codebook) — the whole indexing pass at any corpus size.
+    val codes = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqCodes(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("e")),
+        cents, subs))
+    val coded = assignToCentroids(c, "nbr_id", "e", coarseIds, coarseEmbs)
+      .select(col("nbr_id"), col("cell"), codes.as("codes"))
+    // Query side: nprobe nearest cells (bounded (queries × K) cross)...
+    val centDf = coarseIds.zip(coarseEmbs).toSeq
+      .map { case (i, e) => (i, e.toSeq) }.toDF("cell", "ce")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      asDouble(col(embCol)).as("qe"))
+    val qCells = q.crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("cell"),
+        round(cosine(col("qe"), col("ce")), 6).as("c_cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("c_cos").desc, col("cell").asc)))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    // ...plus the per-query ADC distance table (the pqTopKWith kernel).
+    val cbook = broadcast(
+      cents.zipWithIndex.map { case (ce, j) => (j, ce.toSeq) }
+        .toSeq.toDF("j", "ce"))
+    val entryDists = array((0 until subs).map { s =>
+      (0 until subDim).map { i =>
+        val p = s * subDim + i
+        val diff = element_at(col("qe"), p + 1) - element_at(col("ce"), p + 1)
+        diff * diff
+      }.reduceLeft(_ + _)
+    }: _*)
+    val qdt = q.crossJoin(cbook)
+      .select(col("query_id"), col("j"), entryDists.as("ds"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("ds")))),
+        x => x.getField("ds")).as("dtj"))
+    val qSide = qCells.join(qdt, "query_id")
+      .select(col("query_id"), col("cell"), col("dtj"))
+    val adc = (0 until subs).map { s =>
+      element_at(
+        element_at(col("dtj"),
+          (element_at(col("codes"), s + 1) + 1).cast("int")),
+        s + 1)
+    }.reduceLeft(_ + _)
+    val scored = coded.join(broadcast(qSide), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"), round(adc, 6).as("adc"))
+    GraftFunctions.register(spark)
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(-adc, nbr_id, $topK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nbr_id").as("nbr_id"), (-col("col.cos_sim")).as("adc"))
+  }
+
   /** Declarative restatement of [[pqEncode]]'s per-row encoding —
     * `array_min` over (distance, index) structs with explicit
     * left-associated squared-difference sums. Value-equivalent to the
@@ -1191,11 +1279,17 @@ object Similarity {
 
   /** Map-only projection onto m EXPLICIT (artifact-loaded) components —
     * the apply half of [[pcaTopMLoop]]: per vector its m principal
-    * scores `pc_t = ⟨x − μ, v_t⟩`, one output column each. All training
-    * state enters as O(dim·m) literals, so the pass is one scan, no
-    * join, no shuffle, at any corpus size; every inner product is the
-    * same order-free decimal fold [[pcaProjectWith]] uses. Output:
-    * `(vec_id, pc1 … pcm)`.
+    * scores `pc_t = ⟨x − μ, v_t⟩` plus `resid_m`, the reconstruction
+    * residual after ALL m components, `√(‖x − μ‖² − Σ_t pc_t²)` — the
+    * "what the m-dim basis does NOT explain" outlier signal (a far
+    * better anomaly score than the 1-component `resid`, which flags
+    * anything off the single top axis). All training state enters as
+    * O(dim·m) literals, so the pass is one scan, no join, no shuffle,
+    * at any corpus size; every inner product is the same order-free
+    * decimal fold [[pcaProjectWith]] uses, and the residual subtracts
+    * the RAW (unrounded) score squares left-associated in component
+    * order, exactly as the oracle replays. Output:
+    * `(vec_id, pc1 … pcm, resid_m)`.
     */
   def pcaProjectMWith(corpus: DataFrame, mu: Array[Double],
                       comps: Array[Array[Double]],
@@ -1207,15 +1301,23 @@ object Similarity {
     def decDot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, w) => x * w), lit(0).cast(dec),
         (acc, p) => (acc + p.cast(dec)).cast(dec)).cast("double")
-    val scoreCols = comps.zipWithIndex.map { case (v, t) =>
-      round(decDot(col("ce"), array(v.map(lit(_)): _*)), 6).as(s"pc${t + 1}")
+    val rawScores = comps.zipWithIndex.map { case (v, t) =>
+      decDot(col("ce"), array(v.map(lit(_)): _*)).as(s"_s${t + 1}")
     }
+    val residM = comps.indices
+      .foldLeft(col("cc")) { (acc, t) =>
+        acc - col(s"_s${t + 1}") * col(s"_s${t + 1}")
+      }
     corpus
       .select(col(idCol).cast("long").as("vec_id"),
         zip_with(
           transform(asDouble(col(embCol)), x => x.cast(dec6).cast("double")),
           muLit, (x, mm) => x - mm).as("ce"))
-      .select(col("vec_id") +: scoreCols.toSeq: _*)
+      .select(col("vec_id") +: decDot(col("ce"), col("ce")).as("cc") +:
+        rawScores.toSeq: _*)
+      .select(col("vec_id") +:
+        comps.indices.map(t => round(col(s"_s${t + 1}"), 6).as(s"pc${t + 1}")) :+
+        round(sqrt(greatest(lit(0.0d), residM)), 6).as("resid_m"): _*)
   }
 
   /** Retrieval-eval companion to [[annRecall]]/`ndcg_eval`: mean

@@ -144,6 +144,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pagerank_step", "gap_fill", "rrf_fusion" /* bm25 leg's stats row */,
       "ann_recall" /* brute-force leg broadcasts the fixed query set */,
       "knn_pq" /* broadcast of the bounded query-side ADC distance tables */,
+      "knn_ivfpq" /* bounded broadcasts: (queries × K) cell ranking + (queries × k) ADC tables */,
       "knn_sq" /* fixed query-set broadcast (bounds are artifact-loaded literals now — no bounds cross) */,
       "ann_recall_probe" /* brute-force leg + the (queries × K centroids) cell-ranking cross, both bounded broadcasts */,
       "ann_recall_trained" /* same legs against the shipped quantizer: brute-force + cell-ranking crosses, bounded */,
@@ -262,6 +263,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "knn_ivf" -> Map("embeddings" -> 2),
       "knn_ivf_trained" -> Map("embeddings" -> 2), // corpus role + query role (vec_id<8 pushed); centroids come from the artifact, not a scan
       "knn_pq" -> Map("embeddings" -> 2),          // code-scan role + ADC-table query role
+      "knn_ivfpq" -> Map("embeddings" -> 3),       // assign+encode scan + query cell-ranking role + query ADC-table role (both quantizers are artifact literals, no sampling scan)
       "semantic_dedup" -> Map("embeddings" -> 2),
       "semantic_decontaminate" -> Map("embeddings" -> 2), // corpus role + broadcast bench role
       "asof_join" -> Map("events" -> 2),           // quote stream + trade stream roles

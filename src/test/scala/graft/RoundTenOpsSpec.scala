@@ -111,6 +111,35 @@ class RoundTenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ivfPqTopK probing ALL cells reduces to plain PQ-ADC (pqTopKWith)") {
+    val e = embDf(60, 8)
+    val q = e.where(col("vec_id") < 3)
+    val cents = Similarity.kmeansTrain(e, 4, 2)
+    val p = ModelStore.scratchDir("t_ivfpq")
+    ModelStore.saveCentroids(cents, p)
+    val (ids, embs) = ModelStore.centroidArrays(spark, p)
+    val codebook = Similarity.pqCodebook(e, 4)
+    val full = Similarity.pqTopKWith(e, q, 5, 2, codebook)
+      .orderBy("query_id", "rank").collect()
+    val ivfpq = Similarity.ivfPqTopK(e, q, 5, ids, embs, 2, codebook,
+        nprobe = ids.length)
+      .orderBy("query_id", "rank").collect()
+    assert(ivfpq.toSeq == full.toSeq,
+      "nprobe=K must score every candidate exactly like the unrouted ADC")
+    // nprobe=1 returns a (possibly shorter) per-query subset ranked the
+    // same way — every hit it does return must appear in the full
+    // ranking with an identical distance
+    val one = Similarity.ivfPqTopK(e, q, 5, ids, embs, 2, codebook, 1)
+      .select("query_id", "nbr_id", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fullAdc = Similarity.pqTopKWith(e, q, 60, 2, codebook)
+      .select("query_id", "nbr_id", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    one.foreach { case (k, d) =>
+      assert(fullAdc(k) == d, s"probed candidate $k must carry the exact ADC")
+    }
+  }
+
   // ---- ModelStore: fingerprint + atomic durable publish ------------------
 
   test("fingerprint changes when a file under the dir is rewritten") {
