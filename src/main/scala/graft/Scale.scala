@@ -227,8 +227,28 @@ object Scale {
         embs.where(col("vec_id") < 8), 10, ids, cents).count()
     }
     require(hits == 80, s"expected 8 queries x 10 ranks, got $hits")
+    // (c) the COMPOSED deployed index (IVF-PQ): PQ codebook also fit
+    // once on the bounded sample, persisted, reloaded; search assigns +
+    // encodes the corpus in one map-only pass and scores 8-byte codes
+    // within each query's 2 probed cells — the full FAISS-IndexIVFPQ
+    // apply path at volume
+    var pqPath = ""
+    val pqFitSec = time {
+      pqPath = ops.ModelStore.fit(s"scale-apply-pq|$n", "scale_pq") { p =>
+        ops.ModelStore.savePqCodebook(spark,
+          ops.Similarity.pqCodebook(embs.where(col("vec_id") < 100000L), 16), p)
+      }
+    }
+    val codebook = ops.ModelStore.loadPqCodebook(spark, pqPath)
+    var pqHits = 0L
+    val ivfpqSec = time {
+      pqHits = ops.Similarity.ivfPqTopK(embs,
+        embs.where(col("vec_id") < 8), 10, ids, cents,
+        subs = 8, codebook, nprobe = 2).count()
+    }
+    require(pqHits == 80, s"expected 8 queries x 10 ivfpq ranks, got $pqHits")
     val cached = spark.sparkContext.getPersistentRDDs.size
-    println(f"""{"mode":"apply","n_vecs":$n,"dim":$dim,"k":$k,"fit_seconds":$fitSec%.1f,"assign_seconds":$assignSec%.1f,"search_seconds":$searchSec%.1f,"cells_seen":$cellsSeen,"cached_rdds":$cached,"assign_vecs_per_sec":${n / assignSec}%.0f,"cpus":$cpus}""")
+    println(f"""{"mode":"apply","n_vecs":$n,"dim":$dim,"k":$k,"fit_seconds":$fitSec%.1f,"assign_seconds":$assignSec%.1f,"search_seconds":$searchSec%.1f,"pq_fit_seconds":$pqFitSec%.1f,"ivfpq_search_seconds":$ivfpqSec%.1f,"cells_seen":$cellsSeen,"cached_rdds":$cached,"assign_vecs_per_sec":${n / assignSec}%.0f,"cpus":$cpus}""")
     spark.stop()
   }
 

@@ -132,6 +132,8 @@ object SparkEntry {
   private val PcaM = 3
   private val SparseMaxDfFrac = 0.97
   private val CompactTargetBytes = 64L * 1024
+  private val ZBits = 10
+  private val ZStripBits = 4
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
   private val PmiMinCount = 5
@@ -1410,6 +1412,36 @@ object SparkEntry {
           col("l_partkey"), col("l_suppkey")),
         pmod(col("l_partkey"), lit(1024L)),
         pmod(col("l_suppkey"), lit(1024L)), bits = 10)),
+
+    // The z-order layout EXECUTED and USED: write the table cut into
+    // z-strip directories (one exchange, per-file z-sort), then answer a
+    // single-dimension predicate through the SKIP INDEX — zStrips
+    // translates pk < 64 into the strip dirs whose z-box can contain it
+    // (4 of 16 here), Spark prunes the rest at PLANNING time
+    // (PartitionFilters), and parquet row-group stats prune inside the
+    // survivors. The strip filter is implied by the predicate, so the
+    // oracle replays the plain aggregate over the source table — green
+    // proves the skip path loses no rows. Write memoized per
+    // process+corpus; the pruning itself is spec-asserted (scan reads
+    // fewer files than the layout holds).
+    "zorder_exec" -> ((s, d) => {
+      val outRoot = ModelStore.fit(
+        s"zorder|${cid(d)}|$ZBits|$ZStripBits", "graft_zorder") { p =>
+        Layout.zorderWrite(
+          li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            pmod(col("l_partkey"), lit(1024L)).as("pk"),
+            pmod(col("l_suppkey"), lit(1024L)).as("sk"),
+            col("l_quantity")),
+          col("pk"), col("sk"), ZBits, ZStripBits, p): Unit
+      }
+      val strips = Layout.zStrips(0, 63, 0, 1023, ZBits, ZStripBits)
+      s.read.parquet(outRoot)
+        .where(col("zstrip").isin(strips: _*) && col("pk") < 64)
+        .groupBy(expr("pk div 16").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("bucket"))
+    }),
 
     "partition_sort" -> ((s, d) =>
       Sorts.partitionSort(li(s, d).select(sortCols.map(col): _*), 8,
@@ -3728,6 +3760,15 @@ object SparkEntry {
         |  CAST(CAST(min(day) AS DATE) AS VARCHAR) AS min_day,
         |  CAST(CAST(max(day) AS DATE) AS VARCHAR) AS max_day
         |FROM j GROUP BY 1, 2 ORDER BY event_type, file_group""".stripMargin,
+
+    // Strip filter implied by pk < 64 (every qualifying row's strip box
+    // intersects a∈[0,63]), so the oracle is the plain source aggregate.
+    "zorder_exec" ->
+      """SELECT (l_partkey % 1024) // 16 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey % 1024 < 64
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "zorder_layout" -> {
       val z = (0 until 10).map { i =>

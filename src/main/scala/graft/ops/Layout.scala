@@ -43,6 +43,61 @@ object Layout {
     df.withColumn("zval", zValue(dimA, dimB, bits))
       .orderBy(col("zval"))
 
+  /** The z-order SKIP INDEX mechanic: which strips (z-value prefixes,
+    * `strip = zval >> (2·bits − stripTopBits)`) can contain ANY point of
+    * the query box `[aLo,aHi] × [bLo,bHi]`. A strip fixes the top
+    * interleaved bits, i.e. a prefix of each dimension — so it covers an
+    * axis-aligned rectangle, and the intersection test is exact. This is
+    * the driver-side translation every lakehouse z-order scan does:
+    * a predicate on EITHER dimension (or both) becomes a partition
+    * filter on the strip column, and Spark prunes the non-qualifying
+    * strip directories at PLANNING time — the pruning a plain one-column
+    * sort can only give for its own sort key. O(2^stripTopBits) driver
+    * work, independent of table size.
+    */
+  def zStrips(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+              bits: Int, stripTopBits: Int): Seq[Long] = {
+    require(stripTopBits >= 1 && stripTopBits <= 2 * bits,
+      "stripTopBits must cover 1..2*bits interleaved bits")
+    val nb = stripTopBits
+    (0L until (1L << nb)).filter { s =>
+      var aPre = 0L; var bPre = 0L; var aBits = 0; var bBits = 0
+      var k = 0
+      while (k < nb) {
+        val pos = 2 * bits - 1 - k // z bit position, high to low
+        val bit = (s >> (nb - 1 - k)) & 1L
+        if (pos % 2 == 1) { aPre = (aPre << 1) | bit; aBits += 1 }
+        else { bPre = (bPre << 1) | bit; bBits += 1 }
+        k += 1
+      }
+      val aMin = aPre << (bits - aBits)
+      val aMax = aMin + (1L << (bits - aBits)) - 1
+      val bMin = bPre << (bits - bBits)
+      val bMax = bMin + (1L << (bits - bBits)) - 1
+      aMax >= aLo && aMin <= aHi && bMax >= bLo && bMin <= bHi
+    }
+  }
+
+  /** Write the z-clustered LAYOUT: [[zorderCluster]]'s interleave, cut
+    * into `2^stripTopBits` strip directories (`zstrip` partition column),
+    * one exchange on the strip, rows z-sorted inside each file. Scans
+    * then combine [[zStrips]]'s strip filter (directory pruning at
+    * planning time) with the original dimension predicate (row-group
+    * pruning inside the surviving files) — see the `zorder_exec` query.
+    */
+  def zorderWrite(df: DataFrame, dimA: Column, dimB: Column, bits: Int,
+                  stripTopBits: Int, outDir: String): String = {
+    val shift = 2 * bits - stripTopBits
+    // ONE exchange (on the strip), per-file z-sort — a global orderBy
+    // would add a range exchange for ordering the strip dirs already give
+    df.withColumn("zval", zValue(dimA, dimB, bits))
+      .withColumn("zstrip", shiftright(col("zval"), shift))
+      .repartition(col("zstrip"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").partitionBy("zstrip").parquet(outDir)
+    outDir
+  }
+
   /** Compaction PLAN: assign each partition's chunks (small files /
     * row-group slices, one row each with a byte size) to target-sized
     * output files — the planning pass behind every lakehouse OPTIMIZE /

@@ -250,6 +250,46 @@ class RoundTenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rec.getAs[Long]("n_hit") == (exact intersect pruned).size)
   }
 
+  // ---- z-order skip index --------------------------------------------------
+
+  test("zStrips is exact on quadrant boxes; zorderWrite scans prune strips at planning time") {
+    // bits=4, stripTopBits=2: strip bits are (a3, b3) — the top bit of
+    // each dimension — so the strip grid is the 2×2 quadrant split
+    assert(Layout.zStrips(0, 15, 0, 15, 4, 2) == Seq(0L, 1L, 2L, 3L))
+    assert(Layout.zStrips(0, 7, 0, 15, 4, 2) == Seq(0L, 1L), "a<8 fixes a3=0")
+    assert(Layout.zStrips(0, 15, 0, 7, 4, 2) == Seq(0L, 2L), "b<8 fixes b3=0")
+    assert(Layout.zStrips(8, 15, 8, 15, 4, 2) == Seq(3L))
+
+    val sp = spark; import sp.implicits._
+    val df = (0 until 1024).map(i =>
+      (i.toLong, (i % 32).toLong, ((i / 32) % 32).toLong)).toDF("id", "a", "b")
+    val out = java.nio.file.Files.createTempDirectory("t_zw").toString
+    Layout.zorderWrite(df, col("a"), col("b"), 5, 4, out)
+    val strips = Layout.zStrips(0, 7, 0, 31, 5, 4)
+    assert(strips.length == 4, s"a<8 must qualify 4 of 16 strips: $strips")
+    val pruned = spark.read.parquet(out)
+      .where(col("zstrip").isin(strips: _*) && col("a") < 8)
+    val full = spark.read.parquet(out).where(col("a") < 8)
+    // the strip filter is implied by the predicate: zero rows lost
+    assert(pruned.orderBy("id").collect().toSeq ==
+      full.orderBy("id").collect().toSeq)
+    // and it prunes at planning time: the scan reads only the
+    // qualifying strip directories' files
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    def countParts(f: java.io.File): Int = {
+      val cs = Option(f.listFiles()).getOrElse(Array.empty)
+      cs.count(c => c.isFile && c.getName.startsWith("part-")) +
+        cs.filter(_.isDirectory).map(countParts).sum
+    }
+    val totalFiles = countParts(new java.io.File(out))
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles < totalFiles,
+      s"strip filter must prune files at planning: read $readFiles of $totalFiles")
+  }
+
   // ---- compaction execute -------------------------------------------------
 
   test("compactionExec writes one file per planned group, rows routed per plan, clustering preserved") {
