@@ -57,6 +57,7 @@ object Scale {
     if (args.headOption.contains("train")) return trainMain(args.drop(1))
     if (args.headOption.contains("perplexity")) return perplexityMain(args.drop(1))
     if (args.headOption.contains("apply")) return applyMain(args.drop(1))
+    if (args.headOption.contains("zorder")) return zorderMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -249,6 +250,71 @@ object Scale {
     require(pqHits == 80, s"expected 8 queries x 10 ivfpq ranks, got $pqHits")
     val cached = spark.sparkContext.getPersistentRDDs.size
     println(f"""{"mode":"apply","n_vecs":$n,"dim":$dim,"k":$k,"fit_seconds":$fitSec%.1f,"assign_seconds":$assignSec%.1f,"search_seconds":$searchSec%.1f,"pq_fit_seconds":$pqFitSec%.1f,"ivfpq_search_seconds":$ivfpqSec%.1f,"cells_seen":$cellsSeen,"cached_rdds":$cached,"assign_vecs_per_sec":${n / assignSec}%.0f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** `zorder` mode: the skip-index scan at volume. Writes n rows
+    * z-clustered on two independent 1024-domain dimensions into 64
+    * strip directories ([[graft.ops.Layout.zorderWrite]]), then answers
+    * the same selective single-dimension aggregate twice — full scan of
+    * the layout vs the [[graft.ops.Layout.zStrips]] skip path — and
+    * asserts identical results while reporting files/bytes actually
+    * read (the scan node's own metrics). What this proves at 100 TB:
+    * the strip filter is a PLANNING-time partition filter, so the
+    * pruned fraction of the table is never opened, listed cost aside —
+    * the scan cost scales with the SELECTED box, not the table.
+    */
+  private def zorderMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 50000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    // AQE off for the MEASURED scans only: the adaptive wrapper hides
+    // the FileSourceScanExec (and its numFiles/filesSize metrics) behind
+    // query stages; this mode measures planning-time pruning, which AQE
+    // neither helps nor harms.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = spark.range(n).repartition(cpus.toInt * 2)
+      .select(col("id"),
+        pmod(graft.functions.h60(concat(lit("za:"), col("id"))), lit(1024L)).as("a"),
+        pmod(graft.functions.h60(concat(lit("zb:"), col("id"))), lit(1024L)).as("b"),
+        (col("id") % 97).cast("double").as("v"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder_scale").toString
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val writeSec = time {
+      ops.Layout.zorderWrite(df, col("a"), col("b"), 10, 6, out): Unit
+    }
+    def scanMetrics(q: org.apache.spark.sql.DataFrame): (Long, Long, Array[org.apache.spark.sql.Row]) = {
+      val rows = q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      (scan.metrics("numFiles").value,
+        scan.metrics.get("filesSize").map(_.value).getOrElse(-1L), rows)
+    }
+    // selective box: a < 64 (1/16 of the domain) — qualifies 8 of 64
+    // strips (a's top-3 bits fixed = 1/8 of a-prefixes × all 8 b-prefixes)
+    val strips = ops.Layout.zStrips(0, 63, 0, 1023, 10, 6)
+    def agg(q: org.apache.spark.sql.DataFrame) =
+      q.where(col("a") < 64).agg(count(lit(1)), sum(col("v")))
+    var full: (Long, Long, Array[org.apache.spark.sql.Row]) = null
+    val fullSec = time { full = scanMetrics(agg(spark.read.parquet(out))) }
+    var skip: (Long, Long, Array[org.apache.spark.sql.Row]) = null
+    val skipSec = time {
+      skip = scanMetrics(agg(
+        spark.read.parquet(out).where(col("zstrip").isin(strips: _*))))
+    }
+    require(full._3.toSeq == skip._3.toSeq,
+      s"skip path lost rows: ${full._3.toSeq} vs ${skip._3.toSeq}")
+    println(f"""{"mode":"zorder","n_rows":$n,"write_sec":$writeSec%.1f,"strips_selected":${strips.length},"strips_total":64,"full_files":${full._1},"full_bytes":${full._2},"full_sec":$fullSec%.1f,"skip_files":${skip._1},"skip_bytes":${skip._2},"skip_sec":$skipSec%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 

@@ -1875,6 +1875,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The composed index's ROUTING loss priced: recall@5 of knn_ivfpq at
+    // nprobe=1 vs nprobe=2 against the UNROUTED full-ADC ranking (same
+    // shipped codebook both sides, so quantization cancels and the gap
+    // is exactly what cell routing loses / the second probe buys back).
+    "ann_recall_ivfpq" -> ((s, d) => {
+      val (ids, embs) = ModelStore.centroidArrays(s, kmeansArtifact(s, d))
+      val cents = ModelStore.loadPqCodebook(s, pqArtifact(s, d))
+      Similarity.annRecallIvfPq(emb(s, d), emb(s, d).where(col("vec_id") < 8),
+          5, ids, embs, PqSubs, cents, Nprobe)
+        .orderBy(col("query_id"))
+    }),
+
     // The APPLY half of kmeans_train: every corpus vector assigned to its
     // nearest SHIPPED centroid — the artifact loads as O(K·dim) literals
     // into the native argmax, so the pass is map-only: no join, no
@@ -4120,6 +4132,8 @@ object SparkEntry {
 
     "knn_ivfpq" -> knnIvfPqSql,
 
+    "ann_recall_ivfpq" -> annRecallIvfPqSql,
+
     "kmeans_step" ->
       s"""WITH $ivfAssignCte,
          |px AS (SELECT cell, i AS dim, e[i] AS v FROM assign, range(1, ${EmbDim + 1}) t(i)),
@@ -5663,6 +5677,74 @@ object SparkEntry {
        |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, adc FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, nbr_id ASC) AS rn FROM scored)
        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Routing-loss oracle: the [[knnIvfPqSql]] chain with the all-pairs
+    * ADC ranking as truth and two cell-filtered legs (nprobe 1 and
+    * [[Nprobe]]), joined into per-query recall.
+    */
+  private def annRecallIvfPqSql: String = {
+    val subDim = EmbDim / PqSubs
+    val distSelects = (0 until PqSubs).map { s =>
+      val terms = (0 until subDim).map { i =>
+        val p = s * subDim + i + 1
+        s"(c.e[$p] - pqc.ce[$p]) * (c.e[$p] - pqc.ce[$p])"
+      }.mkString(" + ")
+      s"SELECT c.vec_id, $s AS s, pqc.j, $terms AS d FROM c, pqc"
+    }.mkString(" UNION ALL ")
+    val dCols = (0 until PqSubs).map { s =>
+      s"max(CASE WHEN qd.s = $s THEN qd.d END) AS d$s"
+    }.mkString(", ")
+    val adcSum = (0 until PqSubs).map(s => s"d$s").mkString(" + ")
+    s"""WITH $kmeansCtes,
+       |shipped AS (SELECT cell AS cent_id, list(mean_val ORDER BY dim) AS ce
+       |  FROM m$KmIters GROUP BY cell),
+       |assign2 AS (SELECT vec_id, cell FROM (
+       |  SELECT c.vec_id, ct.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
+       |  FROM c, shipped ct) WHERE rn = 1),
+       |qrank AS (SELECT q.vec_id, ct.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
+       |  FROM (SELECT vec_id, e FROM c WHERE vec_id < 8) q, shipped ct),
+       |qc1 AS (SELECT vec_id, cell FROM qrank WHERE rn <= 1),
+       |qcn AS (SELECT vec_id, cell FROM qrank WHERE rn <= $Nprobe),
+       |pqc AS (SELECT row_number() OVER (ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS j, e AS ce
+       |  FROM c ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $PqK),
+       |dists AS ($distSelects),
+       |pick AS (SELECT vec_id, s, j FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM dists)
+       |  WHERE rn = 1),
+       |qd AS (SELECT vec_id, s, j, d FROM dists WHERE vec_id < 8),
+       |wide AS MATERIALIZED (SELECT qd.vec_id AS query_id, x.vec_id AS nbr_id, $dCols
+       |  FROM pick x JOIN qd ON qd.s = x.s AND qd.j = x.j
+       |  GROUP BY 1, 2),
+       |sall AS MATERIALIZED (SELECT query_id, nbr_id, round($adcSum, 6) AS adc
+       |  FROM wide WHERE query_id <> nbr_id),
+       |truth AS (SELECT query_id, nbr_id FROM (
+       |  SELECT query_id, nbr_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc ASC, nbr_id ASC) AS rn FROM sall)
+       |  WHERE rn <= 5),
+       |leg1 AS (SELECT query_id, nbr_id FROM (
+       |  SELECT s.query_id, s.nbr_id, row_number() OVER (
+       |    PARTITION BY s.query_id ORDER BY s.adc ASC, s.nbr_id ASC) AS rn
+       |  FROM sall s JOIN assign2 na ON na.vec_id = s.nbr_id
+       |    JOIN qc1 ON qc1.vec_id = s.query_id AND qc1.cell = na.cell)
+       |  WHERE rn <= 5),
+       |legn AS (SELECT query_id, nbr_id FROM (
+       |  SELECT s.query_id, s.nbr_id, row_number() OVER (
+       |    PARTITION BY s.query_id ORDER BY s.adc ASC, s.nbr_id ASC) AS rn
+       |  FROM sall s JOIN assign2 na ON na.vec_id = s.nbr_id
+       |    JOIN qcn ON qcn.vec_id = s.query_id AND qcn.cell = na.cell)
+       |  WHERE rn <= 5)
+       |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(l1.nbr_id) AS BIGINT) AS hit_p1,
+       |  CAST(count(l2.nbr_id) AS BIGINT) AS hit_p$Nprobe,
+       |  round(CAST(count(l1.nbr_id) AS DOUBLE) / count(*), 4) AS recall_p1,
+       |  round(CAST(count(l2.nbr_id) AS DOUBLE) / count(*), 4) AS recall_p$Nprobe
+       |FROM truth t
+       |LEFT JOIN leg1 l1 ON t.query_id = l1.query_id AND t.nbr_id = l1.nbr_id
+       |LEFT JOIN legn l2 ON t.query_id = l2.query_id AND t.nbr_id = l2.nbr_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
   }
 
   /** SRP-LSH near-dup oracle: hyperplane components are inlined as literal

@@ -598,6 +598,41 @@ object Similarity {
         col("col.nbr_id").as("nbr_id"), (-col("col.cos_sim")).as("adc"))
   }
 
+  /** The composed index's ROUTING loss priced: recall\@k of
+    * [[ivfPqTopK]] at nprobe=1 and at `nprobe` against the UNROUTED
+    * full-ADC ranking ([[pqTopKWith]] over the same shipped codebook) —
+    * quantization is held fixed on both sides, so the gap is exactly
+    * what cell routing loses and the second probe buys back (the
+    * `ann_recall_trained` analog one level up the index stack; recall
+    * against exact cosine would conflate quantization loss with routing
+    * loss and price neither). All three legs are bounded top-k frames:
+    * O(queries·k) comparison cost at any corpus scale.
+    */
+  def annRecallIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
+                     ids: Array[Long], embs: Array[Array[Double]],
+                     subs: Int, cents: Array[Array[Double]],
+                     nprobe: Int): DataFrame = {
+    val truth = pqTopKWith(corpus, queries, k, subs, cents)
+      .select(col("query_id"), col("nbr_id"))
+    val p1 = ivfPqTopK(corpus, queries, k, ids, embs, subs, cents, 1)
+      .select(col("query_id").as("q1"), col("nbr_id").as("n1"))
+    val pn = ivfPqTopK(corpus, queries, k, ids, embs, subs, cents, nprobe)
+      .select(col("query_id").as("qn"), col("nbr_id").as("nn"))
+    truth
+      .join(p1, col("query_id") === col("q1") && col("nbr_id") === col("n1"),
+        "left")
+      .join(pn, col("query_id") === col("qn") && col("nbr_id") === col("nn"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("n1")).as("hit_p1"),
+        count(col("nn")).as(s"hit_p$nprobe"),
+        round(count(col("n1")).cast("double") / count(lit(1)), 4)
+          .as("recall_p1"),
+        round(count(col("nn")).cast("double") / count(lit(1)), 4)
+          .as(s"recall_p$nprobe"))
+  }
+
   /** Declarative restatement of [[pqEncode]]'s per-row encoding —
     * `array_min` over (distance, index) structs with explicit
     * left-associated squared-difference sums. Value-equivalent to the

@@ -145,6 +145,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ann_recall" /* brute-force leg broadcasts the fixed query set */,
       "knn_pq" /* broadcast of the bounded query-side ADC distance tables */,
       "knn_ivfpq" /* bounded broadcasts: (queries × K) cell ranking + (queries × k) ADC tables */,
+      "ann_recall_ivfpq" /* three ADC legs, each with the bounded query-side crosses above */,
       "knn_sq" /* fixed query-set broadcast (bounds are artifact-loaded literals now — no bounds cross) */,
       "ann_recall_probe" /* brute-force leg + the (queries × K centroids) cell-ranking cross, both bounded broadcasts */,
       "ann_recall_trained" /* same legs against the shipped quantizer: brute-force + cell-ranking crosses, bounded */,
@@ -264,6 +265,7 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "knn_ivf_trained" -> Map("embeddings" -> 2), // corpus role + query role (vec_id<8 pushed); centroids come from the artifact, not a scan
       "knn_pq" -> Map("embeddings" -> 2),          // code-scan role + ADC-table query role
       "knn_ivfpq" -> Map("embeddings" -> 3),       // assign+encode scan + query cell-ranking role + query ADC-table role (both quantizers are artifact literals, no sampling scan)
+      "ann_recall_ivfpq" -> Map("embeddings" -> 8), // unrouted-ADC truth (2 roles) + two routed legs (3 roles each)
       "semantic_dedup" -> Map("embeddings" -> 2),
       "semantic_decontaminate" -> Map("embeddings" -> 2), // corpus role + broadcast bench role
       "asof_join" -> Map("events" -> 2),           // quote stream + trade stream roles
