@@ -130,7 +130,13 @@ object SparkEntry {
   private val BpeMerges = 6
   private val Nprobe = 2
   private val PcaM = 3
-  private val SparseMaxDfFrac = 0.97
+  /** Aggressive stopword-class pruning: drop terms present in > 78% of
+    * docs. Chosen to BITE on the synthetic corpus (its dense vocabulary
+    * tops out at df/N ≈ 0.80): some query terms survive, some prune, one
+    * query loses every term — so the recall row actually prices the
+    * knob instead of reporting a vacuous 1.0.
+    */
+  private val SparseMaxDfFrac = 0.78
   private val CompactTargetBytes = 64L * 1024
   private val ZBits = 10
   private val ZStripBits = 4
@@ -2210,7 +2216,7 @@ object SparkEntry {
 
     // The sparse-retrieval accuracy probe (sketch_eval/ann_recall
     // analog): recall@k of the df-PRUNED inverted index — posting lists
-    // capped at 97% of N, the hot-list bound a 100 TB index ships with —
+    // capped at 78% of N, the hot-list bound a 100 TB index ships with —
     // against the exact unpruned tf-idf cosine. Queries whose every
     // term is pruned honestly score 0.
     "sparse_recall" -> ((s, d) =>
