@@ -260,6 +260,23 @@ class RoundTenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Layout.zStrips(0, 15, 0, 7, 4, 2) == Seq(0L, 2L), "b<8 fixes b3=0")
     assert(Layout.zStrips(8, 15, 8, 15, 4, 2) == Seq(3L))
 
+    // exhaustive cross-check against brute force: a strip qualifies iff
+    // SOME point of the box lands in it — enumerate every (a, b) of the
+    // 32×32 domain, compute its strip from the z-value directly, and
+    // compare the resulting strip sets for a mix of boxes
+    def zOf(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (2 * i + 1)) |
+        (((b >> i) & 1L) << (2 * i))).sum
+    for ((aLo, aHi, bLo, bHi) <- Seq((0L, 7L, 0L, 31L), (5L, 11L, 17L, 23L),
+        (31L, 31L, 0L, 0L), (0L, 31L, 9L, 9L), (13L, 29L, 2L, 30L))) {
+      val brute = (for {
+        a <- aLo to aHi; b <- bLo to bHi
+      } yield zOf(a, b, 5) >> (2 * 5 - 4)).distinct.sorted
+      val fast = Layout.zStrips(aLo, aHi, bLo, bHi, 5, 4)
+      assert(fast == brute,
+        s"zStrips mismatch for box [$aLo,$aHi]x[$bLo,$bHi]: $fast vs $brute")
+    }
+
     val sp = spark; import sp.implicits._
     val df = (0 until 1024).map(i =>
       (i.toLong, (i % 32).toLong, ((i / 32) % 32).toLong)).toDF("id", "a", "b")
