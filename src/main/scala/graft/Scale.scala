@@ -58,6 +58,7 @@ object Scale {
     if (args.headOption.contains("perplexity")) return perplexityMain(args.drop(1))
     if (args.headOption.contains("apply")) return applyMain(args.drop(1))
     if (args.headOption.contains("zorder")) return zorderMain(args.drop(1))
+    if (args.headOption.contains("compaction")) return compactionMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -250,6 +251,68 @@ object Scale {
     require(pqHits == 80, s"expected 8 queries x 10 ivfpq ranks, got $pqHits")
     val cached = spark.sparkContext.getPersistentRDDs.size
     println(f"""{"mode":"apply","n_vecs":$n,"dim":$dim,"k":$k,"fit_seconds":$fitSec%.1f,"assign_seconds":$assignSec%.1f,"search_seconds":$searchSec%.1f,"pq_fit_seconds":$pqFitSec%.1f,"ivfpq_search_seconds":$ivfpqSec%.1f,"cells_seen":$cellsSeen,"cached_rdds":$cached,"assign_vecs_per_sec":${n / assignSec}%.0f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** `compaction` mode: the OPTIMIZE planner at the scale it exists
+    * for — a manifest of n small-file chunks (the 100 TB problem is
+    * measured in MILLIONS of objects) across 1024 partitions, packed
+    * into ~128 MB output files. The claim under test is the cost shape:
+    * the plan is window arithmetic over the MANIFEST (one exchange on
+    * the partition key, a per-partition running sum), so it prices by
+    * chunk count, never by table bytes — tens of TB of planned data in
+    * seconds. Sanity-asserted: sequential packing puts every planned
+    * file in (target − maxChunk, target + maxChunk) except each
+    * partition's final remainder file (the group ends when the running
+    * sum crosses the target, so it can under-run by at most the
+    * previous chunk and over-run by at most its own last chunk).
+    */
+  private def compactionMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 5000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    val target = 128L * 1024 * 1024
+    // chunk sizes 64 KB..8 MB (hash-spread): the small-files regime
+    val chunks = spark.range(n).repartition(cpus.toInt * 2)
+      .select(
+        pmod(graft.functions.h60(concat(lit("cp:"), col("id"))), lit(1024L))
+          .as("part"),
+        col("id").as("chunk"),
+        (lit(65536L) + pmod(graft.functions.h60(concat(lit("cb:"), col("id"))),
+          lit(8L * 1024 * 1024 - 65536))).as("bytes"))
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    var stats: Array[org.apache.spark.sql.Row] = null
+    val planSec = time {
+      stats = ops.Layout.compactionPlan(chunks, Seq("part"), "chunk",
+          "bytes", target)
+        .groupBy()
+        .agg(count(lit(1)).as("files"),
+          sum(col("file_bytes")).as("bytes"),
+          max(col("file_bytes")).as("max_file"),
+          sum(when(col("file_bytes") > target - 8L * 1024 * 1024 &&
+            col("file_bytes") < target + 8L * 1024 * 1024, 1L).otherwise(0L))
+            .as("full_files"))
+        .collect()
+    }
+    val r = stats.head
+    val files = r.getLong(0); val bytes = r.getLong(1)
+    val maxFile = r.getLong(2); val fullFiles = r.getLong(3)
+    // every non-remainder file must hold target ± max chunk; at most
+    // one remainder per partition
+    require(files - fullFiles <= 1024,
+      s"more out-of-band files (${files - fullFiles}) than partitions")
+    require(maxFile < target + 8L * 1024 * 1024,
+      s"a planned file overflowed target + max chunk: $maxFile")
+    println(f"""{"mode":"compaction","n_chunks":$n,"partitions":1024,"planned_files":$files,"planned_bytes":$bytes,"plan_sec":$planSec%.1f,"chunks_per_sec":${n / planSec}%.0f,"cpus":$cpus}""")
     spark.stop()
   }
 
