@@ -80,13 +80,23 @@ object ModelStore {
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Content fingerprint of an input directory: md5 over the sorted
-    * listing of every file's (relative path, size, mtime) — one cheap
-    * O(files) metadata walk, no data read. Folded into [[fit]] keys so
-    * the durable store can never serve an artifact trained on a corpus
-    * that has since been rewritten under the same path (same-path
-    * regeneration changes sizes or mtimes even when row counts match).
-    * At lakehouse scale the same role is played by a table snapshot /
-    * version id; a file-listing digest is its filesystem equivalent.
+    * listing of every file's (relative path, size, mtime, tail bytes) —
+    * one O(files) metadata walk plus a 64-byte tail read per file (for
+    * parquet that tail is inside the footer metadata, which carries row
+    * counts and column stats — a strong content discriminator at
+    * negligible cost). Folded into [[fit]] keys so the durable store can
+    * never serve an artifact trained on a corpus that has since been
+    * rewritten under the same path.
+    *
+    * Caveat: mtime granularity is 1 s on many filesystems and tools like
+    * `rsync -t`/`tar` preserve mtimes, so (size, mtime) alone is NOT a
+    * guarantee — the tail read is what catches a same-size, same-mtime
+    * in-place rewrite whose data differs (parquet footers fold row-group
+    * offsets and stats, so any real data change perturbs them). A
+    * byte-identical copy restored over the original is, correctly, the
+    * same fingerprint. At lakehouse scale the same role is played by a
+    * table snapshot / version id; this digest is its filesystem
+    * equivalent.
     */
   def fingerprint(dir: String): String = {
     val root = java.nio.file.Paths.get(dir)
@@ -99,12 +109,30 @@ object ModelStore {
           val rel = root.relativize(p).toString
           val sz = java.nio.file.Files.size(p)
           val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
-          lines += s"$rel|$sz|$mt"
+          val tail = tailHex(p, 64)
+          lines += s"$rel|$sz|$mt|$tail"
         }
       }
     } finally stream.close()
-    keyHash(lines.sorted.mkString("\n")).take(16)
+    keyHash(s"n=${lines.length}\n" + lines.sorted.mkString("\n")).take(16)
   }
+
+  /** Hex of the last `n` bytes of a file (fewer if the file is shorter).
+    * Unreadable files degrade to a marker rather than failing the walk —
+    * the fingerprint still changes when readability changes.
+    */
+  private def tailHex(p: java.nio.file.Path, n: Int): String =
+    try {
+      val raf = new java.io.RandomAccessFile(p.toFile, "r")
+      try {
+        val len = raf.length()
+        val take = math.min(len, n.toLong).toInt
+        raf.seek(len - take)
+        val buf = new Array[Byte](take)
+        raf.readFully(buf)
+        buf.map("%02x".format(_)).mkString
+      } finally raf.close()
+    } catch { case _: java.io.IOException => "unreadable" }
 
   /** Train-once: the first caller for `key` runs `train` against an
     * artifact path and every caller gets that path back — per process by
@@ -140,20 +168,33 @@ object ModelStore {
     *     passed, so loaders never see a partial artifact;
     *  2. training runs in a UNIQUE temp directory under the same root
     *     (same filesystem), is integrity-checked ([[verifyArtifact]]:
-    *     every parquet part committed under a `_SUCCESS`, every footer
-    *     ending in the `PAR1` magic), gets its marker, and is published
-    *     by ONE atomic rename — two concurrent writers each build their
-    *     own candidate and exactly one rename wins, so interleaved
-    *     `mode("overwrite")` writes into a shared directory (the failure
-    *     mode of publish-in-place) cannot happen;
-    *  3. a directory at the final path WITHOUT a marker is debris from a
-    *     crashed pre-rename writer (or a kill between rename steps) —
-    *     it is replaced, never trusted.
+    *     every parquet part committed under a `_SUCCESS` on it or an
+    *     ancestor, every footer ending in the `PAR1` magic), gets its
+    *     marker, and is published by ONE atomic rename;
+    *  3. the publish step itself (marker check + debris handling +
+    *     rename) runs under a per-artifact O_EXCL lock file, so exactly
+    *     one publisher acts at a time. This is what makes debris
+    *     replacement safe: a directory at the final path WITHOUT a
+    *     marker, observed UNDER THE LOCK, is provably debris from a
+    *     crashed writer or an interrupted cleanup — no live publisher
+    *     can be mid-rename, so moving it aside (atomic rename to a
+    *     trash name, then delete) can never destroy an artifact whose
+    *     path a racer already returned to callers. (The unlocked
+    *     check-then-`rmTree(dir)` it replaces could: a racer completing
+    *     its rename between the marker check and the delete lost a LIVE
+    *     published artifact mid-read.)
+    *
+    * Training (the slow part) runs OUTSIDE the lock — concurrent first
+    * callers may still train twice (deterministic, at worst redundant);
+    * only the milliseconds-long publish is serialized. A lock orphaned
+    * by a crashed holder is stolen after [[LockStaleMs]] (publishes
+    * hold it for milliseconds, so a minute-old lock is dead).
     */
   private def durableFit(root: String, key: String, prefix: String,
                          train: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = new java.io.File(root, s"${prefix}_${keyHash(key)}")
+    val name = s"${prefix}_${keyHash(key)}"
+    val dir = new java.io.File(root, name)
     val marker = new java.io.File(dir, MarkerName)
     if (marker.isFile) return dir.toString
     Files.createDirectories(Paths.get(root)): Unit
@@ -162,39 +203,85 @@ object ModelStore {
       train(tmp.toString)
       verifyArtifact(tmp.toFile)
       Files.write(tmp.resolve(MarkerName), key.getBytes("UTF-8")): Unit
-      try Files.move(tmp, dir.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
-      catch { case _: java.nio.file.FileSystemException =>
-        if (marker.isFile) rmTree(tmp.toFile) // lost the race; winner is complete
-        else { // pre-rename debris behind the final name: replace it
-          rmTree(dir)
-          try Files.move(tmp, dir.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
-          catch { case _: java.nio.file.FileSystemException =>
-            // a racer republished between the delete and the retry — its
-            // artifact is complete (marker precedes every publish); keep it
-            require(marker.isFile, s"cannot publish artifact at $dir")
-            rmTree(tmp.toFile)
+      withPublishLock(root, name) {
+        if (marker.isFile) rmTree(tmp.toFile) // racer published while we trained
+        else {
+          if (dir.exists) {
+            // markerless debris — under the lock, provably not a live
+            // artifact; move aside atomically, delete off the hot path
+            val trash = new java.io.File(root,
+              s".${name}_trash_${java.util.UUID.randomUUID().toString.take(8)}")
+            Files.move(dir.toPath, trash.toPath,
+              StandardCopyOption.ATOMIC_MOVE): Unit
+            rmTree(trash)
           }
+          Files.move(tmp, dir.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
         }
       }
     } catch { case e: Throwable => rmTree(tmp.toFile); throw e }
     dir.toString
   }
 
+  /** How stale a publish lock must be before a waiter may steal it —
+    * generous: the lock only ever covers a marker check plus one or two
+    * renames. */
+  private val LockStaleMs = 60000L
+
+  /** Serialize the publish step across processes with an O_EXCL lock
+    * file under the store root. Stale locks (crashed holders) are
+    * stolen after [[LockStaleMs]]; acquisition fails loudly after 10
+    * minutes rather than spinning forever.
+    */
+  private def withPublishLock[T](root: String, name: String)(body: => T): T = {
+    import java.nio.file.{Files, Paths}
+    val lock = Paths.get(root, s".${name}.lock")
+    val deadline = System.nanoTime + 600L * 1000 * 1000 * 1000
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age =
+            try System.currentTimeMillis -
+              Files.getLastModifiedTime(lock).toMillis
+            catch { case _: java.io.IOException => 0L } // vanished: retry now
+          if (age > LockStaleMs) {
+            try Files.deleteIfExists(lock): Unit
+            catch { case _: java.io.IOException => () }
+          } else Thread.sleep(25)
+          require(System.nanoTime < deadline,
+            s"timed out waiting for publish lock $lock")
+      }
+    }
+    try body
+    finally { try Files.deleteIfExists(lock): Unit
+              catch { case _: java.io.IOException => () } }
+  }
+
   /** Readback integrity check before an artifact is published: every
-    * directory holding parquet parts must carry Spark's `_SUCCESS`
-    * commit marker, every `part-*` file must end with the parquet
-    * `PAR1` footer magic, and at least one part must exist — a torn
-    * write (killed executor, full disk) fails here instead of becoming
-    * a permanent durable artifact.
+    * parquet part must sit under a write root that carries Spark's
+    * `_SUCCESS` commit marker, every `part-*` file must end with the
+    * parquet `PAR1` footer magic, and at least one part must exist — a
+    * torn write (killed executor, full disk) fails here instead of
+    * becoming a permanent durable artifact.
+    *
+    * `_SUCCESS` is accepted on ANY ancestor directory of the part, not
+    * just its own directory: a `partitionBy` write commits `_SUCCESS`
+    * once at the output ROOT while parts land in partition subdirs
+    * (`zstrip=0/part-*`) — requiring the marker beside the parts would
+    * reject every partitioned artifact ([[graft.ops.Layout.zorderWrite]],
+    * [[graft.ops.Layout.compactionExec]]).
     */
   private def verifyArtifact(dir: java.io.File): Unit = {
     var parts = 0
-    def walk(f: java.io.File): Unit = {
+    def walk(f: java.io.File, committed: Boolean): Unit = {
       val cs = Option(f.listFiles()).getOrElse(Array.empty)
+      val hasSuccess = committed || cs.exists(_.getName == "_SUCCESS")
       val partFiles = cs.filter(c => c.isFile && c.getName.startsWith("part-"))
       if (partFiles.nonEmpty) {
-        require(cs.exists(_.getName == "_SUCCESS"),
-          s"artifact dir ${f} has parts but no _SUCCESS commit marker")
+        require(hasSuccess,
+          s"artifact dir ${f} has parts but no _SUCCESS commit marker " +
+            "on it or any ancestor")
         partFiles.foreach { p =>
           parts += 1
           val raf = new java.io.RandomAccessFile(p, "r")
@@ -208,9 +295,9 @@ object ModelStore {
           } finally raf.close()
         }
       }
-      cs.filter(_.isDirectory).foreach(walk)
+      cs.filter(_.isDirectory).foreach(walk(_, hasSuccess))
     }
-    walk(dir)
+    walk(dir, committed = false)
     require(parts > 0, s"artifact $dir contains no parquet parts")
   }
 
