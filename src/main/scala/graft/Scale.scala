@@ -353,7 +353,7 @@ object Scale {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
     val writeSec = time {
-      ops.Layout.zorderWrite(df, col("a"), col("b"), 10, 6, out): Unit
+      ops.Layout.zorderWrite(df, "a", "b", 10, 6, out): Unit
     }
     def scanMetrics(q: org.apache.spark.sql.DataFrame): (Long, Long, Array[org.apache.spark.sql.Row]) = {
       val rows = q.collect()

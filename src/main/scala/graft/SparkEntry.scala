@@ -140,6 +140,8 @@ object SparkEntry {
   private val CompactTargetBytes = 64L * 1024
   private val ZBits = 10
   private val ZStripBits = 4
+  private val Z3Bits = 8
+  private val Z3StripBits = 6
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
   private val PmiMinCount = 5
@@ -531,6 +533,19 @@ object SparkEntry {
   private def pqArtifact(s: SparkSession, d: String): String =
     ModelStore.fit(s"pq|${cid(d)}|$PqK", "graft_m_pq") { p =>
       ModelStore.savePqCodebook(s, Similarity.pqCodebook(emb(s, d), PqK), p)
+    }
+
+  /** RESIDUAL PQ codebook (FAISS IndexIVFPQ's training target): the same
+    * hash-ranked sample as [[pqArtifact]], each entry minus its nearest
+    * coarse centroid — keyed by the coarse quantizer's params too, since
+    * residuals are DEFINED against those cells.
+    */
+  private def pqResArtifact(s: SparkSession, d: String): String =
+    ModelStore.fit(s"pqres|${cid(d)}|$PqK|$IvfCentroids|$KmIters",
+      "graft_m_pqres") { p =>
+      val (ids, embs) = ModelStore.centroidArrays(s, kmeansArtifact(s, d))
+      ModelStore.savePqCodebook(s,
+        Similarity.pqResCodebook(emb(s, d), PqK, ids, embs), p)
     }
 
   /** The stage-once tokenized documents corpus (see [[ops.TextStage]]):
@@ -1438,12 +1453,71 @@ object SparkEntry {
             pmod(col("l_partkey"), lit(1024L)).as("pk"),
             pmod(col("l_suppkey"), lit(1024L)).as("sk"),
             col("l_quantity")),
-          col("pk"), col("sk"), ZBits, ZStripBits, p): Unit
+          "pk", "sk", ZBits, ZStripBits, p): Unit
       }
       val strips = Layout.zStrips(0, 63, 0, 1023, ZBits, ZStripBits)
       s.read.parquet(outRoot)
         .where(col("zstrip").isin(strips: _*) && col("pk") < 64)
         .groupBy(expr("pk div 16").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("bucket"))
+    }),
+
+    // The same skip-scan with the strip filter SELF-APPLYING: the query
+    // writes ONLY the dimension predicate (pk < 64 — what a user who
+    // never heard of zStrips writes) and the ZOrderStripPrune optimizer
+    // rule reads the layout's _graft_zlayout descriptor, derives the
+    // implied strip set, and injects the partition filter — pruning as a
+    // property of the TABLE, not of disciplined call sites. Cluster-wide
+    // via GraftExtensions; here via the per-session experimental hook
+    // (the range_join_auto pattern). Same oracle as zorder_exec; the
+    // injected PartitionFilters are plan-asserted in QueryPlanSpec.
+    "zorder_auto" -> ((s, d) => {
+      if (!s.experimental.extraOptimizations.contains(plans.ZOrderStripPrune))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.ZOrderStripPrune
+      val outRoot = ModelStore.fit(
+        s"zorder|${cid(d)}|$ZBits|$ZStripBits", "graft_zorder") { p =>
+        Layout.zorderWrite(
+          li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            pmod(col("l_partkey"), lit(1024L)).as("pk"),
+            pmod(col("l_suppkey"), lit(1024L)).as("sk"),
+            col("l_quantity")),
+          "pk", "sk", ZBits, ZStripBits, p): Unit
+      }
+      s.read.parquet(outRoot)
+        .where(col("pk") < 64)
+        .groupBy(expr("pk div 16").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("bucket"))
+    }),
+
+    // The skip index in THREE dimensions (real tables z-order 3-4
+    // columns): 8-bit domains, 64 strip dirs = the top 2 bits of EACH
+    // dimension, and a box constraining two of the three (pk3 < 64
+    // fixes dim0's prefix to 00, ok3 >= 128 halves dim2) — zStripsN
+    // keeps the 8 of 64 strips whose 3-rectangle intersects, dimension
+    // sk3 rides along unconstrained. Oracle replays the plain aggregate
+    // over the source; green proves the 3-dim enumeration loses no rows.
+    "zorder_exec3" -> ((s, d) => {
+      val outRoot = ModelStore.fit(
+        s"zorder3|${cid(d)}|$Z3Bits|$Z3StripBits", "graft_zorder3") { p =>
+        Layout.zorderWriteN(
+          li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            pmod(col("l_partkey"), lit(256L)).as("pk3"),
+            pmod(col("l_suppkey"), lit(256L)).as("sk3"),
+            pmod(col("l_orderkey"), lit(256L)).as("ok3"),
+            col("l_quantity")),
+          Seq("pk3", "sk3", "ok3"), Z3Bits, Z3StripBits, p): Unit
+      }
+      val strips = Layout.zStripsN(
+        Seq((0L, 63L), (0L, 255L), (128L, 255L)), Z3Bits, Z3StripBits)
+      s.read.parquet(outRoot)
+        .where(col("zstrip").isin(strips: _*) &&
+          col("pk3") < 64 && col("ok3") >= 128)
+        .groupBy(expr("pk3 div 16").as("bucket"))
         .agg(count(lit(1)).as("n_rows"),
           sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy(col("bucket"))
@@ -1893,6 +1967,45 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // IVF-PQ with RESIDUAL encoding — the actual FAISS IndexIVFPQ: codes
+    // quantize x − centroid(cell(x)) against a residual codebook, so the
+    // same 8 bytes spend themselves on WITHIN-cell variance (the coarse
+    // quantizer already explained the rest). Corpus still assigned +
+    // residual-encoded in ONE map-only projection (the subtraction is an
+    // O(K·dim) literal map lookup); the ADC table becomes per
+    // (query, probed cell) — O(queries·nprobe·k·dim) broadcast rows,
+    // artifact-scale at any corpus size.
+    "knn_ivfpq_res" -> ((s, d) => {
+      val (ids, embs) = ModelStore.centroidArrays(s, kmeansArtifact(s, d))
+      val rcents = ModelStore.loadPqCodebook(s, pqResArtifact(s, d))
+      Similarity.ivfPqResTopK(emb(s, d), emb(s, d).where(col("vec_id") < 8),
+          5, ids, embs, PqSubs, rcents, Nprobe)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The residual gain priced at IDENTICAL bytes: recall@5 vs EXACT
+    // cosine for raw-vector codes vs residual codes, same (subs, k,
+    // nprobe, codebook size) — routing held fixed, so the delta is
+    // exactly what residual encoding buys (ann_recall_ivfpq is the dual:
+    // quantization held fixed, routing priced). On THIS corpus the probe
+    // prices the gain at ~zero — the fixture's embeddings are isotropic
+    // unit vectors, so 16 coarse cells explain ~6% of the norm (residual
+    // ‖·‖ ≈ 0.94) and there is no within-cell structure for residual
+    // codes to spend bits on; RoundElevenOpsSpec pins the res ≥ raw win
+    // on a CLUSTERED fixture (residual PQ's actual regime) with this
+    // same kernel. An honest 0-gain reading is the point of the probe:
+    // it tells the operator NOT to pay for residual tables on a corpus
+    // shaped like this one.
+    "ann_recall_ivfpq_res" -> ((s, d) => {
+      val (ids, embs) = ModelStore.centroidArrays(s, kmeansArtifact(s, d))
+      val cents = ModelStore.loadPqCodebook(s, pqArtifact(s, d))
+      val rcents = ModelStore.loadPqCodebook(s, pqResArtifact(s, d))
+      Similarity.annRecallIvfPqRes(emb(s, d),
+          emb(s, d).where(col("vec_id") < 8), 5, ids, embs, PqSubs, cents,
+          rcents, Nprobe)
+        .orderBy(col("query_id"))
+    }),
+
     // The APPLY half of kmeans_train: every corpus vector assigned to its
     // nearest SHIPPED centroid — the artifact loads as O(K·dim) literals
     // into the native argmax, so the pass is map-only: no join, no
@@ -2046,10 +2159,16 @@ object SparkEntry {
     // test suite) genuinely LOADS state trained by a prior process.
     // Green vs the recompute oracle proves load-from-prior-process ≡
     // train; the fingerprint key means regenerated data can never serve
-    // a stale artifact.
+    // a stale artifact. The root honors GRAFT_STORE_DIR when set and is
+    // otherwise PER-USER under the tmpdir — a world-writable fixed path
+    // would let any other user on the host pre-create or poison the
+    // store that the marker + footer check then trusts.
     "store_durable" -> ((s, d) => {
-      val root = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_store_durable").toString
+      val root = sys.env.get("GRAFT_STORE_DIR")
+        .orElse(sys.props.get("graft.store.dir"))
+        .getOrElse(new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_store_durable_${sys.props.getOrElse("user.name", "anon")}")
+          .toString)
       val path = ModelStore.fitAt(root,
         s"sq|${cid(d)}|$EmbDim", "graft_d_sq") { p =>
         val (mns, mxs) = Similarity.sqBoundsArrays(emb(s, d), EmbDim)
@@ -3788,6 +3907,24 @@ object SparkEntry {
         |FROM lineitem WHERE l_partkey % 1024 < 64
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // The rule-injected strip filter is implied by the predicate, so the
+    // self-applying variant has the SAME oracle as the hand-injected one.
+    "zorder_auto" ->
+      """SELECT (l_partkey % 1024) // 16 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey % 1024 < 64
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // 3-dim box (dim0 prefix fixed, dim2 halved, dim1 free): green vs the
+    // plain source aggregate proves the 3-dim strip cover loses no rows.
+    "zorder_exec3" ->
+      """SELECT (l_partkey % 256) // 16 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey % 256 < 64 AND l_orderkey % 256 >= 128
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "zorder_layout" -> {
       val z = (0 until 10).map { i =>
         s"((((l_partkey % 1024) >> $i) & 1) << ${2 * i + 1}) + " +
@@ -4139,6 +4276,10 @@ object SparkEntry {
     "knn_ivfpq" -> knnIvfPqSql,
 
     "ann_recall_ivfpq" -> annRecallIvfPqSql,
+
+    "knn_ivfpq_res" -> knnIvfPqResSql,
+
+    "ann_recall_ivfpq_res" -> annRecallIvfPqResSql,
 
     "kmeans_step" ->
       s"""WITH $ivfAssignCte,
@@ -5750,6 +5891,150 @@ object SparkEntry {
        |FROM truth t
        |LEFT JOIN leg1 l1 ON t.query_id = l1.query_id AND t.nbr_id = l1.nbr_id
        |LEFT JOIN legn l2 ON t.query_id = l2.query_id AND t.nbr_id = l2.nbr_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+  }
+
+  /** Shared residual-PQ CTE chain: the Lloyd-replay coarse cells
+    * (`shipped`/`assign2` as `knn_ivf_trained`), the hash-ranked sample
+    * WITH vec ids (`pqcv`), the RESIDUAL codebook (`rcb`: sample minus
+    * its cell centroid — [[graft.ops.Similarity.pqResCodebook]]'s
+    * replay), corpus residuals (`cres`), the per-(vec, sub) residual
+    * code pick (`rpick`), and the per-(query, probed cell) residual
+    * query vectors (`qres`). `range(1, dim+1)` in scalar position is the
+    * 1-based index list DuckDB's `list_transform` maps over — the same
+    * positions Spark's `element_at` reads.
+    */
+  private def ivfPqResCtes: String = {
+    val subDim = EmbDim / PqSubs
+    val rdistSelects = (0 until PqSubs).map { s =>
+      val terms = (0 until subDim).map { i =>
+        val p = s * subDim + i + 1
+        s"(cr.re[$p] - rcb.rc[$p]) * (cr.re[$p] - rcb.rc[$p])"
+      }.mkString(" + ")
+      s"SELECT cr.vec_id, cr.cell, $s AS s, rcb.j, $terms AS d FROM cres cr, rcb"
+    }.mkString(" UNION ALL ")
+    s"""$kmeansCtes,
+       |shipped AS MATERIALIZED (SELECT cell AS cent_id, list(mean_val ORDER BY dim) AS ce
+       |  FROM m$KmIters GROUP BY cell),
+       |assign2 AS MATERIALIZED (SELECT vec_id, cell FROM (
+       |  SELECT c.vec_id, ct.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosSql("c.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
+       |  FROM c, shipped ct) WHERE rn = 1),
+       |pqcv AS MATERIALIZED (SELECT row_number() OVER (ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS j, vec_id, e AS ce
+       |  FROM c ORDER BY ${h60Sql("'cent:' || CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $PqK),
+       |rcb AS MATERIALIZED (SELECT pqcv.j, list_transform(range(1, ${EmbDim + 1}), i -> pqcv.ce[i] - ct.ce[i]) AS rc
+       |  FROM pqcv JOIN assign2 a ON a.vec_id = pqcv.vec_id
+       |  JOIN shipped ct ON ct.cent_id = a.cell),
+       |cres AS MATERIALIZED (SELECT c.vec_id, a.cell,
+       |    list_transform(range(1, ${EmbDim + 1}), i -> c.e[i] - ct.ce[i]) AS re
+       |  FROM c JOIN assign2 a ON a.vec_id = c.vec_id
+       |  JOIN shipped ct ON ct.cent_id = a.cell),
+       |rdists AS ($rdistSelects),
+       |rpick AS MATERIALIZED (SELECT vec_id, cell, s, j FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM rdists)
+       |  WHERE rn = 1),
+       |qrank AS (SELECT q.vec_id, ct.cent_id AS cell, ct.ce,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.e", "ct.ce")} DESC, ct.cent_id ASC) AS rn
+       |  FROM (SELECT vec_id, e FROM c WHERE vec_id < 8) q, shipped ct),
+       |qres AS MATERIALIZED (SELECT qr.vec_id, qr.cell,
+       |    list_transform(range(1, ${EmbDim + 1}), i -> q.e[i] - qr.ce[i]) AS qre
+       |  FROM qrank qr JOIN c q ON q.vec_id = qr.vec_id WHERE qr.rn <= $Nprobe)""".stripMargin
+  }
+
+  /** Per-(query, probed cell) residual ADC distance tables — the qres ×
+    * rcb sub-distance rows the residual legs pivot. */
+  private def qresDistsSql: String = {
+    val subDim = EmbDim / PqSubs
+    (0 until PqSubs).map { s =>
+      val terms = (0 until subDim).map { i =>
+        val p = s * subDim + i + 1
+        s"(q.qre[$p] - rcb.rc[$p]) * (q.qre[$p] - rcb.rc[$p])"
+      }.mkString(" + ")
+      s"SELECT q.vec_id, q.cell, $s AS s, rcb.j, $terms AS d FROM qres q, rcb"
+    }.mkString(" UNION ALL ")
+  }
+
+  /** Residual IVF-PQ search oracle: [[ivfPqResCtes]]'s codes and query
+    * tables, cell-matched (a neighbor scores only in its OWN cell, and
+    * only when the query probed it), left-associated pivoted ADC sums
+    * rounded before ranking.
+    */
+  private def knnIvfPqResSql: String = {
+    val dCols = (0 until PqSubs).map { s =>
+      s"max(CASE WHEN qd.s = $s THEN qd.d END) AS d$s"
+    }.mkString(", ")
+    val adcSum = (0 until PqSubs).map(s => s"d$s").mkString(" + ")
+    s"""WITH ${ivfPqResCtes},
+       |qd AS ($qresDistsSql),
+       |wide AS (SELECT qd.vec_id AS query_id, x.vec_id AS nbr_id, $dCols
+       |  FROM rpick x JOIN qd ON qd.s = x.s AND qd.j = x.j AND qd.cell = x.cell
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT query_id, nbr_id, round($adcSum, 6) AS adc
+       |  FROM wide WHERE query_id <> nbr_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, nbr_id ASC) AS rn FROM scored)
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Residual-vs-raw quantization oracle: exact cosine truth, the raw
+    * IVF-PQ leg (the [[knnIvfPqSql]] chain against `pqcv`'s raw sample),
+    * and the residual leg ([[knnIvfPqResSql]]'s chain), joined into
+    * per-query recall — routing (cells, nprobe) identical on both legs.
+    */
+  private def annRecallIvfPqResSql: String = {
+    val subDim = EmbDim / PqSubs
+    val rawDistSelects = (0 until PqSubs).map { s =>
+      val terms = (0 until subDim).map { i =>
+        val p = s * subDim + i + 1
+        s"(c.e[$p] - pqcv.ce[$p]) * (c.e[$p] - pqcv.ce[$p])"
+      }.mkString(" + ")
+      s"SELECT c.vec_id, $s AS s, pqcv.j, $terms AS d FROM c, pqcv"
+    }.mkString(" UNION ALL ")
+    val dCols = (0 until PqSubs).map { s =>
+      s"max(CASE WHEN qd.s = $s THEN qd.d END) AS d$s"
+    }.mkString(", ")
+    val adcSum = (0 until PqSubs).map(s => s"d$s").mkString(" + ")
+    s"""WITH ${ivfPqResCtes},
+       |truth AS (SELECT query_id, nbr_id FROM (
+       |  SELECT qb.vec_id AS query_id, c2.vec_id AS nbr_id,
+       |    row_number() OVER (PARTITION BY qb.vec_id ORDER BY ${cosSql("qb.e", "c2.e")} DESC, c2.vec_id ASC) AS rn
+       |  FROM (SELECT vec_id, e FROM c WHERE vec_id < 8) qb, c c2
+       |  WHERE qb.vec_id <> c2.vec_id) WHERE rn <= 5),
+       |qc AS (SELECT vec_id, cell FROM qrank WHERE rn <= $Nprobe),
+       |dists_raw AS ($rawDistSelects),
+       |pick_raw AS MATERIALIZED (SELECT vec_id, s, j FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM dists_raw)
+       |  WHERE rn = 1),
+       |qd_raw AS (SELECT vec_id, s, j, d FROM dists_raw WHERE vec_id < 8),
+       |wide_raw AS MATERIALIZED (SELECT qd.vec_id AS query_id, x.vec_id AS nbr_id, $dCols
+       |  FROM pick_raw x JOIN qd_raw qd ON qd.s = x.s AND qd.j = x.j
+       |  GROUP BY 1, 2),
+       |leg_raw AS (SELECT query_id, nbr_id FROM (
+       |  SELECT s.query_id, s.nbr_id, row_number() OVER (
+       |    PARTITION BY s.query_id ORDER BY s.adc ASC, s.nbr_id ASC) AS rn
+       |  FROM (SELECT query_id, nbr_id, round($adcSum, 6) AS adc
+       |    FROM wide_raw WHERE query_id <> nbr_id) s
+       |  JOIN assign2 na ON na.vec_id = s.nbr_id
+       |  JOIN qc ON qc.vec_id = s.query_id AND qc.cell = na.cell)
+       |  WHERE rn <= 5),
+       |qd_res AS ($qresDistsSql),
+       |wide_res AS MATERIALIZED (SELECT qd.vec_id AS query_id, x.vec_id AS nbr_id, $dCols
+       |  FROM rpick x JOIN qd_res qd ON qd.s = x.s AND qd.j = x.j AND qd.cell = x.cell
+       |  GROUP BY 1, 2),
+       |leg_res AS (SELECT query_id, nbr_id FROM (
+       |  SELECT s.query_id, s.nbr_id, row_number() OVER (
+       |    PARTITION BY s.query_id ORDER BY s.adc ASC, s.nbr_id ASC) AS rn
+       |  FROM (SELECT query_id, nbr_id, round($adcSum, 6) AS adc
+       |    FROM wide_res WHERE query_id <> nbr_id) s)
+       |  WHERE rn <= 5)
+       |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(r1.nbr_id) AS BIGINT) AS hit_raw,
+       |  CAST(count(r2.nbr_id) AS BIGINT) AS hit_res,
+       |  round(CAST(count(r1.nbr_id) AS DOUBLE) / count(*), 4) AS recall_raw,
+       |  round(CAST(count(r2.nbr_id) AS DOUBLE) / count(*), 4) AS recall_res
+       |FROM truth t
+       |LEFT JOIN leg_raw r1 ON t.query_id = r1.query_id AND t.nbr_id = r1.nbr_id
+       |LEFT JOIN leg_res r2 ON t.query_id = r2.query_id AND t.nbr_id = r2.nbr_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
   }
 

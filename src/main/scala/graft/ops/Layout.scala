@@ -12,22 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Z-order (Morton) value of two non-negative dimensions: bit i of `a`
-    * lands at position 2i+1, bit i of `b` at position 2i, so rows close in
-    * BOTH dimensions get close z-values. Pure long shift/mask arithmetic —
-    * an unrolled sum of `((x >> i) & 1) << p` terms, codegen'd by Spark and
-    * replayable verbatim in any SQL engine (max position 2·bits-1 ≤ 62, no
-    * overflow). Dimensions are masked to `bits` (caller buckets wider
-    * domains first; 16 bits per dim already gives 65 536 file-level strips
-    * per dimension, far past parquet row-group granularity at any scale).
+  /** Z-order (Morton) value of `n` non-negative dimensions: bit i of
+    * dimension j lands at position `i·n + (n−1−j)` — dimension 0 owns the
+    * most-significant slot of each bit group, so for n=2 this is the
+    * classic interleave (bit i of `a` at 2i+1, bit i of `b` at 2i), and
+    * rows close in ALL dimensions get close z-values. Pure long
+    * shift/mask arithmetic — an unrolled sum of `((x >> i) & 1) << p`
+    * terms, codegen'd by Spark and replayable verbatim in any SQL engine
+    * (`n·bits ≤ 62` keeps every position below the sign bit). Dimensions
+    * are masked to `bits` (caller buckets wider domains first; real
+    * lakehouse tables z-order 3–4 columns at 8–16 bits each).
     */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "1..31 interleaved bits per dimension")
-    (0 until bits).map { i =>
-      (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)): Column
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 1, "at least one dimension")
+    require(bits >= 1 && n * bits <= 62,
+      s"n*bits = ${n * bits} must stay within a signed long")
+    (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (d, j) =>
+        shiftleft(shiftright(d, i).bitwiseAND(lit(1L)),
+          i * n + (n - 1 - j)): Column
+      }
     }.reduce(_ + _)
   }
+
+  /** Two-dimension [[zValueN]] — the layout most tables start with. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    zValueN(Seq(a, b), bits)
 
   /** Z-order clustering: range-scatter + sort the table by the interleaved
     * key. Downstream, a predicate on EITHER dimension touches only the
@@ -56,47 +67,100 @@ object Layout {
     * work, independent of table size.
     */
   def zStrips(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
-              bits: Int, stripTopBits: Int): Seq[Long] = {
-    require(stripTopBits >= 1 && stripTopBits <= 2 * bits,
-      "stripTopBits must cover 1..2*bits interleaved bits")
+              bits: Int, stripTopBits: Int): Seq[Long] =
+    zStripsN(Seq((aLo, aHi), (bLo, bHi)), bits, stripTopBits)
+
+  /** n-dimensional [[zStrips]]: which strips (top `stripTopBits` z-bits)
+    * can contain ANY point of the axis-aligned box `boxes(j) = (lo_j,
+    * hi_j)`. A strip fixes a prefix of each dimension (the top z-bits
+    * round-robin through the dimensions in [[zValueN]]'s order), so it
+    * covers an n-rectangle and the intersection test is exact per
+    * dimension. O(2^stripTopBits · n) driver arithmetic, independent of
+    * table size.
+    */
+  def zStripsN(boxes: Seq[(Long, Long)], bits: Int,
+               stripTopBits: Int): Seq[Long] = {
+    val n = boxes.size
+    require(n >= 1, "at least one dimension")
+    require(stripTopBits >= 1 && stripTopBits <= n * bits,
+      s"stripTopBits must cover 1..n*bits interleaved bits")
     val nb = stripTopBits
     (0L until (1L << nb)).filter { s =>
-      var aPre = 0L; var bPre = 0L; var aBits = 0; var bBits = 0
+      val pre = Array.fill(n)(0L)
+      val nBits = Array.fill(n)(0)
       var k = 0
       while (k < nb) {
-        val pos = 2 * bits - 1 - k // z bit position, high to low
+        val pos = n * bits - 1 - k // z bit position, high to low
         val bit = (s >> (nb - 1 - k)) & 1L
-        if (pos % 2 == 1) { aPre = (aPre << 1) | bit; aBits += 1 }
-        else { bPre = (bPre << 1) | bit; bBits += 1 }
+        val j = n - 1 - (pos % n) // dimension owning this position
+        pre(j) = (pre(j) << 1) | bit
+        nBits(j) += 1
         k += 1
       }
-      val aMin = aPre << (bits - aBits)
-      val aMax = aMin + (1L << (bits - aBits)) - 1
-      val bMin = bPre << (bits - bBits)
-      val bMax = bMin + (1L << (bits - bBits)) - 1
-      aMax >= aLo && aMin <= aHi && bMax >= bLo && bMin <= bHi
+      (0 until n).forall { j =>
+        val mn = pre(j) << (bits - nBits(j))
+        val mx = mn + (1L << (bits - nBits(j))) - 1
+        mx >= boxes(j)._1 && mn <= boxes(j)._2
+      }
     }
   }
 
-  /** Write the z-clustered LAYOUT: [[zorderCluster]]'s interleave, cut
-    * into `2^stripTopBits` strip directories (`zstrip` partition column),
-    * one exchange on the strip, rows z-sorted inside each file. Scans
-    * then combine [[zStrips]]'s strip filter (directory pruning at
-    * planning time) with the original dimension predicate (row-group
-    * pruning inside the surviving files) — see the `zorder_exec` query.
+  /** Name of the layout descriptor [[zorderWriteN]] leaves at the root
+    * of a z-clustered table — what lets a scan-side rule
+    * ([[graft.plans.ZOrderStripPrune]]) recognize the layout and apply
+    * the [[zStripsN]] skip index WITHOUT the caller spelling the strip
+    * filter. Properties format (dependency-free to read anywhere):
+    * `dims=pk,sk` / `bits=10` / `stripTopBits=4`.
     */
-  def zorderWrite(df: DataFrame, dimA: Column, dimB: Column, bits: Int,
-                  stripTopBits: Int, outDir: String): String = {
-    val shift = 2 * bits - stripTopBits
+  val ZLayoutMetaFile = "_graft_zlayout"
+
+  /** Write the z-clustered LAYOUT over named dimension columns:
+    * [[zValueN]]'s interleave, cut into `2^stripTopBits` strip
+    * directories (`zstrip` partition column), one exchange on the strip,
+    * rows z-sorted inside each file, plus a [[ZLayoutMetaFile]]
+    * descriptor at the root. Scans then combine [[zStripsN]]'s strip
+    * filter (directory pruning at planning time — self-applied by
+    * [[graft.plans.ZOrderStripPrune]] when installed, or hand-injected
+    * as in the `zorder_exec` query) with the original dimension
+    * predicate (row-group pruning inside the surviving files).
+    *
+    * Every dimension value is REQUIRED in `[0, 2^bits)` and the write
+    * fails on the first violator (`raise_error` inside the z-value
+    * expression — negligible next to the exchange it rides): an
+    * out-of-domain value would land in the strip of its masked low bits,
+    * and any later strip pruning derived from a predicate on the REAL
+    * value could then silently drop it. The descriptor is only written
+    * — and the skip index only trusted — because this holds.
+    */
+  def zorderWriteN(df: DataFrame, dims: Seq[String], bits: Int,
+                   stripTopBits: Int, outDir: String): String = {
+    val n = dims.size
+    val shift = n * bits - stripTopBits
+    val lim = 1L << bits
+    val inDomain = dims.map(d => col(d) >= 0 && col(d) < lim).reduce(_ && _)
+    val zv = when(inDomain, zValueN(dims.map(col), bits))
+      .otherwise(raise_error(format_string(
+        s"z-order dimension out of [0, $lim): " +
+          dims.map(d => s"$d=%s").mkString(", "),
+        dims.map(d => col(d).cast("string")): _*)))
     // ONE exchange (on the strip), per-file z-sort — a global orderBy
     // would add a range exchange for ordering the strip dirs already give
-    df.withColumn("zval", zValue(dimA, dimB, bits))
+    df.withColumn("zval", zv)
       .withColumn("zstrip", shiftright(col("zval"), shift))
       .repartition(col("zstrip"))
       .sortWithinPartitions(col("zval"))
       .write.mode("overwrite").partitionBy("zstrip").parquet(outDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, ZLayoutMetaFile),
+      s"dims=${dims.mkString(",")}\nbits=$bits\nstripTopBits=$stripTopBits\n"
+        .getBytes("UTF-8")): Unit
     outDir
   }
+
+  /** Two-dimension [[zorderWriteN]]. */
+  def zorderWrite(df: DataFrame, dimA: String, dimB: String, bits: Int,
+                  stripTopBits: Int, outDir: String): String =
+    zorderWriteN(df, Seq(dimA, dimB), bits, stripTopBits, outDir)
 
   /** Compaction PLAN: assign each partition's chunks (small files /
     * row-group slices, one row each with a byte size) to target-sized
@@ -152,9 +216,13 @@ object Layout {
     * group, clustering preserved.
     *
     * Shape, by construction:
-    *  - the chunk→group manifest is broadcast (O(chunks) rows — for a
-    *    manifest too large to broadcast, shuffle-join on the chunk key;
-    *    the kernel is unchanged);
+    *  - the chunk→group manifest is broadcast when it fits
+    *    (`maxBroadcastChunks`, measured by one cheap count over the
+    *    manifest — O(chunks) rows, never data); past that it becomes a
+    *    SHUFFLE join on the chunk key — a 20M-chunk manifest is GB-scale
+    *    serialized, which no driver should hold per-executor-copy. The
+    *    kernel is otherwise unchanged and the outputs byte-identical
+    *    (spec-asserted);
     *  - ONE exchange, on `(partCols, file_group)` — `repartition` by the
     *    planned file key, so each output file is written by exactly one
     *    task (the small-files cure: a million source chunks leave as
@@ -171,10 +239,13 @@ object Layout {
   def compactionExec(data: DataFrame, partCols: Seq[String],
                      orderCol: String, bytesCol: String,
                      targetBytes: Long, chunks: DataFrame,
-                     outDir: String): String = {
+                     outDir: String,
+                     maxBroadcastChunks: Long = 4L * 1024 * 1024): String = {
     val assign = compactionAssign(chunks, partCols, orderCol, bytesCol,
       targetBytes).select((partCols :+ orderCol :+ "file_group").map(col): _*)
-    data.join(broadcast(assign), partCols :+ orderCol)
+    val routed =
+      if (chunks.count() <= maxBroadcastChunks) broadcast(assign) else assign
+    data.join(routed, partCols :+ orderCol)
       .repartition((partCols :+ "file_group").map(col): _*)
       .sortWithinPartitions(col(orderCol))
       .write.mode("overwrite")

@@ -633,6 +633,174 @@ object Similarity {
           .as(s"recall_p$nprobe"))
   }
 
+  /** The coarse centroid table as a literal MAP column (`cell → mean
+    * vector`) — the per-row lookup residual encoding needs. O(K·dim)
+    * literals, same scale contract as the argmax's embedded table.
+    */
+  private def centroidMapLit(ids: Array[Long],
+                             embs: Array[Array[Double]]): Column =
+    map_from_arrays(
+      array(ids.map(lit(_)): _*),
+      array(embs.map(e => array(e.map(lit(_)): _*)): _*))
+
+  /** RESIDUAL PQ codebook: the same deterministic hash-ranked k-row
+    * sample as [[pqCodebook]], but each entry is the sample vector MINUS
+    * its nearest coarse centroid (`x − centroid(cell(x))`) — FAISS
+    * `IndexIVFPQ`'s actual training target. Residuals concentrate near
+    * the origin (the coarse quantizer has already explained the
+    * between-cell variance), so the same code bytes spend themselves on
+    * the WITHIN-cell detail that ranks neighbors inside a probed cell —
+    * the recall gain at identical bytes that `ann_recall_ivfpq_res`
+    * prices. Assignment runs through the same native argmax kernel the
+    * corpus uses (6-dp cosine, ties to the smaller cell id), so sample
+    * and corpus residuals are computed against identical cells.
+    */
+  def pqResCodebook(corpus: DataFrame, k: Int, coarseIds: Array[Long],
+                    coarseEmbs: Array[Array[Double]],
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        asDouble(col(embCol)).as("e"))
+      .orderBy(h60(concat(lit("cent:"), col("vec_id").cast("string"))).asc,
+        col("vec_id").asc)
+      .limit(k)
+    val rows = assignToCentroids(sample, "vec_id", "e", coarseIds, coarseEmbs)
+      .withColumn("r", zip_with(col("e"),
+        element_at(centroidMapLit(coarseIds, coarseEmbs), col("cell")),
+        (x, y) => x - y))
+      // re-pin the hash-rank order so code index j is stable
+      .orderBy(h60(concat(lit("cent:"), col("vec_id").cast("string"))).asc,
+        col("vec_id").asc)
+      .select(col("r")).collect()
+    require(rows.nonEmpty, "no codebook rows: empty corpus")
+    rows.map(_.getSeq[Double](0).toArray)
+  }
+
+  /** [[ivfPqTopK]] with RESIDUAL encoding — the true FAISS `IndexIVFPQ`:
+    * the corpus is assigned to its coarse cell AND encoded as
+    * `PQ(x − centroid(cell))` in one map-only projection (the centroid
+    * subtraction is an O(K·dim) literal map lookup, still no join, no
+    * shuffle); each query probes its `nprobe` nearest cells; the ADC
+    * distance table is now PER (query, probed cell) — the query residual
+    * `q − centroid(cell)` differs per probed cell — which costs
+    * O(queries·nprobe·k·dim) broadcast rows instead of O(queries·k·dim):
+    * still artifact-scale, never corpus-scale. Same determinism pins as
+    * [[ivfPqTopK]] (left-associated sums, 6-dp rounds before ranking,
+    * ties to the smaller neighbor id). Output: `(query_id, rank, nbr_id,
+    * adc)`.
+    */
+  def ivfPqResTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+                   coarseIds: Array[Long], coarseEmbs: Array[Array[Double]],
+                   subs: Int, residCents: Array[Array[Double]], nprobe: Int,
+                   idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, "nprobe must be at least 1")
+    require(residCents.head.length % subs == 0,
+      s"dim ${residCents.head.length} not divisible into $subs sub-vectors")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = residCents.head.length / subs
+    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
+      asDouble(col(embCol)).as("e"))
+    // ONE map-only projection: coarse cell (native argmax), residual
+    // (literal-map centroid lookup), PQ codes over the residual
+    val resid = zip_with(col("e"),
+      element_at(centroidMapLit(coarseIds, coarseEmbs), col("cell")),
+      (x, y) => x - y)
+    val codes = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqCodes(
+        org.apache.spark.sql.GraftColumnBridge.expression(resid),
+        residCents, subs))
+    val coded = assignToCentroids(c, "nbr_id", "e", coarseIds, coarseEmbs)
+      .select(col("nbr_id"), col("cell"), codes.as("codes"))
+    // Query side: nprobe nearest cells, KEEPING each probed cell's
+    // centroid — the query residual is per (query, cell)
+    val centDf = coarseIds.zip(coarseEmbs).toSeq
+      .map { case (i, e) => (i, e.toSeq) }.toDF("cell", "ce")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      asDouble(col(embCol)).as("qe"))
+    val qCells = q.crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("cell"), col("ce"), col("qe"),
+        round(cosine(col("qe"), col("ce")), 6).as("c_cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("c_cos").desc, col("cell").asc)))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell"), col("ce"), col("qe"))
+    // distance table per (query, probed cell): subs entries per code j,
+    // each a left-associated sum of ((q[p] − ce[p]) − rc[p])² terms
+    val cbook = broadcast(
+      residCents.zipWithIndex.map { case (rc, j) => (j, rc.toSeq) }
+        .toSeq.toDF("j", "rc"))
+    val entryDists = array((0 until subs).map { s =>
+      (0 until subDim).map { i =>
+        val p = s * subDim + i
+        val diff = (element_at(col("qe"), p + 1) -
+          element_at(col("ce"), p + 1)) - element_at(col("rc"), p + 1)
+        diff * diff
+      }.reduceLeft(_ + _)
+    }: _*)
+    val qdt = qCells.crossJoin(cbook)
+      .select(col("query_id"), col("cell"), col("j"), entryDists.as("ds"))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("ds")))),
+        x => x.getField("ds")).as("dtj"))
+    val adc = (0 until subs).map { s =>
+      element_at(
+        element_at(col("dtj"),
+          (element_at(col("codes"), s + 1) + 1).cast("int")),
+        s + 1)
+    }.reduceLeft(_ + _)
+    val scored = coded.join(broadcast(qdt), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"), round(adc, 6).as("adc"))
+    GraftFunctions.register(spark)
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(-adc, nbr_id, $topK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nbr_id").as("nbr_id"), (-col("col.cos_sim")).as("adc"))
+  }
+
+  /** The residual-encoding gain priced at IDENTICAL bytes: recall\@k of
+    * raw-vector IVF-PQ ([[ivfPqTopK]]) and residual IVF-PQ
+    * ([[ivfPqResTopK]]) against the EXACT cosine neighbors, same (subs,
+    * k, nprobe, codebook size) on both sides — so the only difference is
+    * what the code bytes encode. ([[annRecallIvfPq]] holds quantization
+    * fixed to price ROUTING; this holds routing fixed to price
+    * QUANTIZATION — residual codes spend their bits on within-cell
+    * variance, which is exactly what ranks neighbors inside a probed
+    * cell.) All three legs are bounded top-k frames: O(queries·k)
+    * comparison cost at any corpus scale.
+    */
+  def annRecallIvfPqRes(corpus: DataFrame, queries: DataFrame, k: Int,
+                        ids: Array[Long], embs: Array[Array[Double]],
+                        subs: Int, rawCents: Array[Array[Double]],
+                        residCents: Array[Array[Double]],
+                        nprobe: Int): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("nbr_id"))
+    val raw = ivfPqTopK(corpus, queries, k, ids, embs, subs, rawCents, nprobe)
+      .select(col("query_id").as("q1"), col("nbr_id").as("n1"))
+    val res = ivfPqResTopK(corpus, queries, k, ids, embs, subs, residCents,
+        nprobe)
+      .select(col("query_id").as("q2"), col("nbr_id").as("n2"))
+    truth
+      .join(raw, col("query_id") === col("q1") && col("nbr_id") === col("n1"),
+        "left")
+      .join(res, col("query_id") === col("q2") && col("nbr_id") === col("n2"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("n1")).as("hit_raw"),
+        count(col("n2")).as("hit_res"),
+        round(count(col("n1")).cast("double") / count(lit(1)), 4)
+          .as("recall_raw"),
+        round(count(col("n2")).cast("double") / count(lit(1)), 4)
+          .as("recall_res"))
+  }
+
   /** Declarative restatement of [[pqEncode]]'s per-row encoding —
     * `array_min` over (distance, index) structs with explicit
     * left-associated squared-difference sums. Value-equivalent to the

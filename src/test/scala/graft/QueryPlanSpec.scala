@@ -382,6 +382,18 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"impure query builders:\n${offenders.mkString("\n")}")
   }
 
+  test("zorder_auto: the rule injects the strip partition filter the user never wrote") {
+    // the query's own predicate is ONLY `pk < 64`; the zstrip IN (...)
+    // partition filter must appear in the physical scan, put there by
+    // ZOrderStripPrune from the layout's _graft_zlayout descriptor
+    // (formatted plan string — the scan hides under AdaptiveSparkPlan)
+    val p = plan("zorder_auto")
+    assert("PartitionFilters: \\[zstrip#\\d+L? IN \\(".r.findFirstIn(p).isDefined,
+      s"rule-injected zstrip IN partition filter missing:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(pk), LessThan(pk,64)]"),
+      s"dimension predicate must still reach the scan:\n$p")
+  }
+
   test("sessions: exactly one user-keyed exchange feeds windows and aggregate") {
     val p = plan("sessions")
     assert(!p.contains("Join"), s"sessions must not join:\n$p")

@@ -281,7 +281,7 @@ class RoundTenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = (0 until 1024).map(i =>
       (i.toLong, (i % 32).toLong, ((i / 32) % 32).toLong)).toDF("id", "a", "b")
     val out = java.nio.file.Files.createTempDirectory("t_zw").toString
-    Layout.zorderWrite(df, col("a"), col("b"), 5, 4, out)
+    Layout.zorderWrite(df, "a", "b", 5, 4, out)
     val strips = Layout.zStrips(0, 7, 0, 31, 5, 4)
     assert(strips.length == 4, s"a<8 must qualify 4 of 16 strips: $strips")
     val pruned = spark.read.parquet(out)
