@@ -319,8 +319,11 @@ object Scale {
   /** `zorder` mode: the skip-index scan at volume. Writes n rows
     * z-clustered on two independent 1024-domain dimensions into 64
     * strip directories ([[graft.ops.Layout.zorderWrite]]), then answers
-    * the same selective single-dimension aggregate twice — full scan of
-    * the layout vs the [[graft.ops.Layout.zStrips]] skip path — and
+    * the same selective single-dimension aggregate three ways — full
+    * scan of the layout, the hand-written [[graft.ops.Layout.zStrips]]
+    * skip path, and the SELF-APPLYING path (naive predicate +
+    * [[graft.plans.ZOrderStripPrune]] installed, which must prune the
+    * same files without the caller spelling the strip filter) — and
     * asserts identical results while reporting files/bytes actually
     * read (the scan node's own metrics). What this proves at 100 TB:
     * the strip filter is a PLANNING-time partition filter, so the
@@ -377,7 +380,19 @@ object Scale {
     }
     require(full._3.toSeq == skip._3.toSeq,
       s"skip path lost rows: ${full._3.toSeq} vs ${skip._3.toSeq}")
-    println(f"""{"mode":"zorder","n_rows":$n,"write_sec":$writeSec%.1f,"strips_selected":${strips.length},"strips_total":64,"full_files":${full._1},"full_bytes":${full._2},"full_sec":$fullSec%.1f,"skip_files":${skip._1},"skip_bytes":${skip._2},"skip_sec":$skipSec%.1f,"cpus":$cpus}""")
+    // the SELF-APPLYING path: same naive `a < 64` scan as `full`, but
+    // with ZOrderStripPrune installed — the rule reads the layout's
+    // descriptor and injects the strip filter the caller never wrote;
+    // files/bytes must match the hand-written skip path exactly
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.ZOrderStripPrune
+    var auto: (Long, Long, Array[org.apache.spark.sql.Row]) = null
+    val autoSec = time { auto = scanMetrics(agg(spark.read.parquet(out))) }
+    require(full._3.toSeq == auto._3.toSeq,
+      s"auto path lost rows: ${full._3.toSeq} vs ${auto._3.toSeq}")
+    require(auto._1 == skip._1,
+      s"rule must prune the same files as the hand path: ${auto._1} vs ${skip._1}")
+    println(f"""{"mode":"zorder","n_rows":$n,"write_sec":$writeSec%.1f,"strips_selected":${strips.length},"strips_total":64,"full_files":${full._1},"full_bytes":${full._2},"full_sec":$fullSec%.1f,"skip_files":${skip._1},"skip_bytes":${skip._2},"skip_sec":$skipSec%.1f,"auto_files":${auto._1},"auto_bytes":${auto._2},"auto_sec":$autoSec%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 

@@ -621,10 +621,20 @@ object TextStats {
           .as("intercept"))
   }
 
-  /** NDCG@`k` of the [[bm25]] ranking against a term-overlap relevance
-    * label (rel(doc) = number of distinct query terms present, 0..|terms|)
-    * — the standard offline retrieval-quality gauge, using a label that is
-    * deterministic and engine-portable rather than human judgments.
+  /** NDCG@`k` of the [[bm25]] ranking against a GRADED term-frequency
+    * relevance label (rel(doc) = total query-term occurrences, capped at
+    * 4) — the standard offline retrieval-quality gauge, using a label
+    * that is deterministic and engine-portable rather than human
+    * judgments. The grade must be finer than term PRESENCE, and the gain
+    * LINEAR (the classic Järvelin DCG, gain = rel): with a binary label
+    * — or any label the top-k saturates (a capped grade saturates the
+    * same way on a corpus where query terms are common) — every ranked
+    * document ties at max relevance, DCG ≡ IDCG, and the probe reads 1.0
+    * forever regardless of ranking quality (the round-10 `sparse_recall`
+    * vacuity trap — caught for this probe in round 11's audit). With
+    * uncapped tf grades, BM25's length normalization genuinely disagrees
+    * with the raw-tf ideal somewhere, so the value moves when the
+    * ranking does; `ProbeVacuitySpec` pins ndcg < 1 on the fixture.
     *
     * Scale shape: ONE corpus scan — the [[tfProjection]] is checkpointed
     * and both the ranking and the relevance labels derive from it; the
@@ -644,15 +654,14 @@ object TextStats {
   def ndcgAtTk(tkDocs: DataFrame, terms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // ONE corpus scan: the checkpointed tf projection feeds the bm25
-    // ranking AND the relevance labels (rel = #query terms present =
-    // count of tf_i > 0 — same predicate the tf columns already hold).
+    // ranking AND the relevance labels (rel = total query-term
+    // occurrences — the tf columns already hold them).
     val withTf = tfProjectionTk(tkDocs, terms).localCheckpoint()
     val rel = withTf.select(col("doc_id"),
-      terms.indices.map(i => when(col(s"tf_$i") > 0, 1L)
-        .otherwise(0L)).reduce(_ + _).as("rel"))
+      terms.indices.map(i => col(s"tf_$i").cast("long")).reduce(_ + _)
+        .as("rel"))
     def gain(pos: Column, r: Column): Column =
-      (pow(lit(2.0), r.cast("double")) - 1.0d) /
-        (log(pos.cast("double") + 1.0d) / log(lit(2.0d)))
+      r.cast("double") / (log(pos.cast("double") + 1.0d) / log(lit(2.0d)))
     val ranked = bm25FromTf(withTf, terms, k, k1, b)
       .withColumn("pos", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))

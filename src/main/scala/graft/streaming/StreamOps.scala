@@ -268,6 +268,67 @@ object StreamOps {
     spark.read.schema(out.schema).parquet(s"$base/data")
   }
 
+  /** Crash/recovery proof — the RESUME half of the checkpoint contract
+    * every other `runTo*` helper only exercises the write half of:
+    *
+    *  1. a checkpointed stateful streaming dedup (`dropDuplicates` on
+    *     `event_id mod keyMod`) runs to completion over HALF the
+    *     keyspace (keys < keyMod/2) and stops — the query object is
+    *     gone, exactly as after a process death;
+    *  2. the source keeps producing while the pipeline is down: a second
+    *     file arrives carrying the FULL event set — new keys AND
+    *     re-sends of every already-emitted key;
+    *  3. a NEW query object (fresh `writeStream.start()`, same
+    *     checkpoint + output directories — the process-restart shape)
+    *     resumes: the file-source offset log skips the already-committed
+    *     file, the RESTORED dedup state suppresses the re-sent keys, and
+    *     only the genuinely new keys append.
+    *
+    * The returned frame is the parquet sink read back; it equals
+    * `SELECT DISTINCT event_id mod keyMod` over the full input iff BOTH
+    * recovery legs held — lost state re-emits every key < keyMod/2
+    * (duplicate rows), a lost source log re-delivers files. The
+    * correctness gate compares exactly that; `StreamResumeSpec` also
+    * pins the per-phase split (phase 1 emits only the low keys, the
+    * resumed query emits only the high ones).
+    */
+  def runResumedDedup(spark: SparkSession, dir: String,
+                      keyMod: Int): DataFrame = {
+    val ev = graft.ops.Tables.events(spark, dir)
+      .select(col("event_id").cast("long").as("event_id"))
+    val base = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs(): Unit
+    def addFile(df: DataFrame, name: String): Unit = {
+      val stage = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet")): Unit
+    }
+    def runOnce(): Unit = withStatePartitions(spark, 8) {
+      val out = spark.readStream.schema("event_id BIGINT").parquet(src)
+        .select(pmod(col("event_id"), lit(keyMod.toLong)).as("k"))
+        .dropDuplicates("k")
+      val q = out.writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      recordStateOps(q)
+    }
+    addFile(ev.where(pmod(col("event_id"), lit(keyMod.toLong)) <
+      keyMod / 2), "phase1")
+    runOnce() // ...process dies here: this query object is never reused
+    addFile(ev, "phase2") // the world moved on while the pipeline was down
+    runOnce() // NEW query object, SAME checkpoint — the restart
+    spark.read.schema("k BIGINT").parquet(s"$base/data")
+  }
+
   /** `foreachBatch` with an idempotent side sink — the bridge to writers
     * that only exist for batch (here the engine's own `graft-digest` V2
     * sink). Each micro-batch commits into a directory KEYED BY batchId, so

@@ -146,6 +146,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "knn_pq" /* broadcast of the bounded query-side ADC distance tables */,
       "knn_ivfpq" /* bounded broadcasts: (queries × K) cell ranking + (queries × k) ADC tables */,
       "ann_recall_ivfpq" /* three ADC legs, each with the bounded query-side crosses above */,
+      "knn_ivfpq_res" /* bounded broadcasts: (queries × K) cell+centroid ranking + (queries × nprobe × k) residual ADC tables */,
+      "ann_recall_ivfpq_res" /* brute-force truth + raw and residual ADC legs, all bounded query-side crosses */,
       "knn_sq" /* fixed query-set broadcast (bounds are artifact-loaded literals now — no bounds cross) */,
       "ann_recall_probe" /* brute-force leg + the (queries × K centroids) cell-ranking cross, both bounded broadcasts */,
       "ann_recall_trained" /* same legs against the shipped quantizer: brute-force + cell-ranking crosses, bounded */,
@@ -266,6 +268,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "knn_pq" -> Map("embeddings" -> 2),          // code-scan role + ADC-table query role
       "knn_ivfpq" -> Map("embeddings" -> 3),       // assign+encode scan + query cell-ranking role + query ADC-table role (both quantizers are artifact literals, no sampling scan)
       "ann_recall_ivfpq" -> Map("embeddings" -> 8), // unrouted-ADC truth (2 roles) + two routed legs (3 roles each)
+      "knn_ivfpq_res" -> Map("embeddings" -> 2),    // assign+residual-encode scan + query role (cells/ce/ADC tables all derive from it; quantizers are artifact literals)
+      "ann_recall_ivfpq_res" -> Map("embeddings" -> 7), // brute-force truth (2 roles) + raw routed leg (3 roles) + residual leg (2 roles)
       "semantic_dedup" -> Map("embeddings" -> 2),
       "semantic_decontaminate" -> Map("embeddings" -> 2), // corpus role + broadcast bench role
       "asof_join" -> Map("events" -> 2),           // quote stream + trade stream roles

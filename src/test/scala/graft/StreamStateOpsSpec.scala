@@ -46,6 +46,7 @@ class StreamStateOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "stream_score" -> Seq("stateStoreSave"),           // per-lang scoring agg
     "stream_dedup" -> Seq("dedupeWithinWatermark"),    // watermark-bounded dedup
     "stream_neardup" -> Seq("dedupe"),                 // candidate-pair dedup
+    "stream_resume" -> Seq("dedupe"),                  // restart-restored dedup state
     "stream_join" -> Seq("symmetricHashJoin"),         // two-sided buffered join
     "stream_static_join" -> Seq(),                     // stream-static: STATELESS
     "stream_foreach_digest" -> Seq(),                  // append passthrough: STATELESS
