@@ -142,6 +142,7 @@ object SparkEntry {
   private val ZStripBits = 4
   private val Z3Bits = 8
   private val Z3StripBits = 6
+  private val ZoneFiles = 24
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
   private val PmiMinCount = 5
@@ -1521,6 +1522,98 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy(col("bucket"))
+    }),
+
+    // MERGE INTO (CDC apply): a 3-version change log per sampled key is
+    // collapsed to its latest change (cdcLatest — window row_number on the
+    // sequence), then applied (mergeApply — target LEFT ANTI the change
+    // keys, AQE broadcasts the key side, union the upserts). Every 5th
+    // sampled key's final change is a DELETE. Row-level output: the full
+    // merged table, so the oracle checks the merge itself, not a summary.
+    "merge_apply" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+      val seqs = s.range(1, 4).toDF("seq")
+      val chg = cust.where(pmod(col("c_custkey"), lit(3)) === 0)
+        .crossJoin(seqs)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          dec2(col("acctbal") + col("seq") * 10).as("acctbal"), col("seq"),
+          when(pmod(col("c_custkey"), lit(5)) === 0 && col("seq") === 3,
+            "delete").otherwise("upsert").as("op"))
+      val latest = Reconcile.cdcLatest(chg, "c_custkey", "seq").drop("seq")
+      Reconcile.mergeApply(cust, latest, "c_custkey", "op")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("acctbal").cast("double").as("acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // The partition-pruned MERGE (mergeTouched): the target lives as a
+    // bucket-partitioned parquet layout; the change batch touches 2 of 16
+    // buckets, so only those two directories are scanned (planning-time
+    // partition filter) and rewritten (dynamic partition overwrite) — the
+    // other 14 keep their exact bytes (file-identity spec-asserted in
+    // MergeZoneSpec). Merge cost scales with the BATCH's partition
+    // footprint, never the table — the copy-on-write shape every
+    // lakehouse MERGE implements. Layout built + merged once per
+    // process+corpus (ModelStore.fit); oracle replays the merge over the
+    // source table.
+    "merge_touched" -> ((s, d) => {
+      val outRoot = ModelStore.fit(
+        s"mergetouch|${cid(d)}", "graft_mergetouch") { p =>
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          pmod(col("c_custkey"), lit(16L)).as("bucket"),
+          dec2(col("c_acctbal")).as("acctbal"))
+        cust.write.mode("overwrite").partitionBy("bucket").parquet(p)
+        val chg = cust
+          .where(col("bucket").isin(2L, 7L) &&
+            pmod(col("c_custkey"), lit(3)) === 0)
+          .select(col("c_custkey"), col("bucket"),
+            dec2(col("acctbal") + 500).as("acctbal"),
+            when(pmod(col("c_custkey"), lit(10)) === 0, "delete")
+              .otherwise("upsert").as("op"))
+        Reconcile.mergeTouched(s, p, chg, "c_custkey", "op", "bucket"): Unit
+      }
+      s.read.parquet(outRoot)
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("bucket"))
+    }),
+
+    // The generic ZONE MAP (per-file min/max on a NON-partition column —
+    // the Delta/Iceberg file-stats channel, complementing zstrip
+    // directory pruning): lineitem is range-laid-out into 24 files on
+    // l_orderkey, the stats table is built from parquet FOOTERS alone
+    // (zoneMapFooters — metadata reads distributed over executors, no
+    // data pages), and an orderkey window is answered by scanning ONLY
+    // the files whose [min,max] zone intersects it (zonePrune →
+    // spark.read.parquet(survivors) — planning-time file pruning, ~3 of
+    // 24 files). The window bounds derive from the stats themselves
+    // (lo = global min, hi = lo + span/12), so the oracle replays them
+    // from the source table; green proves the skip path loses no rows.
+    "zonemap_scan" -> ((s, d) => {
+      val outRoot = ModelStore.fit(
+        s"zonemap|${cid(d)}|$ZoneFiles", "graft_zonemap") { p =>
+        li(s, d).select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag"))
+          .repartitionByRange(ZoneFiles, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .write.mode("overwrite").parquet(p): Unit
+      }
+      val stats = Layout.zoneMapFooters(s, outRoot, Seq("l_orderkey"))
+      val Array(bounds) = stats.agg(
+        min(col("min_l_orderkey")).as("mn"),
+        max(col("max_l_orderkey")).as("mx")).collect()
+      val lo = bounds.getDouble(0).toLong
+      val hi = lo + (bounds.getDouble(1).toLong - lo) / 12
+      val survivors = Layout.zonePrune(stats,
+        Seq(("l_orderkey", lo, hi)))
+      s.read.parquet(survivors: _*)
+        .where(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
     }),
 
     "partition_sort" -> ((s, d) =>
@@ -3938,6 +4031,64 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_partkey % 256 < 64 AND l_orderkey % 256 >= 128
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // MERGE INTO replayed declaratively: collapse the 3-version change
+    // log with a window row_number, then NOT-IN the change keys + union
+    // the surviving upserts — the textbook SQL statement of merge.
+    "merge_apply" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |chg AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(acctbal + seq * 10 AS DECIMAL(18,2)) AS acctbal, seq,
+        |    CASE WHEN c_custkey % 5 = 0 AND seq = 3 THEN 'delete'
+        |         ELSE 'upsert' END AS op
+        |  FROM cust CROSS JOIN (VALUES (1), (2), (3)) AS v(seq)
+        |  WHERE c_custkey % 3 = 0),
+        |latest AS (SELECT * FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM chg)
+        |  WHERE rn = 1),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment, acctbal FROM cust
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, acctbal FROM latest
+        |  WHERE op <> 'delete')
+        |SELECT c_custkey, c_mktsegment, CAST(acctbal AS DOUBLE) AS acctbal
+        |FROM merged ORDER BY c_custkey""".stripMargin,
+
+    // Green proves the partition-pruned copy-on-write path (2 of 16
+    // buckets scanned + rewritten, deletes included) equals the plain
+    // declarative merge over the whole table.
+    "merge_touched" ->
+      """WITH cust AS (SELECT c_custkey,
+        |    CAST(c_custkey % 16 AS BIGINT) AS bucket,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |chg AS (SELECT c_custkey, bucket,
+        |    CAST(acctbal + 500 AS DECIMAL(18,2)) AS acctbal,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'delete'
+        |         ELSE 'upsert' END AS op
+        |  FROM cust WHERE bucket IN (2, 7) AND c_custkey % 3 = 0),
+        |merged AS (
+        |  SELECT c_custkey, bucket, acctbal FROM cust
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |  UNION ALL
+        |  SELECT c_custkey, bucket, acctbal FROM chg WHERE op <> 'delete')
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM merged GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // The window bounds derive from the table's own min/max (what the
+    // footer stats report), so the oracle recomputes them from the source
+    // and replays the plain aggregate — green proves the footer-stats
+    // skip path loses no rows.
+    "zonemap_scan" ->
+      """WITH b AS (SELECT min(l_orderkey) AS lo,
+        |    min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 12 AS hi
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem, b WHERE l_orderkey BETWEEN lo AND hi
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "zorder_layout" -> {
       val z = (0 until 10).map { i =>

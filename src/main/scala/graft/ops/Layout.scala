@@ -162,6 +162,112 @@ object Layout {
                   stripTopBits: Int, outDir: String): String =
     zorderWriteN(df, Seq(dimA, dimB), bits, stripTopBits, outDir)
 
+  /** ZONE MAP: per-file min/max statistics over arbitrary columns — the
+    * generic file-skipping channel (Delta/Iceberg file stats) that covers
+    * what partition directories and the z-strip index cannot: pruning on
+    * NON-partition columns of an existing layout. Output is one row per
+    * physical file (`file`, `n_rows`, and `min_<c>` / `max_<c>` per
+    * requested column) — O(files) rows regardless of table volume, the
+    * manifest shape a scheduled stats pass maintains. This builder takes
+    * one pass over the DATA (rides the write or an OPTIMIZE);
+    * [[zoneMapFooters]] builds the identical table from parquet FOOTERS
+    * alone — metadata reads only — for tables whose writes can't be
+    * instrumented.
+    */
+  def zoneMap(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+
+  /** [[zoneMap]] from parquet FOOTERS only — no data pages are read. The
+    * file list is distributed over executors (`parallelize`, one footer
+    * read per file — at a million files this is a metadata-only Spark job,
+    * not a driver loop) and each footer's per-row-group column statistics
+    * fold into one (min, max, rows) triple per file. Statistics are
+    * decoded through parquet's typed Statistics API for the physical
+    * types the engine stores its skip-relevant columns as (int32 / int64
+    * / float / double — timestamps land as int64 micros); a file whose
+    * footer lacks stats for a column yields NULL min/max, which
+    * [[zonePrune]] treats as "cannot prune" (kept), never "prunable".
+    */
+  def zoneMapFooters(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val files = listParquetFiles(new java.io.File(dir)).map(_.getPath)
+    val schema = StructType(
+      StructField("file", StringType) +: StructField("n_rows", LongType) +:
+        cols.flatMap(c => Seq(StructField(s"min_$c", DoubleType),
+          StructField(s"max_$c", DoubleType))))
+    val rows = spark.sparkContext.parallelize(files,
+      math.max(1, math.min(files.size, 64))).map { path =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var nRows = 0L
+        val mins = Array.fill(cols.size)(Option.empty[Double])
+        val maxs = Array.fill(cols.size)(Option.empty[Double])
+        val it = blocks.iterator()
+        while (it.hasNext) {
+          val b = it.next()
+          nRows += b.getRowCount
+          val chunks = b.getColumns.iterator()
+          while (chunks.hasNext) {
+            val ch = chunks.next()
+            val name = ch.getPath.toDotString
+            val i = cols.indexOf(name)
+            if (i >= 0) {
+              val st = ch.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                def num(v: Any): Option[Double] = v match {
+                  case n: java.lang.Number => Some(n.doubleValue())
+                  case _ => None // binary/bool stats: not zone-mappable here
+                }
+                num(st.genericGetMin: Any).foreach(m =>
+                  mins(i) = Some(mins(i).fold(m)(math.min(m, _))))
+                num(st.genericGetMax: Any).foreach(m =>
+                  maxs(i) = Some(maxs(i).fold(m)(math.max(m, _))))
+              }
+            }
+          }
+        }
+        Row.fromSeq(path +: nRows +: cols.indices.flatMap(i =>
+          Seq(mins(i).map(Double.box).orNull, maxs(i).map(Double.box).orNull)))
+      } finally reader.close()
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def listParquetFiles(root: java.io.File): Seq[java.io.File] = {
+    val here = Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    here.filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+      !f.getName.startsWith(".") && !f.getName.startsWith("_")) ++
+      here.filter(_.isDirectory).flatMap(listParquetFiles)
+  }
+
+  /** Which files of a zone-mapped layout can contain ANY row satisfying
+    * the conjunction of closed-interval predicates `col ∈ [lo, hi]` —
+    * a file survives iff every predicate's interval intersects the
+    * file's `[min_col, max_col]` zone, with NULL stats conservatively
+    * kept (a file the stats pass couldn't summarize must be scanned,
+    * never skipped). Driver-side O(files) work over the stats table; the
+    * survivors feed `spark.read.parquet(survivors: _*)` so the pruning
+    * happens at PLANNING time — files that lose never appear in the scan,
+    * which is strictly stronger than a post-hoc `input_file_name()`
+    * filter (that still lists, opens and row-group-prunes every file).
+    */
+  def zonePrune(stats: DataFrame, preds: Seq[(String, Any, Any)]): Seq[String] = {
+    val keep = preds.map { case (c, lo, hi) =>
+      col(s"min_$c").isNull || col(s"max_$c").isNull ||
+        (col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    stats.where(keep).select(col("file")).collect().map(_.getString(0)).toSeq
+  }
+
   /** Compaction PLAN: assign each partition's chunks (small files /
     * row-group slices, one row each with a byte size) to target-sized
     * output files — the planning pass behind every lakehouse OPTIMIZE /

@@ -37,6 +37,91 @@ object Reconcile {
         col("dig_a") =!= col("dig_b"))
   }
 
+  /** Collapse a CDC change batch to the LATEST change per key — the
+    * standard pre-merge step when a batch carries several versions of one
+    * row (a replication log replays every intermediate state; only the
+    * last one matters to the target). One shuffle on the key; each key's
+    * group is ordered by `seqCol` (change-log sequence number / LSN) with
+    * the caller's `tieBreak` columns making the winner deterministic when
+    * a source emits equal sequence numbers. Window `row_number`, so the
+    * per-key state is O(1) — never a per-key collect.
+    */
+  def cdcLatest(changes: DataFrame, keyCol: String, seqCol: String,
+                tieBreak: Column*): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc +: tieBreak: _*)
+    changes.withColumn("_cdc_rn", row_number().over(w))
+      .where(col("_cdc_rn") === 1).drop("_cdc_rn")
+  }
+
+  /** `MERGE INTO target USING changes ON key` — the apply half of CDC:
+    * every change row either UPSERTS (replaces the target row of its key,
+    * or inserts if absent) or DELETES its key, per `opCol` (`"delete"`
+    * deletes; anything else upserts). Changes must already be collapsed
+    * to one row per key ([[cdcLatest]]); `changes` columns minus `opCol`
+    * must match the target schema.
+    *
+    * Shape: target LEFT ANTI join the change keys (untouched rows pass
+    * through — and AQE broadcasts the key side when the batch is small,
+    * so the 100 TB common case is a broadcast anti join, no target
+    * shuffle), unioned with the batch's upsert rows. Deletes cost
+    * nothing beyond their key's presence in the anti join.
+    */
+  def mergeApply(target: DataFrame, changes: DataFrame, keyCol: String,
+                 opCol: String): DataFrame = {
+    val kept = target.join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val upserts = changes.where(col(opCol) =!= lit("delete")).drop(opCol)
+    kept.unionByName(upserts.select(target.columns.map(col).toSeq: _*))
+  }
+
+  /** [[mergeApply]] against a PARTITIONED parquet layout, rewriting ONLY
+    * the partitions the change batch touches — the property that makes
+    * MERGE affordable at 100 TB: cost scales with the batch's partition
+    * footprint, never the table. This is the `replaceWhere`/
+    * copy-on-write merge every lakehouse format implements; here it is
+    * three explicit moves:
+    *
+    *  1. the touched partition set = `changes.select(partCol).distinct`
+    *     (collected — bounded by the batch's partition count, never rows);
+    *  2. the target is read WITH a partition filter on that set, so
+    *     planning-time directory pruning means untouched partitions are
+    *     never even scanned;
+    *  3. the merged slice is written with DYNAMIC partition overwrite —
+    *     only the partitions present in the output are replaced; every
+    *     other directory keeps its exact bytes (spec-asserted by file
+    *     identity). A touched partition whose rows are ALL deleted never
+    *     appears in the output, so dynamic overwrite would leave its old
+    *     files behind — those are enumerated up front (touched minus
+    *     surviving, one extra aggregate over the touched slice only) and
+    *     their directories removed after the write commits.
+    *
+    * Returns the touched partition values (diagnostics / audit log).
+    */
+  def mergeTouched(spark: org.apache.spark.sql.SparkSession,
+                   targetDir: String, changes: DataFrame, keyCol: String,
+                   opCol: String, partCol: String): Seq[Any] = {
+    val touched = changes.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val target = spark.read.parquet(targetDir)
+      .where(col(partCol).isin(touched: _*))
+    // column order may differ between batch and target; mergeApply aligns
+    // the upsert rows to the target schema by name.
+    val merged = mergeApply(target, changes, keyCol, opCol)
+    val surviving = merged.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(targetDir)
+    touched.filterNot(surviving).foreach { p =>
+      val dir = new java.io.File(targetDir, s"$partCol=$p")
+      if (dir.isDirectory) {
+        dir.listFiles().foreach(f => f.delete(): Unit)
+        dir.delete(): Unit
+      }
+    }
+    touched
+  }
+
   /** Slowly-changing-dimension type 2: fold a batch of updates into a
     * versioned dimension. Input: current rows (`version 0`) unioned with
     * updates carrying an effective timestamp; output: one row per

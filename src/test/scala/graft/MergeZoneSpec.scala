@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Layout, Reconcile}
+
+/** The lakehouse WRITE-path completions: MERGE INTO (CDC collapse +
+  * apply + partition-pruned copy-on-write execution) and the generic
+  * min/max zone map (per-file stats on non-partition columns, built from
+  * data or from parquet footers alone, consumed as planning-time file
+  * pruning).
+  */
+class MergeZoneSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-merge-zone-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ---- CDC merge -----------------------------------------------------------
+
+  test("cdcLatest keeps exactly the highest-sequence change per key, tiebreak deterministic") {
+    val ss = spark; import ss.implicits._
+    val chg = Seq(
+      (1L, 1L, "a"), (1L, 3L, "c"), (1L, 2L, "b"),
+      (2L, 7L, "x"),
+      (3L, 5L, "t1"), (3L, 5L, "t2") // equal seq: tiebreak decides
+    ).toDF("k", "seq", "v")
+    val got = Reconcile.cdcLatest(chg, "k", "seq", col("v").desc)
+      .orderBy("k").as[(Long, Long, String)].collect()
+    assert(got.toSeq === Seq((1L, 3L, "c"), (2L, 7L, "x"), (3L, 5L, "t2")))
+  }
+
+  test("mergeApply: upserts replace, inserts add, deletes drop, untouched rows pass through") {
+    val ss = spark; import ss.implicits._
+    val target = Seq((1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0))
+      .toDF("k", "name", "x")
+    val changes = Seq(
+      (2L, "TWO", 22.0, "upsert"),   // replace
+      (4L, "four", 40.0, "upsert"),  // insert (absent key)
+      (3L, "dead", 0.0, "delete"))   // delete
+      .toDF("k", "name", "x", "op")
+    val got = Reconcile.mergeApply(target, changes, "k", "op")
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(got.toSeq === Seq((1L, "one", 10.0), (2L, "TWO", 22.0), (4L, "four", 40.0)))
+  }
+
+  test("mergeTouched rewrites ONLY touched partitions; untouched files byte-identical; all-deleted partition dir removed") {
+    val ss = spark; import ss.implicits._
+    val dir = tmp("graft_mt")
+    // 4 buckets; bucket 3 holds a single row that the batch deletes
+    val target = Seq(
+      (0L, 0L, 1.0), (4L, 0L, 2.0),
+      (1L, 1L, 3.0), (5L, 1L, 4.0),
+      (2L, 2L, 5.0), (6L, 2L, 6.0),
+      (3L, 3L, 7.0)).toDF("k", "bucket", "x")
+    target.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        cs.filter(c => c.isFile && c.getName.endsWith(".parquet")) ++
+          cs.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(dir))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = fileState()
+
+    val changes = Seq(
+      (1L, 1L, 33.0, "upsert"),  // replace in bucket 1
+      (9L, 1L, 99.0, "upsert"),  // insert into bucket 1
+      (3L, 3L, 0.0, "delete"))   // bucket 3 becomes empty
+      .toDF("k", "bucket", "x", "op")
+    val touched = Reconcile.mergeTouched(spark, dir, changes, "k", "op", "bucket")
+    assert(touched.toSet === Set(1L, 3L))
+
+    // semantics: equal to the declarative merge over the whole table
+    val got = spark.read.parquet(dir)
+      .select(col("k"), col("bucket").cast("long").as("bucket"), col("x"))
+      .orderBy("k").as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq(
+      (0L, 0L, 1.0), (1L, 1L, 33.0), (2L, 2L, 5.0),
+      (4L, 0L, 2.0), (5L, 1L, 4.0), (6L, 2L, 6.0), (9L, 1L, 99.0)))
+
+    // untouched partitions (0, 2) keep their EXACT files — same paths,
+    // sizes and mtimes; touched bucket 1 was rewritten; bucket 3 is gone
+    val after = fileState()
+    val untouchedBefore = before.filter { case (p, _) =>
+      p.contains("bucket=0") || p.contains("bucket=2") }
+    assert(untouchedBefore.nonEmpty)
+    untouchedBefore.foreach { case (p, st) => assert(after.get(p).contains(st),
+      s"untouched file changed: $p") }
+    assert(!new java.io.File(dir, "bucket=3").exists(),
+      "all-deleted partition directory must be removed")
+    assert(before.keys.filter(_.contains("bucket=1"))
+      .forall(p => !after.contains(p)), "touched partition must be rewritten")
+  }
+
+  test("mergeTouched is idempotent: re-applying the same batch is a no-op on row content") {
+    val ss = spark; import ss.implicits._
+    val dir = tmp("graft_mt_idem")
+    Seq((0L, 0L, 1.0), (1L, 1L, 2.0), (2L, 0L, 3.0))
+      .toDF("k", "bucket", "x")
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val changes = Seq((1L, 1L, 20.0, "upsert"), (2L, 0L, 0.0, "delete"))
+      .toDF("k", "bucket", "x", "op")
+    Reconcile.mergeTouched(spark, dir, changes, "k", "op", "bucket"): Unit
+    val once = spark.read.parquet(dir).select("k", "x")
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    Reconcile.mergeTouched(spark, dir, changes, "k", "op", "bucket"): Unit
+    val twice = spark.read.parquet(dir).select("k", "x")
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(once === Seq((0L, 1.0), (1L, 20.0)))
+    assert(twice === once)
+  }
+
+  // ---- zone maps -----------------------------------------------------------
+
+  private def writeRangeLayout(dir: String, nFiles: Int): Unit =
+    spark.range(0, 10000)
+      .select(col("id"), (col("id") % 97).as("payload"),
+        col("id").cast("double").as("d"))
+      .repartitionByRange(nFiles, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(dir)
+
+  test("zoneMapFooters equals the data-pass zoneMap (per-file n_rows/min/max), no data pages read") {
+    val dir = tmp("graft_zm")
+    writeRangeLayout(dir, 8)
+    val fromData = Layout.zoneMap(
+      spark.read.parquet(dir), Seq("id", "d"))
+      .select(col("file"), col("n_rows"),
+        col("min_id").cast("double"), col("max_id").cast("double"),
+        col("min_d"), col("max_d"))
+      .collect().map(r => (r.getString(0).replaceFirst("^file:/*", "/"),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val fromFooters = Layout.zoneMapFooters(spark, dir, Seq("id", "d"))
+      .collect().map(r => (r.getString(0).replaceFirst("^file:/*", "/"),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(fromFooters.size === 8)
+    assert(fromData.keySet === fromFooters.keySet)
+    fromData.foreach { case (f, st) => assert(fromFooters(f) === st, f) }
+  }
+
+  test("zonePrune keeps exactly the intersecting files and the pruned scan equals the full scan") {
+    val dir = tmp("graft_zp")
+    writeRangeLayout(dir, 10) // ~file i covers [1000i, 1000(i+1))
+    val stats = Layout.zoneMapFooters(spark, dir, Seq("id"))
+    val all = stats.count()
+    assert(all === 10)
+    val survivors = Layout.zonePrune(stats, Seq(("id", 2500L, 4100L)))
+    assert(survivors.size < all && survivors.size >= 2,
+      s"expected a strict prune, got ${survivors.size} of $all")
+    val pruned = spark.read.parquet(survivors: _*)
+      .where(col("id") >= 2500 && col("id") <= 4100)
+      .agg(count(lit(1)), sum(col("payload")), sum(col("d")))
+      .collect()(0)
+    val full = spark.read.parquet(dir)
+      .where(col("id") >= 2500 && col("id") <= 4100)
+      .agg(count(lit(1)), sum(col("payload")), sum(col("d")))
+      .collect()(0)
+    assert(pruned === full)
+  }
+
+  test("zonePrune treats NULL stats as unprunable (kept), and an empty predicate list keeps everything") {
+    val ss = spark; import ss.implicits._
+    val stats = Seq(
+      ("f_low", 10L, Some(0.0), Some(9.0)),
+      ("f_hit", 10L, Some(50.0), Some(60.0)),
+      ("f_null", 10L, None, None))
+      .toDF("file", "n_rows", "min_x", "max_x")
+    val got = Layout.zonePrune(stats, Seq(("x", 55, 100)))
+    assert(got.toSet === Set("f_hit", "f_null"))
+    assert(Layout.zonePrune(stats, Seq.empty).toSet ===
+      Set("f_low", "f_hit", "f_null"))
+  }
+}

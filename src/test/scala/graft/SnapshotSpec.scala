@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Snapshots
+
+/** The snapshot-isolated table format: immutable data files + atomic
+  * manifest creation as the commit arbiter (optimistic concurrency),
+  * time-travel reads, replace-commit conflict detection, and vacuum
+  * retiring exactly the files only dropped versions reference.
+  */
+class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-snapshot-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def freshTable(): String = Snapshots.init(
+    java.nio.file.Files.createTempDirectory("graft_snap").toString)
+
+  private def ids(root: String, v: Option[Long] = None): Seq[Long] =
+    Snapshots.read(spark, root, v).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  test("append commits accumulate; time travel returns each version's exact state") {
+    val root = freshTable()
+    val v1 = Snapshots.commit(root, spark.range(0, 5).toDF(), "base")
+    val v2 = Snapshots.commit(root, spark.range(5, 8).toDF(), "more")
+    assert((v1, v2) === (1L, 2L))
+    assert(Snapshots.versions(root) === Seq(1L, 2L))
+    assert(ids(root, Some(1L)) === (0L until 5L))
+    assert(ids(root, Some(2L)) === (0L until 8L))
+    assert(ids(root) === (0L until 8L)) // latest by default
+    // a pinned reader is untouched by later commits — v1 re-read after v2
+    assert(ids(root, Some(1L)) === (0L until 5L))
+  }
+
+  test("replace commit supersedes; old version stays readable until vacuumed") {
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 10).toDF(), "base"): Unit
+    val v2 = Snapshots.commit(root,
+      spark.range(0, 10).toDF().where(col("id") % 2 === 0), "compact",
+      replace = true)
+    assert(v2 === 2L)
+    assert(ids(root, Some(2L)) === Seq(0L, 2L, 4L, 6L, 8L))
+    assert(ids(root, Some(1L)) === (0L until 10L)) // isolation
+    // manifest row counts came from footers, not a re-scan
+    assert(Snapshots.snapshot(root, 2L).files.map(_.rows).sum === 5L)
+  }
+
+  test("commit races: append rebases past a winner; replace aborts with a conflict") {
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 3).toDF(), "base"): Unit
+    // simulate a concurrent winner grabbing v2 between this committer's
+    // read of latest (done inside commit) and its manifest rename: occupy
+    // the v2 slot directly
+    val winner = java.nio.file.Paths.get(root, "_graft_snaps", "v00000002.txt")
+    java.nio.file.Files.write(winner,
+      "version=2\nparent=1\nnote=winner\n".getBytes("UTF-8"))
+    val v = Snapshots.commit(root, spark.range(3, 6).toDF(), "append")
+    assert(v === 3L, "append must rebase to the next free version")
+    // the rebased append's parent is the winner: it inherits the
+    // winner's file list (here: none — the fake winner dropped v1's
+    // files, and the rebase honors that) plus its own new files
+    assert(Snapshots.snapshot(root, 3L).parent === 2L)
+    assert(ids(root, Some(3L)) === (3L until 6L))
+
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_graft_snaps", "v00000004.txt"),
+      "version=4\nparent=3\nnote=winner2\nfile=data/none.parquet|0\n"
+        .getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.commit(root, spark.range(9, 10).toDF(), "rewrite",
+        replace = true)
+    }
+  }
+
+  test("vacuum deletes exactly the files only dropped versions reference, plus crash debris") {
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 4).toDF(), "base"): Unit
+    Snapshots.commit(root, spark.range(4, 6).toDF(), "append"): Unit
+    Snapshots.commit(root, spark.range(100, 103).toDF(), "rewrite",
+      replace = true): Unit
+    // crash debris: a data dir whose commit never published
+    val debris = new java.io.File(root, "data/orphan")
+    debris.mkdirs()
+    java.nio.file.Files.write(debris.toPath.resolve("junk.parquet"),
+      Array[Byte](1, 2, 3))
+
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        cs.filter(_.isFile) ++ cs.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(root, "data")).map(_.getPath).toSet
+    }
+    val before = dataFiles()
+    val live = Snapshots.snapshot(root, 3L).files
+      .map(f => s"$root/${f.path}").toSet
+    assert(live.subsetOf(before))
+
+    val deleted = Snapshots.vacuum(root, keepVersions = 1)
+    assert(deleted === (before.size - live.size))
+    assert(dataFiles() === live)
+    assert(Snapshots.versions(root) === Seq(3L))
+    assert(ids(root) === (100L until 103L)) // the survivor still reads
+  }
+
+  test("vacuum keeping every version deletes only debris; re-run is a no-op") {
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 4).toDF(), "base"): Unit
+    Snapshots.commit(root, spark.range(4, 8).toDF(), "append"): Unit
+    assert(Snapshots.vacuum(root, keepVersions = 10) === 0)
+    assert(Snapshots.vacuum(root, keepVersions = 10) === 0)
+    assert(ids(root) === (0L until 8L))
+    assert(ids(root, Some(1L)) === (0L until 4L))
+  }
+}
