@@ -58,6 +58,8 @@ object Scale {
     if (args.headOption.contains("perplexity")) return perplexityMain(args.drop(1))
     if (args.headOption.contains("apply")) return applyMain(args.drop(1))
     if (args.headOption.contains("zorder")) return zorderMain(args.drop(1))
+    if (args.headOption.contains("zonemap")) return zonemapMain(args.drop(1))
+    if (args.headOption.contains("merge")) return mergeMain(args.drop(1))
     if (args.headOption.contains("compaction")) return compactionMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -393,6 +395,138 @@ object Scale {
     require(auto._1 == skip._1,
       s"rule must prune the same files as the hand path: ${auto._1} vs ${skip._1}")
     println(f"""{"mode":"zorder","n_rows":$n,"write_sec":$writeSec%.1f,"strips_selected":${strips.length},"strips_total":64,"full_files":${full._1},"full_bytes":${full._2},"full_sec":$fullSec%.1f,"skip_files":${skip._1},"skip_bytes":${skip._2},"skip_sec":$skipSec%.1f,"auto_files":${auto._1},"auto_bytes":${auto._2},"auto_sec":$autoSec%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Generic zone-map (per-file min/max) pruning at volume: a range-laid
+    * table of `n` rows in 64 files, stats built from parquet FOOTERS
+    * alone, a 1/16-of-domain window answered through the pruned file
+    * list vs the full scan. What this prices at 100 TB: the stats build
+    * is a metadata-only job over O(files) footers (never data), and the
+    * pruned scan's planned bytes shrink with the window, not the table —
+    * the Delta/Iceberg file-skipping channel for NON-partition columns.
+    */
+  private def zonemapMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 50000000L
+    val nFiles = 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    // AQE off for the MEASURED scans (same reason as zorderMain: the
+    // FileSourceScanExec metrics measure planning-time pruning)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = spark.range(n).repartition(cpus.toInt * 2)
+      .select(col("id"), (col("id") % 97).cast("double").as("v"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zm_scale").toString
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val writeSec = time {
+      df.repartitionByRange(nFiles, col("id"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").parquet(out)
+    }
+    var stats: org.apache.spark.sql.DataFrame = null
+    val statsSec = time {
+      stats = ops.Layout.zoneMapFooters(spark, out, Seq("id")).cache()
+      stats.count(): Unit
+    }
+    val lo = n / 2
+    val hi = lo + n / 16
+    val survivors = ops.Layout.zonePrune(stats, Seq(("id", lo, hi)))
+    def scanMetrics(q: org.apache.spark.sql.DataFrame): (Long, Long, Array[org.apache.spark.sql.Row]) = {
+      val rows = q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      (scan.metrics("numFiles").value,
+        scan.metrics.get("filesSize").map(_.value).getOrElse(-1L), rows)
+    }
+    def agg(q: org.apache.spark.sql.DataFrame) =
+      q.where(col("id") >= lo && col("id") <= hi)
+        .agg(count(lit(1)), sum(col("v")))
+    var full: (Long, Long, Array[org.apache.spark.sql.Row]) = null
+    val fullSec = time { full = scanMetrics(agg(spark.read.parquet(out))) }
+    var skip: (Long, Long, Array[org.apache.spark.sql.Row]) = null
+    val skipSec = time {
+      skip = scanMetrics(agg(spark.read.parquet(survivors: _*)))
+    }
+    require(full._3.toSeq == skip._3.toSeq,
+      s"pruned path lost rows: ${full._3.toSeq} vs ${skip._3.toSeq}")
+    println(f"""{"mode":"zonemap","n_rows":$n,"write_sec":$writeSec%.1f,"stats_sec":$statsSec%.1f,"files_total":$nFiles,"files_survive":${survivors.size},"full_files":${full._1},"full_bytes":${full._2},"full_sec":$fullSec%.1f,"skip_files":${skip._1},"skip_bytes":${skip._2},"skip_sec":$skipSec%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Partition-pruned MERGE at volume: a bucket-partitioned table of `n`
+    * rows across 256 partitions takes a change batch confined to 4 of
+    * them. `mergeTouched` scans + rewrites ONLY the touched partitions
+    * (dynamic partition overwrite; untouched directories keep their
+    * bytes), vs the naive full-table rewrite every engine without
+    * copy-on-write pruning pays. What this prices at 100 TB: merge cost
+    * proportional to the BATCH's partition footprint (here ~1/64 of the
+    * table), never the table.
+    */
+  private def mergeMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 50000000L
+    val nBuckets = 256
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    def table = spark.range(n).repartition(cpus.toInt * 2)
+      .select(col("id"), pmod(col("id"), lit(nBuckets.toLong)).as("bucket"),
+        (col("id") % 97).cast("double").as("v"))
+    def dirBytes(root: String): Long = {
+      def walk(f: java.io.File): Long = {
+        val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        cs.filter(_.isFile).map(_.length()).sum + cs.filter(_.isDirectory).map(walk).sum
+      }
+      walk(new java.io.File(root))
+    }
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_merge_scale").toString
+    val writeSec = time {
+      table.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    }
+    val tableBytes = dirBytes(out)
+    // batch: every 8th key of 4 buckets — ~n/512 upserts, ~1/64 of the
+    // table's partition footprint touched
+    def changes = table
+      .where(col("bucket").isin(1L, 65L, 129L, 193L) &&
+        pmod(col("id"), lit(8)) === 0)
+      .select(col("id"), col("bucket"), (col("v") + 1000).as("v"),
+        when(pmod(col("id"), lit(16)) === 0, "delete")
+          .otherwise("upsert").as("op"))
+    val nChanges = changes.count()
+    val beforeTouched = Seq(1L, 65L, 129L, 193L)
+      .map(b => dirBytes(s"$out/bucket=$b")).sum
+    val touchedSec = time {
+      ops.Reconcile.mergeTouched(spark, out, changes, "id", "op", "bucket"): Unit
+    }
+    val afterTouched = Seq(1L, 65L, 129L, 193L)
+      .map(b => dirBytes(s"$out/bucket=$b")).sum
+    val rowsAfter = spark.read.parquet(out).count()
+    // contrast: the naive full-table rewrite (merge everything, write
+    // everything) — what mergeTouched's pruning avoids
+    val out2 = java.nio.file.Files.createTempDirectory("graft_merge_full").toString
+    val fullSec = time {
+      ops.Reconcile.mergeApply(spark.read.parquet(out), changes, "id", "op")
+        .write.mode("overwrite").partitionBy("bucket").parquet(out2)
+    }
+    println(f"""{"mode":"merge","n_rows":$n,"n_buckets":$nBuckets,"n_changes":$nChanges,"write_sec":$writeSec%.1f,"table_bytes":$tableBytes,"touched_buckets":4,"touched_bytes_before":$beforeTouched,"touched_bytes_after":$afterTouched,"merge_touched_sec":$touchedSec%.1f,"rows_after":$rowsAfter,"full_rewrite_sec":$fullSec%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 

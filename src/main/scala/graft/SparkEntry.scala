@@ -1616,6 +1616,67 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The snapshot-isolated table format (ops/Snapshots): immutable data
+    // files + atomic manifest creation as the commit arbiter. Two commits
+    // build the table (base, then an appended delta); the query TIME
+    // TRAVELS — reads v1 and v2 as of their versions AFTER both exist —
+    // and aggregates each. The oracle replays both states from the source
+    // table; green proves a pinned version returns exactly its historical
+    // file set. Replace-commit conflicts and vacuum are spec-asserted
+    // (SnapshotSpec).
+    "snapshot_read" -> ((s, d) => {
+      val root = ModelStore.fit(s"snaptable|${cid(d)}", "graft_snaptable") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        Snapshots.commit(p,
+          cust.where(pmod(col("c_custkey"), lit(7)) === 0)
+            .select(col("c_custkey"),
+              dec2(col("acctbal") + 100).as("acctbal")), "delta"): Unit
+      }
+      Seq(1L, 2L).map { v =>
+        Snapshots.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("acctbal")).cast("double").as("sum_bal"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_bal"))
+      }.reduce(_ unionByName _).orderBy(col("version"))
+    }),
+
+    // Streaming CDC APPLY: a bounded change stream (unique keys — upserts
+    // doubling the balance, every key ≡5 mod 8 a delete) drains through
+    // foreachBatch, each micro-batch merging into the snapshot table's
+    // latest version and publishing a REPLACE commit pinned to the version
+    // it read. Unique keys make the final state micro-batch-split
+    // independent, so the oracle replays the one-shot batch merge.
+    "stream_upsert" -> ((s, d) => {
+      val root = ModelStore.fit(s"streamupsert|${cid(d)}", "graft_cdc") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        val path = s"$d/customer.parquet"
+        val schema = s.read.parquet(path).schema
+        val changes = s.readStream.schema(schema)
+          .parquet(streaming.StreamOps.stageDir(path))
+          .where(pmod(col("c_custkey"), lit(4)) === 1)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            // round to dec2 FIRST (the target's stored scale), then
+            // double — matching the oracle's decimal arithmetic; casting
+            // the raw double*2 would round differently on .xx5 values
+            dec2(dec2(col("c_acctbal")) * 2).as("acctbal"),
+            when(pmod(col("c_custkey"), lit(8)) === 5, "delete")
+              .otherwise("upsert").as("op"))
+        streaming.StreamOps.cdcApplyStream(s, changes, p,
+          "c_custkey", "op"): Unit
+      }
+      Snapshots.read(s, root)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "partition_sort" -> ((s, d) =>
       Sorts.partitionSort(li(s, d).select(sortCols.map(col): _*), 8,
         col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))),
@@ -4076,6 +4137,45 @@ object SparkEntry {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
         |FROM merged GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Time travel replayed: version 1 is the base table, version 2 adds
+    // the delta rows — the oracle recomputes both historical states from
+    // the source.
+    "snapshot_read" ->
+      """WITH cust AS (SELECT c_custkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |delta AS (SELECT c_custkey,
+        |    CAST(acctbal + 100 AS DECIMAL(18,2)) AS acctbal
+        |  FROM cust WHERE c_custkey % 7 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal FROM cust
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(acctbal) AS DOUBLE)
+        |FROM (SELECT * FROM cust UNION ALL SELECT * FROM delta)
+        |ORDER BY version""".stripMargin,
+
+    // Unique change keys make the sequential per-micro-batch merges
+    // equal the one-shot batch merge, whatever the split — so the oracle
+    // is the plain declarative merge.
+    "stream_upsert" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |chg AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(acctbal * 2 AS DECIMAL(18,2)) AS acctbal,
+        |    CASE WHEN c_custkey % 8 = 5 THEN 'delete'
+        |         ELSE 'upsert' END AS op
+        |  FROM cust WHERE c_custkey % 4 = 1),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment, acctbal FROM cust
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, acctbal FROM chg
+        |  WHERE op <> 'delete')
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // The window bounds derive from the table's own min/max (what the
     // footer stats report), so the oracle recomputes them from the source

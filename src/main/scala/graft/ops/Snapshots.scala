@@ -3,6 +3,7 @@ package graft.ops
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max}
 
 /** A minimal snapshot-isolated table format — the transactional shell
   * around the engine's layout operators ([[Layout.zorderWriteN]],
@@ -35,14 +36,28 @@ object Snapshots {
   private val SnapDir = "_graft_snaps"
   private val DataDir = "data"
 
-  /** One data file of a snapshot: path RELATIVE to the table root (a
-    * table must survive being moved/mounted elsewhere), plus the row
-    * count the committing write observed (statistics for free).
+  /** One file of a snapshot: path RELATIVE to the table root (a table
+    * must survive being moved/mounted elsewhere), the row count the
+    * committing write observed (statistics for free), and `seq` — the
+    * version whose commit added the file. `seq` is what makes
+    * merge-on-read deletes sound: an equality-delete tombstone applies
+    * exactly to rows in data files with a SMALLER seq (the
+    * sequence-number rule of the published formats), so a commit can
+    * upsert a key by tombstoning it and appending the new row in the
+    * same version without the tombstone eating its own row.
     */
-  final case class FileEntry(path: String, rows: Long)
+  final case class FileEntry(path: String, rows: Long, seq: Long)
 
+  /** `files` hold rows; `deletes` hold equality-delete KEYS (one-column
+    * parquet tombstones) that suppress older rows of the same key at
+    * read time — the merge-on-read half of the format, contrasting the
+    * copy-on-write route ([[Reconcile.mergeTouched]] under a replace
+    * commit): deletes cost O(batch) at write and a key anti-join at
+    * read, until [[compactMerged]] materializes them away.
+    */
   final case class Snapshot(version: Long, parent: Long, note: String,
-                            files: Seq[FileEntry])
+                            files: Seq[FileEntry],
+                            deletes: Seq[FileEntry] = Seq.empty)
 
   def init(root: String): String = {
     Files.createDirectories(Paths.get(root, SnapDir))
@@ -56,22 +71,29 @@ object Snapshots {
   //   version=3
   //   parent=2
   //   note=replace
-  //   file=data/<uuid>/part-...parquet|12345
+  //   file=data/<uuid>/part-...parquet|12345|3
+  //   delete=data/<uuid>/part-...parquet|17|3
 
   private def render(s: Snapshot): String =
     (Seq(s"version=${s.version}", s"parent=${s.parent}", s"note=${s.note}") ++
-      s.files.map(f => s"file=${f.path}|${f.rows}")).mkString("", "\n", "\n")
+      s.files.map(f => s"file=${f.path}|${f.rows}|${f.seq}") ++
+      s.deletes.map(f => s"delete=${f.path}|${f.rows}|${f.seq}"))
+      .mkString("", "\n", "\n")
 
   private def parse(text: String): Snapshot = {
     val lines = text.linesIterator.toSeq
     def one(k: String) = lines.collectFirst {
       case l if l.startsWith(s"$k=") => l.substring(k.length + 1) }.get
-    val files = lines.filter(_.startsWith("file=")).map { l =>
-      val body = l.substring(5)
-      val cut = body.lastIndexOf('|')
-      FileEntry(body.substring(0, cut), body.substring(cut + 1).toLong)
-    }
-    Snapshot(one("version").toLong, one("parent").toLong, one("note"), files)
+    def entries(prefix: String) =
+      lines.filter(_.startsWith(prefix)).map { l =>
+        val parts = l.substring(prefix.length).split('|')
+        // path never contains '|' (uuid + Spark part names); the last two
+        // fields are rows and seq
+        FileEntry(parts.dropRight(2).mkString("|"),
+          parts(parts.length - 2).toLong, parts(parts.length - 1).toLong)
+      }
+    Snapshot(one("version").toLong, one("parent").toLong, one("note"),
+      entries("file="), entries("delete="))
   }
 
   private def manifestPath(root: String, v: Long): Path =
@@ -119,31 +141,64 @@ object Snapshots {
     * would silently drop the winner's commit.
     */
   def commit(root: String, df: DataFrame, note: String,
-             replace: Boolean = false): Long = {
+             replace: Boolean = false,
+             basedOn: Option[Long] = None): Long =
+    publish(root, writeData(root, df), Seq.empty, note, replace, basedOn)
+
+  /** Write `df` into a fresh immutable `data/<uuid>/` dir and return its
+    * file entries (seq assigned at publish time). Sidecars (_SUCCESS,
+    * .crc) stay: hidden files are write infrastructure (they also keep
+    * each commit dir a verifiable parquet write root for
+    * ModelStore.verifyArtifact); the MANIFEST is this format's commit
+    * marker and [[vacuum]] ignores hidden files when deciding what is
+    * data. Per-file row counts come from the footers — metadata only,
+    * never a re-scan.
+    */
+  private def writeData(root: String, df: DataFrame): Seq[FileEntry] = {
     val uuid = java.util.UUID.randomUUID().toString.take(12)
     val dataPath = s"$DataDir/$uuid"
     df.write.parquet(s"$root/$dataPath")
-    val written = Option(new java.io.File(s"$root/$dataPath").listFiles())
+    Option(new java.io.File(s"$root/$dataPath").listFiles())
       .map(_.toSeq).getOrElse(Seq.empty)
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-    // per-file row counts from the footers — metadata only, never a re-scan
-    val entries = written.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getPath),
-        new org.apache.hadoop.conf.Configuration())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try FileEntry(s"$dataPath/${f.getName}",
-        r.getFooter.getBlocks.stream().mapToLong(_.getRowCount).sum())
-      finally r.close()
-    }
-    val basedOn = latestVersion(root).getOrElse(0L)
-    var parent = basedOn
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try FileEntry(s"$dataPath/${f.getName}",
+          r.getFooter.getBlocks.stream().mapToLong(_.getRowCount).sum(), 0L)
+        finally r.close()
+      }
+  }
+
+  /** The manifest race: stage, `ATOMIC_MOVE` to v(parent+1), rebase or
+    * abort on loss. `newFiles`/`newDeletes` get `seq = v` stamped with
+    * the version that finally wins — the sequence-number rule that keeps
+    * merge-on-read tombstones from eating their own commit's rows.
+    */
+  private def publish(root: String, newFiles: Seq[FileEntry],
+                      newDeletes: Seq[FileEntry], note: String,
+                      replace: Boolean, basedOn: Option[Long]): Long = {
+    // a REPLACE writer computed its output FROM some version; `basedOn`
+    // pins it (the lakehouse transaction-version pattern) so the commit
+    // can detect that the parent moved — whether before this call or
+    // during it — and refuse to silently drop the interleaved commit.
+    val basedOn0 = basedOn.getOrElse(latestVersion(root).getOrElse(0L))
+    def conflict(now: Long) = new java.util.ConcurrentModificationException(
+      s"replace commit on $root based on v$basedOn0 lost to v$now; " +
+        "recompute against the new latest and re-commit")
+    if (replace && latestVersion(root).getOrElse(0L) != basedOn0)
+      throw conflict(latestVersion(root).getOrElse(0L))
+    var parent = basedOn0
     while (true) {
-      val parentFiles =
-        if (parent == 0L || replace) Seq.empty
-        else snapshot(root, parent).files
+      val (parentFiles, parentDeletes) =
+        if (parent == 0L || replace) (Seq.empty[FileEntry], Seq.empty[FileEntry])
+        else { val p = snapshot(root, parent); (p.files, p.deletes) }
       val v = parent + 1
-      val snap = Snapshot(v, parent, note, parentFiles ++ entries)
+      val snap = Snapshot(v, parent, note,
+        parentFiles ++ newFiles.map(_.copy(seq = v)),
+        parentDeletes ++ newDeletes.map(_.copy(seq = v)))
       val tmp = Files.createTempFile(Paths.get(root, SnapDir), ".stage_", ".tmp")
       Files.write(tmp, render(snap).getBytes("UTF-8"))
       try {
@@ -153,14 +208,102 @@ object Snapshots {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp): Unit
           val now = latestVersion(root).getOrElse(0L)
-          if (replace && now != basedOn)
-            throw new java.util.ConcurrentModificationException(
-              s"replace commit on $root based on v$basedOn lost to v$now; " +
-                "recompute against the new latest and re-commit")
+          if (replace && now != basedOn0) throw conflict(now)
           parent = now
       }
     }
     sys.error("unreachable")
+  }
+
+  /** MERGE-ON-READ change commit — the write-cheap alternative to the
+    * copy-on-write rewrite ([[Reconcile.mergeTouched]] + replace
+    * commit): upsert rows APPEND as ordinary data files, and the
+    * affected keys (upserted AND deleted) land in an equality-delete
+    * TOMBSTONE file that [[readMerged]] applies to OLDER rows only
+    * (tombstone seq > data-file seq). Write cost is O(batch) no matter
+    * where the keys live in the table — no target scan, no partition
+    * rewrite; the price moves to read time (a key anti-join) until
+    * [[compactMerged]] materializes the state back to plain files.
+    * `upserts` and `deleteKeys` must each carry at most one row per key.
+    */
+  def commitChanges(root: String, upserts: DataFrame, deleteKeys: DataFrame,
+                    keyCol: String, note: String): Long = {
+    val dataEntries = writeData(root, upserts)
+    val tombKeys = upserts.select(col(keyCol))
+      .unionByName(deleteKeys.select(col(keyCol))).distinct()
+    val tombEntries = writeData(root, tombKeys)
+    publish(root, dataEntries, tombEntries, note,
+      replace = false, basedOn = None)
+  }
+
+  /** Read AS OF `version` with merge-on-read semantics: data files union
+    * (each stamped with its manifest `seq` — a literal per commit, no
+    * filename juggling), tombstone keys reduce to their LATEST seq per
+    * key (one small aggregate — tombstones are O(changed keys), so the
+    * join side broadcasts in the common case), and a row survives iff no
+    * tombstone for its key is NEWER than the row's file (`row seq >=
+    * tombstone seq` keeps a commit's own upserts alive past its own
+    * tombstone). With no tombstones this is exactly [[read]].
+    */
+  def readMerged(spark: SparkSession, root: String, keyCol: String,
+                 version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val snap = snapshot(root, v)
+    if (snap.deletes.isEmpty) return read(spark, root, Some(v))
+    def bySeq(entries: Seq[FileEntry], seqName: String): DataFrame =
+      entries.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, fs) =>
+        spark.read.parquet(fs.map(f => s"$root/${f.path}"): _*)
+          .withColumn(seqName, lit(seq))
+      }.reduce(_ unionByName _)
+    val base = bySeq(snap.files, "_seq")
+    val tomb = bySeq(snap.deletes, "_tseq")
+      .groupBy(col(keyCol)).agg(max(col("_tseq")).as("_tseq"))
+    base.join(tomb, Seq(keyCol), "left")
+      .where(col("_tseq").isNull || col("_seq") >= col("_tseq"))
+      .drop("_seq", "_tseq")
+  }
+
+  /** Materialize the merge-on-read state back to plain data files — the
+    * compaction that retires tombstones: one [[readMerged]] scan, one
+    * REPLACE commit pinned to the version it read (a concurrent change
+    * commit surfaces as a conflict, never a lost update). Readers pinned
+    * to older versions keep the tombstoned view until [[vacuum]].
+    */
+  def compactMerged(spark: SparkSession, root: String, keyCol: String): Long = {
+    val base = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    commit(root, readMerged(spark, root, keyCol, Some(base)),
+      s"compact-merged-v$base", replace = true, basedOn = Some(base))
+  }
+
+  /** Incremental read — the rows APPENDED in versions `(fromVersion,
+    * toVersion]`: exactly the data files those commits added (an O(files)
+    * manifest diff; no data diffing). The CDC-consumer surface: a
+    * downstream pipeline remembers the last version it processed and
+    * reads only the increment. Merge-on-read deletes in the window are
+    * visible as the same window's tombstone KEYS via the manifests;
+    * replace commits reset history and are rejected here (the increment
+    * is no longer append-shaped — reprocess from the replace version).
+    */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"need fromVersion < toVersion, got ($fromVersion, $toVersion]")
+    // append-shaped window ⇔ everything fromVersion listed is still
+    // listed at toVersion (an exact O(files) manifest check — a replace
+    // anywhere in the window drops files and fails it)
+    val fromFiles = if (fromVersion == 0L) Seq.empty[FileEntry]
+                    else snapshot(root, fromVersion).files
+    val toSnap = snapshot(root, toVersion)
+    val toSet = toSnap.files.toSet
+    require(fromFiles.forall(toSet.contains),
+      s"($fromVersion, $toVersion] contains a replace commit — " +
+        "the increment is not append-shaped; reprocess from the replace")
+    val files = toSnap.files
+      .filter(f => f.seq > fromVersion && f.seq <= toVersion)
+    require(files.nonEmpty, s"no files appended in ($fromVersion, $toVersion]")
+    spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
   }
 
   /** Retire history: keep the newest `keepVersions` manifests, delete the
@@ -168,7 +311,9 @@ object Snapshots {
     * manifest references — covering both files only old versions list
     * and crash debris (a data dir whose commit never published). The
     * reference set is O(files) strings; deletion is idempotent and safe
-    * to re-run. Returns the deleted file count.
+    * to re-run. Returns the deleted DATA-file count (hidden sidecars
+    * removed along with a dead commit dir are not counted — they are
+    * infrastructure, not data).
     *
     * The retention window is the reader contract: a reader pinned to a
     * vacuumed version loses its files — size `keepVersions` to cover the
@@ -178,24 +323,40 @@ object Snapshots {
     require(keepVersions >= 1, "must retain at least the latest version")
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val live: Set[String] =
-      keep.flatMap(v => snapshot(root, v).files.map(_.path)).toSet
+    val live: Set[String] = keep.flatMap { v =>
+      val s = snapshot(root, v); (s.files ++ s.deletes).map(_.path)
+    }.toSet
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)): Unit)
+    val dataRoot = new java.io.File(root, DataDir)
+    val rootPath = Paths.get(root)
+    def visible(f: java.io.File): Boolean = f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")
     def walk(f: java.io.File): Seq[java.io.File] = {
       val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       cs.filter(_.isFile) ++ cs.filter(_.isDirectory).flatMap(walk)
     }
-    val dataRoot = new java.io.File(root, DataDir)
-    val rootPath = Paths.get(root)
-    val dead = walk(dataRoot).filter { f =>
-      val rel = rootPath.relativize(f.toPath).toString
-      !live.contains(rel)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+      f.delete(): Unit
     }
-    dead.foreach(f => f.delete(): Unit)
-    // sweep now-empty data dirs (cosmetic; harmless if a writer races)
+    var deleted = 0
+    // per commit dir: if NO retained manifest references any of its data
+    // files, the whole dir goes (sidecars included) — that covers both
+    // superseded commits and crash debris whose publish never happened;
+    // a dir with live files sheds only its dead visible files. Hidden
+    // files (_SUCCESS, .crc) are write infrastructure, never "data", so
+    // a vacuum that drops no version is a no-op.
     Option(dataRoot.listFiles()).toSeq.flatten
-      .filter(d => d.isDirectory && Option(d.listFiles()).forall(_.isEmpty))
-      .foreach(d => d.delete(): Unit)
-    dead.size
+      .filter(_.isDirectory).foreach { sub =>
+        val vis = walk(sub).filter(visible)
+        val (liveF, deadF) = vis.partition(f =>
+          live.contains(rootPath.relativize(f.toPath).toString))
+        if (liveF.isEmpty) { deleted += deadF.size; rmTree(sub) }
+        else deadF.foreach { f => f.delete(): Unit; deleted += 1 }
+      }
+    Option(dataRoot.listFiles()).toSeq.flatten.filter(visible)
+      .filterNot(f => live.contains(rootPath.relativize(f.toPath).toString))
+      .foreach { f => f.delete(): Unit; deleted += 1 }
+    deleted
   }
 }

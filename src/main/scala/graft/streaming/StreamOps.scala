@@ -363,6 +363,45 @@ object StreamOps {
         expr("bit_xor(xor_digest)").as("xor_digest"))
   }
 
+  /** Streaming CDC APPLY into a snapshot table — `foreachBatch` as the
+    * bridge from a change stream to [[graft.ops.Reconcile.mergeApply]]
+    * under [[graft.ops.Snapshots]] isolation: each micro-batch reads the
+    * table's LATEST version, merges the batch (upserts replace/insert,
+    * deletes drop), and publishes a REPLACE commit pinned (`basedOn`) to
+    * the version it read — so a concurrent writer surfaces as a commit
+    * conflict instead of a lost update, and a reader pinned to any
+    * version never observes a half-applied batch. Exactly-once RESULT
+    * semantics come from merge idempotence (a replayed epoch re-merges
+    * the same keys to the same values), the same upgrade-path
+    * `foreachBatchDigest` gets from batchId-keyed commit dirs. At 100 TB
+    * the inner merge swaps for [[graft.ops.Reconcile.mergeTouched]]'s
+    * partition-footprint rewrite; the commit protocol is unchanged.
+    * Bounded-stream execution (`Trigger.AvailableNow`); returns the
+    * number of commits published.
+    */
+  def cdcApplyStream(spark: SparkSession, changes: DataFrame, root: String,
+                     keyCol: String, opCol: String): Long = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val before = graft.ops.Snapshots.latestVersion(root).getOrElse(0L)
+    val q = changes.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val base = graft.ops.Snapshots.latestVersion(root)
+          val merged = graft.ops.Reconcile.mergeApply(
+            graft.ops.Snapshots.read(spark, root), batch.toDF(), keyCol, opCol)
+          graft.ops.Snapshots.commit(root, merged, s"cdc-$id",
+            replace = true, basedOn = base): Unit
+        }
+      }
+      .option("checkpointLocation", s"$ckpt/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordStateOps(q)
+    graft.ops.Snapshots.latestVersion(root).getOrElse(0L) - before
+  }
+
   /** Stream-stream INNER join with event-time range bounds — the
     * enrichment join of a live pipeline (each purchase picks up the same
     * user's clicks from the preceding hour). Both sides carry watermarks

@@ -167,7 +167,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "weighted_quantiles" /* |q|-row certified-bracket spec broadcast into the exact pass */,
       "weighted_quantiles_grouped" /* summary × |q|-row quantile spec (the corpus joins brackets by KEY) */,
       "quantile_bins" /* bracket spec + 1-row cut-array frame broadcast into the bin pass */,
-      "stream_quantiles" /* batch exact pass: |q|-row certified-bracket spec broadcast, as kll_quantiles */)
+      "stream_quantiles" /* batch exact pass: |q|-row certified-bracket spec broadcast, as kll_quantiles */,
+      "merge_apply" /* the 3-row change-sequence axis (VALUES (1),(2),(3)) crossed into the sampled keys — a literal bounded broadcast */)
     // stream_* builders run their streaming query to completion and the
     // sweep then audits the returned BATCH leg — the part of those
     // queries this class of guard was blind to through round 7.
@@ -311,7 +312,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q17_small_quantity" -> Map("lineitem" -> 2), // per-part avg subquery
       "q21_waiting_supplier" -> Map("lineitem" -> 3, "orders" -> 3), // base + EXISTS + NOT EXISTS
       "overlap_join" -> Map("lineitem" -> 2),      // interval self-join: both pair sides scan the (pruned) source
-      "q22_idle_customers" -> Map("customer" -> 2) // global avg-balance subquery
+      "q22_idle_customers" -> Map("customer" -> 2), // global avg-balance subquery
+      "merge_apply" -> Map("customer" -> 3)        // target role + change-log role in the anti join + the upsert leg (Catalyst cannot share a scan across the window boundary)
     ).withDefaultValue(Map.empty)
     // stream_* included: their builders run the stream, the sweep audits
     // the returned batch leg's scans (see the BNLJ sweep note above)

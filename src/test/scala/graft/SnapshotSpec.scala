@@ -83,9 +83,11 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get(root, "_graft_snaps", "v00000004.txt"),
       "version=4\nparent=3\nnote=winner2\nfile=data/none.parquet|0\n"
         .getBytes("UTF-8"))
+    // the replace writer computed its rewrite FROM v3; the interleaved
+    // v4 must surface as a conflict, never be silently dropped
     intercept[java.util.ConcurrentModificationException] {
       Snapshots.commit(root, spark.range(9, 10).toDF(), "rewrite",
-        replace = true)
+        replace = true, basedOn = Some(3L))
     }
   }
 
@@ -101,10 +103,13 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.write(debris.toPath.resolve("junk.parquet"),
       Array[Byte](1, 2, 3))
 
+    // visible data files only: _SUCCESS/.crc sidecars are infrastructure
     def dataFiles(): Set[String] = {
       def walk(f: java.io.File): Seq[java.io.File] = {
         val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-        cs.filter(_.isFile) ++ cs.filter(_.isDirectory).flatMap(walk)
+        cs.filter(c => c.isFile && !c.getName.startsWith("_") &&
+          !c.getName.startsWith(".")) ++
+          cs.filter(_.isDirectory).flatMap(walk)
       }
       walk(new java.io.File(root, "data")).map(_.getPath).toSet
     }
@@ -116,8 +121,89 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     val deleted = Snapshots.vacuum(root, keepVersions = 1)
     assert(deleted === (before.size - live.size))
     assert(dataFiles() === live)
+    // dead commit dirs went entirely — sidecars included
+    val subdirs = Option(new java.io.File(root, "data").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty).filter(_.isDirectory)
+    assert(subdirs.size === 1, "only the surviving commit dir remains")
     assert(Snapshots.versions(root) === Seq(3L))
     assert(ids(root) === (100L until 103L)) // the survivor still reads
+  }
+
+  // ---- merge-on-read (equality-delete tombstones) ---------------------------
+
+  test("commitChanges + readMerged: upserts shadow older rows, deletes drop, own-commit rows survive, latest wins across commits") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "base"): Unit
+    // change 1: upsert k=2, delete k=3
+    Snapshots.commitChanges(root,
+      upserts = Seq((2L, "B")).toDF("k", "v"),
+      deleteKeys = Seq(Tuple1(3L)).toDF("k"), "k", "chg1"): Unit
+    val after1 = Snapshots.readMerged(spark, root, "k")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(after1 === Seq((1L, "a"), (2L, "B")))
+    // change 2: upsert k=2 again and re-insert k=3 — latest wins; the
+    // re-insert's row (seq 3) survives chg1's tombstone (seq 2)
+    Snapshots.commitChanges(root,
+      upserts = Seq((2L, "BB"), (3L, "CC")).toDF("k", "v"),
+      deleteKeys = spark.emptyDataset[Long].toDF("k"), "k", "chg2"): Unit
+    val after2 = Snapshots.readMerged(spark, root, "k")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(after2 === Seq((1L, "a"), (2L, "BB"), (3L, "CC")))
+    // time travel still works on the merged view
+    val at2 = Snapshots.readMerged(spark, root, "k", Some(2L))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(at2 === after1)
+    // write cost was O(batch): no base data file was rewritten
+    assert(Snapshots.snapshot(root, 3L).files.count(_.seq == 1L) ===
+      Snapshots.snapshot(root, 1L).files.size)
+  }
+
+  test("compactMerged materializes tombstones away; pinned older versions keep the merged view") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"), "base"): Unit
+    Snapshots.commitChanges(root,
+      upserts = Seq((1L, 11.0)).toDF("k", "x"),
+      deleteKeys = Seq(Tuple1(2L)).toDF("k"), "k", "chg"): Unit
+    val merged = Snapshots.readMerged(spark, root, "k")
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    val v = Snapshots.compactMerged(spark, root, "k")
+    assert(v === 3L)
+    assert(Snapshots.snapshot(root, 3L).deletes.isEmpty,
+      "compaction must retire every tombstone")
+    // plain read now equals the merged view (no tombstones to apply)
+    assert(Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, Double)].collect().toSeq === merged)
+    assert(merged === Seq((1L, 11.0)))
+    // a reader pinned before compaction still merges correctly
+    assert(Snapshots.readMerged(spark, root, "k", Some(2L))
+      .orderBy("k").as[(Long, Double)].collect().toSeq === merged)
+  }
+
+  test("changesBetween returns exactly the appended rows; replace in the window is rejected") {
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 4).toDF(), "base"): Unit
+    Snapshots.commit(root, spark.range(4, 7).toDF(), "a1"): Unit
+    Snapshots.commit(root, spark.range(7, 9).toDF(), "a2"): Unit
+    val inc = Snapshots.changesBetween(spark, root, 1L, 3L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc === (4L until 9L))
+    val all = Snapshots.changesBetween(spark, root, 0L, 3L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all === (0L until 9L))
+    Snapshots.commit(root, spark.range(100, 101).toDF(), "rewrite",
+      replace = true): Unit
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, 2L, 4L)
+    }
+    // windows entirely after the replace are append-shaped again
+    Snapshots.commit(root, spark.range(101, 103).toDF(), "a3"): Unit
+    assert(Snapshots.changesBetween(spark, root, 4L, 5L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (101L until 103L))
   }
 
   test("vacuum keeping every version deletes only debris; re-run is a no-op") {

@@ -50,6 +50,7 @@ class StreamStateOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "stream_join" -> Seq("symmetricHashJoin"),         // two-sided buffered join
     "stream_static_join" -> Seq(),                     // stream-static: STATELESS
     "stream_foreach_digest" -> Seq(),                  // append passthrough: STATELESS
+    "stream_upsert" -> Seq(),                          // foreachBatch CDC apply: STATELESS (merge state lives in the snapshot table)
     "stream_sessions" -> Seq("flatMapGroupsWithState"),
     "stream_sessions_timers" -> Seq("transformWithStateExec"),
     "stream_running_totals" -> Seq("transformWithStateExec"))
