@@ -502,21 +502,27 @@ object Scale {
       table.write.mode("overwrite").partitionBy("bucket").parquet(out)
     }
     val tableBytes = dirBytes(out)
-    // batch: every 8th key of 4 buckets — ~n/512 upserts, ~1/64 of the
-    // table's partition footprint touched
+    // batch: every 8th row WITHIN each of 4 buckets — the sampler runs on
+    // the row's index inside its bucket (`id div nBuckets`), decoupled
+    // from the bucket id (sampling on `id` itself degenerates: id mod 8
+    // is constant within a bucket). ~n/512 change rows, half of the
+    // sampled-and-kept every-16th rows deletes, ~1/64 of the table's
+    // partition footprint touched.
+    val touchedBuckets = Seq(1L, 65L, 129L, 193L)
     def changes = table
-      .where(col("bucket").isin(1L, 65L, 129L, 193L) &&
-        pmod(col("id"), lit(8)) === 0)
+      .where(col("bucket").isin(touchedBuckets: _*) &&
+        pmod(expr(s"id div $nBuckets"), lit(8)) === 0)
       .select(col("id"), col("bucket"), (col("v") + 1000).as("v"),
-        when(pmod(col("id"), lit(16)) === 0, "delete")
+        when(pmod(expr(s"id div $nBuckets"), lit(16)) === 0, "delete")
           .otherwise("upsert").as("op"))
     val nChanges = changes.count()
-    val beforeTouched = Seq(1L, 65L, 129L, 193L)
+    require(nChanges > 0, "empty change batch — the measurement is vacuous")
+    val beforeTouched = touchedBuckets
       .map(b => dirBytes(s"$out/bucket=$b")).sum
     val touchedSec = time {
       ops.Reconcile.mergeTouched(spark, out, changes, "id", "op", "bucket"): Unit
     }
-    val afterTouched = Seq(1L, 65L, 129L, 193L)
+    val afterTouched = touchedBuckets
       .map(b => dirBytes(s"$out/bucket=$b")).sum
     val rowsAfter = spark.read.parquet(out).count()
     // contrast: the naive full-table rewrite (merge everything, write

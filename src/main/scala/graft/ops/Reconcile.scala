@@ -102,6 +102,7 @@ object Reconcile {
                    opCol: String, partCol: String): Seq[Any] = {
     val touched = changes.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return Seq.empty // empty batch: nothing to rewrite
     val target = spark.read.parquet(targetDir)
       .where(col(partCol).isin(touched: _*))
     // column order may differ between batch and target; mergeApply aligns
