@@ -1643,6 +1643,63 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy(col("version"))
     }),
 
+    // MERGE-ON-READ through the gate: two equality-delete change commits
+    // stack on the base (v2: +200 upserts on keys ≡0 mod 6 except the
+    // ≡0 mod 15 deletes; v3: +50 upserts on keys ≡0 mod 10 — which
+    // RESURRECTS the ≡0 mod 30 keys v2 deleted), and readMerged applies
+    // latest-wins key suppression at scan time: no data file is ever
+    // rewritten (write cost O(batch)); the oracle replays the composed
+    // final state per key. Tombstone seq ordering is what makes the
+    // resurrection come out right.
+    "snapshot_mor" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapmor|${cid(d)}", "graft_snapmor") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        Snapshots.commitChanges(p,
+          upserts = cust.where(pmod(col("c_custkey"), lit(6)) === 0 &&
+              pmod(col("c_custkey"), lit(15)) =!= 0)
+            .select(col("c_custkey"), col("c_mktsegment"),
+              dec2(col("acctbal") + 200).as("acctbal")),
+          deleteKeys = cust.where(pmod(col("c_custkey"), lit(15)) === 0)
+            .select(col("c_custkey")),
+          "c_custkey", "chg1"): Unit
+        Snapshots.commitChanges(p,
+          upserts = cust.where(pmod(col("c_custkey"), lit(10)) === 0)
+            .select(col("c_custkey"), col("c_mktsegment"),
+              dec2(col("acctbal") + 50).as("acctbal")),
+          deleteKeys = cust.limit(0).select(col("c_custkey")),
+          "c_custkey", "chg2"): Unit
+      }
+      Snapshots.readMerged(s, root, "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Incremental (CDC-consumer) read: the rows APPENDED in (v1, v2] of
+    // the snapshot_read table — an O(files) manifest diff feeding a scan
+    // of exactly the increment's files (reuses the same fitted table:
+    // zero extra build cost). The oracle regenerates the delta from the
+    // source.
+    "snapshot_incr" -> ((s, d) => {
+      val root = ModelStore.fit(s"snaptable|${cid(d)}", "graft_snaptable") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        Snapshots.commit(p,
+          cust.where(pmod(col("c_custkey"), lit(7)) === 0)
+            .select(col("c_custkey"),
+              dec2(col("acctbal") + 100).as("acctbal")), "delta"): Unit
+      }
+      Snapshots.changesBetween(s, root, 1L, 2L)
+        .select(col("c_custkey"), col("acctbal").cast("double").as("acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Streaming CDC APPLY: a bounded change stream (unique keys — upserts
     // doubling the balance, every key ≡5 mod 8 a delete) drains through
     // foreachBatch, each micro-batch merging into the snapshot table's
@@ -4155,6 +4212,34 @@ object SparkEntry {
         |  CAST(sum(acctbal) AS DOUBLE)
         |FROM (SELECT * FROM cust UNION ALL SELECT * FROM delta)
         |ORDER BY version""".stripMargin,
+
+    // Latest-wins composition of the two change commits, replayed per
+    // key: v3's +50 upserts (keys ≡0 mod 10) win over everything —
+    // including v2's deletes (resurrection); the remaining ≡0 mod 15
+    // keys stay deleted; v2's +200 upserts cover the rest of ≡0 mod 6.
+    "snapshot_mor" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |state AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 10 = 0
+        |           THEN CAST(acctbal + 50 AS DECIMAL(18,2))
+        |         WHEN c_custkey % 6 = 0 AND c_custkey % 15 <> 0
+        |           THEN CAST(acctbal + 200 AS DECIMAL(18,2))
+        |         ELSE acctbal END AS acctbal
+        |  FROM cust
+        |  WHERE NOT (c_custkey % 15 = 0 AND c_custkey % 10 <> 0))
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // The increment (v1, v2] is exactly the delta commit's rows.
+    "snapshot_incr" ->
+      """SELECT c_custkey,
+        |  CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |FROM customer WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey""".stripMargin,
 
     // Unique change keys make the sequential per-micro-batch merges
     // equal the one-shot batch merge, whatever the split — so the oracle
