@@ -1700,6 +1700,41 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // The composed lakehouse read path: snapshot isolation picks WHICH
+    // files exist (two append commits, each orderkey-range-clustered so
+    // its files carry tight zones), file stats pick which of those can
+    // matter (Snapshots.zoneMap = footer stats over the MANIFEST's
+    // files, zonePrune's interval intersection, survivors straight to
+    // the scan). Window bounds derive from the stats, so the oracle
+    // recomputes them from the source table — green proves the composed
+    // plan loses no rows across commit boundaries.
+    "snapshot_zonescan" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapzone|${cid(d)}", "graft_snapzone") { p =>
+        Snapshots.init(p)
+        val li0 = li(s, d).select(col("l_orderkey"), col("l_quantity"),
+          col("l_returnflag"))
+        Seq(0, 1).foreach { par =>
+          Snapshots.commit(p,
+            li0.where(pmod(col("l_orderkey"), lit(2)) === par)
+              .repartitionByRange(8, col("l_orderkey"))
+              .sortWithinPartitions(col("l_orderkey")),
+            s"half$par"): Unit
+        }
+      }
+      val stats = Snapshots.zoneMap(s, root, Seq("l_orderkey"))
+      val Array(bounds) = stats.agg(
+        min(col("min_l_orderkey")).as("mn"),
+        max(col("max_l_orderkey")).as("mx")).collect()
+      val lo = bounds.getDouble(0).toLong
+      val hi = lo + (bounds.getDouble(1).toLong - lo) / 10
+      Snapshots.readPruned(s, root, Seq(("l_orderkey", lo, hi)))
+        .where(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Streaming CDC APPLY: a bounded change stream (unique keys — upserts
     // doubling the balance, every key ≡5 mod 8 a delete) drains through
     // foreachBatch, each micro-batch merging into the snapshot table's
@@ -4240,6 +4275,18 @@ object SparkEntry {
         |    AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
         |FROM customer WHERE c_custkey % 7 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    // Both commits together hold exactly the source table, and the
+    // window bounds derive from the table's own min/max — the oracle
+    // replays the plain aggregate.
+    "snapshot_zonescan" ->
+      """WITH b AS (SELECT min(l_orderkey) AS lo,
+        |    min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 10 AS hi
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem, b WHERE l_orderkey BETWEEN lo AND hi
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // Unique change keys make the sequential per-micro-batch merges
     // equal the one-shot batch merge, whatever the split — so the oracle

@@ -192,10 +192,18 @@ object Layout {
     * [[zonePrune]] treats as "cannot prune" (kept), never "prunable".
     */
   def zoneMapFooters(spark: org.apache.spark.sql.SparkSession,
-                     dir: String, cols: Seq[String]): DataFrame = {
+                     dir: String, cols: Seq[String]): DataFrame =
+    zoneMapFootersFor(spark,
+      listParquetFiles(new java.io.File(dir)).map(_.getPath), cols)
+
+  /** [[zoneMapFooters]] over an EXPLICIT file list — the form a manifest
+    *-driven caller ([[Snapshots.zoneMap]]) uses, where the files of
+    * interest are a subset of what a directory listing would see.
+    */
+  def zoneMapFootersFor(spark: org.apache.spark.sql.SparkSession,
+                        files: Seq[String], cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val files = listParquetFiles(new java.io.File(dir)).map(_.getPath)
     val schema = StructType(
       StructField("file", StringType) +: StructField("n_rows", LongType) +:
         cols.flatMap(c => Seq(StructField(s"min_$c", DoubleType),

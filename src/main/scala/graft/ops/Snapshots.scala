@@ -119,13 +119,58 @@ object Snapshots {
     * schema to produce a typed empty frame.
     */
   def read(spark: SparkSession, root: String,
-           version: Option[Long] = None): DataFrame = {
+           version: Option[Long] = None,
+           evolved: Boolean = false): DataFrame = {
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val files = snapshot(root, v).files
     require(files.nonEmpty, s"version $v of $root lists no files; " +
       "read it with an explicit schema via spark.read.schema(...)")
-    spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+    // `evolved = true` turns on SCHEMA EVOLUTION for the scan: the read
+    // schema becomes the union of every listed file's schema (Spark's
+    // mergeSchema — a footer pass over the manifest's files at planning
+    // time), so a commit that appended rows WITH A NEW COLUMN reads
+    // alongside old files, whose rows surface NULL for it — additive
+    // evolution exactly as the lakehouse formats define it. Off by
+    // default: a single-schema table should not pay the extra footer
+    // pass, and a reader pinned to a pre-evolution version sees the old
+    // schema either way (its manifest lists only old files).
+    val r = if (evolved) spark.read.option("mergeSchema", "true")
+            else spark.read
+    r.parquet(files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** Scan-plan a snapshot version through the generic zone map: per-file
+    * min/max stats from the MANIFEST'S files' footers (never a directory
+    * listing — dead files from other versions are invisible), pruned by
+    * [[Layout.zonePrune]]'s interval intersection, surviving files fed
+    * straight to the scan. This is the composed lakehouse read path —
+    * snapshot isolation picks WHICH files exist, file stats pick which
+    * of those can matter — and both halves are O(files) metadata work.
+    * Callers that scan repeatedly should build `stats` once via
+    * [[zoneMap]] and prune per query.
+    */
+  def readPruned(spark: SparkSession, root: String,
+                 preds: Seq[(String, Any, Any)],
+                 version: Option[Long] = None): DataFrame = {
+    val survivors = Layout.zonePrune(zoneMap(spark, root,
+      preds.map(_._1), version), preds)
+    require(survivors.nonEmpty,
+      "zone map pruned every file — the result is provably empty; " +
+        "read it as an empty frame with the caller's schema")
+    spark.read.parquet(survivors: _*)
+  }
+
+  /** The zone-map stats table ([[Layout.zoneMapFooters]] semantics) for
+    * one snapshot VERSION: stats come from the manifest's file list, so
+    * they describe exactly what that version's scan would read.
+    */
+  def zoneMap(spark: SparkSession, root: String, cols: Seq[String],
+              version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    Layout.zoneMapFootersFor(spark,
+      snapshot(root, v).files.map(f => s"$root/${f.path}"), cols)
   }
 
   /** Commit `df` as a new version. `replace = false` appends (new files

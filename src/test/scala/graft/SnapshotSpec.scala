@@ -206,6 +206,50 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       (101L until 103L))
   }
 
+  // ---- schema evolution + zone-map scan planning ---------------------------
+
+  test("additive schema evolution: a new column appends; old rows read NULL; pinned old versions keep the old schema") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "base"): Unit
+    Snapshots.commit(root,
+      Seq((3L, "c", 0.5)).toDF("k", "v", "score"), "widened"): Unit
+    val evolved = Snapshots.read(spark, root, evolved = true)
+    assert(evolved.columns.toSet === Set("k", "v", "score"))
+    val got = evolved.orderBy("k")
+      .select(col("k"), col("v"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got === Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.5))))
+    // a reader pinned BEFORE the evolution sees the old schema
+    assert(Snapshots.read(spark, root, Some(1L), evolved = true)
+      .columns.toSet === Set("k", "v"))
+  }
+
+  test("readPruned: manifest ∩ zone map — only intersecting files of the pinned version are scanned") {
+    val root = freshTable()
+    // two append commits, each range-clustered: commit files carry tight
+    // id zones, so an id window prunes across BOTH commits' file sets
+    Snapshots.commit(root, spark.range(0, 4000)
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .toDF(), "a1"): Unit
+    Snapshots.commit(root, spark.range(4000, 8000)
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .toDF(), "a2"): Unit
+    val stats = Snapshots.zoneMap(spark, root, Seq("id"))
+    assert(stats.count() === 8)
+    val survivors = graft.ops.Layout.zonePrune(stats, Seq(("id", 3500L, 4500L)))
+    assert(survivors.size < 8 && survivors.nonEmpty,
+      s"expected a strict prune, got ${survivors.size} of 8")
+    val pruned = Snapshots.readPruned(spark, root, Seq(("id", 3500L, 4500L)))
+      .where(col("id") >= 3500 && col("id") <= 4500)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pruned === (3500L to 4500L))
+    // stats follow the MANIFEST: a version pinned before a2 has only
+    // a1's files in its zone map
+    assert(Snapshots.zoneMap(spark, root, Seq("id"), Some(1L)).count() === 4)
+  }
+
   test("vacuum keeping every version deletes only debris; re-run is a no-op") {
     val root = freshTable()
     Snapshots.commit(root, spark.range(0, 4).toDF(), "base"): Unit
