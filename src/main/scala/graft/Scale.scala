@@ -59,6 +59,7 @@ object Scale {
     if (args.headOption.contains("apply")) return applyMain(args.drop(1))
     if (args.headOption.contains("zorder")) return zorderMain(args.drop(1))
     if (args.headOption.contains("zonemap")) return zonemapMain(args.drop(1))
+    if (args.headOption.contains("snapshots")) return snapshotsMain(args.drop(1))
     if (args.headOption.contains("merge")) return mergeMain(args.drop(1))
     if (args.headOption.contains("compaction")) return compactionMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
@@ -460,6 +461,57 @@ object Scale {
     require(full._3.toSeq == skip._3.toSeq,
       s"pruned path lost rows: ${full._3.toSeq} vs ${skip._3.toSeq}")
     println(f"""{"mode":"zonemap","n_rows":$n,"write_sec":$writeSec%.1f,"stats_sec":$statsSec%.1f,"files_total":$nFiles,"files_survive":${survivors.size},"full_files":${full._1},"full_bytes":${full._2},"full_sec":$fullSec%.1f,"skip_files":${skip._1},"skip_bytes":${skip._2},"skip_sec":$skipSec%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** The snapshot format's metadata costs at a WIDE manifest: `n` rows
+    * committed as `nFiles` data files (a deliberately fragmented table —
+    * the small-files regime every real lakehouse log lives in), then the
+    * O(files) operations measured against the claims: manifest publish
+    * (footer row counts + atomic create), time-travel scan planning (the
+    * manifest read + file-list DataFrame construction), a zone-map stats
+    * build over every footer, a second append (manifest carry-forward),
+    * and a retention vacuum. Data volume is held SMALL on purpose: these
+    * numbers are pure metadata-path costs, the part that does NOT shrink
+    * when the data is remote.
+    */
+  private def snapshotsMain(args: Array[String]): Unit = {
+    val nFiles = if (args.nonEmpty) args(0).toInt else 4096
+    val n = nFiles * 2500L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val root = ops.Snapshots.init(
+      java.nio.file.Files.createTempDirectory("graft_snap_scale").toString)
+    val commitSec = time {
+      ops.Snapshots.commit(root, spark.range(n)
+        .repartitionByRange(nFiles, col("id"))
+        .sortWithinPartitions("id").toDF(), "wide"): Unit
+    }
+    val manifestBytes = new java.io.File(root,
+      f"_graft_snaps/v${1L}%08d.txt").length()
+    var planned: org.apache.spark.sql.DataFrame = null
+    val planSec = time { planned = ops.Snapshots.read(spark, root, Some(1L)) }
+    val countSec = time { require(planned.count() == n) }
+    val statsSec = time {
+      require(ops.Snapshots.zoneMap(spark, root, Seq("id")).count() == nFiles)
+    }
+    val appendSec = time {
+      ops.Snapshots.commit(root, spark.range(n, n + 1000).toDF(), "small"): Unit
+    }
+    val vacuumSec = time {
+      require(ops.Snapshots.vacuum(root, keepVersions = 1) == 0) // append: nothing dead
+    }
+    println(f"""{"mode":"snapshots","n_rows":$n,"n_files":$nFiles,"commit_sec":$commitSec%.1f,"manifest_bytes":$manifestBytes,"plan_sec":$planSec%.2f,"count_sec":$countSec%.1f,"stats_sec":$statsSec%.1f,"append_sec":$appendSec%.1f,"vacuum_sec":$vacuumSec%.2f,"cpus":$cpus}""")
     spark.stop()
   }
 

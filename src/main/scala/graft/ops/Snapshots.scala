@@ -203,18 +203,32 @@ object Snapshots {
     val uuid = java.util.UUID.randomUUID().toString.take(12)
     val dataPath = s"$DataDir/$uuid"
     df.write.parquet(s"$root/$dataPath")
-    Option(new java.io.File(s"$root/$dataPath").listFiles())
+    val files = Option(new java.io.File(s"$root/$dataPath").listFiles())
       .map(_.toSeq).getOrElse(Seq.empty)
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-      .map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getPath),
-          new org.apache.hadoop.conf.Configuration())
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try FileEntry(s"$dataPath/${f.getName}",
-          r.getFooter.getBlocks.stream().mapToLong(_.getRowCount).sum(), 0L)
-        finally r.close()
+      .map(_.getName).sorted
+    def footerRows(path: String): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.stream().mapToLong(_.getRowCount).sum()
+      finally r.close()
+    }
+    // wide commits (small-files regime) read footers as a DISTRIBUTED
+    // job — a sequential driver loop over 4k+ footers is seconds of
+    // driver time locally and minutes against an object store; narrow
+    // commits skip the job-scheduling overhead
+    val rowCounts: Seq[(String, Long)] =
+      if (files.size <= 64) files.map(n => n -> footerRows(s"$root/$dataPath/$n"))
+      else {
+        val prefix = s"$root/$dataPath"
+        df.sparkSession.sparkContext
+          .parallelize(files, math.min(files.size, 256))
+          .map(n => n -> footerRows(s"$prefix/$n")).collect().toSeq
       }
+    rowCounts.map { case (name, rows) =>
+      FileEntry(s"$dataPath/$name", rows, 0L) }
   }
 
   /** The manifest race: stage, `ATOMIC_MOVE` to v(parent+1), rebase or
