@@ -96,6 +96,16 @@ object Reconcile {
     *     their directories removed after the write commits.
     *
     * Returns the touched partition values (diagnostics / audit log).
+    *
+    * Isolation caveat: this mutates the layout IN PLACE — a reader
+    * planning a scan mid-merge can see a touched partition half-replaced
+    * (dynamic overwrite swaps per-partition, not per-table). Where
+    * readers and merges overlap, run the same rewrite under the snapshot
+    * format instead: write the merged slice as new files and publish a
+    * REPLACE commit ([[graft.ops.Snapshots]] — pinned readers never see
+    * a partial state), or take the merge-on-read route
+    * ([[graft.ops.Snapshots.commitChanges]]) and skip the rewrite
+    * entirely.
     */
   def mergeTouched(spark: org.apache.spark.sql.SparkSession,
                    targetDir: String, changes: DataFrame, keyCol: String,
