@@ -14,15 +14,18 @@ import org.apache.spark.sql.functions.{col, lit, max}
   *
   *  - **data files are immutable**; every commit writes NEW files under
   *    `root/data/<uuid>/` and publishes a MANIFEST (`_graft_snaps/
-  *    v<n>.json`) listing exactly the files that version comprises —
+  *    v<n>.txt`) listing exactly the files that version comprises —
   *    O(files) text, never data;
   *  - **a commit IS the atomic creation of manifest v(n+1)**: the
-  *    manifest is staged to a temp name and renamed with
-  *    `ATOMIC_MOVE` (no replace) — if v(n+1) already exists the rename
-  *    fails, the committer re-reads the now-latest version, REBASES and
-  *    retries at v(n+2). Optimistic concurrency with the filesystem's
-  *    atomic create as the arbiter; no lock is ever held while data
-  *    writes (the slow part) run.
+  *    manifest is staged to a temp name and HARD-LINKED to its final
+  *    name — `link(2)` fails with EEXIST atomically if v(n+1) already
+  *    exists (unlike a POSIX rename, which silently replaces, and
+  *    unlike `Files.move`'s no-replace mode, which is check-then-rename
+  *    and can lose a cross-process race), and the linked file appears
+  *    complete or not at all. The loser re-reads the now-latest
+  *    version, REBASES and retries at v(n+2). Optimistic concurrency
+  *    with the filesystem's atomic link as the arbiter; no lock is ever
+  *    held while data writes (the slow part) run.
   *
   * What this buys at 100 TB: readers pin a version (time travel + a
   * consistent view while writers churn), writers never block readers,
@@ -260,8 +263,15 @@ object Snapshots {
         parentDeletes ++ newDeletes.map(_.copy(seq = v)))
       val tmp = Files.createTempFile(Paths.get(root, SnapDir), ".stage_", ".tmp")
       Files.write(tmp, render(snap).getBytes("UTF-8"))
+      // createLink, NOT Files.move: the no-replace move is implemented
+      // as an existence check followed by rename(2), so two processes
+      // racing for v(n+1) can both pass the check and the second rename
+      // silently replaces the first manifest — a lost commit. link(2)
+      // is the atomic create-if-absent the protocol needs: EEXIST loses
+      // loudly, and the target appears fully written or not at all.
       try {
-        Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+        Files.createLink(manifestPath(root, v), tmp)
+        Files.deleteIfExists(tmp): Unit
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -377,8 +387,17 @@ object Snapshots {
     * The retention window is the reader contract: a reader pinned to a
     * vacuumed version loses its files — size `keepVersions` to cover the
     * longest-running reader, exactly as lakehouse formats document.
+    *
+    * `minAgeMillis` is the IN-FLIGHT-COMMIT guard: an unreferenced file
+    * younger than it is spared, because "unreferenced" cannot be told
+    * apart from "a concurrent commit's data write whose manifest has not
+    * published yet" by looking at the file system alone. The default
+    * (1 h) comfortably covers any commit's write-to-publish window; a
+    * file spared this round is reclaimed by the next vacuum once it
+    * ages. Tests that build and reap in one breath pass 0 explicitly.
     */
-  def vacuum(root: String, keepVersions: Int): Int = {
+  def vacuum(root: String, keepVersions: Int,
+             minAgeMillis: Long = 60L * 60 * 1000): Int = {
     require(keepVersions >= 1, "must retain at least the latest version")
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
@@ -388,6 +407,7 @@ object Snapshots {
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)): Unit)
     val dataRoot = new java.io.File(root, DataDir)
     val rootPath = Paths.get(root)
+    val youngCutoff = System.currentTimeMillis() - minAgeMillis
     def visible(f: java.io.File): Boolean = f.isFile &&
       !f.getName.startsWith("_") && !f.getName.startsWith(".")
     def walk(f: java.io.File): Seq[java.io.File] = {
@@ -410,11 +430,13 @@ object Snapshots {
         val vis = walk(sub).filter(visible)
         val (liveF, deadF) = vis.partition(f =>
           live.contains(rootPath.relativize(f.toPath).toString))
-        if (liveF.isEmpty) { deleted += deadF.size; rmTree(sub) }
-        else deadF.foreach { f => f.delete(): Unit; deleted += 1 }
+        val (ripe, young) = deadF.partition(_.lastModified() <= youngCutoff)
+        if (liveF.isEmpty && young.isEmpty) { deleted += ripe.size; rmTree(sub) }
+        else ripe.foreach { f => f.delete(): Unit; deleted += 1 }
       }
     Option(dataRoot.listFiles()).toSeq.flatten.filter(visible)
       .filterNot(f => live.contains(rootPath.relativize(f.toPath).toString))
+      .filter(_.lastModified() <= youngCutoff)
       .foreach { f => f.delete(): Unit; deleted += 1 }
     deleted
   }

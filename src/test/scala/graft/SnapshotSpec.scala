@@ -118,7 +118,7 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(f => s"$root/${f.path}").toSet
     assert(live.subsetOf(before))
 
-    val deleted = Snapshots.vacuum(root, keepVersions = 1)
+    val deleted = Snapshots.vacuum(root, keepVersions = 1, minAgeMillis = 0)
     assert(deleted === (before.size - live.size))
     assert(dataFiles() === live)
     // dead commit dirs went entirely — sidecars included
@@ -127,6 +127,23 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(subdirs.size === 1, "only the surviving commit dir remains")
     assert(Snapshots.versions(root) === Seq(3L))
     assert(ids(root) === (100L until 103L)) // the survivor still reads
+  }
+
+  test("vacuum's min-age guard spares young unreferenced files (a concurrent in-flight commit)") {
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 3).toDF(), "base"): Unit
+    // a concurrent committer mid-writeData: files on disk, manifest not
+    // yet published — indistinguishable from debris except by AGE
+    val inflight = new java.io.File(root, "data/inflight")
+    inflight.mkdirs()
+    java.nio.file.Files.write(inflight.toPath.resolve("part-x.parquet"),
+      Array[Byte](1, 2, 3))
+    // default (1 h) min age: the young file survives
+    assert(Snapshots.vacuum(root, keepVersions = 1) === 0)
+    assert(new java.io.File(inflight, "part-x.parquet").isFile)
+    // once ripe, the next vacuum reclaims it
+    assert(Snapshots.vacuum(root, keepVersions = 1, minAgeMillis = 0) === 1)
+    assert(!inflight.exists())
   }
 
   // ---- merge-on-read (equality-delete tombstones) ---------------------------
@@ -254,8 +271,8 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     val root = freshTable()
     Snapshots.commit(root, spark.range(0, 4).toDF(), "base"): Unit
     Snapshots.commit(root, spark.range(4, 8).toDF(), "append"): Unit
-    assert(Snapshots.vacuum(root, keepVersions = 10) === 0)
-    assert(Snapshots.vacuum(root, keepVersions = 10) === 0)
+    assert(Snapshots.vacuum(root, keepVersions = 10, minAgeMillis = 0) === 0)
+    assert(Snapshots.vacuum(root, keepVersions = 10, minAgeMillis = 0) === 0)
     assert(ids(root) === (0L until 8L))
     assert(ids(root, Some(1L)) === (0L until 4L))
   }
