@@ -192,22 +192,41 @@ object Layout {
     * [[zonePrune]] treats as "cannot prune" (kept), never "prunable".
     */
   def zoneMapFooters(spark: org.apache.spark.sql.SparkSession,
-                     dir: String, cols: Seq[String]): DataFrame =
+                     dir: String, cols: Seq[String],
+                     strCols: Seq[String] = Seq.empty): DataFrame =
     zoneMapFootersFor(spark,
-      listParquetFiles(new java.io.File(dir)).map(_.getPath), cols)
+      listParquetFiles(new java.io.File(dir)).map(_.getPath), cols, strCols)
 
   /** [[zoneMapFooters]] over an EXPLICIT file list — the form a manifest
     *-driven caller ([[Snapshots.zoneMap]]) uses, where the files of
     * interest are a subset of what a directory listing would see.
+    *
+    * `cols` are NUMERIC-statistics columns (min/max as doubles):
+    * int32/int64/float/double physicals, including date (days) and
+    * timestamp (micros) — monotone encodings whose interval test is
+    * exact as long as the caller's bounds use the same unit. DECIMAL
+    * columns are deliberately emitted as NULL stats (conservatively
+    * KEPT by [[zonePrune]]): their physical stats are the UNSCALED
+    * integer, and silently intersecting a caller's logical bounds
+    * against unscaled values would prune files that match — the one
+    * failure mode a skip index must never have.
+    *
+    * `strCols` are STRING columns (min/max as UTF-8 strings): parquet
+    * binary stats may be TRUNCATED bounds (a prefix for min, an
+    * incremented prefix for max) — still valid for interval
+    * intersection, which only needs bounds, not exact extremes.
     */
   def zoneMapFootersFor(spark: org.apache.spark.sql.SparkSession,
-                        files: Seq[String], cols: Seq[String]): DataFrame = {
+                        files: Seq[String], cols: Seq[String],
+                        strCols: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(
       StructField("file", StringType) +: StructField("n_rows", LongType) +:
-        cols.flatMap(c => Seq(StructField(s"min_$c", DoubleType),
-          StructField(s"max_$c", DoubleType))))
+        (cols.flatMap(c => Seq(StructField(s"min_$c", DoubleType),
+          StructField(s"max_$c", DoubleType))) ++
+          strCols.flatMap(c => Seq(StructField(s"min_$c", StringType),
+            StructField(s"max_$c", StringType)))))
     val rows = spark.sparkContext.parallelize(files,
       math.max(1, math.min(files.size, 64))).map { path =>
       val conf = new org.apache.hadoop.conf.Configuration()
@@ -219,6 +238,8 @@ object Layout {
         var nRows = 0L
         val mins = Array.fill(cols.size)(Option.empty[Double])
         val maxs = Array.fill(cols.size)(Option.empty[Double])
+        val smins = Array.fill(strCols.size)(Option.empty[String])
+        val smaxs = Array.fill(strCols.size)(Option.empty[String])
         val it = blocks.iterator()
         while (it.hasNext) {
           val b = it.next()
@@ -227,24 +248,40 @@ object Layout {
           while (chunks.hasNext) {
             val ch = chunks.next()
             val name = ch.getPath.toDotString
+            val st = ch.getStatistics
+            val hasStats = st != null && st.hasNonNullValue
+            val isDecimal = ch.getPrimitiveType.getLogicalTypeAnnotation
+              .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
             val i = cols.indexOf(name)
-            if (i >= 0) {
-              val st = ch.getStatistics
-              if (st != null && st.hasNonNullValue) {
-                def num(v: Any): Option[Double] = v match {
-                  case n: java.lang.Number => Some(n.doubleValue())
-                  case _ => None // binary/bool stats: not zone-mappable here
-                }
-                num(st.genericGetMin: Any).foreach(m =>
-                  mins(i) = Some(mins(i).fold(m)(math.min(m, _))))
-                num(st.genericGetMax: Any).foreach(m =>
-                  maxs(i) = Some(maxs(i).fold(m)(math.max(m, _))))
+            if (i >= 0 && hasStats && !isDecimal) {
+              def num(v: Any): Option[Double] = v match {
+                case n: java.lang.Number => Some(n.doubleValue())
+                case _ => None // non-numeric physical under a numeric ask
               }
+              num(st.genericGetMin: Any).foreach(m =>
+                mins(i) = Some(mins(i).fold(m)(math.min(m, _))))
+              num(st.genericGetMax: Any).foreach(m =>
+                maxs(i) = Some(maxs(i).fold(m)(math.max(m, _))))
+            }
+            val j = strCols.indexOf(name)
+            if (j >= 0 && hasStats && !isDecimal) {
+              def str(v: Any): Option[String] = v match {
+                case b: org.apache.parquet.io.api.Binary =>
+                  Some(b.toStringUsingUTF8)
+                case _ => None
+              }
+              str(st.genericGetMin: Any).foreach(m =>
+                smins(j) = Some(smins(j).fold(m)(o => if (m < o) m else o)))
+              str(st.genericGetMax: Any).foreach(m =>
+                smaxs(j) = Some(smaxs(j).fold(m)(o => if (m > o) m else o)))
             }
           }
         }
-        Row.fromSeq(path +: nRows +: cols.indices.flatMap(i =>
-          Seq(mins(i).map(Double.box).orNull, maxs(i).map(Double.box).orNull)))
+        Row.fromSeq(path +: nRows +: (cols.indices.flatMap(i =>
+          Seq(mins(i).map(Double.box).orNull,
+            maxs(i).map(Double.box).orNull)) ++
+          strCols.indices.flatMap(j =>
+            Seq(smins(j).orNull, smaxs(j).orNull))))
       } finally reader.close()
     }
     spark.createDataFrame(rows, schema)

@@ -181,6 +181,36 @@ class MergeZoneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned === full)
   }
 
+  test("string zone maps: footer bounds prune a lexicographic window; decimal columns give NULL stats (kept)") {
+    val dir = tmp("graft_zs")
+    spark.range(0, 2600)
+      .select(concat(lit("key_"), format_string("%04d", col("id"))).as("s"),
+        col("id").cast("decimal(12,2)").as("dec"),
+        col("id"))
+      .repartitionByRange(4, col("s"))
+      .sortWithinPartitions(col("s"))
+      .write.mode("overwrite").parquet(dir)
+    val stats = Layout.zoneMapFooters(spark, dir, Seq("dec"), Seq("s"))
+    assert(stats.count() === 4)
+    // decimal stats are deliberately NULL: physical min/max are the
+    // UNSCALED integers, and pruning logical bounds against them would
+    // drop matching files
+    assert(stats.where(col("min_dec").isNotNull ||
+      col("max_dec").isNotNull).count() === 0)
+    assert(Layout.zonePrune(stats, Seq(("dec", 0, 1))).size === 4)
+    // string window: a narrow lexicographic range hits ~1 of 4 files
+    val survivors = Layout.zonePrune(stats,
+      Seq(("s", "key_0700", "key_0800")))
+    assert(survivors.size < 4 && survivors.nonEmpty)
+    val pruned = spark.read.parquet(survivors: _*)
+      .where(col("s") >= "key_0700" && col("s") <= "key_0800")
+      .agg(count(lit(1)), sum(col("id"))).collect()(0)
+    val full = spark.read.parquet(dir)
+      .where(col("s") >= "key_0700" && col("s") <= "key_0800")
+      .agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(pruned === full)
+  }
+
   test("zonePrune treats NULL stats as unprunable (kept), and an empty predicate list keeps everything") {
     val ss = spark; import ss.implicits._
     val stats = Seq(
