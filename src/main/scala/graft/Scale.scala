@@ -60,6 +60,7 @@ object Scale {
     if (args.headOption.contains("zorder")) return zorderMain(args.drop(1))
     if (args.headOption.contains("zonemap")) return zonemapMain(args.drop(1))
     if (args.headOption.contains("snapshots")) return snapshotsMain(args.drop(1))
+    if (args.headOption.contains("mor")) return morMain(args.drop(1))
     if (args.headOption.contains("merge")) return mergeMain(args.drop(1))
     if (args.headOption.contains("compaction")) return compactionMain(args.drop(1))
     val n = if (args.nonEmpty) args(0).toLong else 200000000L
@@ -512,6 +513,68 @@ object Scale {
       require(ops.Snapshots.vacuum(root, keepVersions = 1) == 0) // append: nothing dead
     }
     println(f"""{"mode":"snapshots","n_rows":$n,"n_files":$nFiles,"commit_sec":$commitSec%.1f,"manifest_bytes":$manifestBytes,"plan_sec":$planSec%.2f,"count_sec":$countSec%.1f,"stats_sec":$statsSec%.1f,"append_sec":$appendSec%.1f,"vacuum_sec":$vacuumSec%.2f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Merge-on-read's read amplification priced, and compaction's cure:
+    * a clustered base of `n` rows takes 16 domain-spanning change
+    * batches (each O(batch) to write — the MOR promise), then the
+    * merged view is read three ways: through the tombstone join
+    * (readMerged), after a PLAIN materializing compaction, and after a
+    * CLUSTERED compaction that also restores the zone map's bite for a
+    * 1/8-domain window. What this prices at 100 TB: each MOR read pays
+    * base + churn + a key join; the scheduled compaction pays it ONCE
+    * and every read after is a plain (and prunable) scan again.
+    */
+  private def morMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 10000000L
+    val rounds = 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val root = ops.Snapshots.init(
+      java.nio.file.Files.createTempDirectory("graft_mor_scale").toString)
+    ops.Snapshots.commit(root, spark.range(n)
+      .select(col("id"), (col("id") % 97).cast("double").as("v"))
+      .repartitionByRange(32, col("id")).sortWithinPartitions("id"),
+      "base"): Unit
+    val changeSec = time {
+      (0 until rounds).foreach { r =>
+        ops.Snapshots.commitChanges(root,
+          upserts = spark.range(n).where(pmod(col("id"), lit(997L)) === r)
+            .select(col("id"), lit(1000.0 + r).as("v")),
+          deleteKeys = spark.range(n)
+            .where(pmod(col("id"), lit(9973L)) === r).select(col("id")),
+          "id", s"chg$r"): Unit
+      }
+    }
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(col("v"))).collect()(0)
+    var merged: org.apache.spark.sql.Row = null
+    val morReadSec = time {
+      merged = agg(ops.Snapshots.readMerged(spark, root, "id"))
+    }
+    val compactSec = time {
+      ops.Snapshots.compactMerged(spark, root, "id",
+        clusterBy = Seq("id"), nFiles = 32): Unit
+    }
+    var plain: org.apache.spark.sql.Row = null
+    val plainReadSec = time { plain = agg(ops.Snapshots.read(spark, root)) }
+    require(merged == plain,
+      s"compaction changed the state: $merged vs $plain")
+    // zone-map bite for a 1/8-domain window, after the clustered rewrite
+    val stats = ops.Snapshots.zoneMap(spark, root, Seq("id"))
+    val survivors = ops.Layout.zonePrune(stats, Seq(("id", 0L, n / 8)))
+    println(f"""{"mode":"mor","n_rows":$n,"rounds":$rounds,"change_commits_sec":$changeSec%.1f,"mor_read_sec":$morReadSec%.1f,"compact_sec":$compactSec%.1f,"plain_read_sec":$plainReadSec%.1f,"files_after":${stats.count()},"survivors_eighth":${survivors.size},"cpus":$cpus}""")
     spark.stop()
   }
 

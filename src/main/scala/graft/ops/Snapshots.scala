@@ -338,12 +338,28 @@ object Snapshots {
     * REPLACE commit pinned to the version it read (a concurrent change
     * commit surfaces as a conflict, never a lost update). Readers pinned
     * to older versions keep the tombstoned view until [[vacuum]].
+    *
+    * `clusterBy` re-establishes layout while it rewrites anyway (the
+    * free ride every OPTIMIZE takes): MOR churn appends change batches
+    * wherever they land, so each new file spans the whole key domain
+    * and the [[zoneMap]] skip index stops biting; range-scattering the
+    * materialized state into `nFiles` sorted files makes the zones
+    * tight again. Empty `clusterBy` keeps the scan's natural
+    * partitioning.
     */
-  def compactMerged(spark: SparkSession, root: String, keyCol: String): Long = {
+  def compactMerged(spark: SparkSession, root: String, keyCol: String,
+                    clusterBy: Seq[String] = Seq.empty,
+                    nFiles: Int = 0): Long = {
     val base = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    commit(root, readMerged(spark, root, keyCol, Some(base)),
-      s"compact-merged-v$base", replace = true, basedOn = Some(base))
+    val merged = readMerged(spark, root, keyCol, Some(base))
+    val laid =
+      if (clusterBy.isEmpty) merged
+      else merged.repartitionByRange(math.max(1, nFiles),
+          clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    commit(root, laid, s"compact-merged-v$base",
+      replace = true, basedOn = Some(base))
   }
 
   /** Incremental read — the rows APPENDED in versions `(fromVersion,

@@ -200,6 +200,39 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("k").as[(Long, Double)].collect().toSeq === merged)
   }
 
+  test("clustered compactMerged restores the zone map's bite after MOR churn") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 4000)
+      .select(col("id"), (col("id") % 7).as("p"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      "base"): Unit
+    // MOR churn: two change batches spanning the WHOLE id domain — each
+    // appended file's [min,max] covers everything, so pruning stops biting
+    (0 until 2).foreach { r =>
+      Snapshots.commitChanges(root,
+        upserts = spark.range(0, 4000).where(pmod(col("id"), lit(13)) === r)
+          .select(col("id"), lit(100L + r).as("p")).coalesce(1),
+        deleteKeys = spark.emptyDataset[Long].toDF("id"), "id", s"chg$r"): Unit
+    }
+    val churned = Snapshots.zoneMap(spark, root, Seq("id"))
+    val wideFiles = churned.where(col("min_id") < 500 && col("max_id") > 3500)
+      .count()
+    assert(wideFiles >= 2, "churn should have produced domain-spanning files")
+    // compact WITH clustering: tombstones retired AND zones tight again
+    Snapshots.compactMerged(spark, root, "id",
+      clusterBy = Seq("id"), nFiles = 4): Unit
+    val stats = Snapshots.zoneMap(spark, root, Seq("id"))
+    assert(stats.count() === 4)
+    val survivors = graft.ops.Layout.zonePrune(stats, Seq(("id", 0L, 900L)))
+    assert(survivors.size === 1, s"expected 1 surviving file, got $survivors")
+    // and the compacted state is still the merged truth
+    val got = Snapshots.read(spark, root)
+      .where(pmod(col("id"), lit(13)) === 0).select("p")
+      .distinct().as[Long].collect().toSeq
+    assert(got === Seq(100L))
+  }
+
   test("changesBetween returns exactly the appended rows; replace in the window is rejected") {
     val root = freshTable()
     Snapshots.commit(root, spark.range(0, 4).toDF(), "base"): Unit
