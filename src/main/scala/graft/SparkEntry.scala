@@ -1769,6 +1769,38 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // The MERGE-ON-READ streaming CDC sink — the shape that survives
+    // 100 TB: each micro-batch publishes ONE commitChanges (upserts
+    // append, affected keys tombstone), O(batch) with no target read or
+    // rewrite, and the merged view materializes at READ time through
+    // readMerged's latest-wins suppression. Unique change keys make the
+    // final state micro-batch-split independent; same declarative-merge
+    // oracle shape as stream_upsert, different change slice.
+    "stream_upsert_mor" -> ((s, d) => {
+      val root = ModelStore.fit(s"streamupsertmor|${cid(d)}", "graft_cdcm") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        val path = s"$d/customer.parquet"
+        val schema = s.read.parquet(path).schema
+        val changes = s.readStream.schema(schema)
+          .parquet(streaming.StreamOps.stageDir(path))
+          .where(pmod(col("c_custkey"), lit(4)) === 2)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            dec2(dec2(col("c_acctbal")) * 3).as("acctbal"),
+            when(pmod(col("c_custkey"), lit(8)) === 6, "delete")
+              .otherwise("upsert").as("op"))
+        streaming.StreamOps.cdcApplyStreamMor(s, changes, p,
+          "c_custkey", "op"): Unit
+      }
+      Snapshots.readMerged(s, root, "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "partition_sort" -> ((s, d) =>
       Sorts.partitionSort(li(s, d).select(sortCols.map(col): _*), 8,
         col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))),
@@ -4287,6 +4319,26 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem, b WHERE l_orderkey BETWEEN lo AND hi
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Same declarative-merge oracle shape as stream_upsert: unique keys
+    // make the tombstone-sequenced MOR state equal the one-shot merge.
+    "stream_upsert_mor" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |chg AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(acctbal * 3 AS DECIMAL(18,2)) AS acctbal,
+        |    CASE WHEN c_custkey % 8 = 6 THEN 'delete'
+        |         ELSE 'upsert' END AS op
+        |  FROM cust WHERE c_custkey % 4 = 2),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment, acctbal FROM cust
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, acctbal FROM chg
+        |  WHERE op <> 'delete')
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // Unique change keys make the sequential per-micro-batch merges
     // equal the one-shot batch merge, whatever the split — so the oracle

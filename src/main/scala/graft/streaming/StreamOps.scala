@@ -402,6 +402,46 @@ object StreamOps {
     graft.ops.Snapshots.latestVersion(root).getOrElse(0L) - before
   }
 
+  /** [[cdcApplyStream]]'s merge-on-read twin — the shape a 100 TB CDC
+    * sink actually ships: each micro-batch publishes ONE
+    * [[graft.ops.Snapshots.commitChanges]] (upsert rows append, affected
+    * keys tombstone), so per-batch cost is O(batch) — no target read, no
+    * merge join, no rewrite — and the merged view materializes lazily at
+    * read time ([[graft.ops.Snapshots.readMerged]]) until a scheduled
+    * [[graft.ops.Snapshots.compactMerged]] retires the tombstones (the
+    * read-amplification trade is priced in SCALE.md's `mor` leg).
+    * Append commits REBASE past concurrent writers, so unlike the
+    * replace-commit variant this sink coexists with other committers
+    * without conflicts. A batch carrying several versions of one key
+    * must be collapsed first ([[graft.ops.Reconcile.cdcLatest]] inside
+    * a `transform`) — `commitChanges`'s one-row-per-key contract.
+    * Returns the number of commits published.
+    */
+  def cdcApplyStreamMor(spark: SparkSession, changes: DataFrame,
+                        root: String, keyCol: String,
+                        opCol: String): Long = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcm").toString
+    val before = graft.ops.Snapshots.latestVersion(root).getOrElse(0L)
+    val q = changes.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Snapshots.commitChanges(root,
+            upserts = batch.toDF().where(col(opCol) =!= lit("delete"))
+              .drop(opCol),
+            deleteKeys = batch.toDF().where(col(opCol) === lit("delete"))
+              .select(col(keyCol)),
+            keyCol, s"cdc-mor-$id"): Unit
+        }
+      }
+      .option("checkpointLocation", s"$ckpt/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordStateOps(q)
+    graft.ops.Snapshots.latestVersion(root).getOrElse(0L) - before
+  }
+
   /** Stream-stream INNER join with event-time range bounds — the
     * enrichment join of a live pipeline (each purchase picks up the same
     * user's clicks from the preceding hour). Both sides carry watermarks

@@ -51,6 +51,7 @@ class StreamStateOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "stream_static_join" -> Seq(),                     // stream-static: STATELESS
     "stream_foreach_digest" -> Seq(),                  // append passthrough: STATELESS
     "stream_upsert" -> Seq(),                          // foreachBatch CDC apply: STATELESS (merge state lives in the snapshot table)
+    "stream_upsert_mor" -> Seq(),                      // foreachBatch MOR CDC apply: STATELESS (tombstones live in the snapshot table)
     "stream_sessions" -> Seq("flatMapGroupsWithState"),
     "stream_sessions_timers" -> Seq("transformWithStateExec"),
     "stream_running_totals" -> Seq("transformWithStateExec"))
