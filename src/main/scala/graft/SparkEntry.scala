@@ -1769,6 +1769,31 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Additive SCHEMA EVOLUTION through the gate: v2 appends rows
+    // carrying a column v1 never had (`segment`), and the evolved read
+    // merges file schemas — old rows surface NULL for it (bucketed as
+    // '<none>'), new rows carry their value; a reader pinned to v1
+    // keeps the old schema (spec-asserted). The oracle replays the
+    // union with an explicit NULL for the base rows.
+    "snapshot_evolve" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapevolve|${cid(d)}", "graft_snapevolve") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        Snapshots.commit(p,
+          Tables.customer(s, d).where(pmod(col("c_custkey"), lit(9)) === 0)
+            .select(col("c_custkey"),
+              dec2(dec2(col("c_acctbal")) + 7).as("acctbal"),
+              col("c_mktsegment").as("segment")), "widened"): Unit
+      }
+      Snapshots.read(s, root, evolved = true)
+        .groupBy(coalesce(col("segment"), lit("<none>")).as("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("segment"))
+    }),
+
     // The MERGE-ON-READ streaming CDC sink — the shape that survives
     // 100 TB: each micro-batch publishes ONE commitChanges (upserts
     // append, affected keys tombstone), O(batch) with no target read or
@@ -4319,6 +4344,23 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem, b WHERE l_orderkey BETWEEN lo AND hi
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The evolved table is the base rows (NULL segment) unioned with the
+    // widened append — replayed with an explicit NULL.
+    "snapshot_evolve" ->
+      """WITH cust AS (SELECT c_custkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal, c_mktsegment
+        |  FROM customer),
+        |evolved AS (
+        |  SELECT acctbal, CAST(NULL AS VARCHAR) AS segment FROM cust
+        |  UNION ALL
+        |  SELECT CAST(acctbal + 7 AS DECIMAL(18,2)) AS acctbal,
+        |    c_mktsegment AS segment
+        |  FROM cust WHERE c_custkey % 9 = 0)
+        |SELECT coalesce(segment, '<none>') AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM evolved GROUP BY 1 ORDER BY segment""".stripMargin,
 
     // Same declarative-merge oracle shape as stream_upsert: unique keys
     // make the tombstone-sequenced MOR state equal the one-shot merge.

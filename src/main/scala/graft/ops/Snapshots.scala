@@ -156,24 +156,33 @@ object Snapshots {
   def readPruned(spark: SparkSession, root: String,
                  preds: Seq[(String, Any, Any)],
                  version: Option[Long] = None): DataFrame = {
-    val survivors = Layout.zonePrune(zoneMap(spark, root,
-      preds.map(_._1), version), preds)
-    require(survivors.nonEmpty,
-      "zone map pruned every file — the result is provably empty; " +
-        "read it as an empty frame with the caller's schema")
-    spark.read.parquet(survivors: _*)
+    val numeric = preds.filter(_._2.isInstanceOf[Number]).map(_._1)
+    val strings = preds.filterNot(_._2.isInstanceOf[Number]).map(_._1)
+    val survivors = Layout.zonePrune(
+      zoneMap(spark, root, numeric, version, strings), preds)
+    if (survivors.isEmpty) {
+      // every zone misses: the result is PROVABLY empty — return an
+      // empty frame with the table's schema (from one manifest file's
+      // footer) instead of making the caller special-case it
+      val v = version.orElse(latestVersion(root)).get
+      val first = snapshot(root, v).files.head
+      spark.read.parquet(s"$root/${first.path}").limit(0)
+    } else spark.read.parquet(survivors: _*)
   }
 
   /** The zone-map stats table ([[Layout.zoneMapFooters]] semantics) for
     * one snapshot VERSION: stats come from the manifest's file list, so
     * they describe exactly what that version's scan would read.
+    * `strCols` (after `version` for source compatibility) are the
+    * string-statistics columns, as in [[Layout.zoneMapFootersFor]].
     */
   def zoneMap(spark: SparkSession, root: String, cols: Seq[String],
-              version: Option[Long] = None): DataFrame = {
+              version: Option[Long] = None,
+              strCols: Seq[String] = Seq.empty): DataFrame = {
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     Layout.zoneMapFootersFor(spark,
-      snapshot(root, v).files.map(f => s"$root/${f.path}"), cols)
+      snapshot(root, v).files.map(f => s"$root/${f.path}"), cols, strCols)
   }
 
   /** Commit `df` as a new version. `replace = false` appends (new files

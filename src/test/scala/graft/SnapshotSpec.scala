@@ -298,6 +298,10 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stats follow the MANIFEST: a version pinned before a2 has only
     // a1's files in its zone map
     assert(Snapshots.zoneMap(spark, root, Seq("id"), Some(1L)).count() === 4)
+    // a window no zone intersects is PROVABLY empty: an empty typed
+    // frame, not an exception
+    val none = Snapshots.readPruned(spark, root, Seq(("id", 100000L, 200000L)))
+    assert(none.count() === 0 && none.columns.contains("id"))
   }
 
   test("vacuum keeping every version deletes only debris; re-run is a no-op") {
