@@ -185,6 +185,22 @@ object Snapshots {
       snapshot(root, v).files.map(f => s"$root/${f.path}"), cols, strCols)
   }
 
+  /** Metadata-only `COUNT(*)`: the manifest already carries per-file row
+    * counts (footer-read at commit time), so a full count is an O(files)
+    * sum with ZERO data reads — the reason lakehouse engines answer
+    * `SELECT COUNT(*)` instantly. Honest under merge-on-read: a version
+    * with live tombstones returns None (the manifest sum counts
+    * suppressed rows too — an upper bound, not a count; `readMerged(...)
+    * .count()` is the truthful route until [[compactMerged]] retires the
+    * tombstones and this becomes exact again).
+    */
+  def countRows(root: String, version: Option[Long] = None): Option[Long] = {
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val s = snapshot(root, v)
+    if (s.deletes.nonEmpty) None else Some(s.files.map(_.rows).sum)
+  }
+
   /** Commit `df` as a new version. `replace = false` appends (new files
     * join the parent's), `replace = true` supersedes (the new version
     * lists ONLY the new files — the commit shape of compaction, merge

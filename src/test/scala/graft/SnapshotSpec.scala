@@ -146,6 +146,23 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!inflight.exists())
   }
 
+  test("countRows: metadata-only count per version; None under live tombstones; exact again after compaction") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 100).toDF(), "base"): Unit
+    Snapshots.commit(root, spark.range(100, 130).toDF(), "append"): Unit
+    assert(Snapshots.countRows(root, Some(1L)) === Some(100L))
+    assert(Snapshots.countRows(root) === Some(130L))
+    Snapshots.commitChanges(root,
+      upserts = Seq((5L, 0L)).toDF("id", "x").select(col("id")),
+      deleteKeys = Seq(Tuple1(7L)).toDF("id"), "id", "chg"): Unit
+    assert(Snapshots.countRows(root) === None,
+      "tombstoned manifest sums are an upper bound, never a count")
+    Snapshots.compactMerged(spark, root, "id"): Unit
+    assert(Snapshots.countRows(root) ===
+      Some(Snapshots.read(spark, root).count()))
+  }
+
   // ---- merge-on-read (equality-delete tombstones) ---------------------------
 
   test("commitChanges + readMerged: upserts shadow older rows, deletes drop, own-commit rows survive, latest wins across commits") {
