@@ -1769,6 +1769,29 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // DESCRIBE HISTORY through the gate: the audit-log surface — one row
+    // per version (parent, note, manifest row sum) from pure manifest
+    // reads over the snapshot_read table's two commits. File counts are
+    // environment-dependent (write parallelism) so the query exposes the
+    // deterministic columns; the oracle replays both versions' row sums
+    // from the source.
+    "snapshot_history" -> ((s, d) => {
+      val root = ModelStore.fit(s"snaptable|${cid(d)}", "graft_snaptable") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        Snapshots.commit(p,
+          cust.where(pmod(col("c_custkey"), lit(7)) === 0)
+            .select(col("c_custkey"),
+              dec2(col("acctbal") + 100).as("acctbal")), "delta"): Unit
+      }
+      Snapshots.history(s, root)
+        .select(col("version"), col("parent"), col("note"),
+          col("manifest_rows"))
+        .orderBy(col("version"))
+    }),
+
     // Additive SCHEMA EVOLUTION through the gate: v2 appends rows
     // carrying a column v1 never had (`segment`), and the evolved read
     // merges file schemas — old rows surface NULL for it (bucketed as
@@ -4344,6 +4367,19 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem, b WHERE l_orderkey BETWEEN lo AND hi
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // v1 holds the base rows; v2 (an append, parent 1) adds the delta —
+    // manifest row sums replayed from the source.
+    "snapshot_history" ->
+      """WITH cust AS (SELECT c_custkey FROM customer)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS parent,
+        |  'base' AS note, CAST(count(*) AS BIGINT) AS manifest_rows
+        |FROM cust
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'delta',
+        |  CAST((SELECT count(*) FROM cust) +
+        |       (SELECT count(*) FROM cust WHERE c_custkey % 7 = 0) AS BIGINT)
+        |ORDER BY version""".stripMargin,
 
     // The evolved table is the base rows (NULL segment) unioned with the
     // widened append — replayed with an explicit NULL.

@@ -185,6 +185,31 @@ object Snapshots {
       snapshot(root, v).files.map(f => s"$root/${f.path}"), cols, strCols)
   }
 
+  /** The table's commit HISTORY as a DataFrame (`DESCRIBE HISTORY`):
+    * one row per retained version with its parent, note, file/tombstone
+    * counts and the manifest row-count sum (an upper bound while
+    * tombstones live — see [[countRows]]). Pure manifest reads,
+    * O(versions · files) driver text — the audit-log surface every
+    * lakehouse format exposes.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = versions(root).map { v =>
+      val s = snapshot(root, v)
+      org.apache.spark.sql.Row(s.version, s.parent, s.note,
+        s.files.size.toLong, s.deletes.size.toLong, s.files.map(_.rows).sum)
+    }
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(
+      Seq("version", "parent").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType)) ++
+        Seq(org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType)) ++
+        Seq("n_files", "n_tombstones", "manifest_rows").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType))))
+  }
+
   /** Metadata-only `COUNT(*)`: the manifest already carries per-file row
     * counts (footer-read at commit time), so a full count is an O(files)
     * sum with ZERO data reads — the reason lakehouse engines answer
