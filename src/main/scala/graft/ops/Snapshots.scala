@@ -284,14 +284,33 @@ object Snapshots {
       FileEntry(s"$dataPath/$name", rows, 0L) }
   }
 
-  /** The manifest race: stage, `ATOMIC_MOVE` to v(parent+1), rebase or
-    * abort on loss. `newFiles`/`newDeletes` get `seq = v` stamped with
-    * the version that finally wins — the sequence-number rule that keeps
-    * merge-on-read tombstones from eating their own commit's rows.
+  /** RESTORE: make version `toVersion`'s exact state the new LATEST — a
+    * new commit whose manifest lists the old version's files and
+    * tombstones VERBATIM (seqs preserved, so a merge-on-read state
+    * replays identically), undoing a bad commit WITHOUT rewriting data
+    * or losing history: the bad version stays readable and auditable
+    * until [[vacuum]] retires it, and the restored files are referenced
+    * by the new head, so even a `keepVersions = 1` vacuum keeps them.
+    * The restore commit is pinned to the current latest — a concurrent
+    * commit surfaces as a conflict rather than being silently undone.
+    */
+  def restore(root: String, toVersion: Long): Long = {
+    val target = snapshot(root, toVersion)
+    publish(root, target.files, target.deletes, s"restore-v$toVersion",
+      replace = true, basedOn = None, stampSeq = false)
+  }
+
+  /** The manifest race: stage, hard-link to v(parent+1), rebase or
+    * abort on loss. With `stampSeq` (every route except [[restore]]),
+    * `newFiles`/`newDeletes` get `seq = v` stamped with the version
+    * that finally wins — the sequence-number rule that keeps
+    * merge-on-read tombstones from eating their own commit's rows;
+    * restore carries old entries verbatim instead.
     */
   private def publish(root: String, newFiles: Seq[FileEntry],
                       newDeletes: Seq[FileEntry], note: String,
-                      replace: Boolean, basedOn: Option[Long]): Long = {
+                      replace: Boolean, basedOn: Option[Long],
+                      stampSeq: Boolean = true): Long = {
     // a REPLACE writer computed its output FROM some version; `basedOn`
     // pins it (the lakehouse transaction-version pattern) so the commit
     // can detect that the parent moved — whether before this call or
@@ -308,9 +327,11 @@ object Snapshots {
         if (parent == 0L || replace) (Seq.empty[FileEntry], Seq.empty[FileEntry])
         else { val p = snapshot(root, parent); (p.files, p.deletes) }
       val v = parent + 1
+      def stamped(es: Seq[FileEntry]) =
+        if (stampSeq) es.map(_.copy(seq = v)) else es
       val snap = Snapshot(v, parent, note,
-        parentFiles ++ newFiles.map(_.copy(seq = v)),
-        parentDeletes ++ newDeletes.map(_.copy(seq = v)))
+        parentFiles ++ stamped(newFiles),
+        parentDeletes ++ stamped(newDeletes))
       val tmp = Files.createTempFile(Paths.get(root, SnapDir), ".stage_", ".tmp")
       Files.write(tmp, render(snap).getBytes("UTF-8"))
       // createLink, NOT Files.move: the no-replace move is implemented

@@ -146,6 +146,24 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!inflight.exists())
   }
 
+  test("restore makes an old version the new head without rewriting data; restored files survive a tight vacuum") {
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 6).toDF(), "good"): Unit
+    Snapshots.commit(root, spark.range(100, 102).toDF(), "bad-rewrite",
+      replace = true): Unit
+    val v3 = Snapshots.restore(root, 1L)
+    assert(v3 === 3L)
+    assert(ids(root) === (0L until 6L)) // v1's exact state is the head
+    assert(ids(root, Some(2L)) === (100L until 102L)) // history intact
+    // the restore listed v1's entries VERBATIM (seq 1, not 3)
+    assert(Snapshots.snapshot(root, 3L).files.forall(_.seq === 1L))
+    // a keepVersions=1 vacuum keeps the restored files (referenced by
+    // the head) and reaps the bad rewrite's
+    assert(Snapshots.vacuum(root, 1, minAgeMillis = 0) > 0)
+    assert(ids(root) === (0L until 6L))
+    assert(Snapshots.countRows(root) === Some(6L))
+  }
+
   test("countRows: metadata-only count per version; None under live tombstones; exact again after compaction") {
     val ss = spark; import ss.implicits._
     val root = freshTable()
