@@ -254,13 +254,24 @@ object Layout {
               .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
             val i = cols.indexOf(name)
             if (i >= 0 && hasStats && !isDecimal) {
-              def num(v: Any): Option[Double] = v match {
+              // INT64 stats above 2^53 don't round-trip through double:
+              // round-to-nearest could RAISE a min or LOWER a max, and a
+              // too-tight zone skips a file that contains matching rows —
+              // the one failure a skip index must never have. Widen
+              // conservatively (nextDown on mins, nextUp on maxs) exactly
+              // when the long→double conversion was lossy; in-range longs
+              // (and every other numeric physical) stay exact.
+              def num(v: Any, roundUp: Boolean): Option[Double] = v match {
+                case l: java.lang.Long =>
+                  val d = l.doubleValue()
+                  if (math.abs(l.longValue()) <= (1L << 53)) Some(d)
+                  else Some(if (roundUp) Math.nextUp(d) else Math.nextDown(d))
                 case n: java.lang.Number => Some(n.doubleValue())
                 case _ => None // non-numeric physical under a numeric ask
               }
-              num(st.genericGetMin: Any).foreach(m =>
+              num(st.genericGetMin: Any, roundUp = false).foreach(m =>
                 mins(i) = Some(mins(i).fold(m)(math.min(m, _))))
-              num(st.genericGetMax: Any).foreach(m =>
+              num(st.genericGetMax: Any, roundUp = true).foreach(m =>
                 maxs(i) = Some(maxs(i).fold(m)(math.max(m, _))))
             }
             val j = strCols.indexOf(name)

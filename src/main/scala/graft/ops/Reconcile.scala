@@ -113,8 +113,17 @@ object Reconcile {
     val touched = changes.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return Seq.empty // empty batch: nothing to rewrite
-    val target = spark.read.parquet(targetDir)
-      .where(col(partCol).isin(touched: _*))
+    // NULL is a legal partition value (__HIVE_DEFAULT_PARTITION__ on
+    // disk) but `isin` never matches it — filter it explicitly, or a
+    // touched null partition's surviving rows would be invisible to the
+    // merge and then deleted by the stale-dir cleanup below.
+    val (nullTouched, valTouched) = touched.partition(_ == null)
+    val partFilter = (
+      (if (valTouched.nonEmpty) Seq(col(partCol).isin(valTouched: _*))
+       else Seq.empty) ++
+      (if (nullTouched.nonEmpty) Seq(col(partCol).isNull) else Seq.empty)
+    ).reduce(_ || _)
+    val target = spark.read.parquet(targetDir).where(partFilter)
     // column order may differ between batch and target; mergeApply aligns
     // the upsert rows to the target schema by name.
     val merged = mergeApply(target, changes, keyCol, opCol)
@@ -124,7 +133,14 @@ object Reconcile {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(targetDir)
     touched.filterNot(surviving).foreach { p =>
-      val dir = new java.io.File(targetDir, s"$partCol=$p")
+      // Spark escapes partition values on disk (URL-encoding for special
+      // characters, __HIVE_DEFAULT_PARTITION__ for null) — deleting the
+      // RAW value's path would miss the real directory and the deleted
+      // rows would silently resurface on the next read. Build the dir
+      // name through the same escaping the write used.
+      val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partCol, Option(p).map(_.toString).orNull)
+      val dir = new java.io.File(targetDir, dirName)
       if (dir.isDirectory) {
         dir.listFiles().foreach(f => f.delete(): Unit)
         dir.delete(): Unit

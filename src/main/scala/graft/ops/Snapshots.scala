@@ -1,9 +1,9 @@
 package graft.ops
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, concat, lit, max, substring_index}
 
 /** A minimal snapshot-isolated table format — the transactional shell
   * around the engine's layout operators ([[Layout.zorderWriteN]],
@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions.{col, lit, max}
   *
   *  - **data files are immutable**; every commit writes NEW files under
   *    `root/data/<uuid>/` and publishes a MANIFEST (`_graft_snaps/
-  *    v<n>.txt`) listing exactly the files that version comprises —
-  *    O(files) text, never data;
+  *    v<n>.txt`). The manifest itself is two-level (Iceberg's
+  *    manifest-list shape): the per-commit FILE ENTRIES live in an
+  *    immutable SEGMENT (`_graft_snaps/seg_<uuid>.txt`, written once,
+  *    O(delta) text), and the version manifest is a tiny header plus the
+  *    ordered list of segment references — so an append to a
+  *    million-file table writes O(delta) entry text plus O(versions)
+  *    reference lines, never the O(files) full listing;
   *  - **a commit IS the atomic creation of manifest v(n+1)**: the
   *    manifest is staged to a temp name and HARD-LINKED to its final
   *    name — `link(2)` fails with EEXIST atomically if v(n+1) already
@@ -53,14 +58,22 @@ object Snapshots {
 
   /** `files` hold rows; `deletes` hold equality-delete KEYS (one-column
     * parquet tombstones) that suppress older rows of the same key at
-    * read time — the merge-on-read half of the format, contrasting the
-    * copy-on-write route ([[Reconcile.mergeTouched]] under a replace
-    * commit): deletes cost O(batch) at write and a key anti-join at
-    * read, until [[compactMerged]] materializes them away.
+    * read time, and `posDeletes` hold POSITION tombstones (`_file`,
+    * `_pos` parquet rows — the Iceberg-v2 dual) that suppress specific
+    * (file, row-position) pairs regardless of key — the route for
+    * row-level DELETE WHERE on a non-key predicate. Both are the
+    * merge-on-read half of the format, contrasting the copy-on-write
+    * route ([[Reconcile.mergeTouched]] under a replace commit): deletes
+    * cost O(batch) at write and an anti-join at read, until
+    * [[compactMerged]] materializes them away. `ts` is the commit's
+    * wall-clock (epoch millis) — what `AS OF <timestamp>` resolves
+    * against ([[versionAsOf]]).
     */
   final case class Snapshot(version: Long, parent: Long, note: String,
                             files: Seq[FileEntry],
-                            deletes: Seq[FileEntry] = Seq.empty)
+                            deletes: Seq[FileEntry] = Seq.empty,
+                            posDeletes: Seq[FileEntry] = Seq.empty,
+                            ts: Long = 0L)
 
   def init(root: String): String = {
     Files.createDirectories(Paths.get(root, SnapDir))
@@ -70,37 +83,65 @@ object Snapshots {
 
   // ---- manifest encoding ----------------------------------------------------
   // Dependency-free single-line-per-file text (the manifest is the
-  // format's public contract — any tool must parse it without this jar):
+  // format's public contract — any tool must parse it without this jar).
+  // Version manifest (v00000003.txt):
   //   version=3
   //   parent=2
-  //   note=replace
+  //   note=append
+  //   ts=1755300000000
+  //   segment=_graft_snaps/seg_ab12cd34ef56.txt
+  //   segment=_graft_snaps/seg_0f9e8d7c6b5a.txt
+  // Segment (immutable, written once by the commit that adds its entries):
   //   file=data/<uuid>/part-...parquet|12345|3
   //   delete=data/<uuid>/part-...parquet|17|3
+  //   posdelete=data/<uuid>/part-...parquet|9|3
+  // Pre-segmentation manifests carried file=/delete= lines INLINE; those
+  // still parse (and the first commit on top of one adopts them into a
+  // segment), so a table written by an older engine keeps working.
 
-  private def render(s: Snapshot): String =
-    (Seq(s"version=${s.version}", s"parent=${s.parent}", s"note=${s.note}") ++
-      s.files.map(f => s"file=${f.path}|${f.rows}|${f.seq}") ++
-      s.deletes.map(f => s"delete=${f.path}|${f.rows}|${f.seq}"))
+  /** Raw manifest contents: header + ordered segment refs + any legacy
+    * inline entries. [[snapshot]] resolves this to a flat [[Snapshot]].
+    */
+  private final case class ManifestDoc(version: Long, parent: Long,
+                                       note: String, ts: Long,
+                                       segments: Seq[String],
+                                       inlineFiles: Seq[FileEntry],
+                                       inlineDeletes: Seq[FileEntry],
+                                       inlinePosDeletes: Seq[FileEntry])
+
+  private def parseEntries(lines: Seq[String], prefix: String): Seq[FileEntry] =
+    lines.filter(_.startsWith(prefix)).map { l =>
+      val parts = l.substring(prefix.length).split('|')
+      // path never contains '|' (uuid + Spark part names); the last two
+      // fields are rows and seq
+      FileEntry(parts.dropRight(2).mkString("|"),
+        parts(parts.length - 2).toLong, parts(parts.length - 1).toLong)
+    }
+
+  private def renderEntries(files: Seq[FileEntry], deletes: Seq[FileEntry],
+                            posDeletes: Seq[FileEntry]): String =
+    (files.map(f => s"file=${f.path}|${f.rows}|${f.seq}") ++
+      deletes.map(f => s"delete=${f.path}|${f.rows}|${f.seq}") ++
+      posDeletes.map(f => s"posdelete=${f.path}|${f.rows}|${f.seq}"))
       .mkString("", "\n", "\n")
 
-  private def parse(text: String): Snapshot = {
+  private def parseDoc(text: String): ManifestDoc = {
     val lines = text.linesIterator.toSeq
     def one(k: String) = lines.collectFirst {
-      case l if l.startsWith(s"$k=") => l.substring(k.length + 1) }.get
-    def entries(prefix: String) =
-      lines.filter(_.startsWith(prefix)).map { l =>
-        val parts = l.substring(prefix.length).split('|')
-        // path never contains '|' (uuid + Spark part names); the last two
-        // fields are rows and seq
-        FileEntry(parts.dropRight(2).mkString("|"),
-          parts(parts.length - 2).toLong, parts(parts.length - 1).toLong)
-      }
-    Snapshot(one("version").toLong, one("parent").toLong, one("note"),
-      entries("file="), entries("delete="))
+      case l if l.startsWith(s"$k=") => l.substring(k.length + 1) }
+    ManifestDoc(one("version").get.toLong, one("parent").get.toLong,
+      one("note").get, one("ts").map(_.toLong).getOrElse(0L),
+      lines.filter(_.startsWith("segment="))
+        .map(_.substring("segment=".length)),
+      parseEntries(lines, "file="), parseEntries(lines, "delete="),
+      parseEntries(lines, "posdelete="))
   }
 
   private def manifestPath(root: String, v: Long): Path =
     Paths.get(root, SnapDir, f"v$v%08d.txt")
+
+  private def readDoc(root: String, v: Long): ManifestDoc =
+    parseDoc(new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8"))
 
   /** All committed versions, ascending. O(versions) directory listing. */
   def versions(root: String): Seq[Long] =
@@ -111,8 +152,47 @@ object Snapshots {
 
   def latestVersion(root: String): Option[Long] = versions(root).lastOption
 
-  def snapshot(root: String, v: Long): Snapshot =
-    parse(new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8"))
+  /** Resolve one version to its flat file lists: the manifest header plus
+    * its segments' entries, concatenated in segment order (plus any
+    * legacy inline entries). O(segments) small text reads.
+    */
+  def snapshot(root: String, v: Long): Snapshot = {
+    val doc = readDoc(root, v)
+    val segLines = doc.segments.flatMap { rel =>
+      new String(Files.readAllBytes(Paths.get(root, rel)), "UTF-8")
+        .linesIterator.toSeq
+    }
+    Snapshot(doc.version, doc.parent, doc.note,
+      doc.inlineFiles ++ parseEntries(segLines, "file="),
+      doc.inlineDeletes ++ parseEntries(segLines, "delete="),
+      doc.inlinePosDeletes ++ parseEntries(segLines, "posdelete="),
+      doc.ts)
+  }
+
+  /** Resolve an `AS OF <timestamp>` read to a version: the LATEST version
+    * whose commit timestamp is <= `tsMillis` — a timestamp between two
+    * commits resolves to the earlier one, exactly the Delta/Iceberg
+    * contract. Commit timestamps are the single committing process's
+    * wall-clock and versions are linear, so the (version, ts) sequence is
+    * monotone for any one writer clock; O(versions) header reads.
+    */
+  def versionAsOf(root: String, tsMillis: Long): Long = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val hit = vs.map(v => v -> readDoc(root, v).ts)
+      .filter(_._2 <= tsMillis).map(_._1)
+    require(hit.nonEmpty,
+      s"timestamp $tsMillis predates the first commit of $root " +
+        s"(earliest ts=${readDoc(root, vs.head).ts})")
+    hit.max
+  }
+
+  /** [[read]] resolved by wall-clock instead of version — the `AS OF
+    * <timestamp>` form users actually type.
+    */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long,
+               evolved: Boolean = false): DataFrame =
+    read(spark, root, Some(versionAsOf(root, tsMillis)), evolved)
 
   /** Read the table AS OF `version` (default: latest). The manifest's
     * file list feeds `spark.read.parquet(files)` directly — planning-time
@@ -120,13 +200,24 @@ object Snapshots {
     * REPLACE included. An empty table (no commits, or a version with no
     * files) is represented by an empty manifest and needs the caller's
     * schema to produce a typed empty frame.
+    *
+    * Plain-files contract: this is the PLAIN read — it refuses a version
+    * with live merge-on-read tombstones (equality or position deletes),
+    * because returning the raw files would silently surface deleted keys
+    * and stale pre-upsert rows. Read such a version through
+    * [[readMerged]], or retire the tombstones with [[compactMerged]].
     */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None,
            evolved: Boolean = false): DataFrame = {
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    val files = snapshot(root, v).files
+    val snap = snapshot(root, v)
+    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
+      s"version $v of $root has live merge-on-read tombstones; a plain " +
+        "file read would return deleted/stale rows — use readMerged " +
+        "(or compactMerged to materialize them away)")
+    val files = snap.files
     require(files.nonEmpty, s"version $v of $root lists no files; " +
       "read it with an explicit schema via spark.read.schema(...)")
     // `evolved = true` turns on SCHEMA EVOLUTION for the scan: the read
@@ -151,22 +242,28 @@ object Snapshots {
     * snapshot isolation picks WHICH files exist, file stats pick which
     * of those can matter — and both halves are O(files) metadata work.
     * Callers that scan repeatedly should build `stats` once via
-    * [[zoneMap]] and prune per query.
+    * [[zoneMap]] and prune per query. Same plain-files contract as
+    * [[read]]: refuses a version with live tombstones.
     */
   def readPruned(spark: SparkSession, root: String,
                  preds: Seq[(String, Any, Any)],
                  version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val snap = snapshot(root, v)
+    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
+      s"version $v of $root has live merge-on-read tombstones; a pruned " +
+        "file read would return deleted/stale rows — use readMerged " +
+        "(or compactMerged to materialize them away)")
     val numeric = preds.filter(_._2.isInstanceOf[Number]).map(_._1)
     val strings = preds.filterNot(_._2.isInstanceOf[Number]).map(_._1)
     val survivors = Layout.zonePrune(
-      zoneMap(spark, root, numeric, version, strings), preds)
+      zoneMap(spark, root, numeric, Some(v), strings), preds)
     if (survivors.isEmpty) {
       // every zone misses: the result is PROVABLY empty — return an
       // empty frame with the table's schema (from one manifest file's
       // footer) instead of making the caller special-case it
-      val v = version.orElse(latestVersion(root)).get
-      val first = snapshot(root, v).files.head
-      spark.read.parquet(s"$root/${first.path}").limit(0)
+      spark.read.parquet(s"$root/${snap.files.head.path}").limit(0)
     } else spark.read.parquet(survivors: _*)
   }
 
@@ -186,18 +283,19 @@ object Snapshots {
   }
 
   /** The table's commit HISTORY as a DataFrame (`DESCRIBE HISTORY`):
-    * one row per retained version with its parent, note, file/tombstone
-    * counts and the manifest row-count sum (an upper bound while
-    * tombstones live — see [[countRows]]). Pure manifest reads,
-    * O(versions · files) driver text — the audit-log surface every
-    * lakehouse format exposes.
+    * one row per retained version with its parent, note, commit
+    * timestamp, file/tombstone counts and the manifest row-count sum (an
+    * upper bound while tombstones live — see [[countRows]]). Pure
+    * manifest reads, O(versions · segments) driver text — the audit-log
+    * surface every lakehouse format exposes.
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val rows = versions(root).map { v =>
       val s = snapshot(root, v)
-      org.apache.spark.sql.Row(s.version, s.parent, s.note,
-        s.files.size.toLong, s.deletes.size.toLong, s.files.map(_.rows).sum)
+      org.apache.spark.sql.Row(s.version, s.parent, s.note, s.ts,
+        s.files.size.toLong, (s.deletes.size + s.posDeletes.size).toLong,
+        s.files.map(_.rows).sum)
     }
     spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(
       Seq("version", "parent").map(n =>
@@ -205,7 +303,7 @@ object Snapshots {
           org.apache.spark.sql.types.LongType)) ++
         Seq(org.apache.spark.sql.types.StructField("note",
           org.apache.spark.sql.types.StringType)) ++
-        Seq("n_files", "n_tombstones", "manifest_rows").map(n =>
+        Seq("commit_ts", "n_files", "n_tombstones", "manifest_rows").map(n =>
           org.apache.spark.sql.types.StructField(n,
             org.apache.spark.sql.types.LongType))))
   }
@@ -214,16 +312,18 @@ object Snapshots {
     * counts (footer-read at commit time), so a full count is an O(files)
     * sum with ZERO data reads — the reason lakehouse engines answer
     * `SELECT COUNT(*)` instantly. Honest under merge-on-read: a version
-    * with live tombstones returns None (the manifest sum counts
-    * suppressed rows too — an upper bound, not a count; `readMerged(...)
-    * .count()` is the truthful route until [[compactMerged]] retires the
-    * tombstones and this becomes exact again).
+    * with live tombstones (equality or position) returns None (the
+    * manifest sum counts suppressed rows too — an upper bound, not a
+    * count; `readMerged(...).count()` is the truthful route until
+    * [[compactMerged]] retires the tombstones and this becomes exact
+    * again).
     */
   def countRows(root: String, version: Option[Long] = None): Option[Long] = {
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val s = snapshot(root, v)
-    if (s.deletes.nonEmpty) None else Some(s.files.map(_.rows).sum)
+    if (s.deletes.nonEmpty || s.posDeletes.nonEmpty) None
+    else Some(s.files.map(_.rows).sum)
   }
 
   /** Commit `df` as a new version. `replace = false` appends (new files
@@ -231,17 +331,18 @@ object Snapshots {
     * lists ONLY the new files — the commit shape of compaction, merge
     * and every other rewrite). The data write runs FIRST, unserialized
     * (concurrent committers each write their own `data/<uuid>/` dir);
-    * only the manifest create is the race, settled by `ATOMIC_MOVE`
-    * without replace: the loser re-reads the new latest and retries —
-    * an APPEND rebases losslessly on any winner (its files are its
-    * own); a REPLACE aborts with the standard conflict error, because
-    * it supersedes a parent that is no longer latest and blind retry
-    * would silently drop the winner's commit.
+    * only the manifest create is the race, settled by the atomic
+    * hard-link: the loser re-reads the new latest and retries — an
+    * APPEND rebases losslessly on any winner (its files are its own); a
+    * REPLACE aborts with the standard conflict error, because it
+    * supersedes a parent that is no longer latest and blind retry would
+    * silently drop the winner's commit.
     */
   def commit(root: String, df: DataFrame, note: String,
              replace: Boolean = false,
              basedOn: Option[Long] = None): Long =
-    publish(root, writeData(root, df), Seq.empty, note, replace, basedOn)
+    publish(root, writeData(root, df), Seq.empty, Seq.empty, note,
+      replace, basedOn)
 
   /** Write `df` into a fresh immutable `data/<uuid>/` dir and return its
     * file entries (seq assigned at publish time). Sidecars (_SUCCESS,
@@ -285,32 +386,56 @@ object Snapshots {
   }
 
   /** RESTORE: make version `toVersion`'s exact state the new LATEST — a
-    * new commit whose manifest lists the old version's files and
-    * tombstones VERBATIM (seqs preserved, so a merge-on-read state
-    * replays identically), undoing a bad commit WITHOUT rewriting data
-    * or losing history: the bad version stays readable and auditable
-    * until [[vacuum]] retires it, and the restored files are referenced
-    * by the new head, so even a `keepVersions = 1` vacuum keeps them.
-    * The restore commit is pinned to the current latest — a concurrent
-    * commit surfaces as a conflict rather than being silently undone.
+    * new commit whose manifest references the old version's SEGMENTS
+    * verbatim (entries and seqs preserved, so a merge-on-read state
+    * replays identically — and zero entry text is rewritten), undoing a
+    * bad commit WITHOUT rewriting data or losing history: the bad
+    * version stays readable and auditable until [[vacuum]] retires it,
+    * and the restored files are referenced by the new head, so even a
+    * `keepVersions = 1` vacuum keeps them. The restore commit is pinned
+    * to the current latest — a concurrent commit surfaces as a conflict
+    * rather than being silently undone.
     */
-  def restore(root: String, toVersion: Long): Long = {
-    val target = snapshot(root, toVersion)
-    publish(root, target.files, target.deletes, s"restore-v$toVersion",
-      replace = true, basedOn = None, stampSeq = false)
+  def restore(root: String, toVersion: Long): Long =
+    publish(root, Seq.empty, Seq.empty, Seq.empty, s"restore-v$toVersion",
+      replace = true, basedOn = None, carrySegmentsOf = Some(toVersion))
+
+  /** The segment refs a NEW commit chains from `v`: the version's own
+    * refs, plus — for a pre-segmentation manifest carrying inline
+    * entries — a one-time ADOPTION segment holding those entries
+    * verbatim (seqs preserved), so legacy tables upgrade transparently
+    * on their next commit.
+    */
+  private def segmentRefsOf(root: String, v: Long): Seq[String] = {
+    val doc = readDoc(root, v)
+    val inline = doc.inlineFiles.nonEmpty || doc.inlineDeletes.nonEmpty ||
+      doc.inlinePosDeletes.nonEmpty
+    if (!inline) doc.segments
+    else doc.segments :+ writeSegment(root,
+      renderEntries(doc.inlineFiles, doc.inlineDeletes, doc.inlinePosDeletes))
   }
 
-  /** The manifest race: stage, hard-link to v(parent+1), rebase or
-    * abort on loss. With `stampSeq` (every route except [[restore]]),
-    * `newFiles`/`newDeletes` get `seq = v` stamped with the version
-    * that finally wins — the sequence-number rule that keeps
-    * merge-on-read tombstones from eating their own commit's rows;
-    * restore carries old entries verbatim instead.
+  private def writeSegment(root: String, body: String): String = {
+    val name = s"seg_${java.util.UUID.randomUUID().toString.take(12)}.txt"
+    Files.write(Paths.get(root, SnapDir, name), body.getBytes("UTF-8"))
+    s"$SnapDir/$name"
+  }
+
+  /** The manifest race: stage, hard-link to v(parent+1), rebase or abort
+    * on loss. New entries land in ONE immutable segment, stamped
+    * `seq = v` with the version that finally wins (the sequence-number
+    * rule that keeps merge-on-read tombstones from eating their own
+    * commit's rows) — on a lost race the O(delta) segment is rewritten
+    * with the new seq and the stale one deleted; the O(files) entry text
+    * of prior commits is never touched (their segments are chained by
+    * reference). `carrySegmentsOf` ([[restore]]) references an old
+    * version's segments verbatim instead of adding entries.
     */
   private def publish(root: String, newFiles: Seq[FileEntry],
-                      newDeletes: Seq[FileEntry], note: String,
+                      newDeletes: Seq[FileEntry],
+                      newPosDeletes: Seq[FileEntry], note: String,
                       replace: Boolean, basedOn: Option[Long],
-                      stampSeq: Boolean = true): Long = {
+                      carrySegmentsOf: Option[Long] = None): Long = {
     // a REPLACE writer computed its output FROM some version; `basedOn`
     // pins it (the lakehouse transaction-version pattern) so the commit
     // can detect that the parent moved — whether before this call or
@@ -321,19 +446,31 @@ object Snapshots {
         "recompute against the new latest and re-commit")
     if (replace && latestVersion(root).getOrElse(0L) != basedOn0)
       throw conflict(latestVersion(root).getOrElse(0L))
+    val hasNew =
+      newFiles.nonEmpty || newDeletes.nonEmpty || newPosDeletes.nonEmpty
     var parent = basedOn0
+    var staleSeg: Option[String] = None
     while (true) {
-      val (parentFiles, parentDeletes) =
-        if (parent == 0L || replace) (Seq.empty[FileEntry], Seq.empty[FileEntry])
-        else { val p = snapshot(root, parent); (p.files, p.deletes) }
+      val parentSegs =
+        if (parent == 0L || replace) Seq.empty[String]
+        else segmentRefsOf(root, parent)
+      val carried = carrySegmentsOf.toSeq.flatMap(segmentRefsOf(root, _))
       val v = parent + 1
-      def stamped(es: Seq[FileEntry]) =
-        if (stampSeq) es.map(_.copy(seq = v)) else es
-      val snap = Snapshot(v, parent, note,
-        parentFiles ++ stamped(newFiles),
-        parentDeletes ++ stamped(newDeletes))
+      val ownSeg: Option[String] = if (!hasNew) None else {
+        staleSeg.foreach(s => Files.deleteIfExists(Paths.get(root, s)): Unit)
+        def stamped(es: Seq[FileEntry]) = es.map(_.copy(seq = v))
+        val seg = writeSegment(root, renderEntries(stamped(newFiles),
+          stamped(newDeletes), stamped(newPosDeletes)))
+        staleSeg = Some(seg)
+        Some(seg)
+      }
+      val header = Seq(s"version=$v", s"parent=$parent", s"note=$note",
+        s"ts=${System.currentTimeMillis()}")
+      val manifest = (header ++
+        (parentSegs ++ carried ++ ownSeg.toSeq).map(s => s"segment=$s"))
+        .mkString("", "\n", "\n")
       val tmp = Files.createTempFile(Paths.get(root, SnapDir), ".stage_", ".tmp")
-      Files.write(tmp, render(snap).getBytes("UTF-8"))
+      Files.write(tmp, manifest.getBytes("UTF-8"))
       // createLink, NOT Files.move: the no-replace move is implemented
       // as an existence check followed by rename(2), so two processes
       // racing for v(n+1) can both pass the check and the second rename
@@ -348,7 +485,11 @@ object Snapshots {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp): Unit
           val now = latestVersion(root).getOrElse(0L)
-          if (replace && now != basedOn0) throw conflict(now)
+          if (replace && now != basedOn0) {
+            staleSeg.foreach(s =>
+              Files.deleteIfExists(Paths.get(root, s)): Unit)
+            throw conflict(now)
+          }
           parent = now
       }
     }
@@ -372,43 +513,117 @@ object Snapshots {
     val tombKeys = upserts.select(col(keyCol))
       .unionByName(deleteKeys.select(col(keyCol))).distinct()
     val tombEntries = writeData(root, tombKeys)
-    publish(root, dataEntries, tombEntries, note,
+    publish(root, dataEntries, tombEntries, Seq.empty, note,
       replace = false, basedOn = None)
   }
 
+  /** POSITION-DELETE commit — the Iceberg-v2 dual of [[commitChanges]]'s
+    * equality deletes: `positions` carries (`_file` — manifest-relative
+    * path, `_pos` — the row's within-file index, exactly Spark's
+    * `_metadata.row_index`), and [[readMerged]] suppresses those rows by
+    * a (file, position) anti-join. This is the route for row-level
+    * `DELETE WHERE <non-key predicate>` without a copy-on-write rewrite:
+    * O(deleted rows) written, nothing rescanned. Use [[positionsWhere]]
+    * to compute the tombstone frame from a predicate.
+    */
+  def commitPositionDeletes(root: String, positions: DataFrame,
+                            note: String): Long = {
+    require(positions.columns.toSet == Set("_file", "_pos"),
+      s"positions must be exactly (_file, _pos); got " +
+        positions.columns.mkString(","))
+    val entries = writeData(root, positions)
+    publish(root, Seq.empty, Seq.empty, entries, note,
+      replace = false, basedOn = None)
+  }
+
+  /** The (`_file`, `_pos`) tombstone frame for every CURRENT row of
+    * `version` matching `pred` — a metadata-column scan (`_metadata
+    * .file_path` / `row_index`) over the version's files, path
+    * relativized to the manifest form. Feed the result to
+    * [[commitPositionDeletes]].
+    */
+  def positionsWhere(spark: SparkSession, root: String, pred: Column,
+                     version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val files = snapshot(root, v).files
+    spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+      .where(pred)
+      .select(relPathCol.as("_file"),
+        col("_metadata.row_index").as("_pos"))
+  }
+
+  /** `_metadata.file_path` (an absolute URI) relativized to the manifest
+    * path form (`data/<uuid>/part-...`): all data files live under the
+    * table's single `data/` dir, so everything after the LAST `/data/`
+    * is the relative path.
+    */
+  private def relPathCol: Column =
+    concat(lit("data/"),
+      substring_index(col("_metadata.file_path"), "/data/", -1))
+
   /** Read AS OF `version` with merge-on-read semantics: data files union
     * (each stamped with its manifest `seq` — a literal per commit, no
-    * filename juggling), tombstone keys reduce to their LATEST seq per
-    * key (one small aggregate — tombstones are O(changed keys), so the
-    * join side broadcasts in the common case), and a row survives iff no
-    * tombstone for its key is NEWER than the row's file (`row seq >=
-    * tombstone seq` keeps a commit's own upserts alive past its own
-    * tombstone). With no tombstones this is exactly [[read]].
+    * filename juggling), tombstones applied by anti-join —
+    *
+    *  - EQUALITY deletes reduce to their LATEST seq per key (one small
+    *    aggregate — tombstones are O(changed keys), so the join side
+    *    broadcasts in the common case); a row survives iff no tombstone
+    *    for its key is NEWER than the row's file (`row seq >= tombstone
+    *    seq` keeps a commit's own upserts alive past its own tombstone);
+    *  - POSITION deletes suppress exact (file, row-position) pairs of
+    *    files no newer than the tombstone (`row seq <= tombstone seq` —
+    *    a position necessarily references an already-committed file).
+    *
+    * Schema-evolved tables (additive columns between commits) read with
+    * missing columns surfaced as NULL, matching `read(evolved = true)`.
+    * With no tombstones this is exactly [[read]].
     */
   def readMerged(spark: SparkSession, root: String, keyCol: String,
                  version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(root, v)
-    if (snap.deletes.isEmpty) return read(spark, root, Some(v))
-    def bySeq(entries: Seq[FileEntry], seqName: String): DataFrame =
+    if (snap.deletes.isEmpty && snap.posDeletes.isEmpty)
+      return read(spark, root, Some(v))
+    val needPos = snap.posDeletes.nonEmpty
+    def bySeq(entries: Seq[FileEntry], seqName: String,
+              withPos: Boolean): DataFrame =
       entries.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, fs) =>
-        spark.read.parquet(fs.map(f => s"$root/${f.path}"): _*)
-          .withColumn(seqName, lit(seq))
-      }.reduce(_ unionByName _)
-    val base = bySeq(snap.files, "_seq")
-    val tomb = bySeq(snap.deletes, "_tseq")
-      .groupBy(col(keyCol)).agg(max(col("_tseq")).as("_tseq"))
-    base.join(tomb, Seq(keyCol), "left")
-      .where(col("_tseq").isNull || col("_seq") >= col("_tseq"))
-      .drop("_seq", "_tseq")
+        val raw = spark.read.parquet(fs.map(f => s"$root/${f.path}"): _*)
+        val framed =
+          if (withPos) raw.select(col("*"), relPathCol.as("_gfile"),
+            col("_metadata.row_index").as("_gpos"))
+          else raw
+        framed.withColumn(seqName, lit(seq))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val base = bySeq(snap.files, "_seq", withPos = needPos)
+    val eqApplied = if (snap.deletes.isEmpty) base else {
+      val tomb = bySeq(snap.deletes, "_tseq", withPos = false)
+        .groupBy(col(keyCol)).agg(max(col("_tseq")).as("_tseq"))
+      base.join(tomb, Seq(keyCol), "left")
+        .where(col("_tseq").isNull || col("_seq") >= col("_tseq"))
+        .drop("_tseq")
+    }
+    val posApplied = if (!needPos) eqApplied else {
+      val ptomb = bySeq(snap.posDeletes, "_pseq", withPos = false)
+        .groupBy(col("_file"), col("_pos"))
+        .agg(max(col("_pseq")).as("_pseq"))
+      eqApplied.join(ptomb,
+          col("_gfile") === col("_file") && col("_gpos") === col("_pos"),
+          "left")
+        .where(col("_pseq").isNull || col("_seq") > col("_pseq"))
+        .drop("_file", "_pos", "_pseq", "_gfile", "_gpos")
+    }
+    posApplied.drop("_seq")
   }
 
   /** Materialize the merge-on-read state back to plain data files — the
-    * compaction that retires tombstones: one [[readMerged]] scan, one
-    * REPLACE commit pinned to the version it read (a concurrent change
-    * commit surfaces as a conflict, never a lost update). Readers pinned
-    * to older versions keep the tombstoned view until [[vacuum]].
+    * compaction that retires tombstones (equality AND position): one
+    * [[readMerged]] scan, one REPLACE commit pinned to the version it
+    * read (a concurrent change commit surfaces as a conflict, never a
+    * lost update). Readers pinned to older versions keep the tombstoned
+    * view until [[vacuum]].
     *
     * `clusterBy` re-establishes layout while it rewrites anyway (the
     * free ride every OPTIMIZE takes): MOR churn appends change batches
@@ -441,6 +656,8 @@ object Snapshots {
     * visible as the same window's tombstone KEYS via the manifests;
     * replace commits reset history and are rejected here (the increment
     * is no longer append-shaped — reprocess from the replace version).
+    * The STREAMING consumer of the same increments is
+    * [[graft.streaming.StreamOps.snapshotSource]].
     */
   def changesBetween(spark: SparkSession, root: String,
                      fromVersion: Long, toVersion: Long): DataFrame = {
@@ -465,23 +682,27 @@ object Snapshots {
   /** Retire history: keep the newest `keepVersions` manifests, delete the
     * rest, then delete every file under `data/` that no RETAINED
     * manifest references — covering both files only old versions list
-    * and crash debris (a data dir whose commit never published). The
-    * reference set is O(files) strings; deletion is idempotent and safe
-    * to re-run. Returns the deleted DATA-file count (hidden sidecars
-    * removed along with a dead commit dir are not counted — they are
-    * infrastructure, not data).
+    * and crash debris (a data dir whose commit never published) — plus
+    * the metadata debris only retired history holds onto: SEGMENT files
+    * no retained manifest references, and `.stage_*.tmp` staging files a
+    * crash between create and the post-link delete leaked. The reference
+    * set is O(files) strings; deletion is idempotent and safe to re-run.
+    * Returns the deleted DATA-file count (hidden sidecars removed along
+    * with a dead commit dir, segments and staging debris are not counted
+    * — they are infrastructure, not data).
     *
     * The retention window is the reader contract: a reader pinned to a
     * vacuumed version loses its files — size `keepVersions` to cover the
     * longest-running reader, exactly as lakehouse formats document.
     *
     * `minAgeMillis` is the IN-FLIGHT-COMMIT guard: an unreferenced file
-    * younger than it is spared, because "unreferenced" cannot be told
-    * apart from "a concurrent commit's data write whose manifest has not
-    * published yet" by looking at the file system alone. The default
-    * (1 h) comfortably covers any commit's write-to-publish window; a
-    * file spared this round is reclaimed by the next vacuum once it
-    * ages. Tests that build and reap in one breath pass 0 explicitly.
+    * (data, segment or staging temp) younger than it is spared, because
+    * "unreferenced" cannot be told apart from "a concurrent commit's
+    * write whose manifest has not published yet" by looking at the file
+    * system alone. The default (1 h) comfortably covers any commit's
+    * write-to-publish window; a file spared this round is reclaimed by
+    * the next vacuum once it ages. Tests that build and reap in one
+    * breath pass 0 explicitly.
     */
   def vacuum(root: String, keepVersions: Int,
              minAgeMillis: Long = 60L * 60 * 1000): Int = {
@@ -489,12 +710,25 @@ object Snapshots {
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val live: Set[String] = keep.flatMap { v =>
-      val s = snapshot(root, v); (s.files ++ s.deletes).map(_.path)
+      val s = snapshot(root, v)
+      (s.files ++ s.deletes ++ s.posDeletes).map(_.path)
     }.toSet
+    val liveSegs: Set[String] = keep.flatMap(v => readDoc(root, v).segments)
+      .map(rel => Paths.get(root, rel).getFileName.toString).toSet
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)): Unit)
+    val youngCutoff = System.currentTimeMillis() - minAgeMillis
+    // metadata debris: segments no retained manifest references (their
+    // manifests just dropped, or their commit lost its race and retried)
+    // and staging temps leaked by a crash between create and link —
+    // age-guarded, same reasoning as data files
+    Option(new java.io.File(root, SnapDir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.lastModified() <= youngCutoff &&
+        ((f.getName.startsWith("seg_") && f.getName.endsWith(".txt") &&
+          !liveSegs.contains(f.getName)) ||
+         (f.getName.startsWith(".stage_") && f.getName.endsWith(".tmp"))))
+      .foreach(f => f.delete(): Unit)
     val dataRoot = new java.io.File(root, DataDir)
     val rootPath = Paths.get(root)
-    val youngCutoff = System.currentTimeMillis() - minAgeMillis
     def visible(f: java.io.File): Boolean = f.isFile &&
       !f.getName.startsWith("_") && !f.getName.startsWith(".")
     def walk(f: java.io.File): Seq[java.io.File] = {

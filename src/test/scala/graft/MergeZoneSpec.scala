@@ -223,4 +223,53 @@ class MergeZoneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Layout.zonePrune(stats, Seq.empty).toSet ===
       Set("f_low", "f_hit", "f_null"))
   }
+
+  test("int64 footer stats above 2^53 widen conservatively: min never raised, max never lowered") {
+    val ss = spark; import ss.implicits._
+    // 2^60-63 rounds UP to 2^60 (raising a min), 2^60+1 rounds DOWN to
+    // 2^60 (lowering a max) — the two lossy directions a skip index must
+    // widen, never tighten (snowflake ids / nanosecond timestamps live
+    // out here)
+    val lo = (1L << 60) - 63
+    val hi = (1L << 60) + 1
+    val dir = tmp("graft_zint64")
+    Seq(lo, hi).toDF("c").coalesce(1).write.mode("overwrite").parquet(dir)
+    val stats = Layout.zoneMapFooters(spark, dir, Seq("c")).collect()
+    assert(stats.length === 1)
+    val mn = BigDecimal(stats(0).getAs[Double]("min_c"))
+    val mx = BigDecimal(stats(0).getAs[Double]("max_c"))
+    assert(mn <= BigDecimal(lo), s"min stat $mn must not exceed true min $lo")
+    assert(mx >= BigDecimal(hi), s"max stat $mx must not undercut true max $hi")
+    // in-range longs stay EXACT (no widening tax on normal tables)
+    val dir2 = tmp("graft_zint64b")
+    Seq(100L, 2000L).toDF("c").coalesce(1).write.mode("overwrite").parquet(dir2)
+    val s2 = Layout.zoneMapFooters(spark, dir2, Seq("c")).collect()(0)
+    assert(s2.getAs[Double]("min_c") === 100.0)
+    assert(s2.getAs[Double]("max_c") === 2000.0)
+  }
+
+  test("mergeTouched removes all-deleted partition dirs through Spark's path escaping (special chars, null)") {
+    val ss = spark; import ss.implicits._
+    val dir = tmp("graft_mt_escape")
+    // partition values Spark escapes on disk: ':' URL-encodes, null lands
+    // in __HIVE_DEFAULT_PARTITION__ — the raw s"$partCol=$p" path misses
+    // both and the "deleted" rows would resurface on the next read
+    val target = Seq(
+      (1L, "a:b", 10.0), (2L, "a:b", 20.0),
+      (3L, null.asInstanceOf[String], 30.0),
+      (4L, "plain", 40.0))
+      .toDF("k", "p", "x")
+    target.write.mode("overwrite").partitionBy("p").parquet(dir)
+    val changes = Seq(
+      (1L, "a:b", 0.0, "delete"), (2L, "a:b", 0.0, "delete"),
+      (3L, null.asInstanceOf[String], 0.0, "delete"))
+      .toDF("k", "p", "x", "op")
+    Reconcile.mergeTouched(spark, dir, changes, "k", "op", "p"): Unit
+    val back = spark.read.parquet(dir).select("k").as[Long].collect().toSeq
+    assert(back === Seq(4L), "deleted partitions must not resurface")
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs === Set("p=plain"),
+      s"stale escaped/null partition dirs must be removed, got $dirs")
+  }
 }

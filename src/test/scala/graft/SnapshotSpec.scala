@@ -348,4 +348,170 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(root) === (0L until 8L))
     assert(ids(root, Some(1L)) === (0L until 4L))
   }
+
+  // ---- timestamp time travel -------------------------------------------------
+
+  test("AS OF timestamp resolves to the latest commit at-or-before; between-commit timestamps pick the earlier version") {
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 5).toDF(), "base"): Unit
+    Thread.sleep(20) // separate the two commit clocks
+    Snapshots.commit(root, spark.range(5, 9).toDF(), "delta"): Unit
+    val ts1 = Snapshots.snapshot(root, 1L).ts
+    val ts2 = Snapshots.snapshot(root, 2L).ts
+    assert(ts1 > 0L && ts2 > ts1, "commits must carry monotone wall-clocks")
+    assert(Snapshots.versionAsOf(root, ts1) === 1L) // exact boundary: inclusive
+    assert(Snapshots.versionAsOf(root, (ts1 + ts2) / 2) === 1L) // between → earlier
+    assert(Snapshots.versionAsOf(root, ts2) === 2L)
+    assert(Snapshots.versionAsOf(root, ts2 + 3600000L) === 2L) // future → latest
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(root, ts1 - 1) // predates the table
+    }
+    assert(Snapshots.readAsOf(spark, root, (ts1 + ts2) / 2)
+      .count() === 5L)
+    // history surfaces the commit clocks
+    val hist = Snapshots.history(spark, root)
+      .select("version", "commit_ts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist === Map(1L -> ts1, 2L -> ts2))
+  }
+
+  // ---- O(delta) manifests ----------------------------------------------------
+
+  test("an append writes O(delta) entry text: prior commits' segments are chained by reference, never rewritten") {
+    val root = freshTable()
+    Snapshots.commit(root,
+      spark.range(0, 1024).toDF().repartition(16), "wide-base"): Unit
+    val segsDir = new java.io.File(root, "_graft_snaps")
+    def segs() = segsDir.listFiles().filter(_.getName.startsWith("seg_"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = segs()
+    assert(before.size === 1, "one commit, one segment")
+    Snapshots.commit(root, spark.range(1024, 1025).toDF().coalesce(1),
+      "tiny-append"): Unit
+    val after = segs()
+    assert(after.size === 2, "the append adds exactly its own segment")
+    before.foreach { case (name, mtime) =>
+      assert(after(name) === mtime, s"segment $name must never be rewritten")
+    }
+    // the version manifest is a header + segment refs — no entry lines
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_graft_snaps", "v00000002.txt")), "UTF-8")
+    assert(!m2.contains("file="), "entries live in segments, not manifests")
+    assert(m2.linesIterator.count(_.startsWith("segment=")) === 2)
+    assert(m2.length < 400, s"manifest must stay tiny, got ${m2.length} bytes")
+    // and the read still composes both commits
+    assert(Snapshots.countRows(root) === Some(1025L))
+    assert(ids(root).size === 1025)
+  }
+
+  test("legacy inline manifests read as-is, and the next commit adopts them into a segment") {
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 6).toDF(), "base"): Unit
+    // rewrite v1 to the pre-segmentation INLINE form (what an older
+    // engine wrote): header + file= lines, no ts, no segments
+    val snap1 = Snapshots.snapshot(root, 1L)
+    val inline = (Seq("version=1", "parent=0", "note=base") ++
+      snap1.files.map(f => s"file=${f.path}|${f.rows}|${f.seq}"))
+      .mkString("", "\n", "\n")
+    val m1 = java.nio.file.Paths.get(root, "_graft_snaps", "v00000001.txt")
+    java.nio.file.Files.delete(m1)
+    java.nio.file.Files.write(m1, inline.getBytes("UTF-8"))
+    // drop the now-orphaned segment to prove nothing references it
+    new java.io.File(root, "_graft_snaps").listFiles()
+      .filter(_.getName.startsWith("seg_")).foreach(f => f.delete(): Unit)
+    assert(ids(root, Some(1L)) === (0L until 6L)) // legacy form reads
+    assert(Snapshots.snapshot(root, 1L).ts === 0L) // no ts header → epoch
+    val v2 = Snapshots.commit(root, spark.range(6, 8).toDF(), "append")
+    assert(v2 === 2L)
+    assert(ids(root) === (0L until 8L), "append chains past the legacy base")
+    // v2's manifest references an ADOPTION segment carrying v1's entries
+    // verbatim (seq still 1)
+    assert(Snapshots.snapshot(root, 2L).files.count(_.seq == 1L) ===
+      snap1.files.size)
+  }
+
+  // ---- position deletes (merge-on-read, Iceberg-v2 dual) ---------------------
+
+  test("position deletes suppress exact rows; stack with equality deletes; compaction retires both") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root,
+      (0L until 20L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartition(2), "base"): Unit
+    // row-level DELETE WHERE on a NON-key predicate, no copy-on-write:
+    // tombstone the positions of v-suffix 3/13 rows
+    val pos = Snapshots.positionsWhere(spark, root,
+      col("v").isin("v3", "v13"))
+    assert(pos.count() === 2)
+    val v2 = Snapshots.commitPositionDeletes(root, pos, "del-where")
+    assert(v2 === 2L)
+    assert(Snapshots.countRows(root) === None, "live tombstones → no exact count")
+    val after = Snapshots.readMerged(spark, root, "k")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(after === (0L until 20L).filterNot(k => k == 3L || k == 13L))
+    // plain read refuses the tombstoned version rather than lying
+    intercept[IllegalArgumentException] { Snapshots.read(spark, root) }
+    intercept[IllegalArgumentException] {
+      Snapshots.readPruned(spark, root, Seq(("k", 0L, 100L)))
+    }
+    // stack an EQUALITY-delete commit on top: upsert k=5, delete k=7 —
+    // and the upsert's new row must survive the older position tombstones
+    Snapshots.commitChanges(root,
+      upserts = Seq((5L, "V5")).toDF("k", "v"),
+      deleteKeys = Seq(Tuple1(7L)).toDF("k"), "k", "chg"): Unit
+    val stacked = Snapshots.readMerged(spark, root, "k")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(stacked.map(_._1) ===
+      (0L until 20L).filterNot(k => Set(3L, 7L, 13L)(k)))
+    assert(stacked.find(_._1 == 5L).map(_._2) === Some("V5"))
+    // a position delete against the MERGED state hits the upsert's file
+    val pos2 = Snapshots.positionsWhere(spark, root, col("v") === "V5")
+    // positionsWhere scans raw files: k=5 matches only the upsert row
+    assert(pos2.count() === 1)
+    Snapshots.commitPositionDeletes(root, pos2, "del-upsert"): Unit
+    val afterPos2 = Snapshots.readMerged(spark, root, "k")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(afterPos2 === (0L until 20L).filterNot(k => Set(3L, 5L, 7L, 13L)(k)))
+    // compaction materializes BOTH tombstone kinds away
+    Snapshots.compactMerged(spark, root, "k"): Unit
+    val s = Snapshots.snapshot(root, Snapshots.latestVersion(root).get)
+    assert(s.deletes.isEmpty && s.posDeletes.isEmpty)
+    assert(Snapshots.countRows(root) === Some(16L))
+    assert(Snapshots.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq === afterPos2)
+  }
+
+  test("merge-on-read across additive schema evolution: old commits surface NULL for new columns") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "base"): Unit
+    // the change batch carries a column the base never had
+    Snapshots.commitChanges(root,
+      upserts = Seq((2L, "B", "extra")).toDF("k", "v", "w"),
+      deleteKeys = spark.emptyDataset[Long].toDF("k"), "k", "widen"): Unit
+    val got = Snapshots.readMerged(spark, root, "k")
+      .orderBy("k").as[(Long, String, Option[String])].collect().toSeq
+    assert(got === Seq((1L, "a", None), (2L, "B", Some("extra"))))
+  }
+
+  test("vacuum reclaims unreferenced segments and leaked staging temps, sparing young ones") {
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 5).toDF(), "base"): Unit
+    Snapshots.commit(root, spark.range(100, 103).toDF(), "rewrite",
+      replace = true): Unit
+    // a crash between createTempFile and the post-link delete leaks this
+    val leak = java.nio.file.Paths.get(root, "_graft_snaps", ".stage_leak.tmp")
+    java.nio.file.Files.write(leak, "orphan".getBytes("UTF-8"))
+    def segCount() = new java.io.File(root, "_graft_snaps").listFiles()
+      .count(_.getName.startsWith("seg_"))
+    assert(segCount() === 2)
+    // young guard: nothing reclaimed at default min age
+    Snapshots.vacuum(root, keepVersions = 1): Unit
+    assert(segCount() === 2 && java.nio.file.Files.exists(leak))
+    // ripe: v1's manifest drops, its segment is unreferenced, the leak goes
+    Snapshots.vacuum(root, keepVersions = 1, minAgeMillis = 0): Unit
+    assert(segCount() === 1, "only the retained version's segment remains")
+    assert(!java.nio.file.Files.exists(leak))
+    assert(ids(root) === (100L until 103L))
+  }
 }
