@@ -1616,6 +1616,43 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The zone map at ROW-GROUP granularity — the skipping that matters
+    // once compaction produces LARGE files: lineitem lands as ONE
+    // globally-sorted file with ~64 KB row groups (file-level pruning is
+    // powerless by construction), zoneMapRowGroups reads per-group
+    // min/max from the footer, zonePruneRowGroups keeps the few groups
+    // whose [min,max] intersects an orderkey window, and readRowGroups
+    // scans EXACTLY those byte ranges (parquet's file-range scan,
+    // adjacent survivors coalesced into one ranged read) with the
+    // projection cut to two columns. Bounds derive from the stats, so
+    // the oracle replays them from the source; green proves the
+    // group-skip path loses no rows.
+    "zonemap_rowgroups" -> ((s, d) => {
+      val outRoot = ModelStore.fit(s"zonerg|${cid(d)}", "graft_zonerg") { p =>
+        li(s, d).select(col("l_orderkey"), col("l_returnflag"))
+          .orderBy(col("l_orderkey")).coalesce(1)
+          .write.mode("overwrite")
+          .option("parquet.block.size", "65536").parquet(p): Unit
+      }
+      val stats = Layout.zoneMapRowGroupsIn(s, outRoot, Seq("l_orderkey"))
+      val Array(bounds) = stats.agg(
+        min(col("min_l_orderkey")).as("mn"),
+        max(col("max_l_orderkey")).as("mx")).collect()
+      val lo = bounds.getDouble(0).toLong
+      val hi = lo + (bounds.getDouble(1).toLong - lo) / 12
+      val survivors = Layout.zonePruneRowGroups(stats,
+        Seq(("l_orderkey", lo, hi)))
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      Layout.readRowGroups(s, survivors, StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_returnflag", StringType))))
+        .where(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_key"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // The snapshot-isolated table format (ops/Snapshots): immutable data
     // files + atomic manifest creation as the commit arbiter. Two commits
     // build the table (base, then an appended delta); the query TIME
@@ -1843,6 +1880,125 @@ object SparkEntry {
           "c_custkey", "op"): Unit
       }
       Snapshots.readMerged(s, root, "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // `AS OF <timestamp>` time travel — the form users actually type:
+    // the manifest header stamps each commit's wall-clock, versionAsOf
+    // resolves a timestamp to the latest commit at-or-before it (a
+    // between-commit timestamp picks the EARLIER version — the
+    // Delta/Iceberg boundary contract), and the query reads both a
+    // mid-gap timestamp (→ v1) and a post-v2 timestamp (→ v2),
+    // surfacing the resolved version alongside each aggregate. The
+    // commit clocks are data-independent, so the oracle replays the two
+    // version states; green proves the timestamp→version resolution
+    // lands on exactly the historical file sets.
+    "snapshot_asof_ts" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapasof|${cid(d)}", "graft_snapasof") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        Thread.sleep(25) // separate the two commit clocks
+        Snapshots.commit(p,
+          cust.where(pmod(col("c_custkey"), lit(7)) === 0)
+            .select(col("c_custkey"),
+              dec2(col("acctbal") + 100).as("acctbal")), "delta"): Unit
+      }
+      val ts1 = Snapshots.snapshot(root, 1L).ts
+      val ts2 = Snapshots.snapshot(root, 2L).ts
+      val probes = Seq(
+        (ts1 + ts2) / 2,        // strictly between the commits → v1
+        ts2 + 24L * 3600 * 1000 // after the last commit → v2 (latest)
+      )
+      probes.map { ts =>
+        val v = Snapshots.versionAsOf(root, ts)
+        Snapshots.readAsOf(s, root, ts)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("acctbal")).cast("double").as("sum_bal"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_bal"))
+      }.reduce(_ unionByName _).orderBy(col("version"))
+    }),
+
+    // POSITION deletes stacked on equality deletes (the Iceberg-v2 MOR
+    // pair): the base takes a key-change commit (upserts +200 on keys
+    // ≡0 mod 6 except the ≡0 mod 15 deletes), then a row-level
+    // DELETE WHERE on a key-independent residue (≡4 mod 11) lands as
+    // POSITION tombstones — positionsWhere scans the version's files
+    // for matching (file, row_index) pairs, commitPositionDeletes
+    // appends them, nothing is rewritten. The predicate covers every
+    // physical row of its keys (base AND upsert files), so the merged
+    // state is layout-independent: the eq-merged state minus the
+    // ≡4 mod 11 keys — which is exactly what the oracle replays.
+    "snapshot_mor_pos" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapmorpos|${cid(d)}", "graft_snapmorpos") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        Snapshots.commitChanges(p,
+          upserts = cust.where(pmod(col("c_custkey"), lit(6)) === 0 &&
+              pmod(col("c_custkey"), lit(15)) =!= 0)
+            .select(col("c_custkey"), col("c_mktsegment"),
+              dec2(col("acctbal") + 200).as("acctbal")),
+          deleteKeys = cust.where(pmod(col("c_custkey"), lit(15)) === 0)
+            .select(col("c_custkey")),
+          "c_custkey", "chg"): Unit
+        val pos = Snapshots.positionsWhere(s, p,
+          pmod(col("c_custkey"), lit(11)) === 4)
+        Snapshots.commitPositionDeletes(p, pos, "del-where"): Unit
+      }
+      Snapshots.readMerged(s, root, "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // The STREAMING source FROM the snapshot format — the consumer half
+    // of changesBetween (the sink half is stream_upsert_mor): the table
+    // takes three live append commits while a file-stream source tails
+    // the landing dir syncSnapshotSource maintains (links published
+    // manifests' files only — a half-written commit is invisible). The
+    // stream consumes commit 1, the process "dies" (query object gone),
+    // commits 2–3 land while it is down, and a NEW query on the SAME
+    // checkpoint resumes: the offset log skips the already-committed
+    // file, only the new commits append — exactly-once across the
+    // restart, so the sink equals the batch read of the final version.
+    // Three disjoint key slices compose the full table; the oracle
+    // replays the plain per-segment aggregate.
+    "stream_snapshot_source" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapsrc|${cid(d)}", "graft_snapsrc") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+        val stage = s"$p/_graft_stage"
+        def runOnce(): Unit = {
+          val q = streaming.StreamOps.snapshotSource(s, stage, cust.schema)
+            .writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+            .format("parquet")
+            .option("path", s"$p/_graft_sink")
+            .option("checkpointLocation", s"$p/_graft_ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        Snapshots.commit(p,
+          cust.where(pmod(col("c_custkey"), lit(3)) === 0), "slice0"): Unit
+        streaming.StreamOps.syncSnapshotSource(p, stage): Unit
+        runOnce() // consume commit 1 ... then the consumer process dies
+        Snapshots.commit(p,
+          cust.where(pmod(col("c_custkey"), lit(3)) === 1), "slice1"): Unit
+        Snapshots.commit(p,
+          cust.where(pmod(col("c_custkey"), lit(3)) === 2), "slice2"): Unit
+        streaming.StreamOps.syncSnapshotSource(p, stage): Unit
+        runOnce() // NEW query object, SAME checkpoint — the restart
+      }
+      s.read.parquet(s"$root/_graft_sink")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("acctbal")).cast("double").as("sum_bal"))
@@ -4328,6 +4484,50 @@ object SparkEntry {
         |FROM (SELECT * FROM cust UNION ALL SELECT * FROM delta)
         |ORDER BY version""".stripMargin,
 
+    // Timestamp→version resolution is data-independent (commit clocks);
+    // the oracle replays the two resolved version states: the mid-gap
+    // probe lands on v1 (the base), the future probe on v2 (base+delta).
+    "snapshot_asof_ts" ->
+      """WITH cust AS (SELECT c_custkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |delta AS (SELECT c_custkey,
+        |    CAST(acctbal + 100 AS DECIMAL(18,2)) AS acctbal
+        |  FROM cust WHERE c_custkey % 7 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal FROM cust
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(acctbal) AS DOUBLE)
+        |FROM (SELECT * FROM cust UNION ALL SELECT * FROM delta)
+        |ORDER BY version""".stripMargin,
+
+    // The eq-merged state (upserts win, mod-15 keys deleted) minus the
+    // position-deleted residue class — position tombstones cover every
+    // physical row of their keys, so the merged state is layout-free.
+    "snapshot_mor_pos" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |state AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 6 = 0 AND c_custkey % 15 <> 0
+        |           THEN CAST(acctbal + 200 AS DECIMAL(18,2))
+        |         ELSE acctbal END AS acctbal
+        |  FROM cust
+        |  WHERE c_custkey % 15 <> 0 AND c_custkey % 11 <> 4)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Exactly-once across the restart means the sink holds every slice
+    // exactly once — i.e. the full table; the oracle is the plain
+    // per-segment aggregate (a lost offset log would double slice 0, a
+    // lost landing link would drop a slice — both break the counts).
+    "stream_snapshot_source" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     // Latest-wins composition of the two change commits, replayed per
     // key: v3's +50 upserts (keys ≡0 mod 10) win over everything —
     // including v2's deletes (resurrection); the remaining ≡0 mod 15
@@ -4449,6 +4649,18 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem, b WHERE l_orderkey BETWEEN lo AND hi
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The window bounds derive from the row-group stats' global min/max
+    // (= the table's own), so the oracle recomputes them from the source
+    // — green proves the group-skip read path loses no rows.
+    "zonemap_rowgroups" ->
+      """WITH b AS (SELECT min(l_orderkey) AS lo,
+        |    min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 12 AS hi
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
         |FROM lineitem, b WHERE l_orderkey BETWEEN lo AND hi
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

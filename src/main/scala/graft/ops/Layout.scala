@@ -223,16 +223,10 @@ object Layout {
     import org.apache.spark.sql.types._
     val schema = StructType(
       StructField("file", StringType) +: StructField("n_rows", LongType) +:
-        (cols.flatMap(c => Seq(StructField(s"min_$c", DoubleType),
-          StructField(s"max_$c", DoubleType))) ++
-          strCols.flatMap(c => Seq(StructField(s"min_$c", StringType),
-            StructField(s"max_$c", StringType)))))
+        statFields(cols, strCols))
     val rows = spark.sparkContext.parallelize(files,
       math.max(1, math.min(files.size, 64))).map { path =>
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(path), conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val reader = openFooter(path)
       try {
         val blocks = reader.getFooter.getBlocks
         var nRows = 0L
@@ -244,58 +238,148 @@ object Layout {
         while (it.hasNext) {
           val b = it.next()
           nRows += b.getRowCount
-          val chunks = b.getColumns.iterator()
-          while (chunks.hasNext) {
-            val ch = chunks.next()
-            val name = ch.getPath.toDotString
-            val st = ch.getStatistics
-            val hasStats = st != null && st.hasNonNullValue
-            val isDecimal = ch.getPrimitiveType.getLogicalTypeAnnotation
-              .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
-            val i = cols.indexOf(name)
-            if (i >= 0 && hasStats && !isDecimal) {
-              // INT64 stats above 2^53 don't round-trip through double:
-              // round-to-nearest could RAISE a min or LOWER a max, and a
-              // too-tight zone skips a file that contains matching rows —
-              // the one failure a skip index must never have. Widen
-              // conservatively (nextDown on mins, nextUp on maxs) exactly
-              // when the long→double conversion was lossy; in-range longs
-              // (and every other numeric physical) stay exact.
-              def num(v: Any, roundUp: Boolean): Option[Double] = v match {
-                case l: java.lang.Long =>
-                  val d = l.doubleValue()
-                  if (math.abs(l.longValue()) <= (1L << 53)) Some(d)
-                  else Some(if (roundUp) Math.nextUp(d) else Math.nextDown(d))
-                case n: java.lang.Number => Some(n.doubleValue())
-                case _ => None // non-numeric physical under a numeric ask
-              }
-              num(st.genericGetMin: Any, roundUp = false).foreach(m =>
-                mins(i) = Some(mins(i).fold(m)(math.min(m, _))))
-              num(st.genericGetMax: Any, roundUp = true).foreach(m =>
-                maxs(i) = Some(maxs(i).fold(m)(math.max(m, _))))
-            }
-            val j = strCols.indexOf(name)
-            if (j >= 0 && hasStats && !isDecimal) {
-              def str(v: Any): Option[String] = v match {
-                case b: org.apache.parquet.io.api.Binary =>
-                  Some(b.toStringUsingUTF8)
-                case _ => None
-              }
-              str(st.genericGetMin: Any).foreach(m =>
-                smins(j) = Some(smins(j).fold(m)(o => if (m < o) m else o)))
-              str(st.genericGetMax: Any).foreach(m =>
-                smaxs(j) = Some(smaxs(j).fold(m)(o => if (m > o) m else o)))
-            }
+          val (bmins, bmaxs, bsmins, bsmaxs) = blockStats(b, cols, strCols)
+          for (i <- cols.indices) {
+            bmins(i).foreach(m => mins(i) = Some(mins(i).fold(m)(math.min(m, _))))
+            bmaxs(i).foreach(m => maxs(i) = Some(maxs(i).fold(m)(math.max(m, _))))
+          }
+          for (j <- strCols.indices) {
+            bsmins(j).foreach(m =>
+              smins(j) = Some(smins(j).fold(m)(o => if (m < o) m else o)))
+            bsmaxs(j).foreach(m =>
+              smaxs(j) = Some(smaxs(j).fold(m)(o => if (m > o) m else o)))
           }
         }
-        Row.fromSeq(path +: nRows +: (cols.indices.flatMap(i =>
-          Seq(mins(i).map(Double.box).orNull,
-            maxs(i).map(Double.box).orNull)) ++
-          strCols.indices.flatMap(j =>
-            Seq(smins(j).orNull, smaxs(j).orNull))))
+        Row.fromSeq(path +: nRows +: statCells(cols, strCols,
+          mins, maxs, smins, smaxs))
       } finally reader.close()
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** [[zoneMapFootersFor]] at ROW-GROUP granularity: one stats row per
+    * (file, row group) — `file`, `rg_idx`, `rg_start`/`rg_bytes` (the
+    * group's byte extent, what a range-scoped read needs), `n_rows`, and
+    * the same min/max columns. Parquet footers already carry per-group
+    * statistics; the file-level map just folds them — this variant keeps
+    * them apart, which is the skipping that matters once compaction
+    * produces LARGE files: a predicate window inside a 1 GB sorted file
+    * prunes nothing at file level but all-but-a-few row groups here.
+    * Same cost shape (footer reads distributed over executors, O(groups)
+    * output rows, no data pages) and the same conservative decode rules
+    * (decimal → NULL stats, lossy INT64 widened).
+    */
+  def zoneMapRowGroups(spark: org.apache.spark.sql.SparkSession,
+                       files: Seq[String], cols: Seq[String],
+                       strCols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      StructField("file", StringType) +: StructField("rg_idx", LongType) +:
+        StructField("rg_start", LongType) +: StructField("rg_bytes", LongType) +:
+        StructField("n_rows", LongType) +: statFields(cols, strCols))
+    val rows = spark.sparkContext.parallelize(files,
+      math.max(1, math.min(files.size, 64))).flatMap { path =>
+      val reader = openFooter(path)
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+          case (b, idx) =>
+            val (mins, maxs, smins, smaxs) = blockStats(b, cols, strCols)
+            Row.fromSeq(path +: idx.toLong +: b.getStartingPos +:
+              b.getCompressedSize +: b.getRowCount +:
+              statCells(cols, strCols, mins, maxs, smins, smaxs))
+        }
+      } finally reader.close()
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** [[zoneMapRowGroups]] over a directory's parquet files. */
+  def zoneMapRowGroupsIn(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, cols: Seq[String],
+                         strCols: Seq[String] = Seq.empty): DataFrame =
+    zoneMapRowGroups(spark,
+      listParquetFiles(new java.io.File(dir)).map(_.getPath), cols, strCols)
+
+  private def openFooter(path: String) = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    org.apache.parquet.hadoop.ParquetFileReader.open(in)
+  }
+
+  private def statFields(cols: Seq[String], strCols: Seq[String]) = {
+    import org.apache.spark.sql.types._
+    cols.flatMap(c => Seq(StructField(s"min_$c", DoubleType),
+      StructField(s"max_$c", DoubleType))) ++
+      strCols.flatMap(c => Seq(StructField(s"min_$c", StringType),
+        StructField(s"max_$c", StringType)))
+  }
+
+  private def statCells(cols: Seq[String], strCols: Seq[String],
+                        mins: Array[Option[Double]],
+                        maxs: Array[Option[Double]],
+                        smins: Array[Option[String]],
+                        smaxs: Array[Option[String]]): Seq[Any] =
+    cols.indices.flatMap(i => Seq(mins(i).map(Double.box).orNull,
+      maxs(i).map(Double.box).orNull)) ++
+      strCols.indices.flatMap(j => Seq(smins(j).orNull, smaxs(j).orNull))
+
+  /** Decode ONE row group's column statistics — the shared kernel of the
+    * file-level and row-group-level zone maps. Numeric stats (int32 /
+    * int64 / float / double physicals) land as doubles; INT64 values
+    * whose long→double conversion is lossy (above 2^53 — snowflake ids,
+    * nanosecond timestamps) are widened conservatively (nextDown on
+    * mins, nextUp on maxs): round-to-nearest could RAISE a min or LOWER
+    * a max, and a too-tight zone skips a file that contains matching
+    * rows — the one failure a skip index must never have. DECIMAL
+    * columns yield NULL stats (their physical stats are the UNSCALED
+    * integer; intersecting logical bounds against them would prune
+    * matches); string columns use parquet's (possibly truncated) binary
+    * bounds, valid for interval intersection.
+    */
+  private def blockStats(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+                         cols: Seq[String], strCols: Seq[String]):
+      (Array[Option[Double]], Array[Option[Double]],
+       Array[Option[String]], Array[Option[String]]) = {
+    val mins = Array.fill(cols.size)(Option.empty[Double])
+    val maxs = Array.fill(cols.size)(Option.empty[Double])
+    val smins = Array.fill(strCols.size)(Option.empty[String])
+    val smaxs = Array.fill(strCols.size)(Option.empty[String])
+    val chunks = b.getColumns.iterator()
+    while (chunks.hasNext) {
+      val ch = chunks.next()
+      val name = ch.getPath.toDotString
+      val st = ch.getStatistics
+      val hasStats = st != null && st.hasNonNullValue
+      val isDecimal = ch.getPrimitiveType.getLogicalTypeAnnotation
+        .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+      val i = cols.indexOf(name)
+      if (i >= 0 && hasStats && !isDecimal) {
+        def num(v: Any, roundUp: Boolean): Option[Double] = v match {
+          case l: java.lang.Long =>
+            val d = l.doubleValue()
+            if (math.abs(l.longValue()) <= (1L << 53)) Some(d)
+            else Some(if (roundUp) Math.nextUp(d) else Math.nextDown(d))
+          case n: java.lang.Number => Some(n.doubleValue())
+          case _ => None // non-numeric physical under a numeric ask
+        }
+        mins(i) = num(st.genericGetMin: Any, roundUp = false)
+        maxs(i) = num(st.genericGetMax: Any, roundUp = true)
+      }
+      val j = strCols.indexOf(name)
+      if (j >= 0 && hasStats && !isDecimal) {
+        def str(v: Any): Option[String] = v match {
+          case bin: org.apache.parquet.io.api.Binary =>
+            Some(bin.toStringUsingUTF8)
+          case _ => None
+        }
+        smins(j) = str(st.genericGetMin: Any)
+        smaxs(j) = str(st.genericGetMax: Any)
+      }
+    }
+    (mins, maxs, smins, smaxs)
   }
 
   private def listParquetFiles(root: java.io.File): Seq[java.io.File] = {
@@ -322,6 +406,109 @@ object Layout {
         (col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
     }.reduceOption(_ && _).getOrElse(lit(true))
     stats.where(keep).select(col("file")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** [[zonePrune]] over a [[zoneMapRowGroups]] stats table: which
+    * (file, row-group byte range) triples can contain ANY matching row —
+    * same interval test, NULL stats conservatively kept; survivors feed
+    * [[readRowGroups]], whose range-scoped scans never open the losing
+    * groups' pages.
+    */
+  def zonePruneRowGroups(stats: DataFrame,
+                         preds: Seq[(String, Any, Any)]): Seq[(String, Long, Long)] = {
+    val keep = preds.map { case (c, lo, hi) =>
+      col(s"min_$c").isNull || col(s"max_$c").isNull ||
+        (col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    stats.where(keep).select(col("file"), col("rg_start"), col("rg_bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  /** Read EXACTLY the surviving row groups — the consume half of the
+    * row-group zone map, via parquet's file-range scan option
+    * (`ParquetReader.withFileRange`: a reader scoped to `[start, start +
+    * bytes)` materializes only the row groups whose extent falls in the
+    * range — the same mechanic MapReduce splits use). One task per
+    * contiguous survivor run per file (adjacent groups coalesce — a
+    * window over a sorted file reads as ONE ranged scan, not per-group
+    * seeks), columns cut to `projection` via the parquet read-schema
+    * projection, so the scan reads the surviving groups' requested
+    * column chunks and nothing else.
+    *
+    * `projection` supports the engine's skip-relevant physicals (long /
+    * int / double / float / string / boolean) — the columns a pruned
+    * aggregate touches; wider reads belong to the whole-file path.
+    */
+  def readRowGroups(spark: org.apache.spark.sql.SparkSession,
+                    survivors: Seq[(String, Long, Long)],
+                    projection: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // coalesce adjacent survivors of one file into maximal byte runs
+    val runs: Seq[(String, Long, Long)] = survivors.groupBy(_._1).toSeq
+      .flatMap { case (file, gs) =>
+        gs.sortBy(_._2).foldLeft(Vector.empty[(String, Long, Long)]) {
+          case (acc :+ ((f, s, b)), (_, s2, b2)) if s + b == s2 =>
+            acc :+ ((f, s, b + b2))
+          case (acc, (_, s2, b2)) => acc :+ ((file, s2, b2))
+        }
+      }
+    projection.fields.foreach { f =>
+      require(Seq(LongType, IntegerType, DoubleType, FloatType, BooleanType,
+        StringType).contains(f.dataType),
+        s"readRowGroups: unsupported projection type ${f.dataType} for ${f.name}")
+    }
+    val fieldNames = projection.fields.map(_.name)
+    val fieldTypes = projection.fields.map(_.dataType)
+    val rows = spark.sparkContext
+      .parallelize(runs, math.max(1, runs.size))
+      .flatMap { case (file, start, bytes) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        // cut the read schema from the FILE's own footer (repetition —
+        // required vs optional — must match the file, which the caller's
+        // Spark-side nullability cannot know)
+        val footer = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(file), conf))
+          try r.getFooter.getFileMetaData.getSchema finally r.close()
+        }
+        val cut = new org.apache.parquet.schema.MessageType("graft_projection",
+          fieldNames.map(n =>
+            footer.getType(Seq(n): _*)): _*)
+        conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          cut.toString)
+        val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+            new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(file))
+          .withConf(conf)
+          .withFileRange(start, start + bytes)
+          .build()
+        new Iterator[Row] {
+          private var nxt = reader.read()
+          override def hasNext: Boolean = {
+            if (nxt == null) reader.close()
+            nxt != null
+          }
+          override def next(): Row = {
+            val g = nxt
+            nxt = reader.read()
+            Row.fromSeq(fieldTypes.indices.map { i =>
+              if (g.getFieldRepetitionCount(i) == 0) null
+              else fieldTypes(i) match {
+                case LongType    => g.getLong(i, 0)
+                case IntegerType => g.getInteger(i, 0)
+                case DoubleType  => g.getDouble(i, 0)
+                case FloatType   => g.getFloat(i, 0)
+                case BooleanType => g.getBoolean(i, 0)
+                case StringType  => g.getString(i, 0)
+                case _ => null
+              }
+            })
+          }
+        }
+      }
+    spark.createDataFrame(rows, projection)
   }
 
   /** Compaction PLAN: assign each partition's chunks (small files /

@@ -329,6 +329,59 @@ object StreamOps {
     spark.read.schema("k BIGINT").parquet(s"$base/data")
   }
 
+  /** The STREAMING consumer half of the snapshot format's incremental
+    * read ([[graft.ops.Snapshots.changesBetween]] is the batch half): a
+    * tailing publisher links each append commit's data files into a
+    * LANDING DIRECTORY that a standard file-stream source monitors —
+    * so the consumer inherits the file source's offset log (exactly-once
+    * across restarts, the property `stream_resume` proves) without any
+    * custom Source implementation.
+    *
+    * Idempotent and monotone: every call links whatever committed files
+    * the latest (or pinned) version lists that the landing dir lacks —
+    * names are deterministic (`v<seq>_<relpath>`), links are zero-copy
+    * and atomic, a lost race with a concurrent sync is benign. Files of
+    * a commit only appear AFTER its manifest published (the sync reads
+    * the manifest, never lists `data/`), so a half-written commit is
+    * invisible — the publish-then-visible ordering a landing-dir ingest
+    * contract needs. Replace commits are REJECTED like changesBetween
+    * rejects them: a replace drops files the stream already consumed —
+    * reprocess from the replace version with a fresh landing dir.
+    * Returns the version synced through.
+    */
+  def syncSnapshotSource(root: String, stage: String,
+                         version: Option[Long] = None): Long = {
+    import java.nio.file.{Files, Paths}
+    val v = version.orElse(graft.ops.Snapshots.latestVersion(root))
+      .getOrElse(0L)
+    if (v == 0L) return 0L
+    Files.createDirectories(Paths.get(stage)): Unit
+    val files = graft.ops.Snapshots.snapshot(root, v).files
+    val staged = Option(new java.io.File(stage).listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    // append-shape check: everything already staged must still be listed
+    // (a replace commit would have dropped consumed files)
+    val names = files.map(f => f"v${f.seq}%08d_" + f.path.replace('/', '_'))
+    require(staged.subsetOf(names.toSet),
+      s"$root took a replace commit since this landing dir last synced — " +
+        "the increment stream is broken; reprocess with a fresh landing dir")
+    files.zip(names).foreach { case (f, name) =>
+      if (!staged.contains(name)) {
+        try Files.createLink(Paths.get(stage, name), Paths.get(root, f.path)): Unit
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
+    v
+  }
+
+  /** The snapshot-table change stream: a file-stream source over the
+    * landing dir [[syncSnapshotSource]] maintains. Standard streaming
+    * frame — watermark/aggregate/join/sink like any other source.
+    */
+  def snapshotSource(spark: SparkSession, stage: String,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(stage)
+
   /** `foreachBatch` with an idempotent side sink — the bridge to writers
     * that only exist for batch (here the engine's own `graft-digest` V2
     * sink). Each micro-batch commits into a directory KEYED BY batchId, so

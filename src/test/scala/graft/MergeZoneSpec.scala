@@ -224,6 +224,37 @@ class MergeZoneSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("f_low", "f_hit", "f_null"))
   }
 
+  test("row-group zone map: per-group stats prune INSIDE one file; the ranged read equals the full scan") {
+    val ss = spark; import ss.implicits._
+    val dir = tmp("graft_zrg")
+    // ONE sorted file with many small row groups — the layout where
+    // file-level pruning is powerless and group-level skipping is the
+    // whole game
+    spark.range(0, 200000).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .orderBy("id").coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", "65536").parquet(dir)
+    val stats = Layout.zoneMapRowGroupsIn(spark, dir, Seq("id"))
+    val nGroups = stats.count()
+    assert(stats.select("file").distinct().count() === 1)
+    assert(nGroups > 3, s"need multiple row groups, got $nGroups")
+    // stats cover the file exactly: group row counts sum to the table
+    assert(stats.agg(sum("n_rows")).collect()(0).getLong(0) === 200000L)
+    val surv = Layout.zonePruneRowGroups(stats, Seq(("id", 50000L, 60000L)))
+    assert(surv.nonEmpty && surv.size < nGroups,
+      s"expected a strict prune, got ${surv.size} of $nGroups groups")
+    import org.apache.spark.sql.types._
+    val got = Layout.readRowGroups(spark, surv, StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType))))
+      .where(col("id").between(50000L, 60000L))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === (50000L to 60000L).map(k => (k, k * 2)))
+    // file-level pruning cannot skip anything here
+    val fileStats = Layout.zoneMapFooters(spark, dir, Seq("id"))
+    assert(Layout.zonePrune(fileStats, Seq(("id", 50000L, 60000L))).size === 1)
+  }
+
   test("int64 footer stats above 2^53 widen conservatively: min never raised, max never lowered") {
     val ss = spark; import ss.implicits._
     // 2^60-63 rounds UP to 2^60 (raising a min), 2^60+1 rounds DOWN to

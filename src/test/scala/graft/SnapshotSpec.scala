@@ -494,6 +494,52 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Seq((1L, "a", None), (2L, "B", Some("extra"))))
   }
 
+  // ---- streaming source over the snapshot format ------------------------------
+
+  test("snapshot change stream: commits consumed exactly once across a restart; replace breaks the stream loudly") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    val base = java.nio.file.Files.createTempDirectory("graft_snapsrc").toString
+    val stage = s"$base/stage"
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamOps.snapshotSource(spark, stage,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType))))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sink(): Seq[Long] = spark.read.schema("id BIGINT")
+      .parquet(s"$base/sink").as[Long].collect().sorted.toSeq
+    Snapshots.commit(root, spark.range(0, 5).toDF(), "c1"): Unit
+    graft.streaming.StreamOps.syncSnapshotSource(root, stage): Unit
+    runOnce() // phase 1: only commit 1's rows
+    assert(sink() === (0L until 5L))
+    // consumer down; the table moves on
+    Snapshots.commit(root, spark.range(5, 8).toDF(), "c2"): Unit
+    Snapshots.commit(root, spark.range(8, 10).toDF(), "c3"): Unit
+    graft.streaming.StreamOps.syncSnapshotSource(root, stage): Unit
+    runOnce() // restart: NEW query, SAME checkpoint — no re-emission
+    assert(sink() === (0L until 10L),
+      "resume must append exactly the new commits, never re-emit")
+    // sync is idempotent: nothing new → nothing staged twice
+    graft.streaming.StreamOps.syncSnapshotSource(root, stage): Unit
+    runOnce()
+    assert(sink() === (0L until 10L))
+    // a replace commit drops consumed files: the next sync must refuse
+    Snapshots.commit(root, spark.range(100, 103).toDF(), "rewrite",
+      replace = true): Unit
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.syncSnapshotSource(root, stage)
+    }
+  }
+
   test("vacuum reclaims unreferenced segments and leaked staging temps, sparing young ones") {
     val root = freshTable()
     Snapshots.commit(root, spark.range(0, 5).toDF(), "base"): Unit
