@@ -1653,6 +1653,40 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Layout maintenance THROUGH the table format — the z-order rewrite
+    // as a REPLACE commit (zorderCommitN): v1 commits lineitem unlaid,
+    // v2 replaces it z-clustered with zval/zstrip as DATA columns (no
+    // Hive dirs — under the format, strip pruning rides manifest file
+    // stats: repartitionByRange(zval) makes per-file zstrip footer
+    // zones tight). The scan composes zStripsN's qualifying strip set
+    // with Snapshots.zoneMap + zonePruneIn — planning-time file pruning
+    // equal to the directory layout's, now transactional: pinned v1
+    // keeps the unlaid table, the rewrite audits in history
+    // (spec-asserted). Oracle = the plain source aggregate.
+    "snapshot_zorder" -> ((s, d) => {
+      val root = ModelStore.fit(
+        s"snapzorder|${cid(d)}|$ZBits|$ZStripBits", "graft_snapzo") { p =>
+        Snapshots.init(p)
+        val li0 = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(1024L)).as("pk"),
+          pmod(col("l_suppkey"), lit(1024L)).as("sk"),
+          col("l_quantity"))
+        val v1 = Snapshots.commit(p, li0, "base")
+        Layout.zorderCommitN(p, Snapshots.read(s, p, Some(v1)),
+          Seq("pk", "sk"), ZBits, ZStripBits, basedOn = Some(v1)): Unit
+      }
+      val strips = Layout.zStripsN(Seq((0L, 63L), (0L, 1023L)),
+        ZBits, ZStripBits)
+      val survivors = Layout.zonePruneIn(
+        Snapshots.zoneMap(s, root, Seq("zstrip")), "zstrip", strips)
+      s.read.parquet(survivors: _*)
+        .where(col("pk") < 64)
+        .groupBy(expr("pk div 16").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("bucket"))
+    }),
+
     // The snapshot-isolated table format (ops/Snapshots): immutable data
     // files + atomic manifest creation as the commit arbiter. Two commits
     // build the table (base, then an appended delta); the query TIME
@@ -4406,6 +4440,16 @@ object SparkEntry {
     // The rule-injected strip filter is implied by the predicate, so the
     // self-applying variant has the SAME oracle as the hand-injected one.
     "zorder_auto" ->
+      """SELECT (l_partkey % 1024) // 16 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey % 1024 < 64
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // The transactional z-order rewrite preserves the rows exactly (a
+    // REPLACE commit of the same table, re-laid); the strip-pruned scan
+    // replays as the plain source aggregate.
+    "snapshot_zorder" ->
       """SELECT (l_partkey % 1024) // 16 AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -132,20 +132,31 @@ object Layout {
     * value could then silently drop it. The descriptor is only written
     * — and the skip index only trusted — because this holds.
     */
-  def zorderWriteN(df: DataFrame, dims: Seq[String], bits: Int,
-                   stripTopBits: Int, outDir: String): String = {
-    val n = dims.size
-    val shift = n * bits - stripTopBits
+  /** The domain-checked z-value: every dimension is REQUIRED in
+    * `[0, 2^bits)` and the expression fails on the first violator
+    * (`raise_error` — negligible next to the exchange it rides): an
+    * out-of-domain value would land in the strip of its masked low bits,
+    * and any later strip pruning derived from a predicate on the REAL
+    * value could then silently drop it. Layout descriptors and skip
+    * indexes are only trusted because this holds.
+    */
+  private def zvalChecked(dims: Seq[String], bits: Int): Column = {
     val lim = 1L << bits
     val inDomain = dims.map(d => col(d) >= 0 && col(d) < lim).reduce(_ && _)
-    val zv = when(inDomain, zValueN(dims.map(col), bits))
+    when(inDomain, zValueN(dims.map(col), bits))
       .otherwise(raise_error(format_string(
         s"z-order dimension out of [0, $lim): " +
           dims.map(d => s"$d=%s").mkString(", "),
         dims.map(d => col(d).cast("string")): _*)))
+  }
+
+  def zorderWriteN(df: DataFrame, dims: Seq[String], bits: Int,
+                   stripTopBits: Int, outDir: String): String = {
+    val n = dims.size
+    val shift = n * bits - stripTopBits
     // ONE exchange (on the strip), per-file z-sort — a global orderBy
     // would add a range exchange for ordering the strip dirs already give
-    df.withColumn("zval", zv)
+    df.withColumn("zval", zvalChecked(dims, bits))
       .withColumn("zstrip", shiftright(col("zval"), shift))
       .repartition(col("zstrip"))
       .sortWithinPartitions(col("zval"))
@@ -161,6 +172,48 @@ object Layout {
   def zorderWrite(df: DataFrame, dimA: String, dimB: String, bits: Int,
                   stripTopBits: Int, outDir: String): String =
     zorderWriteN(df, Seq(dimA, dimB), bits, stripTopBits, outDir)
+
+  /** [[zorderWriteN]] INSIDE the snapshot format — layout maintenance as
+    * a TRANSACTION: the z-clustered rewrite publishes as a REPLACE
+    * commit ([[Snapshots.commit]]), so readers pinned to any version
+    * never see a half-laid table, the rewrite is visible (and
+    * revertible) in `DESCRIBE HISTORY`, and the superseded files stay
+    * until [[Snapshots.vacuum]]. Under the format, strip DIRECTORIES
+    * give way to manifest file statistics (the lakehouse way — no Hive
+    * paths): `zval`/`zstrip` land as ordinary data columns,
+    * `repartitionByRange(zval)` makes each file cover a contiguous
+    * z-range (tight per-file `zstrip` footer stats), and a scan combines
+    * [[zStripsN]]'s qualifying strip set with [[Snapshots.zoneMap]] +
+    * [[zonePruneIn]] for the same planning-time file pruning the
+    * directory layout gives outside the format. Returns the committed
+    * version.
+    */
+  def zorderCommitN(root: String, df: DataFrame, dims: Seq[String],
+                    bits: Int, stripTopBits: Int,
+                    basedOn: Option[Long] = None): Long = {
+    val n = dims.size
+    val shift = n * bits - stripTopBits
+    val laid = df
+      .withColumn("zval", zvalChecked(dims, bits))
+      .withColumn("zstrip", shiftright(col("zval"), shift))
+      .repartitionByRange(1 << stripTopBits, col("zval"))
+      .sortWithinPartitions(col("zval"))
+    Snapshots.commit(root, laid, s"zorder-${dims.mkString(",")}",
+      replace = true, basedOn = basedOn)
+  }
+
+  /** [[zonePrune]] for a SET predicate (`col ∈ values` — the shape a
+    * z-strip skip set produces): a file survives iff ANY value falls in
+    * its `[min, max]` zone, NULL stats conservatively kept. Driver-side
+    * O(files · |values|) with |values| bounded by the strip count.
+    */
+  def zonePruneIn(stats: DataFrame, c: String, values: Seq[Long]): Seq[String] = {
+    if (values.isEmpty) return Seq.empty // no qualifying strip: provably empty
+    val keep = col(s"min_$c").isNull || col(s"max_$c").isNull ||
+      values.map(v => lit(v) >= col(s"min_$c") && lit(v) <= col(s"max_$c"))
+        .reduce(_ || _)
+    stats.where(keep).select(col("file")).collect().map(_.getString(0)).toSeq
+  }
 
   /** ZONE MAP: per-file min/max statistics over arbitrary columns — the
     * generic file-skipping channel (Delta/Iceberg file stats) that covers

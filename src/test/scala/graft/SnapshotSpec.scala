@@ -494,6 +494,48 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Seq((1L, "a", None), (2L, "B", Some("extra"))))
   }
 
+  // ---- layout maintenance through the format ----------------------------------
+
+  test("zorderCommitN: the z-order rewrite is a REPLACE commit — audited in history, pinned readers keep the old layout, strips prune via manifest stats") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    val rows = (0L until 4096L).map(i => (i % 64, (i * 37) % 64, i))
+      .toDF("a", "b", "payload")
+    val v1 = Snapshots.commit(root, rows, "base")
+    val v2 = graft.ops.Layout.zorderCommitN(root,
+      Snapshots.read(spark, root, Some(v1)), Seq("a", "b"),
+      bits = 6, stripTopBits = 4, basedOn = Some(v1))
+    assert(v2 === 2L)
+    // the rewrite audits in DESCRIBE HISTORY as a replace note
+    val notes = Snapshots.history(spark, root)
+      .select("version", "note").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(notes(2L) === "zorder-a,b")
+    // pinned v1 keeps the unlaid schema (no zval/zstrip)
+    assert(!Snapshots.read(spark, root, Some(v1)).columns.contains("zval"))
+    // rows preserved exactly
+    assert(Snapshots.read(spark, root, Some(2L))
+      .select("a", "b", "payload").orderBy("payload")
+      .as[(Long, Long, Long)].collect().toSeq ===
+      rows.orderBy("payload").as[(Long, Long, Long)].collect().toSeq)
+    // strip skip set + manifest stats prune STRICTLY for a box on `a`
+    val strips = graft.ops.Layout.zStripsN(Seq((0L, 15L), (0L, 63L)), 6, 4)
+    val stats = Snapshots.zoneMap(spark, root, Seq("zstrip"))
+    val survivors = graft.ops.Layout.zonePruneIn(stats, "zstrip", strips)
+    val total = Snapshots.snapshot(root, 2L).files.size
+    assert(survivors.nonEmpty && survivors.size < total,
+      s"expected a strict prune, got ${survivors.size} of $total files")
+    val got = spark.read.parquet(survivors: _*)
+      .where(col("a") < 16).agg(count(lit(1))).collect()(0).getLong(0)
+    assert(got === rows.where(col("a") < 16).count())
+    // a concurrent commit surfaces as a conflict, never a lost rewrite
+    intercept[java.util.ConcurrentModificationException] {
+      graft.ops.Layout.zorderCommitN(root,
+        Snapshots.read(spark, root, Some(2L)).drop("zval", "zstrip"),
+        Seq("a", "b"), 6, 4, basedOn = Some(v1))
+    }
+  }
+
   // ---- streaming source over the snapshot format ------------------------------
 
   test("snapshot change stream: commits consumed exactly once across a restart; replace breaks the stream loudly") {
