@@ -59,6 +59,7 @@ object Scale {
     if (args.headOption.contains("apply")) return applyMain(args.drop(1))
     if (args.headOption.contains("zorder")) return zorderMain(args.drop(1))
     if (args.headOption.contains("zonemap")) return zonemapMain(args.drop(1))
+    if (args.headOption.contains("rowgroups")) return rowgroupsMain(args.drop(1))
     if (args.headOption.contains("snapshots")) return snapshotsMain(args.drop(1))
     if (args.headOption.contains("mor")) return morMain(args.drop(1))
     if (args.headOption.contains("merge")) return mergeMain(args.drop(1))
@@ -465,6 +466,69 @@ object Scale {
     spark.stop()
   }
 
+  /** Row-group zone maps where FILE-level pruning is powerless: `n`
+    * sorted rows in ONE large file of many row groups (the layout
+    * compaction deliberately produces — big files, intra-file locality),
+    * a narrow key window answered three ways: the full-file scan, the
+    * file-level zone map (keeps the single file — prunes nothing), and
+    * the row-group map (per-group footer stats → surviving byte ranges →
+    * parquet range-scoped reads). What this prices at 100 TB: after
+    * OPTIMIZE packs a partition into multi-GB files, group-level
+    * skipping is the only stats channel left, and its bytes track the
+    * WINDOW, not the file.
+    */
+  private def rowgroupsMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 50000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_rg_scale").toString
+    val writeSec = time {
+      spark.range(n).select(col("id"), (col("id") % 97).cast("double").as("v"))
+        .orderBy("id").coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (8L * 1024 * 1024).toString)
+        .parquet(out)
+    }
+    var stats: org.apache.spark.sql.DataFrame = null
+    val statsSec = time {
+      stats = ops.Layout.zoneMapRowGroupsIn(spark, out, Seq("id")).cache()
+      stats.count(): Unit
+    }
+    val nGroups = stats.count()
+    val totalBytes = stats.agg(sum(col("rg_bytes"))).collect()(0).getLong(0)
+    val lo = n / 2
+    val hi = lo + n / 64
+    // file-level pruning keeps the one file — powerless by construction
+    val fileSurvivors = ops.Layout.zonePrune(
+      ops.Layout.zoneMapFooters(spark, out, Seq("id")), Seq(("id", lo, hi)))
+    val survivors = ops.Layout.zonePruneRowGroups(stats, Seq(("id", lo, hi)))
+    val skipBytes = survivors.map(_._3).sum
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    def agg(q: org.apache.spark.sql.DataFrame) =
+      q.where(col("id") >= lo && col("id") <= hi)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s")).collect().toSeq
+    var full: Seq[org.apache.spark.sql.Row] = null
+    val fullSec = time { full = agg(spark.read.parquet(out)) }
+    var skip: Seq[org.apache.spark.sql.Row] = null
+    val skipSec = time {
+      skip = agg(ops.Layout.readRowGroups(spark, survivors, StructType(Seq(
+        StructField("id", LongType), StructField("v", DoubleType)))))
+    }
+    require(full == skip, s"ranged read lost rows: $full vs $skip")
+    println(f"""{"mode":"rowgroups","n_rows":$n,"write_sec":$writeSec%.1f,"stats_sec":$statsSec%.1f,"groups_total":$nGroups,"groups_survive":${survivors.size},"files_survive_filelevel":${fileSurvivors.size},"total_bytes":$totalBytes,"skip_bytes":$skipBytes,"full_sec":$fullSec%.1f,"skip_sec":$skipSec%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
   /** The snapshot format's metadata costs at a WIDE manifest: `n` rows
     * committed as `nFiles` data files (a deliberately fragmented table —
     * the small-files regime every real lakehouse log lives in), then the
@@ -506,13 +570,28 @@ object Scale {
     val statsSec = time {
       require(ops.Snapshots.zoneMap(spark, root, Seq("id")).count() == nFiles)
     }
+    def segBytes(): Map[String, Long] =
+      Option(new java.io.File(root, "_graft_snaps").listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.getName.startsWith("seg_"))
+        .map(f => f.getName -> f.length()).toMap
+    val baseSegs = segBytes()
     val appendSec = time {
       ops.Snapshots.commit(root, spark.range(n, n + 1000).toDF(), "small"): Unit
     }
+    // the O(delta) claim, in bytes: the append wrote its OWN segment
+    // (entry text for its files only) plus a header+refs manifest —
+    // the base commit's O(files) segment was never rewritten
+    val afterSegs = segBytes()
+    val appendSegBytes = (afterSegs -- baseSegs.keySet).values.sum
+    val appendManifestBytes = new java.io.File(root,
+      f"_graft_snaps/v${2L}%08d.txt").length()
+    require(baseSegs.forall { case (k, v) => afterSegs.get(k).contains(v) },
+      "append must not rewrite prior segments")
     val vacuumSec = time {
       require(ops.Snapshots.vacuum(root, keepVersions = 1) == 0) // append: nothing dead
     }
-    println(f"""{"mode":"snapshots","n_rows":$n,"n_files":$nFiles,"commit_sec":$commitSec%.1f,"manifest_bytes":$manifestBytes,"plan_sec":$planSec%.2f,"count_sec":$countSec%.1f,"stats_sec":$statsSec%.1f,"append_sec":$appendSec%.1f,"vacuum_sec":$vacuumSec%.2f,"cpus":$cpus}""")
+    println(f"""{"mode":"snapshots","n_rows":$n,"n_files":$nFiles,"commit_sec":$commitSec%.1f,"manifest_bytes":$manifestBytes,"base_segment_bytes":${baseSegs.values.sum},"plan_sec":$planSec%.2f,"count_sec":$countSec%.1f,"stats_sec":$statsSec%.1f,"append_sec":$appendSec%.1f,"append_manifest_bytes":$appendManifestBytes,"append_segment_bytes":$appendSegBytes,"vacuum_sec":$vacuumSec%.2f,"cpus":$cpus}""")
     spark.stop()
   }
 

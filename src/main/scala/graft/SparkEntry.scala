@@ -2005,33 +2005,31 @@ object SparkEntry {
     // Three disjoint key slices compose the full table; the oracle
     // replays the plain per-segment aggregate.
     "stream_snapshot_source" -> ((s, d) => {
+      val custSchema = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal")).schema
+      def drain(p: String): Unit = streaming.StreamOps.drainToParquet(s,
+        streaming.StreamOps.snapshotSource(s, s"$p/_graft_stage", custSchema),
+        s"$p/_graft_sink", s"$p/_graft_ckpt")
       val root = ModelStore.fit(s"snapsrc|${cid(d)}", "graft_snapsrc") { p =>
         Snapshots.init(p)
         val cust = Tables.customer(s, d).select(col("c_custkey"),
           col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
-        val stage = s"$p/_graft_stage"
-        def runOnce(): Unit = {
-          val q = streaming.StreamOps.snapshotSource(s, stage, cust.schema)
-            .writeStream
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-            .format("parquet")
-            .option("path", s"$p/_graft_sink")
-            .option("checkpointLocation", s"$p/_graft_ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        }
         Snapshots.commit(p,
           cust.where(pmod(col("c_custkey"), lit(3)) === 0), "slice0"): Unit
-        streaming.StreamOps.syncSnapshotSource(p, stage): Unit
-        runOnce() // consume commit 1 ... then the consumer process dies
+        streaming.StreamOps.syncSnapshotSource(p, s"$p/_graft_stage"): Unit
+        drain(p) // consume commit 1 ... then the consumer process dies
         Snapshots.commit(p,
           cust.where(pmod(col("c_custkey"), lit(3)) === 1), "slice1"): Unit
         Snapshots.commit(p,
           cust.where(pmod(col("c_custkey"), lit(3)) === 2), "slice2"): Unit
-        streaming.StreamOps.syncSnapshotSource(p, stage): Unit
-        runOnce() // NEW query object, SAME checkpoint — the restart
+        streaming.StreamOps.syncSnapshotSource(p, s"$p/_graft_stage"): Unit
+        drain(p) // NEW query object, SAME checkpoint — the restart
       }
+      // a third lifetime with NOTHING new: syncs nothing, the offset log
+      // skips everything, zero rows append — the idempotent-resume leg,
+      // run every time (fit-cached or not)
+      streaming.StreamOps.syncSnapshotSource(root, s"$root/_graft_stage"): Unit
+      drain(root)
       s.read.parquet(s"$root/_graft_sink")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_rows"),

@@ -282,6 +282,21 @@ object Snapshots {
       snapshot(root, v).files.map(f => s"$root/${f.path}"), cols, strCols)
   }
 
+  /** [[zoneMap]] at ROW-GROUP granularity ([[Layout.zoneMapRowGroups]]
+    * over the manifest's file list): per-(file, row group) stats + byte
+    * extents for one snapshot version — compose with
+    * [[Layout.zonePruneRowGroups]] and [[Layout.readRowGroups]] for
+    * group-level skipping inside the format's large compacted files.
+    */
+  def zoneMapRowGroups(spark: SparkSession, root: String, cols: Seq[String],
+                       version: Option[Long] = None,
+                       strCols: Seq[String] = Seq.empty): DataFrame = {
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    Layout.zoneMapRowGroups(spark,
+      snapshot(root, v).files.map(f => s"$root/${f.path}"), cols, strCols)
+  }
+
   /** The table's commit HISTORY as a DataFrame (`DESCRIBE HISTORY`):
     * one row per retained version with its parent, note, commit
     * timestamp, file/tombstone counts and the manifest row-count sum (an

@@ -382,6 +382,25 @@ object StreamOps {
                      schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(stage)
 
+  /** Drain `src` to a checkpointed parquet sink once (AvailableNow) —
+    * the consumer leg of the snapshot change stream; each call is one
+    * "process lifetime" (a fresh query object on the same checkpoint is
+    * the restart shape). Records the state-operator fingerprint like
+    * every other bounded runner.
+    */
+  def drainToParquet(spark: SparkSession, src: DataFrame,
+                     path: String, ckpt: String): Unit = {
+    val q = src.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordStateOps(q)
+  }
+
   /** `foreachBatch` with an idempotent side sink — the bridge to writers
     * that only exist for batch (here the engine's own `graft-digest` V2
     * sink). Each micro-batch commits into a directory KEYED BY batchId, so

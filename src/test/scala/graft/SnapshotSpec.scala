@@ -494,6 +494,27 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Seq((1L, "a", None), (2L, "B", Some("extra"))))
   }
 
+  test("row-group zone map over a snapshot version: group-level skipping inside the format's compacted files") {
+    val root = freshTable()
+    Snapshots.commit(root,
+      spark.range(0, 100000).toDF().orderBy("id").coalesce(1),
+      "big-file"): Unit
+    // the row-group map resolves per-group stats from the MANIFEST's
+    // files — pinned to the version, invisible to later commits
+    val stats = Snapshots.zoneMapRowGroups(spark, root, Seq("id"))
+    assert(stats.agg(org.apache.spark.sql.functions.sum("n_rows"))
+      .collect()(0).getLong(0) === 100000L)
+    val surv = graft.ops.Layout.zonePruneRowGroups(stats,
+      Seq(("id", 10L, 20L)))
+    assert(surv.nonEmpty)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val got = graft.ops.Layout.readRowGroups(spark, surv,
+        StructType(Seq(StructField("id", LongType))))
+      .where(col("id").between(10L, 20L))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (10L to 20L))
+  }
+
   // ---- layout maintenance through the format ----------------------------------
 
   test("zorderCommitN: the z-order rewrite is a REPLACE commit — audited in history, pinned readers keep the old layout, strips prune via manifest stats") {
