@@ -60,6 +60,8 @@ object Scale {
     if (args.headOption.contains("zorder")) return zorderMain(args.drop(1))
     if (args.headOption.contains("zonemap")) return zonemapMain(args.drop(1))
     if (args.headOption.contains("rowgroups")) return rowgroupsMain(args.drop(1))
+    if (args.headOption.contains("bloom")) return bloomMain(args.drop(1))
+    if (args.headOption.contains("versions")) return versionsMain(args.drop(1))
     if (args.headOption.contains("snapshots")) return snapshotsMain(args.drop(1))
     if (args.headOption.contains("mor")) return morMain(args.drop(1))
     if (args.headOption.contains("merge")) return mergeMain(args.drop(1))
@@ -526,6 +528,114 @@ object Scale {
     }
     require(full == skip, s"ranged read lost rows: $full vs $skip")
     println(f"""{"mode":"rowgroups","n_rows":$n,"write_sec":$writeSec%.1f,"stats_sec":$statsSec%.1f,"groups_total":$nGroups,"groups_survive":${survivors.size},"files_survive_filelevel":${fileSurvivors.size},"total_bytes":$totalBytes,"skip_bytes":$skipBytes,"full_sec":$fullSec%.1f,"skip_sec":$skipSec%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** The bloom skip channel where zones are powerless: `n` rows
+    * HASH-bucketed on the key into `nFiles` files (every file spans the
+    * whole domain — min/max zones keep everything by construction),
+    * parquet blooms written on the key, a k-key point lookup answered by
+    * the full scan vs the bloom-pruned scan. What this prices at 100 TB:
+    * the needle-in-haystack lookup on a non-layout key — the access
+    * pattern every secondary-index design exists for — served by footer
+    * + bitset reads instead of a full-table scan.
+    */
+  private def bloomMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 50000000L
+    val nFiles = 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_bloom_scale").toString
+    val writeSec = time {
+      spark.range(n).select(col("id"), (col("id") % 97).cast("double").as("v"))
+        .repartition(nFiles, col("id"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.expected.ndv#id", (n / nFiles).toString)
+        .parquet(out)
+    }
+    val files = ops.Layout.zoneMapFooters(spark, out, Seq.empty)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val keys: Seq[Any] = Seq(7L, n / 3, n / 2 + 1, n - 5, n * 2) // last: absent
+    var survivors: Seq[String] = null
+    val probeSec = time {
+      survivors = ops.Layout.bloomPrune(spark, files, "id", keys)
+    }
+    def lookup(q: org.apache.spark.sql.DataFrame) =
+      q.where(col("id").isin(keys: _*)).collect().map(_.getLong(0)).sorted.toSeq
+    var full: Seq[Long] = null
+    val fullSec = time { full = lookup(spark.read.parquet(out)) }
+    var skip: Seq[Long] = null
+    val skipSec = time { skip = lookup(spark.read.parquet(survivors: _*)) }
+    require(full == skip, s"bloom path lost rows: $full vs $skip")
+    println(f"""{"mode":"bloom","n_rows":$n,"write_sec":$writeSec%.1f,"files_total":$nFiles,"files_survive":${survivors.size},"probe_sec":$probeSec%.2f,"full_sec":$fullSec%.1f,"skip_sec":$skipSec%.2f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** The manifest chain at DEEP history: `v` small commits (the
+    * steady-state of a CDC-fed table between compactions), then the
+    * O(versions) operations measured — latest-read planning, DESCRIBE
+    * HISTORY over every version (O(V²) segment refs, cache-served),
+    * AS OF timestamp resolution, a change-feed read over the full
+    * window, and a retention vacuum dropping most of the history.
+    */
+  private def versionsMain(args: Array[String]): Unit = {
+    val v = if (args.nonEmpty) args(0).toInt else 200
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val root = ops.Snapshots.init(
+      java.nio.file.Files.createTempDirectory("graft_vers_scale").toString)
+    val commitSec = time {
+      (0 until v).foreach { i =>
+        ops.Snapshots.commit(root,
+          spark.range(i * 100L, i * 100L + 100).toDF().coalesce(1),
+          s"append-$i", statsCols = Seq("id")): Unit
+      }
+    }
+    var planned: org.apache.spark.sql.DataFrame = null
+    val planSec = time { planned = ops.Snapshots.read(spark, root) }
+    val countSec = time { require(planned.count() == v * 100L) }
+    val historySec = time {
+      require(ops.Snapshots.history(spark, root).count() == v.toLong)
+    }
+    val asofSec = time {
+      require(ops.Snapshots.versionAsOf(root,
+        System.currentTimeMillis()) == v.toLong)
+    }
+    val statsSec = time {
+      require(ops.Snapshots.zoneMapManifest(spark, root, Seq("id"))
+        .count() == v.toLong) // one coalesced file per commit
+    }
+    val feedSec = time {
+      require(ops.Snapshots.changeFeed(spark, root, 0L, v.toLong, "id")
+        .count() == v * 100L)
+    }
+    val vacuumSec = time {
+      ops.Snapshots.vacuum(root, keepVersions = 10, minAgeMillis = 0): Unit
+    }
+    require(ops.Snapshots.versions(root).size == 10)
+    println(f"""{"mode":"versions","n_versions":$v,"commit_sec":$commitSec%.1f,"plan_sec":$planSec%.2f,"count_sec":$countSec%.1f,"history_sec":$historySec%.2f,"asof_sec":$asofSec%.2f,"stats_sec":$statsSec%.2f,"feed_sec":$feedSec%.1f,"vacuum_sec":$vacuumSec%.2f,"cpus":$cpus}""")
     spark.stop()
   }
 

@@ -1653,6 +1653,76 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The BLOOM skip channel — point lookups where min/max zones are
+    // POWERLESS: lineitem is hash-bucketed on l_orderkey into 24 files
+    // (every file spans the whole key domain, so zonePrune keeps all),
+    // written with parquet bloom filters on the key; a 3-key lookup
+    // probes footers + bloom bitsets only (bloomPrune — "definitely
+    // absent" per row group, false positives conservatively kept) and
+    // scans the few surviving files. Keys are the 3 smallest orderkeys
+    // ≡0 mod 1009, which the oracle re-derives; green proves the bloom
+    // path loses no rows.
+    "bloom_scan" -> ((s, d) => {
+      val outRoot = ModelStore.fit(s"bloom|${cid(d)}", "graft_bloom") { p =>
+        li(s, d).select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag"))
+          .repartition(24, col("l_orderkey"))
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#l_orderkey", "300000")
+          .parquet(p): Unit
+      }
+      val keys = s.read.parquet(outRoot)
+        .where(pmod(col("l_orderkey"), lit(1009)) === 0)
+        .select(col("l_orderkey")).distinct()
+        .orderBy(col("l_orderkey")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val files = Layout.zoneMapFooters(s, outRoot, Seq.empty)
+        .select(col("file")).collect().map(_.getString(0)).toSeq
+      val survivors = Layout.bloomPrune(s, files, "l_orderkey", keys)
+      s.read.parquet(survivors: _*)
+        .where(col("l_orderkey").isin(keys: _*))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // MANIFEST-EMBEDDED column statistics — the Iceberg
+    // manifests-carry-bounds design: the commit's footer pass (already
+    // counting rows) also records per-file (min, max) for the named
+    // columns INTO the manifest entries, and the scan plans from
+    // manifest TEXT alone (zoneMapManifest → zonePrune →
+    // readPrunedManifest) — zero footer I/O at query time, the
+    // difference between a driver-side string pass and a million-footer
+    // planning job at scale. Window bounds derive from the embedded
+    // stats, so the oracle replays them from the source; green proves
+    // the zero-I/O planning path loses no rows (manifest ≡ footer stats
+    // is additionally spec-asserted).
+    "snapshot_stats_prune" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapstats|${cid(d)}", "graft_snapstats") { p =>
+        Snapshots.init(p)
+        Snapshots.commit(p,
+          li(s, d).select(col("l_orderkey"), col("l_quantity"),
+              col("l_returnflag"))
+            .repartitionByRange(12, col("l_orderkey"))
+            .sortWithinPartitions(col("l_orderkey")),
+          "stats-base", statsCols = Seq("l_orderkey")): Unit
+      }
+      val stats = Snapshots.zoneMapManifest(s, root, Seq("l_orderkey"))
+      val Array(bounds) = stats.agg(
+        min(col("min_l_orderkey")).as("mn"),
+        max(col("max_l_orderkey")).as("mx")).collect()
+      val lo = bounds.getDouble(0).toLong
+      val hi = lo + (bounds.getDouble(1).toLong - lo) / 12
+      Snapshots.readPrunedManifest(s, root, Seq(("l_orderkey", lo, hi)))
+        .where(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Layout maintenance THROUGH the table format — the z-order rewrite
     // as a REPLACE commit (zorderCommitN): v1 commits lineitem unlaid,
     // v2 replaces it z-clustered with zval/zstrip as DATA columns (no
@@ -1748,6 +1818,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("acctbal")).cast("double").as("sum_bal"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // The CHANGE FEED (Delta table_changes): row-level CDC with
+    // operation types derived from manifests alone over the snapshot_mor
+    // table's two change commits — v2's rewrites surface as `upsert`
+    // rows (their keys are in the same commit's tombstone), v2's pure
+    // deletions as key-only `delete` rows, v3's re-inserts as `upsert`s
+    // — each stamped with its commit version, exactly what a downstream
+    // CDC consumer applies in order. The oracle replays the three change
+    // sets from the source rules; zero extra build cost (same fitted
+    // table as snapshot_mor).
+    "snapshot_cdf" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapmor|${cid(d)}", "graft_snapmor") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        Snapshots.commitChanges(p,
+          upserts = cust.where(pmod(col("c_custkey"), lit(6)) === 0 &&
+              pmod(col("c_custkey"), lit(15)) =!= 0)
+            .select(col("c_custkey"), col("c_mktsegment"),
+              dec2(col("acctbal") + 200).as("acctbal")),
+          deleteKeys = cust.where(pmod(col("c_custkey"), lit(15)) === 0)
+            .select(col("c_custkey")),
+          "c_custkey", "chg1"): Unit
+        Snapshots.commitChanges(p,
+          upserts = cust.where(pmod(col("c_custkey"), lit(10)) === 0)
+            .select(col("c_custkey"), col("c_mktsegment"),
+              dec2(col("acctbal") + 50).as("acctbal")),
+          deleteKeys = cust.limit(0).select(col("c_custkey")),
+          "c_custkey", "chg2"): Unit
+      }
+      Snapshots.changeFeed(s, root, 1L, 3L, "c_custkey")
+        .select(col("c_custkey"),
+          col("acctbal").cast("double").as("acctbal"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+        .orderBy(col("commit_version"), col("change_type"), col("c_custkey"))
     }),
 
     // Incremental (CDC-consumer) read: the rows APPENDED in (v1, v2] of
@@ -4444,6 +4552,27 @@ object SparkEntry {
         |FROM lineitem WHERE l_partkey % 1024 < 64
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // The 3 probed keys re-derived by the same rule; the bloom-pruned
+    // scan replays as a plain key lookup.
+    "bloom_scan" ->
+      """WITH k AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |  WHERE l_orderkey % 1009 = 0 ORDER BY l_orderkey LIMIT 3)
+        |SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM k)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    // Same replay as zonemap_scan: bounds derive from the (embedded)
+    // stats' global min/max = the table's own.
+    "snapshot_stats_prune" ->
+      """WITH b AS (SELECT min(l_orderkey) AS lo,
+        |    min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 12 AS hi
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem, b WHERE l_orderkey BETWEEN lo AND hi
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // The transactional z-order rewrite preserves the rows exactly (a
     // REPLACE commit of the same table, re-laid); the strip-pruned scan
     // replays as the plain source aggregate.
@@ -4589,6 +4718,26 @@ object SparkEntry {
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
         |FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // The three change sets replayed from the source rules: v2's
+    // rewrites (+200 on ≡0 mod 6 minus mod 15) as upserts, v2's
+    // deletions (≡0 mod 15) as key-only rows, v3's +50 re-inserts
+    // (≡0 mod 10) as upserts.
+    "snapshot_cdf" ->
+      """WITH cust AS (SELECT c_custkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer)
+        |SELECT c_custkey,
+        |  CAST(acctbal + 200 AS DOUBLE) AS acctbal,
+        |  'upsert' AS change_type, CAST(2 AS BIGINT) AS commit_version
+        |FROM cust WHERE c_custkey % 6 = 0 AND c_custkey % 15 <> 0
+        |UNION ALL
+        |SELECT c_custkey, CAST(NULL AS DOUBLE), 'delete', CAST(2 AS BIGINT)
+        |FROM cust WHERE c_custkey % 15 = 0
+        |UNION ALL
+        |SELECT c_custkey, CAST(acctbal + 50 AS DOUBLE), 'upsert',
+        |  CAST(3 AS BIGINT)
+        |FROM cust WHERE c_custkey % 10 = 0
+        |ORDER BY commit_version, change_type, c_custkey""".stripMargin,
 
     // The increment (v1, v2] is exactly the delta commit's rows.
     "snapshot_incr" ->

@@ -279,35 +279,49 @@ object Layout {
         statFields(cols, strCols))
     val rows = spark.sparkContext.parallelize(files,
       math.max(1, math.min(files.size, 64))).map { path =>
-      val reader = openFooter(path)
-      try {
-        val blocks = reader.getFooter.getBlocks
-        var nRows = 0L
-        val mins = Array.fill(cols.size)(Option.empty[Double])
-        val maxs = Array.fill(cols.size)(Option.empty[Double])
-        val smins = Array.fill(strCols.size)(Option.empty[String])
-        val smaxs = Array.fill(strCols.size)(Option.empty[String])
-        val it = blocks.iterator()
-        while (it.hasNext) {
-          val b = it.next()
-          nRows += b.getRowCount
-          val (bmins, bmaxs, bsmins, bsmaxs) = blockStats(b, cols, strCols)
-          for (i <- cols.indices) {
-            bmins(i).foreach(m => mins(i) = Some(mins(i).fold(m)(math.min(m, _))))
-            bmaxs(i).foreach(m => maxs(i) = Some(maxs(i).fold(m)(math.max(m, _))))
-          }
-          for (j <- strCols.indices) {
-            bsmins(j).foreach(m =>
-              smins(j) = Some(smins(j).fold(m)(o => if (m < o) m else o)))
-            bsmaxs(j).foreach(m =>
-              smaxs(j) = Some(smaxs(j).fold(m)(o => if (m > o) m else o)))
-          }
-        }
-        Row.fromSeq(path +: nRows +: statCells(cols, strCols,
-          mins, maxs, smins, smaxs))
-      } finally reader.close()
+      val (nRows, mins, maxs, smins, smaxs) = fileFooterStats(path, cols, strCols)
+      Row.fromSeq(path +: nRows +: statCells(cols, strCols,
+        mins, maxs, smins, smaxs))
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** ONE file's footer statistics, folded across its row groups — the
+    * per-file kernel behind [[zoneMapFootersFor]], also called by the
+    * snapshot format's commit path ([[Snapshots]]) to EMBED column
+    * bounds in the manifest (the Iceberg manifest-stats shape) so later
+    * scans prune from manifest text alone, zero footer I/O at planning.
+    */
+  private[ops] def fileFooterStats(path: String, cols: Seq[String],
+                                   strCols: Seq[String]):
+      (Long, Array[Option[Double]], Array[Option[Double]],
+       Array[Option[String]], Array[Option[String]]) = {
+    val reader = openFooter(path)
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var nRows = 0L
+      val mins = Array.fill(cols.size)(Option.empty[Double])
+      val maxs = Array.fill(cols.size)(Option.empty[Double])
+      val smins = Array.fill(strCols.size)(Option.empty[String])
+      val smaxs = Array.fill(strCols.size)(Option.empty[String])
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        nRows += b.getRowCount
+        val (bmins, bmaxs, bsmins, bsmaxs) = blockStats(b, cols, strCols)
+        for (i <- cols.indices) {
+          bmins(i).foreach(m => mins(i) = Some(mins(i).fold(m)(math.min(m, _))))
+          bmaxs(i).foreach(m => maxs(i) = Some(maxs(i).fold(m)(math.max(m, _))))
+        }
+        for (j <- strCols.indices) {
+          bsmins(j).foreach(m =>
+            smins(j) = Some(smins(j).fold(m)(o => if (m < o) m else o)))
+          bsmaxs(j).foreach(m =>
+            smaxs(j) = Some(smaxs(j).fold(m)(o => if (m > o) m else o)))
+        }
+      }
+      (nRows, mins, maxs, smins, smaxs)
+    } finally reader.close()
   }
 
   /** [[zoneMapFootersFor]] at ROW-GROUP granularity: one stats row per
@@ -562,6 +576,52 @@ object Layout {
         }
       }
     spark.createDataFrame(rows, projection)
+  }
+
+  /** The BLOOM skip channel — the file-pruning min/max zones cannot
+    * give: point lookups on a HIGH-CARDINALITY column of a layout not
+    * sorted by it (a hash-bucketed key, a UUID, a join key after
+    * compaction on time) have useless zones — every file spans the whole
+    * domain — but parquet's per-column-chunk bloom filters (written with
+    * `parquet.bloom.filter.enabled#col`) answer "definitely absent" per
+    * block. A file survives iff ANY of its row groups maybe-contains ANY
+    * probed value; a chunk without a bloom is conservatively
+    * maybe-present (a plain write prunes nothing, never wrongly). False
+    * positives keep extra files — correct, just less skipping. The probe
+    * reads footer + bloom bitsets only (never data pages), distributed
+    * over executors like the zone-map builders; cost O(files · values).
+    */
+  def bloomPrune(spark: org.apache.spark.sql.SparkSession,
+                 files: Seq[String], c: String,
+                 values: Seq[Any]): Seq[String] = {
+    if (values.isEmpty) return Seq.empty // nothing probed: provably empty
+    spark.sparkContext.parallelize(files,
+      math.max(1, math.min(files.size, 64))).filter { path =>
+      val reader = openFooter(path)
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.exists { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+            case None => true // column absent: cannot prune
+            case Some(ch) =>
+              val bloom = reader.getBloomFilterDataReader(b).readBloomFilter(ch)
+              if (bloom == null) true // no bloom written: maybe-present
+              else values.exists { v =>
+                val h = v match {
+                  case l: Long    => bloom.hash(l)
+                  case i: Int     => bloom.hash(i)
+                  case d: Double  => bloom.hash(d)
+                  case f: Float   => bloom.hash(f)
+                  case s: String  =>
+                    bloom.hash(org.apache.parquet.io.api.Binary.fromString(s))
+                  case other      => bloom.hash(other.asInstanceOf[AnyRef])
+                }
+                bloom.findHash(h)
+              }
+          }
+        }
+      } finally reader.close()
+    }.collect().toSeq
   }
 
   /** Compaction PLAN: assign each partition's chunks (small files /

@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit, max, substring_index}
+import org.apache.spark.sql.functions.{col, concat, lit, max, substring_index, when}
 
 /** A minimal snapshot-isolated table format — the transactional shell
   * around the engine's layout operators ([[Layout.zorderWriteN]],
@@ -53,8 +53,17 @@ object Snapshots {
     * sequence-number rule of the published formats), so a commit can
     * upsert a key by tombstoning it and appending the new row in the
     * same version without the tombstone eating its own row.
+    *
+    * `stats` are optional per-column (min, max) bounds EMBEDDED at
+    * commit time (the Iceberg manifest-stats shape — [[commit]] with
+    * `statsCols`): read from the same footer pass that counts rows, and
+    * what lets [[zoneMapManifest]] plan a pruned scan from manifest TEXT
+    * alone — zero footer I/O at query time. Same conservative decode as
+    * the zone maps (lossy INT64 widened; a column absent here is
+    * unprunable, never prunable).
     */
-  final case class FileEntry(path: String, rows: Long, seq: Long)
+  final case class FileEntry(path: String, rows: Long, seq: Long,
+                             stats: Map[String, (Double, Double)] = Map.empty)
 
   /** `files` hold rows; `deletes` hold equality-delete KEYS (one-column
     * parquet tombstones) that suppress older rows of the same key at
@@ -113,14 +122,36 @@ object Snapshots {
     lines.filter(_.startsWith(prefix)).map { l =>
       val parts = l.substring(prefix.length).split('|')
       // path never contains '|' (uuid + Spark part names); the last two
-      // fields are rows and seq
-      FileEntry(parts.dropRight(2).mkString("|"),
-        parts(parts.length - 2).toLong, parts(parts.length - 1).toLong)
+      // fields are rows and seq, plus an optional trailing `s=` stats
+      // field (entries without one — all pre-stats manifests — parse
+      // with empty stats)
+      val (core, stats) =
+        if (parts.last.startsWith("s="))
+          (parts.dropRight(1), parseStats(parts.last.substring(2)))
+        else (parts, Map.empty[String, (Double, Double)])
+      FileEntry(core.dropRight(2).mkString("|"),
+        core(core.length - 2).toLong, core(core.length - 1).toLong, stats)
     }
+
+  // stats field: `s=col:min:max;col2:min:max` — column names are
+  // validated identifier-safe at commit ([[commit]]), doubles round-trip
+  // through Double.toString/toDouble exactly
+  private def parseStats(s: String): Map[String, (Double, Double)] =
+    if (s.isEmpty) Map.empty
+    else s.split(';').map { e =>
+      val fs = e.split(':')
+      fs(0) -> (fs(1).toDouble, fs(2).toDouble)
+    }.toMap
+
+  private def renderStats(stats: Map[String, (Double, Double)]): String =
+    if (stats.isEmpty) ""
+    else stats.toSeq.sortBy(_._1)
+      .map { case (c, (mn, mx)) => s"$c:$mn:$mx" }
+      .mkString("|s=", ";", "")
 
   private def renderEntries(files: Seq[FileEntry], deletes: Seq[FileEntry],
                             posDeletes: Seq[FileEntry]): String =
-    (files.map(f => s"file=${f.path}|${f.rows}|${f.seq}") ++
+    (files.map(f => s"file=${f.path}|${f.rows}|${f.seq}${renderStats(f.stats)}") ++
       deletes.map(f => s"delete=${f.path}|${f.rows}|${f.seq}") ++
       posDeletes.map(f => s"posdelete=${f.path}|${f.rows}|${f.seq}"))
       .mkString("", "\n", "\n")
@@ -152,16 +183,40 @@ object Snapshots {
 
   def latestVersion(root: String): Option[Long] = versions(root).lastOption
 
+  // Segment files are IMMUTABLE once linked into a manifest, so their
+  // parsed lines cache safely by absolute path — history() walks V
+  // versions whose manifests share segments (O(V²) refs but O(V)
+  // distinct files), and against an object store every avoided re-read
+  // is a GET. Bounded; eviction is arbitrary (any entry re-reads
+  // correctly).
+  private val segCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[String]](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+          size() > 4096
+      })
+
+  private def segmentLines(root: String, rel: String): Seq[String] = {
+    val key = Paths.get(root, rel).toAbsolutePath.toString
+    val hit = segCache.get(key)
+    if (hit != null) hit
+    else {
+      val lines = new String(Files.readAllBytes(Paths.get(root, rel)), "UTF-8")
+        .linesIterator.toSeq
+      segCache.put(key, lines): Unit
+      lines
+    }
+  }
+
   /** Resolve one version to its flat file lists: the manifest header plus
     * its segments' entries, concatenated in segment order (plus any
-    * legacy inline entries). O(segments) small text reads.
+    * legacy inline entries). O(segments) small text reads, immutable
+    * segments served from cache.
     */
   def snapshot(root: String, v: Long): Snapshot = {
     val doc = readDoc(root, v)
-    val segLines = doc.segments.flatMap { rel =>
-      new String(Files.readAllBytes(Paths.get(root, rel)), "UTF-8")
-        .linesIterator.toSeq
-    }
+    val segLines = doc.segments.flatMap(segmentLines(root, _))
     Snapshot(doc.version, doc.parent, doc.note,
       doc.inlineFiles ++ parseEntries(segLines, "file="),
       doc.inlineDeletes ++ parseEntries(segLines, "delete="),
@@ -282,6 +337,62 @@ object Snapshots {
       snapshot(root, v).files.map(f => s"$root/${f.path}"), cols, strCols)
   }
 
+  /** The zone-map stats table from MANIFEST TEXT alone — zero footer
+    * I/O at planning: per-file (min, max) bounds a stats-bearing commit
+    * ([[commit]] with `statsCols`) embedded in its entries, shaped
+    * exactly like [[zoneMap]]'s output so [[Layout.zonePrune]] consumes
+    * either. A file whose entry lacks a requested column's bounds (a
+    * pre-stats commit, a column not asked for at its commit, a footer
+    * without stats) surfaces NULLs — conservatively KEPT by the pruner,
+    * never skipped. At a million files this turns scan planning from a
+    * million-footer metadata job into a driver-side string pass — the
+    * reason Iceberg manifests carry column bounds.
+    */
+  def zoneMapManifest(spark: SparkSession, root: String, cols: Seq[String],
+                      version: Option[Long] = None): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val rows = snapshot(root, v).files.map { f =>
+      org.apache.spark.sql.Row.fromSeq(
+        s"$root/${f.path}" +: f.rows +: cols.flatMap { c =>
+          f.stats.get(c) match {
+            case Some((mn, mx)) => Seq(Double.box(mn), Double.box(mx))
+            case None => Seq(null, null)
+          }
+        })
+    }
+    spark.createDataFrame(rows.asJava, StructType(
+      StructField("file", StringType) +: StructField("n_rows", LongType) +:
+        cols.flatMap(c => Seq(StructField(s"min_$c", DoubleType),
+          StructField(s"max_$c", DoubleType)))))
+  }
+
+  /** [[readPruned]] planned from MANIFEST-EMBEDDED stats
+    * ([[zoneMapManifest]]) instead of a footer pass — the zero-I/O
+    * planning path for tables whose commits carried `statsCols`. Files
+    * without embedded bounds are conservatively scanned, so this is
+    * always correct, and exactly [[readPruned]] when every entry carries
+    * stats. Same plain-files contract: refuses live tombstones.
+    */
+  def readPrunedManifest(spark: SparkSession, root: String,
+                         preds: Seq[(String, Any, Any)],
+                         version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val snap = snapshot(root, v)
+    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
+      s"version $v of $root has live merge-on-read tombstones; a pruned " +
+        "file read would return deleted/stale rows — use readMerged " +
+        "(or compactMerged to materialize them away)")
+    val survivors = Layout.zonePrune(
+      zoneMapManifest(spark, root, preds.map(_._1), Some(v)), preds)
+    if (survivors.isEmpty)
+      spark.read.parquet(s"$root/${snap.files.head.path}").limit(0)
+    else spark.read.parquet(survivors: _*)
+  }
+
   /** [[zoneMap]] at ROW-GROUP granularity ([[Layout.zoneMapRowGroups]]
     * over the manifest's file list): per-(file, row group) stats + byte
     * extents for one snapshot version — compose with
@@ -353,11 +464,24 @@ object Snapshots {
     * supersedes a parent that is no longer latest and blind retry would
     * silently drop the winner's commit.
     */
+  /** `statsCols` (optional) EMBEDS per-file (min, max) bounds for the
+    * named numeric columns into the commit's manifest entries — read
+    * from the same footer pass that counts rows, so it costs nothing
+    * extra — and later scans prune from manifest text alone
+    * ([[zoneMapManifest]]): at a million-file table that is the
+    * difference between a pure driver-side string pass and a
+    * million-footer planning job. The Iceberg manifests-carry-bounds
+    * design.
+    */
   def commit(root: String, df: DataFrame, note: String,
              replace: Boolean = false,
-             basedOn: Option[Long] = None): Long =
-    publish(root, writeData(root, df), Seq.empty, Seq.empty, note,
+             basedOn: Option[Long] = None,
+             statsCols: Seq[String] = Seq.empty): Long = {
+    statsCols.foreach(c => require(!c.exists("|:;".contains(_)),
+      s"stats column name '$c' must not contain '|', ':' or ';'"))
+    publish(root, writeData(root, df, statsCols), Seq.empty, Seq.empty, note,
       replace, basedOn)
+  }
 
   /** Write `df` into a fresh immutable `data/<uuid>/` dir and return its
     * file entries (seq assigned at publish time). Sidecars (_SUCCESS,
@@ -368,7 +492,8 @@ object Snapshots {
     * data. Per-file row counts come from the footers — metadata only,
     * never a re-scan.
     */
-  private def writeData(root: String, df: DataFrame): Seq[FileEntry] = {
+  private def writeData(root: String, df: DataFrame,
+                        statsCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
     val uuid = java.util.UUID.randomUUID().toString.take(12)
     val dataPath = s"$DataDir/$uuid"
     df.write.parquet(s"$root/$dataPath")
@@ -376,28 +501,35 @@ object Snapshots {
       .map(_.toSeq).getOrElse(Seq.empty)
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
       .map(_.getName).sorted
-    def footerRows(path: String): Long = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path),
-        new org.apache.hadoop.conf.Configuration())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getFooter.getBlocks.stream().mapToLong(_.getRowCount).sum()
-      finally r.close()
+    // rows (always) and optional column bounds from ONE footer read per
+    // file — the same pass, stats ride free (Layout.fileFooterStats is
+    // the zone maps' shared decode kernel: lossy INT64 widened, decimal
+    // omitted)
+    def footerInfo(path: String): (Long, Map[String, (Double, Double)]) = {
+      val (rows, mins, maxs, _, _) =
+        Layout.fileFooterStats(path, statsCols, Seq.empty)
+      val stats = statsCols.indices.flatMap { i =>
+        (mins(i), maxs(i)) match {
+          case (Some(mn), Some(mx)) => Some(statsCols(i) -> (mn, mx))
+          case _ => None // no stats in the footer: unprunable, not wrong
+        }
+      }.toMap
+      (rows, stats)
     }
     // wide commits (small-files regime) read footers as a DISTRIBUTED
     // job — a sequential driver loop over 4k+ footers is seconds of
     // driver time locally and minutes against an object store; narrow
     // commits skip the job-scheduling overhead
-    val rowCounts: Seq[(String, Long)] =
-      if (files.size <= 64) files.map(n => n -> footerRows(s"$root/$dataPath/$n"))
+    val infos: Seq[(String, (Long, Map[String, (Double, Double)]))] =
+      if (files.size <= 64) files.map(n => n -> footerInfo(s"$root/$dataPath/$n"))
       else {
         val prefix = s"$root/$dataPath"
         df.sparkSession.sparkContext
           .parallelize(files, math.min(files.size, 256))
-          .map(n => n -> footerRows(s"$prefix/$n")).collect().toSeq
+          .map(n => n -> footerInfo(s"$prefix/$n")).collect().toSeq
       }
-    rowCounts.map { case (name, rows) =>
-      FileEntry(s"$dataPath/$name", rows, 0L) }
+    infos.map { case (name, (rows, stats)) =>
+      FileEntry(s"$dataPath/$name", rows, 0L, stats) }
   }
 
   /** RESTORE: make version `toVersion`'s exact state the new LATEST — a
@@ -650,7 +782,8 @@ object Snapshots {
     */
   def compactMerged(spark: SparkSession, root: String, keyCol: String,
                     clusterBy: Seq[String] = Seq.empty,
-                    nFiles: Int = 0): Long = {
+                    nFiles: Int = 0,
+                    statsCols: Seq[String] = Seq.empty): Long = {
     val base = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val merged = readMerged(spark, root, keyCol, Some(base))
@@ -659,8 +792,11 @@ object Snapshots {
       else merged.repartitionByRange(math.max(1, nFiles),
           clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
+    // `statsCols` makes the OPTIMIZE leave manifest-embedded bounds
+    // behind ([[zoneMapManifest]]) — the rewrite was reading footers
+    // anyway, so the skip index comes back for free with the layout
     commit(root, laid, s"compact-merged-v$base",
-      replace = true, basedOn = Some(base))
+      replace = true, basedOn = Some(base), statsCols = statsCols)
   }
 
   /** Incremental read — the rows APPENDED in versions `(fromVersion,
@@ -692,6 +828,89 @@ object Snapshots {
       .filter(f => f.seq > fromVersion && f.seq <= toVersion)
     require(files.nonEmpty, s"no files appended in ($fromVersion, $toVersion]")
     spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** The CHANGE FEED over `(fromVersion, toVersion]` — row-level CDC
+    * with operation types (the Delta `table_changes` surface), derived
+    * from manifests alone: per window commit,
+    *
+    *  - a data row whose key that commit ALSO tombstoned is an
+    *    `upsert` (the MOR change-commit shape — [[commitChanges]]
+    *    tombstones every key it rewrites);
+    *  - a data row with no same-commit tombstone is a plain `insert`;
+    *  - a tombstoned key with NO new row in its commit is a `delete`,
+    *    emitted as a key-only row (payload columns NULL).
+    *
+    * Output = the table schema plus `_change_type` and
+    * `_commit_version` — what a downstream CDC consumer applies in
+    * version order. Same append-shaped window contract as
+    * [[changesBetween]] (a replace resets history); position-delete
+    * commits are rejected here (positions don't carry keys — consume
+    * those windows via [[readMerged]] states instead).
+    */
+  def changeFeed(spark: SparkSession, root: String, fromVersion: Long,
+                 toVersion: Long, keyCol: String): DataFrame = {
+    require(fromVersion < toVersion,
+      s"need fromVersion < toVersion, got ($fromVersion, $toVersion]")
+    val fromFiles = if (fromVersion == 0L) Seq.empty[FileEntry]
+                    else snapshot(root, fromVersion).files
+    val toSnap = snapshot(root, toVersion)
+    val toSet = toSnap.files.toSet
+    require(fromFiles.forall(toSet.contains),
+      s"($fromVersion, $toVersion] contains a replace commit — " +
+        "the change feed is not append-shaped; reprocess from the replace")
+    require(!toSnap.posDeletes.exists(p =>
+        p.seq > fromVersion && p.seq <= toVersion),
+      "window contains position-delete commits (no keys to feed) — " +
+        "consume via readMerged states instead")
+    val dataFiles = toSnap.files
+      .filter(f => f.seq > fromVersion && f.seq <= toVersion)
+    val tombFiles = toSnap.deletes
+      .filter(f => f.seq > fromVersion && f.seq <= toVersion)
+    require(dataFiles.nonEmpty || tombFiles.nonEmpty,
+      s"no changes in ($fromVersion, $toVersion]")
+    // ONE scan per side regardless of window depth: every file's commit
+    // version comes from a broadcast (relative path → seq) join against
+    // the manifest entries — a 200-version window is 2 reads + joins,
+    // never 200 per-version read plans
+    import org.apache.spark.sql.functions.broadcast
+    def withVersion(entries: Seq[FileEntry], project: DataFrame => DataFrame)
+        : Option[DataFrame] =
+      if (entries.isEmpty) None else {
+        import spark.implicits._
+        val seqs = broadcast(entries.map(e => (e.path, e.seq))
+          .toDF("_gf_path", "_commit_version"))
+        Some(project(
+          spark.read.parquet(entries.map(f => s"$root/${f.path}"): _*))
+          .withColumn("_gf_path", relPathCol)
+          .join(seqs, "_gf_path").drop("_gf_path"))
+      }
+    val data = withVersion(dataFiles, identity)
+    val tomb = withVersion(tombFiles, _.select(col(keyCol))).map(_.distinct())
+    val inserts = (data, tomb) match {
+      case (Some(d), Some(t)) =>
+        // a data row is an `upsert` iff its OWN commit also tombstoned
+        // its key — join on (key, version), marker NULL ⇒ plain insert
+        val marked = t.withColumn("_gf_tomb", lit(true))
+        Some(d.join(marked, Seq(keyCol, "_commit_version"), "left")
+          .withColumn("_change_type",
+            when(col("_gf_tomb").isNotNull, "upsert").otherwise("insert"))
+          .drop("_gf_tomb"))
+      case (Some(d), None) =>
+        Some(d.withColumn("_change_type", lit("insert")))
+      case _ => None
+    }
+    val deletes = (data, tomb) match {
+      case (Some(d), Some(t)) =>
+        Some(t.join(d.select(col(keyCol), col("_commit_version")),
+            Seq(keyCol, "_commit_version"), "left_anti")
+          .withColumn("_change_type", lit("delete")))
+      case (None, Some(t)) =>
+        Some(t.withColumn("_change_type", lit("delete")))
+      case _ => None
+    }
+    (inserts.toSeq ++ deletes.toSeq)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Retire history: keep the newest `keepVersions` manifests, delete the

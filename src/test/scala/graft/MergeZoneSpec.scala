@@ -255,6 +255,46 @@ class MergeZoneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Layout.zonePrune(fileStats, Seq(("id", 50000L, 60000L))).size === 1)
   }
 
+  test("bloom pruning: definitely-absent files skipped on a hash layout where zones are powerless; bloom-less files kept") {
+    val ss = spark; import ss.implicits._
+    val dir = tmp("graft_bloom")
+    // hash-bucketed: every file spans the whole id domain — min/max
+    // zones keep everything; blooms are the only skip channel
+    spark.range(0, 200000).toDF("id")
+      .repartition(8, col("id"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#id", "true")
+      .option("parquet.bloom.filter.expected.ndv#id", "200000")
+      .parquet(dir)
+    val files = Layout.zoneMapFooters(spark, dir, Seq.empty)
+      .select("file").as[String].collect().toSeq
+    assert(files.size === 8)
+    // zones indeed powerless on this layout
+    assert(Layout.zonePrune(Layout.zoneMapFooters(spark, dir, Seq("id")),
+      Seq(("id", 777L, 777L))).size === 8)
+    val keys = Seq(777L, 123456L)
+    val survivors = Layout.bloomPrune(spark, files, "id", keys)
+    assert(survivors.nonEmpty && survivors.size < 8,
+      s"expected a strict bloom prune, got ${survivors.size} of 8")
+    val got = spark.read.parquet(survivors: _*)
+      .where(col("id").isin(keys: _*))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === keys.sorted, "the bloom path must lose no rows")
+    // a value present nowhere prunes everything except false positives;
+    // the read over whatever survives is still exactly empty
+    val none = Layout.bloomPrune(spark, files, "id", Seq(99999999L))
+    if (none.nonEmpty)
+      assert(spark.read.parquet(none: _*)
+        .where(col("id") === 99999999L).count() === 0)
+    // a bloom-less write cannot prune — conservatively ALL kept
+    val plain = tmp("graft_bloomless")
+    spark.range(0, 1000).toDF("id").repartition(4)
+      .write.mode("overwrite").parquet(plain)
+    val pf = Layout.zoneMapFooters(spark, plain, Seq.empty)
+      .select("file").as[String].collect().toSeq
+    assert(Layout.bloomPrune(spark, pf, "id", Seq(5L)).size === pf.size)
+  }
+
   test("int64 footer stats above 2^53 widen conservatively: min never raised, max never lowered") {
     val ss = spark; import ss.implicits._
     // 2^60-63 rounds UP to 2^60 (raising a min), 2^60+1 rounds DOWN to

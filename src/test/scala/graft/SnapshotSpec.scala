@@ -515,6 +515,97 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === (10L to 20L))
   }
 
+  test("changeFeed: upserts/inserts/deletes typed per commit from manifests; replace and position windows rejected") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "base"): Unit
+    // v2: rewrite k=2, delete k=3 — one MOR change commit
+    Snapshots.commitChanges(root,
+      upserts = Seq((2L, "B")).toDF("k", "v"),
+      deleteKeys = Seq(Tuple1(3L)).toDF("k"), "k", "chg"): Unit
+    // v3: a PLAIN append (no tombstones) — rows are inserts
+    Snapshots.commit(root, Seq((9L, "i")).toDF("k", "v"), "append"): Unit
+    val feed = Snapshots.changeFeed(spark, root, 1L, 3L, "k")
+      .select("k", "v", "_change_type", "_commit_version")
+      .orderBy("_commit_version", "_change_type", "k")
+      .as[(Long, Option[String], String, Long)].collect().toSeq
+    assert(feed === Seq(
+      (3L, None, "delete", 2L),
+      (2L, Some("B"), "upsert", 2L),
+      (9L, Some("i"), "insert", 3L)))
+    // a replace in the window breaks the feed loudly
+    Snapshots.commit(root, Seq((0L, "z")).toDF("k", "v"), "rewrite",
+      replace = true): Unit
+    intercept[IllegalArgumentException] {
+      Snapshots.changeFeed(spark, root, 1L, 4L, "k")
+    }
+    // a position-delete window has no keys to feed — rejected, pointed
+    // at readMerged
+    val root2 = freshTable()
+    Snapshots.commit(root2, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      "base"): Unit
+    Snapshots.commitPositionDeletes(root2,
+      Snapshots.positionsWhere(spark, root2, col("k") === 1L), "posdel"): Unit
+    intercept[IllegalArgumentException] {
+      Snapshots.changeFeed(spark, root2, 1L, 2L, "k")
+    }
+  }
+
+  // ---- manifest-embedded column statistics -------------------------------------
+
+  test("manifest-embedded stats equal the footer zone map; pruning plans from manifest text alone") {
+    val root = freshTable()
+    Snapshots.commit(root,
+      spark.range(0, 10000).toDF()
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      "stats-base", statsCols = Seq("id")): Unit
+    val fromManifest = Snapshots.zoneMapManifest(spark, root, Seq("id"))
+      .orderBy("file").collect().toSeq
+    val fromFooters = Snapshots.zoneMap(spark, root, Seq("id"))
+      .orderBy("file").collect().toSeq
+    assert(fromManifest === fromFooters,
+      "embedded bounds must equal the footer zone map exactly")
+    // the pruned read: strict survivor set, exact rows
+    val survivors = graft.ops.Layout.zonePrune(
+      Snapshots.zoneMapManifest(spark, root, Seq("id")),
+      Seq(("id", 2000L, 3000L)))
+    assert(survivors.nonEmpty && survivors.size < 8)
+    val got = Snapshots.readPrunedManifest(spark, root,
+        Seq(("id", 2000L, 3000L)))
+      .where(col("id").between(2000L, 3000L))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (2000L to 3000L))
+    // stats survive RESTORE verbatim (segments carried by reference)
+    Snapshots.commit(root, spark.range(0, 1).toDF(), "noise",
+      replace = true): Unit
+    Snapshots.restore(root, 1L): Unit
+    assert(Snapshots.zoneMapManifest(spark, root, Seq("id"))
+      .orderBy("file").collect().toSeq === fromManifest)
+  }
+
+  test("stats-free commits surface NULL bounds: conservatively scanned, never skipped") {
+    val root = freshTable()
+    Snapshots.commit(root,
+      spark.range(0, 100).toDF().coalesce(1), "no-stats"): Unit
+    Snapshots.commit(root,
+      spark.range(100, 200).toDF().coalesce(1), "with-stats",
+      statsCols = Seq("id")): Unit
+    val stats = Snapshots.zoneMapManifest(spark, root, Seq("id")).collect()
+    assert(stats.count(_.isNullAt(2)) === 1, "pre-stats entry → NULL bounds")
+    assert(stats.count(!_.isNullAt(2)) === 1)
+    // a window entirely inside the stats-bearing commit still keeps the
+    // stats-free file (NULL = cannot prune), so no row can ever be lost
+    val survivors = graft.ops.Layout.zonePrune(
+      Snapshots.zoneMapManifest(spark, root, Seq("id")),
+      Seq(("id", 150L, 160L)))
+    assert(survivors.size === 2)
+    val got = Snapshots.readPrunedManifest(spark, root, Seq(("id", 150L, 160L)))
+      .where(col("id").between(150L, 160L))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (150L to 160L))
+  }
+
   // ---- layout maintenance through the format ----------------------------------
 
   test("zorderCommitN: the z-order rewrite is a REPLACE commit — audited in history, pinned readers keep the old layout, strips prune via manifest stats") {
