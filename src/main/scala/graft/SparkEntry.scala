@@ -1653,6 +1653,63 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Row-level UPDATE WHERE + DELETE WHERE on arbitrary (non-key)
+    // predicates — the SQL-user surface over position deletes: the
+    // UPDATE is ONE atomic commit (matched positions tombstone, the
+    // rewritten rows append — copy cost O(matched), a reader sees old
+    // state or new, never between), the DELETE is a pure tombstone
+    // commit, and readMerged composes both. The oracle replays the two
+    // row-level mutations declaratively; green proves the positional
+    // machinery applies them exactly.
+    "snapshot_update" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapupd|${cid(d)}", "graft_snapupd") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        Snapshots.updateWhere(s, p,
+          col("c_mktsegment") === "BUILDING" &&
+            pmod(col("c_custkey"), lit(7)) === 0,
+          Map("acctbal" -> dec2(col("acctbal") + 500))): Unit
+        Snapshots.deleteWhere(s, p,
+          pmod(col("c_custkey"), lit(13)) === 0): Unit
+      }
+      Snapshots.readMerged(s, root, "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // OPTIMIZE through the format: six append commits fragment the
+    // table (the CDC steady state), optimizeFiles collapses it into
+    // ~targetBytes range-clustered files as a REPLACE commit with
+    // manifest-embedded stats left behind — the small-files cure,
+    // transactional (pinned readers keep the fragments, the rewrite
+    // audits in history — spec-asserted). The read back through the
+    // embedded-stats pruned path proves the rewrite lost nothing.
+    "snapshot_optimize" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapopt|${cid(d)}", "graft_snapopt") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+        (0 until 6).foreach { r =>
+          Snapshots.commit(p,
+            cust.where(pmod(col("c_custkey"), lit(6)) === r),
+            s"slice$r"): Unit
+        }
+        Snapshots.optimizeFiles(s, p, Seq("c_custkey"),
+          targetBytes = 4L * 1024 * 1024,
+          statsCols = Seq("c_custkey")): Unit
+      }
+      Snapshots.readPrunedManifest(s, root,
+          Seq(("c_custkey", 0L, Long.MaxValue)))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // The BLOOM skip channel — point lookups where min/max zones are
     // POWERLESS: lineitem is hash-bucketed on l_orderkey into 24 files
     // (every file spans the whole key domain, so zonePrune keeps all),
@@ -4551,6 +4608,28 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_partkey % 1024 < 64
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // The two row-level mutations replayed declaratively: +500 on
+    // BUILDING keys ≡0 mod 7, then delete keys ≡0 mod 13.
+    "snapshot_update" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |state AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0
+        |           THEN CAST(acctbal + 500 AS DECIMAL(18,2))
+        |         ELSE acctbal END AS acctbal
+        |  FROM cust WHERE c_custkey % 13 <> 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // The six slices compose the full table; OPTIMIZE is
+    // content-preserving, so the oracle is the plain aggregate.
+    "snapshot_optimize" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // The 3 probed keys re-derived by the same rule; the bloom-pruned
     // scan replays as a plain key lookup.

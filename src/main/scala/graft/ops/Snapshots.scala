@@ -700,6 +700,81 @@ object Snapshots {
         col("_metadata.row_index").as("_pos"))
   }
 
+  /** Row-level `DELETE WHERE <pred>` on any predicate, key or not — the
+    * SQL-user surface over position deletes: compute the matched
+    * (file, position) pairs ([[positionsWhere]]) and commit them as
+    * tombstones, O(matched rows) written, nothing rewritten. Read the
+    * result through [[readMerged]]; [[compactMerged]] materializes.
+    */
+  def deleteWhere(spark: SparkSession, root: String, pred: Column,
+                  note: String = "delete-where"): Long =
+    commitPositionDeletes(root, positionsWhere(spark, root, pred), note)
+
+  /** Row-level `UPDATE <set> WHERE <pred>` as ONE atomic commit: the
+    * matched rows' positions tombstone AND their rewritten versions
+    * append in the same version — copy cost O(matched), never O(table),
+    * and a reader sees the old state or the new state, nothing between
+    * (the manifest link is the only publish point). The new rows live in
+    * NEW files, so the commit's own tombstones (which reference old
+    * (file, position) pairs) cannot touch them. `sets` are the SET
+    * clauses (column → expression over the old row). Requires a version
+    * without live tombstones (positions must map to the raw files);
+    * compact first on MOR-churned tables.
+    */
+  def updateWhere(spark: SparkSession, root: String, pred: Column,
+                  sets: Map[String, Column],
+                  note: String = "update-where"): Long = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val snap = snapshot(root, v)
+    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
+      s"updateWhere needs a tombstone-free version (positions must map " +
+        "to raw files) — compactMerged first")
+    val matched = spark.read
+      .parquet(snap.files.map(f => s"$root/${f.path}"): _*)
+      .where(pred)
+      .select(col("*"), relPathCol.as("_gfile"),
+        col("_metadata.row_index").as("_gpos"))
+    val rewritten = sets.foldLeft(matched.drop("_gfile", "_gpos")) {
+      case (df, (c, e)) => df.withColumn(c, e)
+    }
+    val dataEntries = writeData(root, rewritten)
+    val posEntries = writeData(root,
+      matched.select(col("_gfile").as("_file"), col("_gpos").as("_pos")))
+    publish(root, dataEntries, Seq.empty, posEntries, note,
+      replace = false, basedOn = None)
+  }
+
+  /** OPTIMIZE — collapse a fragmented (small-files) table into
+    * ~`targetBytes` files, re-clustered on `orderBy`, as a REPLACE
+    * commit: the small-files cure for append churn, transactional like
+    * every other rewrite here (pinned readers keep the old layout, the
+    * rewrite audits in history, superseded files wait for [[vacuum]]).
+    * `statsCols` leaves manifest-embedded bounds behind the rewrite.
+    * For tombstone-churned tables use [[compactMerged]] (this one
+    * requires a plain version). Output file count comes from real file
+    * sizes (O(files) driver stats on the manifest's list).
+    */
+  def optimizeFiles(spark: SparkSession, root: String,
+                    orderBy: Seq[String], targetBytes: Long,
+                    statsCols: Seq[String] = Seq.empty): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val base = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val snap = snapshot(root, base)
+    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
+      "optimizeFiles needs a tombstone-free version — compactMerged first")
+    val totalBytes = snap.files
+      .map(f => new java.io.File(root, f.path).length()).sum
+    val nFiles = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val laid = read(spark, root, Some(base))
+      .repartitionByRange(nFiles, orderBy.map(col): _*)
+      .sortWithinPartitions(orderBy.map(col): _*)
+    commit(root, laid, s"optimize-v$base", replace = true,
+      basedOn = Some(base), statsCols = statsCols)
+  }
+
   /** `_metadata.file_path` (an absolute URI) relativized to the manifest
     * path form (`data/<uuid>/part-...`): all data files live under the
     * table's single `data/` dir, so everything after the LAST `/data/`

@@ -552,6 +552,59 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("updateWhere: one atomic commit — matched rows rewritten O(matched), own-commit rewrites survive their tombstones") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root,
+      (0L until 100L).map(k => (k, k * 1.0)).toDF("k", "x")
+        .repartition(2), "base"): Unit
+    val v2 = Snapshots.updateWhere(spark, root,
+      col("k") % 10 === 3, Map("x" -> (col("x") * -1)))
+    assert(v2 === 2L)
+    // exactly one commit: tombstones + rewrites atomic
+    assert(Snapshots.versions(root) === Seq(1L, 2L))
+    val got = Snapshots.readMerged(spark, root, "k")
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(got === (0L until 100L).map(k =>
+      (k, if (k % 10 == 3) -k * 1.0 else k * 1.0)))
+    // the rewrite appended O(matched): 10 rows across the new files
+    val s2 = Snapshots.snapshot(root, 2L)
+    assert(s2.files.filter(_.seq == 2L).map(_.rows).sum === 10L)
+    assert(s2.posDeletes.map(_.rows).sum === 10L)
+    // deleteWhere stacks on the merged state
+    Snapshots.deleteWhere(spark, root, col("k") >= 90L): Unit
+    val after = Snapshots.readMerged(spark, root, "k")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(after === (0L until 90L))
+    // updateWhere refuses tombstoned versions (positions would not map)
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, root, col("k") === 1L,
+        Map("x" -> lit(0.0)))
+    }
+  }
+
+  test("optimizeFiles: fragments collapse to target-sized clustered files as an audited replace; content preserved") {
+    val root = freshTable()
+    (0 until 5).foreach { r =>
+      Snapshots.commit(root,
+        spark.range(r * 1000L, r * 1000L + 1000).toDF().repartition(3),
+        s"frag$r"): Unit
+    }
+    val before = Snapshots.snapshot(root, 5L).files.size
+    assert(before === 15)
+    val v = Snapshots.optimizeFiles(spark, root, Seq("id"),
+      targetBytes = 64L * 1024 * 1024, statsCols = Seq("id"))
+    val snap = Snapshots.snapshot(root, v)
+    assert(snap.files.size < before, "OPTIMIZE must collapse the fragments")
+    assert(ids(root) === (0 until 5).flatMap(r =>
+      r * 1000L until r * 1000L + 1000L).sorted)
+    // audited, stats-bearing, and the fragments stay readable pinned
+    assert(Snapshots.history(spark, root).select("note").collect()
+      .map(_.getString(0)).contains("optimize-v5"))
+    assert(snap.files.forall(_.stats.contains("id")))
+    assert(ids(root, Some(5L)).size === 5000)
+  }
+
   // ---- manifest-embedded column statistics -------------------------------------
 
   test("manifest-embedded stats equal the footer zone map; pruning plans from manifest text alone") {
