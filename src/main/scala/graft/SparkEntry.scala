@@ -491,6 +491,40 @@ object SparkEntry {
     */
   private def cid(d: String): String = s"$d|${ModelStore.fingerprint(d)}"
 
+  // work dirs whose two-phase snapshot-stream consumption already ran in
+  // THIS process (the phases are idempotent — this just avoids paying
+  // two extra stream startups per repeat invocation)
+  private val SnapSrcPhased =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The shared MOR fixture `snapshot_mor` and `snapshot_cdf` both read
+    * (ModelStore memoizes by key, so whichever runs first builds it —
+    * ONE builder definition keeps the two oracles honest): base, then
+    * chg1 (+200 upserts on keys ≡0 mod 6 except the ≡0 mod 15 deletes),
+    * then chg2 (+50 upserts on keys ≡0 mod 10 — resurrecting ≡0 mod 30).
+    */
+  private def snapMorTable(s: SparkSession, d: String): String =
+    ModelStore.fit(s"snapmor|${cid(d)}", "graft_snapmor") { p =>
+      Snapshots.init(p)
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+      Snapshots.commit(p, cust, "base"): Unit
+      Snapshots.commitChanges(p,
+        upserts = cust.where(pmod(col("c_custkey"), lit(6)) === 0 &&
+            pmod(col("c_custkey"), lit(15)) =!= 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            dec2(col("acctbal") + 200).as("acctbal")),
+        deleteKeys = cust.where(pmod(col("c_custkey"), lit(15)) === 0)
+          .select(col("c_custkey")),
+        "c_custkey", "chg1"): Unit
+      Snapshots.commitChanges(p,
+        upserts = cust.where(pmod(col("c_custkey"), lit(10)) === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            dec2(col("acctbal") + 50).as("acctbal")),
+        deleteKeys = cust.limit(0).select(col("c_custkey")),
+        "c_custkey", "chg2"): Unit
+    }
+
   private def logregArtifact(s: SparkSession, d: String): String =
     ModelStore.fit(s"logreg|${cid(d)}|$LrRounds|$LrRate", "graft_m_logreg") { p =>
       ModelStore.saveWeights(s, Learn.featureNames,
@@ -1850,26 +1884,7 @@ object SparkEntry {
     // final state per key. Tombstone seq ordering is what makes the
     // resurrection come out right.
     "snapshot_mor" -> ((s, d) => {
-      val root = ModelStore.fit(s"snapmor|${cid(d)}", "graft_snapmor") { p =>
-        Snapshots.init(p)
-        val cust = Tables.customer(s, d).select(col("c_custkey"),
-          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
-        Snapshots.commit(p, cust, "base"): Unit
-        Snapshots.commitChanges(p,
-          upserts = cust.where(pmod(col("c_custkey"), lit(6)) === 0 &&
-              pmod(col("c_custkey"), lit(15)) =!= 0)
-            .select(col("c_custkey"), col("c_mktsegment"),
-              dec2(col("acctbal") + 200).as("acctbal")),
-          deleteKeys = cust.where(pmod(col("c_custkey"), lit(15)) === 0)
-            .select(col("c_custkey")),
-          "c_custkey", "chg1"): Unit
-        Snapshots.commitChanges(p,
-          upserts = cust.where(pmod(col("c_custkey"), lit(10)) === 0)
-            .select(col("c_custkey"), col("c_mktsegment"),
-              dec2(col("acctbal") + 50).as("acctbal")),
-          deleteKeys = cust.limit(0).select(col("c_custkey")),
-          "c_custkey", "chg2"): Unit
-      }
+      val root = snapMorTable(s, d)
       Snapshots.readMerged(s, root, "c_custkey")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_rows"),
@@ -1887,26 +1902,7 @@ object SparkEntry {
     // sets from the source rules; zero extra build cost (same fitted
     // table as snapshot_mor).
     "snapshot_cdf" -> ((s, d) => {
-      val root = ModelStore.fit(s"snapmor|${cid(d)}", "graft_snapmor") { p =>
-        Snapshots.init(p)
-        val cust = Tables.customer(s, d).select(col("c_custkey"),
-          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
-        Snapshots.commit(p, cust, "base"): Unit
-        Snapshots.commitChanges(p,
-          upserts = cust.where(pmod(col("c_custkey"), lit(6)) === 0 &&
-              pmod(col("c_custkey"), lit(15)) =!= 0)
-            .select(col("c_custkey"), col("c_mktsegment"),
-              dec2(col("acctbal") + 200).as("acctbal")),
-          deleteKeys = cust.where(pmod(col("c_custkey"), lit(15)) === 0)
-            .select(col("c_custkey")),
-          "c_custkey", "chg1"): Unit
-        Snapshots.commitChanges(p,
-          upserts = cust.where(pmod(col("c_custkey"), lit(10)) === 0)
-            .select(col("c_custkey"), col("c_mktsegment"),
-              dec2(col("acctbal") + 50).as("acctbal")),
-          deleteKeys = cust.limit(0).select(col("c_custkey")),
-          "c_custkey", "chg2"): Unit
-      }
+      val root = snapMorTable(s, d)
       Snapshots.changeFeed(s, root, 1L, 3L, "c_custkey")
         .select(col("c_custkey"),
           col("acctbal").cast("double").as("acctbal"),
@@ -2172,30 +2168,41 @@ object SparkEntry {
     "stream_snapshot_source" -> ((s, d) => {
       val custSchema = Tables.customer(s, d).select(col("c_custkey"),
         col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal")).schema
-      def drain(p: String): Unit = streaming.StreamOps.drainToParquet(s,
-        streaming.StreamOps.snapshotSource(s, s"$p/_graft_stage", custSchema),
-        s"$p/_graft_sink", s"$p/_graft_ckpt")
-      val root = ModelStore.fit(s"snapsrc|${cid(d)}", "graft_snapsrc") { p =>
+      // the fitted (durable-store-safe) artifact is ONLY the snapshot
+      // table — batch-committed, rename-safe, _SUCCESS-verified
+      val root = ModelStore.fit(s"snapsrc2|${cid(d)}", "graft_snapsrc") { p =>
         Snapshots.init(p)
         val cust = Tables.customer(s, d).select(col("c_custkey"),
           col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
-        Snapshots.commit(p,
-          cust.where(pmod(col("c_custkey"), lit(3)) === 0), "slice0"): Unit
-        streaming.StreamOps.syncSnapshotSource(p, s"$p/_graft_stage"): Unit
-        drain(p) // consume commit 1 ... then the consumer process dies
-        Snapshots.commit(p,
-          cust.where(pmod(col("c_custkey"), lit(3)) === 1), "slice1"): Unit
-        Snapshots.commit(p,
-          cust.where(pmod(col("c_custkey"), lit(3)) === 2), "slice2"): Unit
-        streaming.StreamOps.syncSnapshotSource(p, s"$p/_graft_stage"): Unit
-        drain(p) // NEW query object, SAME checkpoint — the restart
+        (0 until 3).foreach { r =>
+          Snapshots.commit(p,
+            cust.where(pmod(col("c_custkey"), lit(3)) === r), s"slice$r"): Unit
+        }
       }
-      // a third lifetime with NOTHING new: syncs nothing, the offset log
-      // skips everything, zero rows append — the idempotent-resume leg,
-      // run every time (fit-cached or not)
-      streaming.StreamOps.syncSnapshotSource(root, s"$root/_graft_stage"): Unit
-      drain(root)
-      s.read.parquet(s"$root/_graft_sink")
+      // consumption state lives in a PROCESS-LOCAL work dir, never
+      // inside the artifact: a streaming checkpoint embeds absolute
+      // paths and its sink writes no _SUCCESS, so it must not ride the
+      // durable store's verify-and-rename publish. Phases replay per
+      // process (idempotent by construction; a crash mid-phase resumes)
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_snapsrc_" +
+        java.lang.Integer.toHexString((cid(d) + root).hashCode)
+      def drain(): Unit = streaming.StreamOps.drainToParquet(s,
+        streaming.StreamOps.snapshotSource(s, s"$work/stage", custSchema),
+        s"$work/sink", s"$work/ckpt")
+      if (SnapSrcPhased.add(work)) {
+        // phase 1: only commit 1 is published to the landing dir
+        streaming.StreamOps.syncSnapshotSource(root, s"$work/stage",
+          Some(1L)): Unit
+        drain() // consume commit 1 ... then the consumer process dies
+        // commits 2–3 land while the pipeline is down
+        streaming.StreamOps.syncSnapshotSource(root, s"$work/stage"): Unit
+        drain() // NEW query object, SAME checkpoint — the restart
+      }
+      // the idempotent-resume leg, every invocation: nothing new staged,
+      // the offset log skips everything, zero rows append
+      streaming.StreamOps.syncSnapshotSource(root, s"$work/stage"): Unit
+      drain()
+      s.read.parquet(s"$work/sink")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("acctbal")).cast("double").as("sum_bal"))

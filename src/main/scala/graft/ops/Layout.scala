@@ -114,24 +114,6 @@ object Layout {
     */
   val ZLayoutMetaFile = "_graft_zlayout"
 
-  /** Write the z-clustered LAYOUT over named dimension columns:
-    * [[zValueN]]'s interleave, cut into `2^stripTopBits` strip
-    * directories (`zstrip` partition column), one exchange on the strip,
-    * rows z-sorted inside each file, plus a [[ZLayoutMetaFile]]
-    * descriptor at the root. Scans then combine [[zStripsN]]'s strip
-    * filter (directory pruning at planning time — self-applied by
-    * [[graft.plans.ZOrderStripPrune]] when installed, or hand-injected
-    * as in the `zorder_exec` query) with the original dimension
-    * predicate (row-group pruning inside the surviving files).
-    *
-    * Every dimension value is REQUIRED in `[0, 2^bits)` and the write
-    * fails on the first violator (`raise_error` inside the z-value
-    * expression — negligible next to the exchange it rides): an
-    * out-of-domain value would land in the strip of its masked low bits,
-    * and any later strip pruning derived from a predicate on the REAL
-    * value could then silently drop it. The descriptor is only written
-    * — and the skip index only trusted — because this holds.
-    */
   /** The domain-checked z-value: every dimension is REQUIRED in
     * `[0, 2^bits)` and the expression fails on the first violator
     * (`raise_error` — negligible next to the exchange it rides): an
@@ -150,6 +132,18 @@ object Layout {
         dims.map(d => col(d).cast("string")): _*)))
   }
 
+  /** Write the z-clustered LAYOUT over named dimension columns:
+    * [[zValueN]]'s interleave, cut into `2^stripTopBits` strip
+    * directories (`zstrip` partition column), one exchange on the strip,
+    * rows z-sorted inside each file ([[zvalChecked]] enforces the
+    * dimension domain — the descriptor is only written, and the skip
+    * index only trusted, because it holds), plus a [[ZLayoutMetaFile]]
+    * descriptor at the root. Scans then combine [[zStripsN]]'s strip
+    * filter (directory pruning at planning time — self-applied by
+    * [[graft.plans.ZOrderStripPrune]] when installed, or hand-injected
+    * as in the `zorder_exec` query) with the original dimension
+    * predicate (row-group pruning inside the surviving files).
+    */
   def zorderWriteN(df: DataFrame, dims: Seq[String], bits: Int,
                    stripTopBits: Int, outDir: String): String = {
     val n = dims.size
@@ -551,10 +545,18 @@ object Layout {
           .withConf(conf)
           .withFileRange(start, start + bytes)
           .build()
+        // close on task END, not only on iterator exhaustion: a limit/
+        // take (or a failed task) stops pulling early, and a reader
+        // closed only by the drained-iterator path would leak its open
+        // stream until the executor hits the fd limit
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeOnce()))
         new Iterator[Row] {
           private var nxt = reader.read()
           override def hasNext: Boolean = {
-            if (nxt == null) reader.close()
+            if (nxt == null) closeOnce()
             nxt != null
           }
           override def next(): Row = {

@@ -187,27 +187,41 @@ object Snapshots {
   // parsed lines cache safely by absolute path — history() walks V
   // versions whose manifests share segments (O(V²) refs but O(V)
   // distinct files), and against an object store every avoided re-read
-  // is a GET. Bounded; eviction is arbitrary (any entry re-reads
-  // correctly).
-  private val segCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Seq[String]](256, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Seq[String]]): Boolean =
-          size() > 4096
-      })
-
-  private def segmentLines(root: String, rel: String): Seq[String] = {
-    val key = Paths.get(root, rel).toAbsolutePath.toString
-    val hit = segCache.get(key)
-    if (hit != null) hit
-    else {
-      val lines = new String(Files.readAllBytes(Paths.get(root, rel)), "UTF-8")
-        .linesIterator.toSeq
-      segCache.put(key, lines): Unit
-      lines
-    }
+  // is a GET. Bounded by TOTAL cached lines, not entry count: one
+  // wide-commit segment is O(files) lines (401 KB at the 4,096-file
+  // fixture), so a count bound alone could pin GBs. LRU eviction; any
+  // evicted entry re-reads correctly.
+  private object segCache {
+    private val MaxLines = 1 << 20 // ~1M entry lines ≈ low tens of MB
+    private val map = new java.util.LinkedHashMap[String, Seq[String]](
+      256, 0.75f, true)
+    private var totalLines = 0L
+    def getOrLoad(key: String)(load: => Seq[String]): Seq[String] =
+      synchronized {
+        val hit = map.get(key)
+        if (hit != null) hit
+        else {
+          val lines = load
+          map.put(key, lines): Unit
+          totalLines += lines.size
+          val it = map.entrySet().iterator()
+          while (totalLines > MaxLines && it.hasNext) {
+            val eldest = it.next()
+            if (eldest.getKey != key) {
+              totalLines -= eldest.getValue.size
+              it.remove()
+            }
+          }
+          lines
+        }
+      }
   }
+
+  private def segmentLines(root: String, rel: String): Seq[String] =
+    segCache.getOrLoad(Paths.get(root, rel).toAbsolutePath.toString) {
+      new String(Files.readAllBytes(Paths.get(root, rel)), "UTF-8")
+        .linesIterator.toSeq
+    }
 
   /** Resolve one version to its flat file lists: the manifest header plus
     * its segments' entries, concatenated in segment order (plus any
@@ -242,6 +256,20 @@ object Snapshots {
     hit.max
   }
 
+  /** The plain-files contract, stated ONCE: any path that feeds a
+    * version's raw files straight to a scan must refuse live
+    * merge-on-read tombstones (equality or position) — the raw files
+    * would silently surface deleted keys and stale pre-upsert rows.
+    * [[readMerged]] is the tombstone-aware read; [[compactMerged]]
+    * materializes them away.
+    */
+  private def requirePlainFiles(snap: Snapshot, root: String,
+                                what: String): Unit =
+    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
+      s"version ${snap.version} of $root has live merge-on-read " +
+        s"tombstones; $what would return deleted/stale rows — use " +
+        "readMerged (or compactMerged to materialize them away)")
+
   /** [[read]] resolved by wall-clock instead of version — the `AS OF
     * <timestamp>` form users actually type.
     */
@@ -268,10 +296,7 @@ object Snapshots {
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(root, v)
-    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
-      s"version $v of $root has live merge-on-read tombstones; a plain " +
-        "file read would return deleted/stale rows — use readMerged " +
-        "(or compactMerged to materialize them away)")
+    requirePlainFiles(snap, root, "a plain file read")
     val files = snap.files
     require(files.nonEmpty, s"version $v of $root lists no files; " +
       "read it with an explicit schema via spark.read.schema(...)")
@@ -306,10 +331,9 @@ object Snapshots {
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(root, v)
-    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
-      s"version $v of $root has live merge-on-read tombstones; a pruned " +
-        "file read would return deleted/stale rows — use readMerged " +
-        "(or compactMerged to materialize them away)")
+    requirePlainFiles(snap, root, "a pruned file read")
+    require(snap.files.nonEmpty, s"version $v of $root lists no files; " +
+      "read it with an explicit schema via spark.read.schema(...)")
     val numeric = preds.filter(_._2.isInstanceOf[Number]).map(_._1)
     val strings = preds.filterNot(_._2.isInstanceOf[Number]).map(_._1)
     val survivors = Layout.zonePrune(
@@ -382,10 +406,9 @@ object Snapshots {
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(root, v)
-    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
-      s"version $v of $root has live merge-on-read tombstones; a pruned " +
-        "file read would return deleted/stale rows — use readMerged " +
-        "(or compactMerged to materialize them away)")
+    requirePlainFiles(snap, root, "a pruned file read")
+    require(snap.files.nonEmpty, s"version $v of $root lists no files; " +
+      "read it with an explicit schema via spark.read.schema(...)")
     val survivors = Layout.zonePrune(
       zoneMapManifest(spark, root, preds.map(_._1), Some(v)), preds)
     if (survivors.isEmpty)
@@ -551,15 +574,21 @@ object Snapshots {
     * refs, plus — for a pre-segmentation manifest carrying inline
     * entries — a one-time ADOPTION segment holding those entries
     * verbatim (seqs preserved), so legacy tables upgrade transparently
-    * on their next commit.
+    * on their next commit. The second element is the freshly written
+    * adoption segment, if any — the caller owns its cleanup on a lost
+    * race or abort (an unreferenced segment is harmless debris vacuum
+    * would eventually age out, but retries shouldn't mint them).
     */
-  private def segmentRefsOf(root: String, v: Long): Seq[String] = {
+  private def segmentRefsOf(root: String, v: Long): (Seq[String], Option[String]) = {
     val doc = readDoc(root, v)
     val inline = doc.inlineFiles.nonEmpty || doc.inlineDeletes.nonEmpty ||
       doc.inlinePosDeletes.nonEmpty
-    if (!inline) doc.segments
-    else doc.segments :+ writeSegment(root,
-      renderEntries(doc.inlineFiles, doc.inlineDeletes, doc.inlinePosDeletes))
+    if (!inline) (doc.segments, None)
+    else {
+      val adopted = writeSegment(root,
+        renderEntries(doc.inlineFiles, doc.inlineDeletes, doc.inlinePosDeletes))
+      (doc.segments :+ adopted, Some(adopted))
+    }
   }
 
   private def writeSegment(root: String, body: String): String = {
@@ -596,21 +625,27 @@ object Snapshots {
     val hasNew =
       newFiles.nonEmpty || newDeletes.nonEmpty || newPosDeletes.nonEmpty
     var parent = basedOn0
-    var staleSeg: Option[String] = None
+    var staleSegs: Seq[String] = Seq.empty // last iteration's unreferenced writes
+    def dropStale(): Unit = {
+      staleSegs.foreach(s => Files.deleteIfExists(Paths.get(root, s)): Unit)
+      staleSegs = Seq.empty
+    }
     while (true) {
-      val parentSegs =
-        if (parent == 0L || replace) Seq.empty[String]
+      dropStale() // the previous iteration lost: its segments reference nothing
+      val (parentSegs, parentAdopted) =
+        if (parent == 0L || replace) (Seq.empty[String], None)
         else segmentRefsOf(root, parent)
-      val carried = carrySegmentsOf.toSeq.flatMap(segmentRefsOf(root, _))
+      val (carried, carryAdopted) = carrySegmentsOf match {
+        case Some(cv) => segmentRefsOf(root, cv)
+        case None     => (Seq.empty[String], None)
+      }
       val v = parent + 1
       val ownSeg: Option[String] = if (!hasNew) None else {
-        staleSeg.foreach(s => Files.deleteIfExists(Paths.get(root, s)): Unit)
         def stamped(es: Seq[FileEntry]) = es.map(_.copy(seq = v))
-        val seg = writeSegment(root, renderEntries(stamped(newFiles),
-          stamped(newDeletes), stamped(newPosDeletes)))
-        staleSeg = Some(seg)
-        Some(seg)
+        Some(writeSegment(root, renderEntries(stamped(newFiles),
+          stamped(newDeletes), stamped(newPosDeletes))))
       }
+      staleSegs = parentAdopted.toSeq ++ carryAdopted.toSeq ++ ownSeg.toSeq
       val header = Seq(s"version=$v", s"parent=$parent", s"note=$note",
         s"ts=${System.currentTimeMillis()}")
       val manifest = (header ++
@@ -633,8 +668,7 @@ object Snapshots {
           Files.deleteIfExists(tmp): Unit
           val now = latestVersion(root).getOrElse(0L)
           if (replace && now != basedOn0) {
-            staleSeg.foreach(s =>
-              Files.deleteIfExists(Paths.get(root, s)): Unit)
+            dropStale() // abort: nothing references this attempt's segments
             throw conflict(now)
           }
           parent = now
@@ -727,22 +761,32 @@ object Snapshots {
     val v = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(root, v)
-    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
-      s"updateWhere needs a tombstone-free version (positions must map " +
-        "to raw files) — compactMerged first")
+    requirePlainFiles(snap, root, "updateWhere (positions must map to " +
+      "raw files)")
     val matched = spark.read
       .parquet(snap.files.map(f => s"$root/${f.path}"): _*)
       .where(pred)
       .select(col("*"), relPathCol.as("_gfile"),
         col("_metadata.row_index").as("_gpos"))
-    val rewritten = sets.foldLeft(matched.drop("_gfile", "_gpos")) {
-      case (df, (c, e)) => df.withColumn(c, e)
-    }
-    val dataEntries = writeData(root, rewritten)
-    val posEntries = writeData(root,
-      matched.select(col("_gfile").as("_file"), col("_gpos").as("_pos")))
-    publish(root, dataEntries, Seq.empty, posEntries, note,
-      replace = false, basedOn = None)
+      // the tombstone write and the rewrite write are two actions over
+      // this one frame — persist the MATCHED rows (post-filter, O(matched))
+      // so the table scans once, not once per action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // all SET expressions evaluate against the OLD row SIMULTANEOUSLY
+      // (SQL UPDATE semantics): one select mapping every column at once
+      // — a sequential withColumn fold would let later clauses see
+      // already-updated values (swap(a,b) would corrupt), with Map
+      // iteration order as a bonus nondeterminism
+      val base = matched.drop("_gfile", "_gpos")
+      val rewritten = base.select(base.columns.toSeq.map(c =>
+        sets.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+      val dataEntries = writeData(root, rewritten)
+      val posEntries = writeData(root,
+        matched.select(col("_gfile").as("_file"), col("_gpos").as("_pos")))
+      publish(root, dataEntries, Seq.empty, posEntries, note,
+        replace = false, basedOn = None)
+    } finally { matched.unpersist(): Unit }
   }
 
   /** OPTIMIZE — collapse a fragmented (small-files) table into
@@ -762,8 +806,7 @@ object Snapshots {
     val base = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(root, base)
-    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
-      "optimizeFiles needs a tombstone-free version — compactMerged first")
+    requirePlainFiles(snap, root, "optimizeFiles")
     val totalBytes = snap.files
       .map(f => new java.io.File(root, f.path).length()).sum
     val nFiles = math.max(1L,
@@ -1069,5 +1112,25 @@ object Snapshots {
       .filter(_.lastModified() <= youngCutoff)
       .foreach { f => f.delete(): Unit; deleted += 1 }
     deleted
+  }
+
+  /** [[vacuum]] with TIME-based retention — the `VACUUM … RETAIN` form
+    * users type now that commits carry wall-clocks: drops the OLDEST
+    * versions whose commit timestamps fall outside `retainMillis` of
+    * now, stopping at the first retained one (so a non-monotone clock
+    * blip can only retain MORE, never drop an in-window version), and
+    * always keeps the head. A legacy pre-timestamp manifest (`ts = 0` —
+    * an unknown clock) is conservatively RETAINED: age cannot be proven,
+    * so time-based retention never deletes it; use the version-count
+    * [[vacuum]] to retire legacy history explicitly.
+    */
+  def vacuumRetain(root: String, retainMillis: Long,
+                   minAgeMillis: Long = 60L * 60 * 1000): Int = {
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val dropped = vs.map(v => readDoc(root, v).ts)
+      .takeWhile(ts => ts != 0L && ts < cutoff).size
+    vacuum(root, math.max(1, vs.size - dropped), minAgeMillis)
   }
 }

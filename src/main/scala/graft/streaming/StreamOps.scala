@@ -352,20 +352,25 @@ object StreamOps {
   def syncSnapshotSource(root: String, stage: String,
                          version: Option[Long] = None): Long = {
     import java.nio.file.{Files, Paths}
-    val v = version.orElse(graft.ops.Snapshots.latestVersion(root))
-      .getOrElse(0L)
-    if (v == 0L) return 0L
+    val latest = graft.ops.Snapshots.latestVersion(root).getOrElse(0L)
+    if (latest == 0L) return 0L
+    val v = version.getOrElse(latest)
     Files.createDirectories(Paths.get(stage)): Unit
-    val files = graft.ops.Snapshots.snapshot(root, v).files
+    def names(files: Seq[graft.ops.Snapshots.FileEntry]) =
+      files.map(f => f"v${f.seq}%08d_" + f.path.replace('/', '_'))
     val staged = Option(new java.io.File(stage).listFiles())
       .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
-    // append-shape check: everything already staged must still be listed
-    // (a replace commit would have dropped consumed files)
-    val names = files.map(f => f"v${f.seq}%08d_" + f.path.replace('/', '_'))
-    require(staged.subsetOf(names.toSet),
+    // append-shape check — ALWAYS against the latest version: everything
+    // already staged must still be listed there (a replace commit would
+    // have dropped consumed files); a sync pinned to an EARLIER version
+    // (a replayed phase after a crash) legitimately finds the dir ahead
+    val latestSnap = graft.ops.Snapshots.snapshot(root, latest)
+    require(staged.subsetOf(names(latestSnap.files).toSet),
       s"$root took a replace commit since this landing dir last synced — " +
         "the increment stream is broken; reprocess with a fresh landing dir")
-    files.zip(names).foreach { case (f, name) =>
+    val files = if (v == latest) latestSnap.files
+                else graft.ops.Snapshots.snapshot(root, v).files
+    files.zip(names(files)).foreach { case (f, name) =>
       if (!staged.contains(name)) {
         try Files.createLink(Paths.get(stage, name), Paths.get(root, f.path)): Unit
         catch { case _: java.nio.file.FileAlreadyExistsException => () }

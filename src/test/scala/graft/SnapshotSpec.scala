@@ -583,6 +583,21 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("updateWhere SET clauses all see the OLD row: a swap swaps (SQL UPDATE semantics)") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root,
+      Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("k", "a", "b"),
+      "base"): Unit
+    // UPDATE SET a = b, b = a WHERE k = 1 — a sequential withColumn fold
+    // would make both columns b_old; the simultaneous select must swap
+    Snapshots.updateWhere(spark, root, col("k") === 1L,
+      Map("a" -> col("b"), "b" -> col("a"))): Unit
+    val got = Snapshots.readMerged(spark, root, "k")
+      .orderBy("k").as[(Long, Double, Double)].collect().toSeq
+    assert(got === Seq((1L, 20.0, 10.0), (2L, 30.0, 40.0)))
+  }
+
   test("optimizeFiles: fragments collapse to target-sized clustered files as an audited replace; content preserved") {
     val root = freshTable()
     (0 until 5).foreach { r =>
@@ -745,6 +760,21 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       graft.streaming.StreamOps.syncSnapshotSource(root, stage)
     }
+  }
+
+  test("vacuumRetain: time-based retention keeps versions inside the window, always the head") {
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 3).toDF(), "old"): Unit
+    Thread.sleep(60)
+    Snapshots.commit(root, spark.range(3, 6).toDF(), "recent"): Unit
+    // a window covering only the second commit drops the first
+    Snapshots.vacuumRetain(root, retainMillis = 40, minAgeMillis = 0): Unit
+    assert(Snapshots.versions(root) === Seq(2L))
+    assert(ids(root) === (0L until 6L)) // v2 (an append) still composes both
+    // a zero window on a quiet table keeps the head regardless
+    Thread.sleep(30)
+    Snapshots.vacuumRetain(root, retainMillis = 1, minAgeMillis = 0): Unit
+    assert(Snapshots.versions(root) === Seq(2L))
   }
 
   test("vacuum reclaims unreferenced segments and leaked staging temps, sparing young ones") {
