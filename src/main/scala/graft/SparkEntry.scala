@@ -1687,6 +1687,33 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // RENAME schema evolution with ZERO data rewrite: the base commits
+    // under the old column name, renameColumn records a metadata-only
+    // rule in the manifest header, and a post-rename append writes the
+    // new name — the read applies the rule per commit group, so old
+    // files surface under the NEW name with no rewrite (Iceberg's
+    // rename move as ordered name rules; pinned pre-rename versions
+    // keep the old shape and compaction retires the rules —
+    // spec-asserted). The oracle replays the union under one name.
+    "snapshot_rename" -> ((s, d) => {
+      val root = ModelStore.fit(s"snaprename|${cid(d)}", "graft_snaprn") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("bal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        Snapshots.renameColumn(p, "bal", "acctbal"): Unit
+        Snapshots.commit(p,
+          cust.where(pmod(col("c_custkey"), lit(9)) === 0)
+            .select(col("c_custkey"), col("c_mktsegment"),
+              dec2(col("bal") + 7).as("acctbal")), "post-rename"): Unit
+      }
+      Snapshots.read(s, root)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Row-level UPDATE WHERE + DELETE WHERE on arbitrary (non-key)
     // predicates — the SQL-user surface over position deletes: the
     // UPDATE is ONE atomic commit (matched positions tombstone, the
@@ -4615,6 +4642,20 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_partkey % 1024 < 64
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Rename is content-preserving: the base rows plus the +7 appended
+    // slice, all under the post-rename name.
+    "snapshot_rename" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |evolved AS (
+        |  SELECT c_mktsegment, acctbal FROM cust
+        |  UNION ALL
+        |  SELECT c_mktsegment, CAST(acctbal + 7 AS DECIMAL(18,2))
+        |  FROM cust WHERE c_custkey % 9 = 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM evolved GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // The two row-level mutations replayed declaratively: +500 on
     // BUILDING keys ≡0 mod 7, then delete keys ≡0 mod 13.

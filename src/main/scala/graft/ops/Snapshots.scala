@@ -78,11 +78,24 @@ object Snapshots {
     * wall-clock (epoch millis) — what `AS OF <timestamp>` resolves
     * against ([[versionAsOf]]).
     */
+  /** A schema-evolution RULE recorded in the manifest header (never in
+    * the data): at `seq`, either RENAME `from`→`to` (`to` nonEmpty) or
+    * DROP `from` (`to` empty). Rules apply at READ time to files whose
+    * own seq predates the rule — files written after it already carry
+    * the new shape — which is what makes rename/drop zero-rewrite, the
+    * same move Iceberg makes with field IDs (here: ordered name rules,
+    * no data pass, no field-ID rewrite of existing footers).
+    */
+  final case class SchemaRule(seq: Long, from: String, to: String) {
+    def isDrop: Boolean = to.isEmpty
+  }
+
   final case class Snapshot(version: Long, parent: Long, note: String,
                             files: Seq[FileEntry],
                             deletes: Seq[FileEntry] = Seq.empty,
                             posDeletes: Seq[FileEntry] = Seq.empty,
-                            ts: Long = 0L)
+                            ts: Long = 0L,
+                            rules: Seq[SchemaRule] = Seq.empty)
 
   def init(root: String): String = {
     Files.createDirectories(Paths.get(root, SnapDir))
@@ -114,6 +127,7 @@ object Snapshots {
   private final case class ManifestDoc(version: Long, parent: Long,
                                        note: String, ts: Long,
                                        segments: Seq[String],
+                                       rules: Seq[SchemaRule],
                                        inlineFiles: Seq[FileEntry],
                                        inlineDeletes: Seq[FileEntry],
                                        inlinePosDeletes: Seq[FileEntry])
@@ -160,10 +174,21 @@ object Snapshots {
     val lines = text.linesIterator.toSeq
     def one(k: String) = lines.collectFirst {
       case l if l.startsWith(s"$k=") => l.substring(k.length + 1) }
+    // header rule lines: `rename=<seq>:<from>:<to>` / `drop=<seq>:<col>`
+    val rules = lines.flatMap { l =>
+      if (l.startsWith("rename=")) {
+        val fs = l.substring("rename=".length).split(':')
+        Some(SchemaRule(fs(0).toLong, fs(1), fs(2)))
+      } else if (l.startsWith("drop=")) {
+        val fs = l.substring("drop=".length).split(':')
+        Some(SchemaRule(fs(0).toLong, fs(1), ""))
+      } else None
+    }.sortBy(_.seq)
     ManifestDoc(one("version").get.toLong, one("parent").get.toLong,
       one("note").get, one("ts").map(_.toLong).getOrElse(0L),
       lines.filter(_.startsWith("segment="))
         .map(_.substring("segment=".length)),
+      rules,
       parseEntries(lines, "file="), parseEntries(lines, "delete="),
       parseEntries(lines, "posdelete="))
   }
@@ -235,7 +260,7 @@ object Snapshots {
       doc.inlineFiles ++ parseEntries(segLines, "file="),
       doc.inlineDeletes ++ parseEntries(segLines, "delete="),
       doc.inlinePosDeletes ++ parseEntries(segLines, "posdelete="),
-      doc.ts)
+      doc.ts, doc.rules)
   }
 
   /** Resolve an `AS OF <timestamp>` read to a version: the LATEST version
@@ -270,6 +295,21 @@ object Snapshots {
         s"tombstones; $what would return deleted/stale rows — use " +
         "readMerged (or compactMerged to materialize them away)")
 
+  /** The stable-names contract: any path that compiles predicates or
+    * stats against RAW file column names must refuse live rename/drop
+    * rules — older files still carry pre-rule names, so a predicate on
+    * the current name would silently miss their rows. [[read]] /
+    * [[readMerged]] apply the rules; a compacting rewrite materializes
+    * the current shape and retires them.
+    */
+  private def requireStableNames(snap: Snapshot, root: String,
+                                 what: String): Unit =
+    require(snap.rules.isEmpty,
+      s"version ${snap.version} of $root has live rename/drop schema " +
+        s"rules; $what works on raw file column names and would " +
+        "silently miss pre-rule files' rows — read through read()/" +
+        "readMerged, or materialize the shape with a compacting rewrite")
+
   /** [[read]] resolved by wall-clock instead of version — the `AS OF
     * <timestamp>` form users actually type.
     */
@@ -300,6 +340,18 @@ object Snapshots {
     val files = snap.files
     require(files.nonEmpty, s"version $v of $root lists no files; " +
       "read it with an explicit schema via spark.read.schema(...)")
+    // RENAME/DROP rules present: files predating a rule need it applied
+    // at scan time, so the read goes per commit group (same seq = same
+    // committed shape), each group renamed/dropped into the CURRENT
+    // shape, then unioned by name with missing columns as NULL (additive
+    // evolution rides along for free on this path).
+    if (snap.rules.nonEmpty) {
+      return snap.files.groupBy(_.seq).toSeq.sortBy(_._1).map {
+        case (seq, fs) => applyRules(
+          spark.read.parquet(fs.map(f => s"$root/${f.path}"): _*),
+          snap.rules, seq)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
     // `evolved = true` turns on SCHEMA EVOLUTION for the scan: the read
     // schema becomes the union of every listed file's schema (Spark's
     // mergeSchema — a footer pass over the manifest's files at planning
@@ -332,6 +384,7 @@ object Snapshots {
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(root, v)
     requirePlainFiles(snap, root, "a pruned file read")
+    requireStableNames(snap, root, "a pruned file read")
     require(snap.files.nonEmpty, s"version $v of $root lists no files; " +
       "read it with an explicit schema via spark.read.schema(...)")
     val numeric = preds.filter(_._2.isInstanceOf[Number]).map(_._1)
@@ -407,6 +460,7 @@ object Snapshots {
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(root, v)
     requirePlainFiles(snap, root, "a pruned file read")
+    requireStableNames(snap, root, "a pruned file read")
     require(snap.files.nonEmpty, s"version $v of $root lists no files; " +
       "read it with an explicit schema via spark.read.schema(...)")
     val survivors = Layout.zonePrune(
@@ -611,7 +665,8 @@ object Snapshots {
                       newDeletes: Seq[FileEntry],
                       newPosDeletes: Seq[FileEntry], note: String,
                       replace: Boolean, basedOn: Option[Long],
-                      carrySegmentsOf: Option[Long] = None): Long = {
+                      carrySegmentsOf: Option[Long] = None,
+                      newRule: Option[(String, String)] = None): Long = {
     // a REPLACE writer computed its output FROM some version; `basedOn`
     // pins it (the lakehouse transaction-version pattern) so the commit
     // can detect that the parent moved — whether before this call or
@@ -646,8 +701,22 @@ object Snapshots {
           stamped(newDeletes), stamped(newPosDeletes))))
       }
       staleSegs = parentAdopted.toSeq ++ carryAdopted.toSeq ++ ownSeg.toSeq
+      // schema rules chain in the HEADER like segments chain as refs:
+      // a replace resets them (its files are the new shape), restore
+      // carries the target's verbatim, and a new rule stamps the
+      // winning version
+      val parentRules =
+        if (parent == 0L || replace) Seq.empty[SchemaRule]
+        else readDoc(root, parent).rules
+      val carriedRules = carrySegmentsOf.toSeq
+        .flatMap(cv => readDoc(root, cv).rules)
+      val rules = parentRules ++ carriedRules ++
+        newRule.map { case (f, t) => SchemaRule(v, f, t) }.toSeq
       val header = Seq(s"version=$v", s"parent=$parent", s"note=$note",
-        s"ts=${System.currentTimeMillis()}")
+        s"ts=${System.currentTimeMillis()}") ++
+        rules.map(r =>
+          if (r.isDrop) s"drop=${r.seq}:${r.from}"
+          else s"rename=${r.seq}:${r.from}:${r.to}")
       val manifest = (header ++
         (parentSegs ++ carried ++ ownSeg.toSeq).map(s => s"segment=$s"))
         .mkString("", "\n", "\n")
@@ -727,12 +796,58 @@ object Snapshots {
                      version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    val files = snapshot(root, v).files
+    val snap = snapshot(root, v)
+    requireStableNames(snap, root,
+      "positionsWhere (the predicate compiles against raw names)")
+    val files = snap.files
     spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
       .where(pred)
       .select(relPathCol.as("_file"),
         col("_metadata.row_index").as("_pos"))
   }
+
+  /** RENAME a column with ZERO data rewrite — a metadata-only commit
+    * recording the rule in the manifest header: files committed BEFORE
+    * it read with the column renamed at scan time; files committed after
+    * already carry the new name (writers switch with the schema). The
+    * Iceberg rename move, expressed as ordered name rules instead of
+    * field IDs. Names must be `:`-free identifiers. Reads of rule-bearing
+    * versions go through the per-commit-group path ([[read]]).
+    */
+  def renameColumn(root: String, from: String, to: String,
+                   note: String = ""): Long = {
+    Seq(from, to).foreach(c => require(c.nonEmpty && !c.exists(":\n".contains(_)),
+      s"column name '$c' must be a nonempty :-free identifier"))
+    publish(root, Seq.empty, Seq.empty, Seq.empty,
+      if (note.isEmpty) s"rename-$from-to-$to" else note,
+      replace = false, basedOn = None, newRule = Some((from, to)))
+  }
+
+  /** DROP a column with ZERO data rewrite — the rule's drop flavor:
+    * older files shed the column at scan time, newer writers simply
+    * stop writing it. Compaction materializes the final shape.
+    */
+  def dropColumn(root: String, colName: String, note: String = ""): Long = {
+    require(colName.nonEmpty && !colName.exists(":\n".contains(_)),
+      s"column name '$colName' must be a nonempty :-free identifier")
+    publish(root, Seq.empty, Seq.empty, Seq.empty,
+      if (note.isEmpty) s"drop-$colName" else note,
+      replace = false, basedOn = None, newRule = Some((colName, "")))
+  }
+
+  /** Apply the schema rules newer than `fileSeq` to one commit-group
+    * frame, in rule order — rename chains compose (a→b then b→c), a
+    * missing column is a no-op (the group already has the new shape for
+    * rules it postdates… which can't happen by seq filtering, but also
+    * makes replayed rules harmless).
+    */
+  private def applyRules(df: DataFrame, rules: Seq[SchemaRule],
+                         fileSeq: Long): DataFrame =
+    rules.filter(_.seq > fileSeq).foldLeft(df) { (d, r) =>
+      if (r.isDrop) d.drop(r.from)
+      else if (d.columns.contains(r.from)) d.withColumnRenamed(r.from, r.to)
+      else d
+    }
 
   /** Row-level `DELETE WHERE <pred>` on any predicate, key or not — the
     * SQL-user surface over position deletes: compute the matched
@@ -763,6 +878,7 @@ object Snapshots {
     val snap = snapshot(root, v)
     requirePlainFiles(snap, root, "updateWhere (positions must map to " +
       "raw files)")
+    requireStableNames(snap, root, "updateWhere")
     val matched = spark.read
       .parquet(snap.files.map(f => s"$root/${f.path}"): _*)
       .where(pred)
@@ -807,6 +923,7 @@ object Snapshots {
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(root, base)
     requirePlainFiles(snap, root, "optimizeFiles")
+    requireStableNames(snap, root, "optimizeFiles")
     val totalBytes = snap.files
       .map(f => new java.io.File(root, f.path).length()).sum
     val nFiles = math.max(1L,
@@ -860,7 +977,10 @@ object Snapshots {
           if (withPos) raw.select(col("*"), relPathCol.as("_gfile"),
             col("_metadata.row_index").as("_gpos"))
           else raw
-        framed.withColumn(seqName, lit(seq))
+        // rename/drop rules apply per commit group here exactly as in
+        // [[read]] — equality tombstones written under a pre-rename key
+        // name line up with the renamed key for free
+        applyRules(framed, snap.rules, seq).withColumn(seqName, lit(seq))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     val base = bySeq(snap.files, "_seq", withPos = needPos)
     val eqApplied = if (snap.deletes.isEmpty) base else {
@@ -981,6 +1101,10 @@ object Snapshots {
         p.seq > fromVersion && p.seq <= toVersion),
       "window contains position-delete commits (no keys to feed) — " +
         "consume via readMerged states instead")
+    require(!toSnap.rules.exists(r =>
+        r.seq > fromVersion && r.seq <= toVersion),
+      "window contains rename/drop schema rules — feed rows would mix " +
+        "shapes; consume via readMerged states instead")
     val dataFiles = toSnap.files
       .filter(f => f.seq > fromVersion && f.seq <= toVersion)
     val tombFiles = toSnap.deletes

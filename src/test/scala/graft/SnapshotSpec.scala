@@ -620,6 +620,48 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(root, Some(5L)).size === 5000)
   }
 
+  test("rename/drop schema rules: zero-rewrite evolution — old files read in the new shape, pinned versions keep the old, compaction materializes") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "old_v"),
+      "base"): Unit
+    val v2 = Snapshots.renameColumn(root, "old_v", "v")
+    assert(v2 === 2L) // a metadata-only commit: zero data files written
+    assert(Snapshots.snapshot(root, 2L).files.size ===
+      Snapshots.snapshot(root, 1L).files.size)
+    Snapshots.commit(root, Seq((3L, 30.0)).toDF("k", "v"), "post-rename"): Unit
+    val got = Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "pre-rename files must surface under the NEW name")
+    // a reader pinned before the rename keeps the old shape
+    assert(Snapshots.read(spark, root, Some(1L)).columns.toSeq ===
+      Seq("k", "old_v"))
+    // merge-on-read composes with the rules (upsert under the new name)
+    Snapshots.commitChanges(root,
+      upserts = Seq((1L, 11.0)).toDF("k", "v"),
+      deleteKeys = spark.emptyDataset[Long].toDF("k"), "k", "chg"): Unit
+    assert(Snapshots.readMerged(spark, root, "k").orderBy("k")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+    // raw-name surfaces refuse rule-bearing versions loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.positionsWhere(spark, root, col("v") > 0)
+    }
+    // compaction materializes the current shape and RETIRES the rules
+    Snapshots.compactMerged(spark, root, "k"): Unit
+    val head = Snapshots.snapshot(root, Snapshots.latestVersion(root).get)
+    assert(head.rules.isEmpty, "a replace commit resets the rule chain")
+    assert(Snapshots.read(spark, root).columns.toSeq === Seq("k", "v"))
+    // DROP: widen with a column, then drop it — zero rewrite again
+    Snapshots.commit(root, Seq((9L, 90.0, "x")).toDF("k", "v", "w"),
+      "widen"): Unit
+    Snapshots.dropColumn(root, "w"): Unit
+    val dropped = Snapshots.read(spark, root)
+    assert(!dropped.columns.contains("w"))
+    assert(dropped.count() === 4)
+  }
+
   // ---- manifest-embedded column statistics -------------------------------------
 
   test("manifest-embedded stats equal the footer zone map; pruning plans from manifest text alone") {
