@@ -61,6 +61,7 @@ object Scale {
     if (args.headOption.contains("zonemap")) return zonemapMain(args.drop(1))
     if (args.headOption.contains("rowgroups")) return rowgroupsMain(args.drop(1))
     if (args.headOption.contains("bloom")) return bloomMain(args.drop(1))
+    if (args.headOption.contains("posmor")) return posMorMain(args.drop(1))
     if (args.headOption.contains("versions")) return versionsMain(args.drop(1))
     if (args.headOption.contains("snapshots")) return snapshotsMain(args.drop(1))
     if (args.headOption.contains("mor")) return morMain(args.drop(1))
@@ -580,6 +581,72 @@ object Scale {
     val skipSec = time { skip = lookup(spark.read.parquet(survivors: _*)) }
     require(full == skip, s"bloom path lost rows: $full vs $skip")
     println(f"""{"mode":"bloom","n_rows":$n,"write_sec":$writeSec%.1f,"files_total":$nFiles,"files_survive":${survivors.size},"probe_sec":$probeSec%.2f,"full_sec":$fullSec%.1f,"skip_sec":$skipSec%.2f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Position-delete merge-on-read priced at volume: a clustered `n`-row
+    * base takes a row-level DELETE WHERE (1/97 of rows — positionsWhere
+    * scan + tombstone commit, nothing rewritten) and an UPDATE WHERE
+    * (another residue — one atomic commit: O(matched) rewrites + their
+    * position tombstones), then the merged view is read through the
+    * (file, position) anti-join, and once more after a compaction
+    * materializes it. What this prices at 100 TB: the write side is
+    * O(matched) always; the read side pays base + a position join until
+    * the scheduled compaction — the same trade the equality-delete `mor`
+    * leg prices, now for the positional flavor that serves non-key
+    * predicates.
+    */
+  private def posMorMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 10000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val root = ops.Snapshots.init(
+      java.nio.file.Files.createTempDirectory("graft_posmor_scale").toString)
+    ops.Snapshots.commit(root, spark.range(n)
+      .select(col("id"), (col("id") % 97).cast("double").as("v"))
+      .repartitionByRange(32, col("id")).sortWithinPartitions("id"),
+      "base"): Unit
+    var plainN = 0L
+    val plainSec = time {
+      plainN = ops.Snapshots.read(spark, root).count()
+    }
+    // UPDATE first (it requires the tombstone-free base — positions must
+    // map to raw files); DELETE WHERE then stacks on the tombstoned table
+    val updateSec = time {
+      ops.Snapshots.updateWhere(spark, root,
+        pmod(col("id"), lit(97L)) === 29,
+        Map("v" -> lit(-1.0))): Unit
+    }
+    val deleteSec = time {
+      ops.Snapshots.deleteWhere(spark, root,
+        pmod(col("id"), lit(97L)) === 13): Unit
+    }
+    var mergedN = 0L
+    val mergedSec = time {
+      mergedN = ops.Snapshots.readMerged(spark, root, "id").count()
+    }
+    val expect = n - (n + (97 - 13)) / 97 // rows with id % 97 == 13 dropped
+    require(mergedN == expect, s"merged count $mergedN != $expect")
+    val compactSec = time {
+      ops.Snapshots.compactMerged(spark, root, "id",
+        clusterBy = Seq("id"), nFiles = 32): Unit
+    }
+    var afterN = 0L
+    val afterSec = time {
+      afterN = ops.Snapshots.read(spark, root).count()
+    }
+    require(afterN == mergedN)
+    println(f"""{"mode":"posmor","n_rows":$n,"plain_sec":$plainSec%.1f,"delete_where_sec":$deleteSec%.1f,"update_where_sec":$updateSec%.1f,"merged_read_sec":$mergedSec%.1f,"compact_sec":$compactSec%.1f,"after_read_sec":$afterSec%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 
