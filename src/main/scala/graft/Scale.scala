@@ -635,7 +635,9 @@ object Scale {
     val mergedSec = time {
       mergedN = ops.Snapshots.readMerged(spark, root, "id").count()
     }
-    val expect = n - (n + (97 - 13)) / 97 // rows with id % 97 == 13 dropped
+    // rows with id % 97 == 13 dropped: |{i < n : i ≡ 13 (mod 97)}| =
+    // floor((n + 97 - 13 - 1) / 97) for n > 13
+    val expect = n - (n + 83) / 97
     require(mergedN == expect, s"merged count $mergedN != $expect")
     val compactSec = time {
       ops.Snapshots.compactMerged(spark, root, "id",

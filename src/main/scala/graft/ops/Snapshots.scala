@@ -410,8 +410,11 @@ object Snapshots {
               strCols: Seq[String] = Seq.empty): DataFrame = {
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
+    val snap = snapshot(root, v)
+    requireStableNames(snap, root,
+      "a zone-map stats build (stats key raw file column names)")
     Layout.zoneMapFootersFor(spark,
-      snapshot(root, v).files.map(f => s"$root/${f.path}"), cols, strCols)
+      snap.files.map(f => s"$root/${f.path}"), cols, strCols)
   }
 
   /** The zone-map stats table from MANIFEST TEXT alone — zero footer
@@ -431,7 +434,10 @@ object Snapshots {
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    val rows = snapshot(root, v).files.map { f =>
+    val snap0 = snapshot(root, v)
+    requireStableNames(snap0, root,
+      "a manifest-stats read (stats key committed-time column names)")
+    val rows = snap0.files.map { f =>
       org.apache.spark.sql.Row.fromSeq(
         s"$root/${f.path}" +: f.rows +: cols.flatMap { c =>
           f.stats.get(c) match {
@@ -481,8 +487,11 @@ object Snapshots {
                        strCols: Seq[String] = Seq.empty): DataFrame = {
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
+    val snap = snapshot(root, v)
+    requireStableNames(snap, root,
+      "a row-group stats build (stats key raw file column names)")
     Layout.zoneMapRowGroups(spark,
-      snapshot(root, v).files.map(f => s"$root/${f.path}"), cols, strCols)
+      snap.files.map(f => s"$root/${f.path}"), cols, strCols)
   }
 
   /** The table's commit HISTORY as a DataFrame (`DESCRIBE HISTORY`):
@@ -633,8 +642,8 @@ object Snapshots {
     * race or abort (an unreferenced segment is harmless debris vacuum
     * would eventually age out, but retries shouldn't mint them).
     */
-  private def segmentRefsOf(root: String, v: Long): (Seq[String], Option[String]) = {
-    val doc = readDoc(root, v)
+  private def segmentRefsOf(root: String,
+                            doc: ManifestDoc): (Seq[String], Option[String]) = {
     val inline = doc.inlineFiles.nonEmpty || doc.inlineDeletes.nonEmpty ||
       doc.inlinePosDeletes.nonEmpty
     if (!inline) (doc.segments, None)
@@ -687,12 +696,32 @@ object Snapshots {
     }
     while (true) {
       dropStale() // the previous iteration lost: its segments reference nothing
-      val (parentSegs, parentAdopted) =
-        if (parent == 0L || replace) (Seq.empty[String], None)
-        else segmentRefsOf(root, parent)
-      val (carried, carryAdopted) = carrySegmentsOf match {
-        case Some(cv) => segmentRefsOf(root, cv)
-        case None     => (Seq.empty[String], None)
+      val parentDoc: Option[ManifestDoc] =
+        if (parent == 0L || replace) None else Some(readDoc(root, parent))
+      // an APPEND that lost the race to a SCHEMA-RULE commit must not
+      // rebase blindly: its already-written files carry the PRE-rule
+      // shape, but a rebase would stamp them with seq > rule.seq and
+      // applyRules would never touch them — permanently mixed shapes.
+      // Surface it as the standard conflict; the writer re-derives its
+      // batch against the new shape and re-commits.
+      if (hasNew)
+        parentDoc.foreach { d =>
+          val newRules = d.rules.filter(_.seq > basedOn0)
+          if (newRules.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"commit on $root based on v$basedOn0 lost to schema-rule " +
+                s"commit(s) ${newRules.map(_.seq).mkString(",")}; the " +
+                "batch was written in the pre-rule shape — recompute " +
+                "against the new schema and re-commit")
+        }
+      val (parentSegs, parentAdopted) = parentDoc match {
+        case Some(d) => segmentRefsOf(root, d)
+        case None    => (Seq.empty[String], None)
+      }
+      val carriedDoc = carrySegmentsOf.map(readDoc(root, _))
+      val (carried, carryAdopted) = carriedDoc match {
+        case Some(d) => segmentRefsOf(root, d)
+        case None    => (Seq.empty[String], None)
       }
       val v = parent + 1
       val ownSeg: Option[String] = if (!hasNew) None else {
@@ -705,12 +734,8 @@ object Snapshots {
       // a replace resets them (its files are the new shape), restore
       // carries the target's verbatim, and a new rule stamps the
       // winning version
-      val parentRules =
-        if (parent == 0L || replace) Seq.empty[SchemaRule]
-        else readDoc(root, parent).rules
-      val carriedRules = carrySegmentsOf.toSeq
-        .flatMap(cv => readDoc(root, cv).rules)
-      val rules = parentRules ++ carriedRules ++
+      val rules = parentDoc.toSeq.flatMap(_.rules) ++
+        carriedDoc.toSeq.flatMap(_.rules) ++
         newRule.map { case (f, t) => SchemaRule(v, f, t) }.toSeq
       val header = Seq(s"version=$v", s"parent=$parent", s"note=$note",
         s"ts=${System.currentTimeMillis()}") ++
@@ -818,6 +843,14 @@ object Snapshots {
                    note: String = ""): Long = {
     Seq(from, to).foreach(c => require(c.nonEmpty && !c.exists(":\n".contains(_)),
       s"column name '$c' must be a nonempty :-free identifier"))
+    val visible = visibleColumns(root)
+    require(visible.contains(from),
+      s"cannot rename '$from': not a column of $root (visible: " +
+        s"${visible.mkString(", ")})")
+    require(!visible.contains(to),
+      s"cannot rename '$from' to '$to': '$to' already exists — the " +
+        "renamed groups would carry duplicate columns and every read " +
+        "would fail on the ambiguity")
     publish(root, Seq.empty, Seq.empty, Seq.empty,
       if (note.isEmpty) s"rename-$from-to-$to" else note,
       replace = false, basedOn = None, newRule = Some((from, to)))
@@ -830,9 +863,38 @@ object Snapshots {
   def dropColumn(root: String, colName: String, note: String = ""): Long = {
     require(colName.nonEmpty && !colName.exists(":\n".contains(_)),
       s"column name '$colName' must be a nonempty :-free identifier")
+    require(visibleColumns(root).contains(colName),
+      s"cannot drop '$colName': not a column of $root")
     publish(root, Seq.empty, Seq.empty, Seq.empty,
       if (note.isEmpty) s"drop-$colName" else note,
       replace = false, basedOn = None, newRule = Some((colName, "")))
+  }
+
+  /** The CURRENT visible column set of the latest version: per commit
+    * group, one file's footer field names with the group's newer rules
+    * applied (string-level — the same mapping [[applyRules]] does on
+    * frames), unioned across groups (additive evolution contributes).
+    * O(#groups) footer reads — validation-path cost only.
+    */
+  private def visibleColumns(root: String): Set[String] = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val snap = snapshot(root, v)
+    snap.files.groupBy(_.seq).flatMap { case (seq, fs) =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$root/${fs.head.path}"),
+          new org.apache.hadoop.conf.Configuration()))
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSeq
+      } finally reader.close()
+      snap.rules.filter(_.seq > seq).foldLeft(names) { (ns, r) =>
+        if (r.isDrop) ns.filterNot(_ == r.from)
+        else ns.map(n => if (n == r.from) r.to else n)
+      }
+    }.toSet
   }
 
   /** Apply the schema rules newer than `fileSeq` to one commit-group
@@ -1062,6 +1124,11 @@ object Snapshots {
     require(fromFiles.forall(toSet.contains),
       s"($fromVersion, $toVersion] contains a replace commit — " +
         "the increment is not append-shaped; reprocess from the replace")
+    require(!toSnap.rules.exists(r =>
+        r.seq > fromVersion && r.seq <= toVersion),
+      s"($fromVersion, $toVersion] contains rename/drop schema rules — " +
+        "a raw increment read would mix shapes; consume per sub-window " +
+        "or through readMerged states")
     val files = toSnap.files
       .filter(f => f.seq > fromVersion && f.seq <= toVersion)
     require(files.nonEmpty, s"no files appended in ($fromVersion, $toVersion]")

@@ -365,6 +365,10 @@ object StreamOps {
     // have dropped consumed files); a sync pinned to an EARLIER version
     // (a replayed phase after a crash) legitimately finds the dir ahead
     val latestSnap = graft.ops.Snapshots.snapshot(root, latest)
+    require(latestSnap.rules.isEmpty,
+      s"$root has live rename/drop schema rules — raw file links would " +
+        "stream pre-rule shapes as NULLs; compact the table to " +
+        "materialize the shape, then stream")
     require(staged.subsetOf(names(latestSnap.files).toSet),
       s"$root took a replace commit since this landing dir last synced — " +
         "the increment stream is broken; reprocess with a fresh landing dir")

@@ -662,6 +662,48 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped.count() === 4)
   }
 
+  test("schema-rule safety rails: collisions/typos rejected, an append losing to a rename conflicts, raw stats surfaces refuse") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root, Seq((1L, 10.0)).toDF("k", "v"), "base"): Unit
+    // a colliding rename would make every read ambiguous — rejected
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(root, "k", "v")
+    }
+    // renaming/dropping a column the table doesn't have is a typo
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(root, "nope", "x")
+    }
+    intercept[IllegalArgumentException] { Snapshots.dropColumn(root, "nope") }
+    // an APPEND that lost the manifest race to a rename carries the
+    // PRE-rule shape: rebasing would stamp its files past the rule and
+    // permanently mix shapes — it must conflict, loudly
+    Snapshots.renameColumn(root, "v", "val"): Unit // v2
+    intercept[java.util.ConcurrentModificationException] {
+      // basedOn pins the pre-rename version the batch was derived from
+      Snapshots.commit(root, Seq((2L, 20.0)).toDF("k", "v"), "stale-shape",
+        basedOn = Some(1L))
+    }
+    // the recomputed batch (new shape) commits fine
+    Snapshots.commit(root, Seq((2L, 20.0)).toDF("k", "val"), "new-shape"): Unit
+    assert(Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 10.0), (2L, 20.0)))
+    // raw-name stats and increment surfaces refuse rule-bearing versions
+    intercept[IllegalArgumentException] {
+      Snapshots.zoneMap(spark, root, Seq("val"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.zoneMapManifest(spark, root, Seq("val"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, 1L, 3L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.syncSnapshotSource(root,
+        java.nio.file.Files.createTempDirectory("graft_sync").toString)
+    }
+  }
+
   // ---- manifest-embedded column statistics -------------------------------------
 
   test("manifest-embedded stats equal the footer zone map; pruning plans from manifest text alone") {
