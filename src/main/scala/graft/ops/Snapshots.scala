@@ -196,8 +196,47 @@ object Snapshots {
   private def manifestPath(root: String, v: Long): Path =
     Paths.get(root, SnapDir, f"v$v%08d.txt")
 
-  private def readDoc(root: String, v: Long): ManifestDoc =
-    parseDoc(new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8"))
+  // A manifest is IMMUTABLE once its version is published (the arbiter
+  // guarantees create-if-absent), so its parsed doc caches safely by
+  // absolute path — `history()`/`versionAsOf()` walk every version's
+  // header and would otherwise re-read V files per call (a GET each on
+  // an object store). Bounded LRU by doc count (headers are tiny — the
+  // O(files) entry text lives in segments, cached separately by line
+  // budget). [[vacuum]] invalidates the docs of the versions it drops in
+  // this process; a vacuum in ANOTHER process can leave a stale cached
+  // doc, which only changes where the doomed read fails (at the deleted
+  // data files instead of the deleted manifest) — the retention contract
+  // already declares that reader lost.
+  private object docCache {
+    private val MaxDocs = 8192
+    private val map = new java.util.LinkedHashMap[String, ManifestDoc](
+      256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ManifestDoc]): Boolean =
+        size() > MaxDocs
+    }
+    def getOrLoad(key: String)(load: => ManifestDoc): ManifestDoc =
+      synchronized {
+        val hit = map.get(key)
+        if (hit != null) hit
+        else { val d = load; map.put(key, d): Unit; d }
+      }
+    def invalidate(key: String): Unit = synchronized { map.remove(key): Unit }
+  }
+
+  /** Test hook: forget a cached manifest doc. Only legacy-table
+    * SIMULATIONS need it (they rewrite a published manifest by hand,
+    * which no real engine ever does — manifests are immutable).
+    */
+  private[graft] def invalidateManifestCache(root: String, v: Long): Unit =
+    docCache.invalidate(manifestPath(root, v).toAbsolutePath.toString)
+
+  private def readDoc(root: String, v: Long): ManifestDoc = {
+    val p = manifestPath(root, v)
+    docCache.getOrLoad(p.toAbsolutePath.toString) {
+      parseDoc(new String(Files.readAllBytes(p), "UTF-8"))
+    }
+  }
 
   /** All committed versions, ascending. O(versions) directory listing. */
   def versions(root: String): Seq[Long] =
@@ -309,6 +348,21 @@ object Snapshots {
         s"rules; $what works on raw file column names and would " +
         "silently miss pre-rule files' rows — read through read()/" +
         "readMerged, or materialize the shape with a compacting rewrite")
+
+  /** The front-door readability contract, stated once for
+    * [[graft.sources.SnapshotDataSource]]: one `HadoopFsRelation` can
+    * express neither the merge-on-read anti-joins nor the per-group
+    * rename/drop union, so a version carrying live tombstones or schema
+    * rules is refused loudly — read it through [[readMerged]], or
+    * compact ([[compactMerged]] / [[optimizeFiles]]) to materialize.
+    */
+  private[graft] def requireFrontDoor(snap: Snapshot, root: String): Unit = {
+    requirePlainFiles(snap, root, "a graft-snap relation read")
+    requireStableNames(snap, root, "a graft-snap relation read")
+    require(snap.files.nonEmpty,
+      s"version ${snap.version} of $root lists no files; read it with an " +
+        "explicit schema via spark.read.schema(...).parquet or commit data")
+  }
 
   /** [[read]] resolved by wall-clock instead of version — the `AS OF
     * <timestamp>` form users actually type.
@@ -563,10 +617,21 @@ object Snapshots {
              replace: Boolean = false,
              basedOn: Option[Long] = None,
              statsCols: Seq[String] = Seq.empty): Long = {
-    statsCols.foreach(c => require(!c.exists("|:;".contains(_)),
-      s"stats column name '$c' must not contain '|', ':' or ';'"))
+    // identifier whitelist, not a blocklist: a stats name is rendered
+    // verbatim into a one-line manifest entry, so anything outside
+    // [A-Za-z0-9_.] (a newline, '=', '|', …) could split or corrupt the
+    // line for every later parse of the table
+    statsCols.foreach(c => require(c.matches("[A-Za-z0-9_.]+"),
+      s"stats column name '$c' must match [A-Za-z0-9_.]+ (it is " +
+        "rendered into manifest text)"))
+    // the conflict baseline is captured BEFORE the data write: a schema
+    // rule (or, for tombstone commits, a replace) that lands while the
+    // long Spark job runs must count as landing AFTER this commit's
+    // derivation, else it escapes the publish-time window check and the
+    // pre-rule-shaped files get stamped with a post-rule seq
+    val entryBase = basedOn.orElse(latestVersion(root))
     publish(root, writeData(root, df, statsCols), Seq.empty, Seq.empty, note,
-      replace, basedOn)
+      replace, entryBase)
   }
 
   /** Write `df` into a fresh immutable `data/<uuid>/` dir and return its
@@ -633,6 +698,44 @@ object Snapshots {
     publish(root, Seq.empty, Seq.empty, Seq.empty, s"restore-v$toVersion",
       replace = true, basedOn = None, carrySegmentsOf = Some(toVersion))
 
+  /** CHECKPOINT — collapse the head version's whole segment-ref chain
+    * into ONE consolidated segment (entries and seqs copied VERBATIM, so
+    * reads, merge-on-read suppression and schema rules replay
+    * identically), published as a metadata-only commit referencing just
+    * that segment. Deep-history cure: a table's manifests accumulate one
+    * ref per commit, so V commits cost O(V²) ref lines across
+    * `history()`/`snapshot()` walks and every NEW commit inherits the
+    * full chain — after a checkpoint the chain restarts at length 1
+    * while old manifests stay untouched (pinned readers and time travel
+    * unaffected; the Iceberg manifest-list-compaction move). Cost:
+    * O(files) segment text, written once, NO data I/O. Run it every few
+    * hundred commits alongside other table maintenance.
+    *
+    * Pinned to the head it consolidates: a commit landing concurrently
+    * surfaces as the standard conflict (re-run — checkpointing is
+    * idempotent maintenance, losing a race loses nothing).
+    */
+  def checkpoint(root: String): Long = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val s = snapshot(root, v)
+    val doc = readDoc(root, v)
+    val seg = writeSegment(root,
+      renderEntries(s.files, s.deletes, s.posDeletes))
+    val next = v + 1
+    val header = Seq(s"version=$next", s"parent=$v", s"note=checkpoint-v$v",
+      s"ts=${System.currentTimeMillis()}") ++ doc.rules.map(renderRule)
+    val manifest = (header :+ s"segment=$seg").mkString("", "\n", "\n")
+    if (!arbiter.putIfAbsent(manifestPath(root, next),
+        manifest.getBytes("UTF-8"))) {
+      Files.deleteIfExists(Paths.get(root, seg)): Unit
+      throw new java.util.ConcurrentModificationException(
+        s"checkpoint of $root at v$v lost to a concurrent commit " +
+          s"(latest is now v${latestVersion(root).getOrElse(0L)}); re-run")
+    }
+    next
+  }
+
   /** The segment refs a NEW commit chains from `v`: the version's own
     * refs, plus — for a pre-segmentation manifest carrying inline
     * entries — a one-time ADOPTION segment holding those entries
@@ -654,14 +757,38 @@ object Snapshots {
     }
   }
 
+  private def renderRule(r: SchemaRule): String =
+    if (r.isDrop) s"drop=${r.seq}:${r.from}"
+    else s"rename=${r.seq}:${r.from}:${r.to}"
+
   private def writeSegment(root: String, body: String): String = {
     val name = s"seg_${java.util.UUID.randomUUID().toString.take(12)}.txt"
     Files.write(Paths.get(root, SnapDir, name), body.getBytes("UTF-8"))
     s"$SnapDir/$name"
   }
 
-  /** The manifest race: stage, hard-link to v(parent+1), rebase or abort
-    * on loss. New entries land in ONE immutable segment, stamped
+  /** The arbiter behind every manifest publish — [[HardLinkArbiter]]
+    * (POSIX `link(2)`) by default; deployments on stores without hard
+    * links swap in [[LockFileArbiter]] (or any impl of the put-if-absent
+    * contract). Process-wide: the arbiter is a property of the storage
+    * the tables live on, not of one table.
+    */
+  @volatile private[graft] var arbiter: CommitArbiter = HardLinkArbiter
+
+  /** Run `f` with `a` as the commit arbiter, restoring the previous one
+    * after — the test hook that drives the same concurrency torture
+    * through both arbiters. Not for interleaving arbiters across
+    * concurrent commits to DIFFERENT stores (the arbiter is process-wide).
+    */
+  def withArbiter[T](a: CommitArbiter)(f: => T): T = {
+    val prev = arbiter
+    arbiter = a
+    try f finally arbiter = prev
+  }
+
+  /** The manifest race: stage, put-if-absent to v(parent+1) (the
+    * [[CommitArbiter]] settles it — `link(2)` by default), rebase or
+    * abort on loss. New entries land in ONE immutable segment, stamped
     * `seq = v` with the version that finally wins (the sequence-number
     * rule that keeps merge-on-read tombstones from eating their own
     * commit's rows) — on a lost race the O(delta) segment is rewritten
@@ -669,13 +796,23 @@ object Snapshots {
     * of prior commits is never touched (their segments are chained by
     * reference). `carrySegmentsOf` ([[restore]]) references an old
     * version's segments verbatim instead of adding entries.
+    *
+    * `posRefs` are the data-file paths this commit's POSITION tombstones
+    * reference: a rebase is only sound while every one of them is still
+    * listed by the rebased parent — a concurrent REPLACE (compaction,
+    * OPTIMIZE, z-order) that dropped any of them would make the DELETE
+    * silently no-op (and an UPDATE additionally duplicate its matched
+    * rows via the appended rewrites), the lost-update anomaly. The check
+    * runs on EVERY rebase iteration and surfaces as the standard
+    * conflict (Iceberg's `validateDataFilesExist`).
     */
   private def publish(root: String, newFiles: Seq[FileEntry],
                       newDeletes: Seq[FileEntry],
                       newPosDeletes: Seq[FileEntry], note: String,
                       replace: Boolean, basedOn: Option[Long],
                       carrySegmentsOf: Option[Long] = None,
-                      newRule: Option[(String, String)] = None): Long = {
+                      newRule: Option[(String, String)] = None,
+                      posRefs: Set[String] = Set.empty): Long = {
     // a REPLACE writer computed its output FROM some version; `basedOn`
     // pins it (the lakehouse transaction-version pattern) so the commit
     // can detect that the parent moved — whether before this call or
@@ -714,6 +851,21 @@ object Snapshots {
                 "batch was written in the pre-rule shape — recompute " +
                 "against the new schema and re-commit")
         }
+      // position tombstones reference exact (file, pos) pairs: the rebase
+      // parent must still list every referenced file, else a concurrent
+      // replace already rewrote those rows and the tombstones would
+      // silently miss (DELETE no-ops; UPDATE duplicates its matches)
+      if (posRefs.nonEmpty && parent > 0L) {
+        val parentFiles = snapshot(root, parent).files.map(_.path).toSet
+        val missing = posRefs.filterNot(parentFiles.contains)
+        if (missing.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"position-delete commit on $root based on v$basedOn0 lost " +
+              s"to a replace: ${missing.size} referenced data file(s) " +
+              s"(e.g. ${missing.head}) are no longer listed at " +
+              s"v$parent — recompute the positions against the new " +
+              "latest and re-commit")
+      }
       val (parentSegs, parentAdopted) = parentDoc match {
         case Some(d) => segmentRefsOf(root, d)
         case None    => (Seq.empty[String], None)
@@ -738,34 +890,25 @@ object Snapshots {
         carriedDoc.toSeq.flatMap(_.rules) ++
         newRule.map { case (f, t) => SchemaRule(v, f, t) }.toSeq
       val header = Seq(s"version=$v", s"parent=$parent", s"note=$note",
-        s"ts=${System.currentTimeMillis()}") ++
-        rules.map(r =>
-          if (r.isDrop) s"drop=${r.seq}:${r.from}"
-          else s"rename=${r.seq}:${r.from}:${r.to}")
+        s"ts=${System.currentTimeMillis()}") ++ rules.map(renderRule)
       val manifest = (header ++
         (parentSegs ++ carried ++ ownSeg.toSeq).map(s => s"segment=$s"))
         .mkString("", "\n", "\n")
-      val tmp = Files.createTempFile(Paths.get(root, SnapDir), ".stage_", ".tmp")
-      Files.write(tmp, manifest.getBytes("UTF-8"))
-      // createLink, NOT Files.move: the no-replace move is implemented
-      // as an existence check followed by rename(2), so two processes
-      // racing for v(n+1) can both pass the check and the second rename
-      // silently replaces the first manifest — a lost commit. link(2)
-      // is the atomic create-if-absent the protocol needs: EEXIST loses
-      // loudly, and the target appears fully written or not at all.
-      try {
-        Files.createLink(manifestPath(root, v), tmp)
-        Files.deleteIfExists(tmp): Unit
+      // the arbiter is the atomic create-if-absent the protocol needs
+      // (link(2) by default — see [[CommitArbiter]] for why not a
+      // no-replace move, and for the object-store variant): a loss is
+      // loud, and the published manifest appears fully written or not
+      // at all.
+      if (arbiter.putIfAbsent(manifestPath(root, v),
+          manifest.getBytes("UTF-8")))
         return v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp): Unit
-          val now = latestVersion(root).getOrElse(0L)
-          if (replace && now != basedOn0) {
-            dropStale() // abort: nothing references this attempt's segments
-            throw conflict(now)
-          }
-          parent = now
+      else {
+        val now = latestVersion(root).getOrElse(0L)
+        if (replace && now != basedOn0) {
+          dropStale() // abort: nothing references this attempt's segments
+          throw conflict(now)
+        }
+        parent = now
       }
     }
     sys.error("unreachable")
@@ -784,12 +927,13 @@ object Snapshots {
     */
   def commitChanges(root: String, upserts: DataFrame, deleteKeys: DataFrame,
                     keyCol: String, note: String): Long = {
+    val entryBase = latestVersion(root) // pre-write baseline, as in commit()
     val dataEntries = writeData(root, upserts)
     val tombKeys = upserts.select(col(keyCol))
       .unionByName(deleteKeys.select(col(keyCol))).distinct()
     val tombEntries = writeData(root, tombKeys)
     publish(root, dataEntries, tombEntries, Seq.empty, note,
-      replace = false, basedOn = None)
+      replace = false, basedOn = entryBase)
   }
 
   /** POSITION-DELETE commit — the Iceberg-v2 dual of [[commitChanges]]'s
@@ -802,33 +946,69 @@ object Snapshots {
     * to compute the tombstone frame from a predicate.
     */
   def commitPositionDeletes(root: String, positions: DataFrame,
-                            note: String): Long = {
+                            note: String,
+                            basedOn: Option[Long] = None): Long = {
     require(positions.columns.toSet == Set("_file", "_pos"),
       s"positions must be exactly (_file, _pos); got " +
         positions.columns.mkString(","))
+    val entryBase = basedOn.orElse(latestVersion(root))
     val entries = writeData(root, positions)
+    // the distinct files the tombstones reference — read back from the
+    // just-written O(matched)-row tombstone parquet (never a second scan
+    // of the table) and handed to publish, which refuses any rebase onto
+    // a parent that no longer lists one of them (a concurrent replace
+    // would otherwise turn this DELETE into a silent no-op)
+    val spark = positions.sparkSession
+    val posRefs =
+      if (entries.isEmpty) Set.empty[String]
+      else spark.read.parquet(entries.map(e => s"$root/${e.path}"): _*)
+        .select(col("_file")).distinct()
+        .collect().map(_.getString(0)).toSet
     publish(root, Seq.empty, Seq.empty, entries, note,
-      replace = false, basedOn = None)
+      replace = false, basedOn = entryBase, posRefs = posRefs)
   }
 
-  /** The (`_file`, `_pos`) tombstone frame for every CURRENT row of
-    * `version` matching `pred` — a metadata-column scan (`_metadata
-    * .file_path` / `row_index`) over the version's files, path
-    * relativized to the manifest form. Feed the result to
+  /** A version's data files scanned WITH position metadata (`_gfile` =
+    * manifest-relative path, `_gpos` = within-file row index) and the
+    * rename/drop rules applied per commit group — the shared scan under
+    * row-level DML ([[positionsWhere]], [[updateWhere]]): predicates
+    * compile against the CURRENT column names even over pre-rule files,
+    * so UPDATE/DELETE work right after a rename with no compaction.
+    * Rule-free tables take the single-read fast path (one scan, not one
+    * per commit group).
+    */
+  private def scanWithPositions(spark: SparkSession, root: String,
+                                snap: Snapshot): DataFrame = {
+    def framed(fs: Seq[FileEntry]) =
+      spark.read.parquet(fs.map(f => s"$root/${f.path}"): _*)
+        .select(col("*"), relPathCol.as("_gfile"),
+          col("_metadata.row_index").as("_gpos"))
+    if (snap.rules.isEmpty) framed(snap.files)
+    else snap.files.groupBy(_.seq).toSeq.sortBy(_._1)
+      .map { case (seq, fs) => applyRules(framed(fs), snap.rules, seq) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The (`_file`, `_pos`) tombstone frame for every raw-file row of
+    * `version` matching `pred`, with rename/drop rules applied so the
+    * predicate compiles against the CURRENT names. Feed the result to
     * [[commitPositionDeletes]].
+    *
+    * Scope note: this scans the version's RAW files, so on a
+    * merge-on-read table the result may also include positions of rows
+    * already suppressed by live tombstones. That is SAFE for the one
+    * intended consumer — tombstoning (a re-tombstone of a dead position
+    * is idempotent; [[readMerged]] suppresses it exactly once) — but it
+    * is NOT a row count of current matches: use
+    * `readMerged(...).where(pred).count()` for that.
     */
   def positionsWhere(spark: SparkSession, root: String, pred: Column,
                      version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    val snap = snapshot(root, v)
-    requireStableNames(snap, root,
-      "positionsWhere (the predicate compiles against raw names)")
-    val files = snap.files
-    spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+    scanWithPositions(spark, root, snapshot(root, v))
       .where(pred)
-      .select(relPathCol.as("_file"),
-        col("_metadata.row_index").as("_pos"))
+      .select(col("_gfile").as("_file"), col("_gpos").as("_pos"))
   }
 
   /** RENAME a column with ZERO data rewrite — a metadata-only commit
@@ -918,8 +1098,16 @@ object Snapshots {
     * result through [[readMerged]]; [[compactMerged]] materializes.
     */
   def deleteWhere(spark: SparkSession, root: String, pred: Column,
-                  note: String = "delete-where"): Long =
-    commitPositionDeletes(root, positionsWhere(spark, root, pred), note)
+                  note: String = "delete-where"): Long = {
+    // pin the version the positions are computed FROM: the publish-time
+    // rebase check then covers the whole derive-to-publish window (a
+    // replace or schema rule landing mid-scan conflicts, never silently
+    // mis-applies)
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    commitPositionDeletes(root,
+      positionsWhere(spark, root, pred, Some(v)), note, basedOn = Some(v))
+  }
 
   /** Row-level `UPDATE <set> WHERE <pred>` as ONE atomic commit: the
     * matched rows' positions tombstone AND their rewritten versions
@@ -928,7 +1116,10 @@ object Snapshots {
     * (the manifest link is the only publish point). The new rows live in
     * NEW files, so the commit's own tombstones (which reference old
     * (file, position) pairs) cannot touch them. `sets` are the SET
-    * clauses (column → expression over the old row). Requires a version
+    * clauses (column → expression over the old row, named by CURRENT
+    * column names — live rename/drop rules are applied to the scan, so
+    * UPDATE works right after a rename with no compaction, and the
+    * rewritten rows materialize the current shape). Requires a version
     * without live tombstones (positions must map to the raw files);
     * compact first on MOR-churned tables.
     */
@@ -940,12 +1131,8 @@ object Snapshots {
     val snap = snapshot(root, v)
     requirePlainFiles(snap, root, "updateWhere (positions must map to " +
       "raw files)")
-    requireStableNames(snap, root, "updateWhere")
-    val matched = spark.read
-      .parquet(snap.files.map(f => s"$root/${f.path}"): _*)
+    val matched = scanWithPositions(spark, root, snap)
       .where(pred)
-      .select(col("*"), relPathCol.as("_gfile"),
-        col("_metadata.row_index").as("_gpos"))
       // the tombstone write and the rewrite write are two actions over
       // this one frame — persist the MATCHED rows (post-filter, O(matched))
       // so the table scans once, not once per action
@@ -957,13 +1144,19 @@ object Snapshots {
       // already-updated values (swap(a,b) would corrupt), with Map
       // iteration order as a bonus nondeterminism
       val base = matched.drop("_gfile", "_gpos")
+      val unknown = sets.keySet -- base.columns.toSet
+      require(unknown.isEmpty,
+        s"updateWhere SET names ${unknown.mkString(", ")} are not " +
+          s"columns of $root (current shape: ${base.columns.mkString(", ")})")
       val rewritten = base.select(base.columns.toSeq.map(c =>
         sets.get(c).map(_.as(c)).getOrElse(col(c))): _*)
       val dataEntries = writeData(root, rewritten)
       val posEntries = writeData(root,
         matched.select(col("_gfile").as("_file"), col("_gpos").as("_pos")))
+      val posRefs = matched.select(col("_gfile")).distinct()
+        .collect().map(_.getString(0)).toSet
       publish(root, dataEntries, Seq.empty, posEntries, note,
-        replace = false, basedOn = None)
+        replace = false, basedOn = Some(v), posRefs = posRefs)
     } finally { matched.unpersist(): Unit }
   }
 
@@ -985,7 +1178,10 @@ object Snapshots {
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(root, base)
     requirePlainFiles(snap, root, "optimizeFiles")
-    requireStableNames(snap, root, "optimizeFiles")
+    // live rename/drop rules are fine here: the read below applies them
+    // per commit group, the rewrite materializes the CURRENT shape, and
+    // the replace commit resets the rule chain — OPTIMIZE doubles as the
+    // compaction that retires schema rules
     val totalBytes = snap.files
       .map(f => new java.io.File(root, f.path).length()).sum
     val nFiles = math.max(1L,
@@ -1149,9 +1345,21 @@ object Snapshots {
     * Output = the table schema plus `_change_type` and
     * `_commit_version` — what a downstream CDC consumer applies in
     * version order. Same append-shaped window contract as
-    * [[changesBetween]] (a replace resets history); position-delete
-    * commits are rejected here (positions don't carry keys — consume
-    * those windows via [[readMerged]] states instead).
+    * [[changesBetween]] (a replace resets history).
+    *
+    * POSITION-DELETE commits in the window ([[deleteWhere]] /
+    * [[updateWhere]]) feed too: the deleted rows' FULL payload is
+    * recovered by keying each tombstone back to its row — the tombstone
+    * parquet carries (`_file`, `_pos`), the referenced data files are
+    * scanned WITH position metadata (only the referenced files, never
+    * the whole table), and the join restores the row, emitted as a
+    * `delete` at the tombstone's commit version. A position already
+    * tombstoned before the window (a re-delete of a dead row —
+    * [[positionsWhere]] scans raw files, so a later DELETE can re-match
+    * it) is excluded; a position tombstoned twice inside the window
+    * feeds once, at the FIRST deleting version. An [[updateWhere]]
+    * commit therefore feeds as delete(old row) + insert(new row) — the
+    * split-update CDC representation.
     */
   def changeFeed(spark: SparkSession, root: String, fromVersion: Long,
                  toVersion: Long, keyCol: String): DataFrame = {
@@ -1164,10 +1372,6 @@ object Snapshots {
     require(fromFiles.forall(toSet.contains),
       s"($fromVersion, $toVersion] contains a replace commit — " +
         "the change feed is not append-shaped; reprocess from the replace")
-    require(!toSnap.posDeletes.exists(p =>
-        p.seq > fromVersion && p.seq <= toVersion),
-      "window contains position-delete commits (no keys to feed) — " +
-        "consume via readMerged states instead")
     require(!toSnap.rules.exists(r =>
         r.seq > fromVersion && r.seq <= toVersion),
       "window contains rename/drop schema rules — feed rows would mix " +
@@ -1176,7 +1380,9 @@ object Snapshots {
       .filter(f => f.seq > fromVersion && f.seq <= toVersion)
     val tombFiles = toSnap.deletes
       .filter(f => f.seq > fromVersion && f.seq <= toVersion)
-    require(dataFiles.nonEmpty || tombFiles.nonEmpty,
+    val posFiles = toSnap.posDeletes
+      .filter(f => f.seq > fromVersion && f.seq <= toVersion)
+    require(dataFiles.nonEmpty || tombFiles.nonEmpty || posFiles.nonEmpty,
       s"no changes in ($fromVersion, $toVersion]")
     // ONE scan per side regardless of window depth: every file's commit
     // version comes from a broadcast (relative path → seq) join against
@@ -1218,7 +1424,47 @@ object Snapshots {
         Some(t.withColumn("_change_type", lit("delete")))
       case _ => None
     }
-    (inserts.toSeq ++ deletes.toSeq)
+    // position-delete leg: tombstones → (file, pos, first deleting
+    // version), minus positions already dead before the window, joined
+    // back to the referenced files' rows (scanned with position
+    // metadata, pre-window rename/drop rules applied per commit group
+    // so the recovered rows carry the window's shape)
+    val posDeletes: Option[DataFrame] = if (posFiles.isEmpty) None else {
+      val winTombs = withVersion(posFiles, identity).get
+        .groupBy(col("_file"), col("_pos"))
+        .agg(org.apache.spark.sql.functions.min(col("_commit_version"))
+          .as("_commit_version"))
+      val priorFiles = toSnap.posDeletes.filter(_.seq <= fromVersion)
+      val tombs =
+        if (priorFiles.isEmpty) winTombs
+        else winTombs.join(
+          spark.read.parquet(priorFiles.map(f => s"$root/${f.path}"): _*),
+          Seq("_file", "_pos"), "left_anti")
+      // only the files the tombstones reference are scanned — their
+      // distinct paths are O(table files) strings at worst (driver-side,
+      // same order as the manifest itself)
+      val refPaths = tombs.select(col("_file")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val refEntries = toSnap.files.filter(f => refPaths.contains(f.path))
+      require(refEntries.map(_.path).toSet == refPaths,
+        s"position tombstones in ($fromVersion, $toVersion] reference " +
+          "files the window's head no longer lists — the window is not " +
+          "append-shaped; reprocess from the replace")
+      if (refEntries.isEmpty) None else {
+        val rows = refEntries.groupBy(_.seq).toSeq.sortBy(_._1)
+          .map { case (seq, fs) =>
+            applyRules(
+              spark.read.parquet(fs.map(f => s"$root/${f.path}"): _*)
+                .select(col("*"), relPathCol.as("_file"),
+                  col("_metadata.row_index").as("_pos")),
+              toSnap.rules, seq)
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+        Some(rows.join(tombs, Seq("_file", "_pos"))
+          .drop("_file", "_pos")
+          .withColumn("_change_type", lit("delete")))
+      }
+    }
+    (inserts.toSeq ++ deletes.toSeq ++ posDeletes.toSeq)
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1258,7 +1504,11 @@ object Snapshots {
     }.toSet
     val liveSegs: Set[String] = keep.flatMap(v => readDoc(root, v).segments)
       .map(rel => Paths.get(root, rel).getFileName.toString).toSet
-    drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)): Unit)
+    drop.foreach { v =>
+      val p = manifestPath(root, v)
+      Files.deleteIfExists(p): Unit
+      docCache.invalidate(p.toAbsolutePath.toString)
+    }
     val youngCutoff = System.currentTimeMillis() - minAgeMillis
     // metadata debris: segments no retained manifest references (their
     // manifests just dropped, or their commit lost its race and retried)

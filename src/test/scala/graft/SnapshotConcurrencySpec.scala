@@ -6,14 +6,17 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Snapshots
+import graft.ops.{CommitArbiter, HardLinkArbiter, LockFileArbiter, Snapshots}
 
 /** Concurrent-writer torture for the snapshot commit protocol. The
   * protocol's claims — losers of the manifest race rebase (appends) or
-  * abort (replaces) via the atomic hard-link's EEXIST — are exactly the
-  * kind that review alone should not certify (the ModelStore publish
-  * race was found by review, not test); this suite drives real
-  * contention through them:
+  * abort (replaces) via the arbiter's atomic create-if-absent — are
+  * exactly the kind that review alone should not certify (the
+  * ModelStore publish race was found by review, not test); this suite
+  * drives real contention through them, against BOTH shipped arbiters
+  * ([[graft.ops.HardLinkArbiter]] `link(2)`;
+  * [[graft.ops.LockFileArbiter]] put-if-absent only — the object-store
+  * contract):
   *
   *  - N appender threads commit concurrently: every commit must land,
   *    versions must come out linear (parent = v−1, no gaps, no
@@ -23,7 +26,12 @@ import graft.ops.Snapshots
   *    conflict exception (never a silent drop), and the final state must
   *    hold every appended row — a pure rewrite that loses a concurrent
   *    append would be the lost-update anomaly the `basedOn` pin exists
-  *    to prevent.
+  *    to prevent;
+  *  - a row-level DELETE/UPDATE whose positions were computed from a
+  *    version a REPLACE then superseded must conflict, never silently
+  *    no-op (Iceberg's `validateDataFilesExist`);
+  *  - a reader pinned to a RETAINED version survives vacuum; one pinned
+  *    to a dropped version fails loudly — the retention contract.
   */
 class SnapshotConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -49,7 +57,17 @@ class SnapshotConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     Snapshots.read(spark, root).select("id")
       .collect().map(_.getLong(0)).sorted.toSeq
 
-  test("N concurrent appenders: every commit lands, the version chain is linear, no row is lost") {
+  for ((arbName, arb) <- Seq("hard-link" -> HardLinkArbiter,
+                             "lock-file" -> LockFileArbiter)) {
+    test(s"[$arbName] N concurrent appenders: every commit lands, the version chain is linear, no row is lost") {
+      Snapshots.withArbiter(arb)(appenderStorm())
+    }
+    test(s"[$arbName] a replacer amid an append storm: losses surface as conflicts (never silent), the rebased retry loses no append") {
+      Snapshots.withArbiter(arb)(replacerStorm())
+    }
+  }
+
+  private def appenderStorm(): Unit = {
     val root = freshTable()
     val threads = 6
     val perThread = 4
@@ -95,7 +113,7 @@ class SnapshotConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("a replacer amid an append storm: losses surface as conflicts (never silent), the rebased retry loses no append") {
+  private def replacerStorm(): Unit = {
     val root = freshTable()
     Snapshots.commit(root, spark.range(10000, 10004).toDF(), "base"): Unit
     val threads = 4
@@ -161,5 +179,68 @@ class SnapshotConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     val notes = Snapshots.history(spark, root)
       .select("note").collect().map(_.getString(0))
     assert(notes.count(_.startsWith("rewrite-of-v")) === 1)
+  }
+
+  test("a position-delete commit racing a REPLACE conflicts loudly — never a silent no-op DELETE or duplicated UPDATE") {
+    import org.apache.spark.sql.functions.col
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 100).toDF().repartition(4),
+      "base"): Unit
+    // a DELETE WHERE derives its (file, pos) tombstones from v1…
+    val positions = Snapshots.positionsWhere(spark, root,
+      col("id") % 10 === 0, Some(1L))
+    // …but an OPTIMIZE lands first, rewriting every file v1 listed
+    Snapshots.commit(root, Snapshots.read(spark, root, Some(1L)).coalesce(1),
+      "compact", replace = true, basedOn = Some(1L)): Unit
+    // the tombstones reference files the new head no longer lists: a
+    // rebase would make the DELETE silently no-op (and an UPDATE
+    // additionally duplicate its matched rows) — it must conflict
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.commitPositionDeletes(root, positions, "stale-delete",
+        basedOn = Some(1L))
+    }
+    assert(e.getMessage.contains("no longer listed"))
+    // the table is untouched by the refused commit
+    assert(Snapshots.countRows(root) === Some(100L))
+    // the standard recovery — recompute against the new latest — works
+    Snapshots.deleteWhere(spark, root, col("id") % 10 === 0): Unit
+    assert(Snapshots.readMerged(spark, root, "id").count() === 90L)
+  }
+
+  test("appends RACING a row-level delete: the tombstone commit rebases over appends (their files persist) and loses nothing") {
+    import org.apache.spark.sql.functions.col
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 50).toDF().coalesce(1), "base"): Unit
+    val positions = Snapshots.positionsWhere(spark, root,
+      col("id") < 10, Some(1L))
+    // appends land between derivation and publish — file-preserving, so
+    // the tombstone commit must REBASE (not conflict) and apply exactly
+    Snapshots.commit(root, spark.range(100, 110).toDF().coalesce(1),
+      "mid-append"): Unit
+    Snapshots.commitPositionDeletes(root, positions, "delete",
+      basedOn = Some(1L)): Unit
+    assert(Snapshots.readMerged(spark, root, "id").count() === 50L,
+      "50 base + 10 appended − 10 deleted")
+  }
+
+  test("vacuum vs a pinned reader: a RETAINED version's scan completes; a dropped version fails loudly (the retention contract)") {
+    val root = freshTable()
+    Snapshots.commit(root, spark.range(0, 100).toDF().repartition(4),
+      "base"): Unit                                              // v1
+    Snapshots.commit(root, Snapshots.read(spark, root).coalesce(1),
+      "compact", replace = true, basedOn = Some(1L)): Unit       // v2
+    // reader pins v1 BEFORE any vacuum (plans against v1's file list)
+    val pinned = Snapshots.read(spark, root, Some(1L))
+    // retention covers v1 → the pinned scan completes mid-churn
+    assert(Snapshots.vacuum(root, keepVersions = 2, minAgeMillis = 0) === 0)
+    assert(pinned.count() === 100L)
+    // retention drops v1 → its files (superseded by the replace) die,
+    // and the pinned reader fails LOUDLY, never returns partial rows
+    assert(Snapshots.vacuum(root, keepVersions = 1, minAgeMillis = 0) > 0)
+    intercept[Exception] { pinned.count(): Unit }
+    // a fresh read of the dropped version is refused at the manifest
+    intercept[Exception] { Snapshots.read(spark, root, Some(1L)).count(): Unit }
+    // the retained head is intact
+    assert(Snapshots.read(spark, root).count() === 100L)
   }
 }

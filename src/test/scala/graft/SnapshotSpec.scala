@@ -416,6 +416,9 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m1 = java.nio.file.Paths.get(root, "_graft_snaps", "v00000001.txt")
     java.nio.file.Files.delete(m1)
     java.nio.file.Files.write(m1, inline.getBytes("UTF-8"))
+    // hand-rewriting a published manifest is a legacy SIMULATION only —
+    // real manifests are immutable (what the doc cache banks on)
+    Snapshots.invalidateManifestCache(root, 1L)
     // drop the now-orphaned segment to prove nothing references it
     new java.io.File(root, "_graft_snaps").listFiles()
       .filter(_.getName.startsWith("seg_")).foreach(f => f.delete(): Unit)
@@ -540,16 +543,31 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Snapshots.changeFeed(spark, root, 1L, 4L, "k")
     }
-    // a position-delete window has no keys to feed — rejected, pointed
-    // at readMerged
+    // a position-delete window feeds the deleted row's FULL payload:
+    // the tombstone's (file, pos) keys back to the raw row
     val root2 = freshTable()
     Snapshots.commit(root2, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
       "base"): Unit
-    Snapshots.commitPositionDeletes(root2,
-      Snapshots.positionsWhere(spark, root2, col("k") === 1L), "posdel"): Unit
-    intercept[IllegalArgumentException] {
-      Snapshots.changeFeed(spark, root2, 1L, 2L, "k")
-    }
+    Snapshots.deleteWhere(spark, root2, col("k") === 1L): Unit
+    val posFeed = Snapshots.changeFeed(spark, root2, 1L, 2L, "k")
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(posFeed === Seq((1L, "a", "delete", 2L)),
+      "the position-deleted row must feed with its recovered payload")
+    // a position re-deleted in a later commit feeds ONCE, at the first
+    // deleting version (positionsWhere scans raw files, so a second
+    // DELETE re-matches the dead row)
+    Snapshots.deleteWhere(spark, root2, col("k") <= 2L): Unit
+    val feed2 = Snapshots.changeFeed(spark, root2, 1L, 3L, "k")
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(feed2 === Seq((1L, "a", "delete", 2L), (2L, "b", "delete", 3L)))
+    // and a window AFTER the first delete excludes the already-dead row
+    val feed3 = Snapshots.changeFeed(spark, root2, 2L, 3L, "k")
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(feed3 === Seq((2L, "b", "delete", 3L)),
+      "a pre-window tombstone's position must not feed again")
   }
 
   test("updateWhere: one atomic commit — matched rows rewritten O(matched), own-commit rewrites survive their tombstones") {
@@ -644,9 +662,16 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.readMerged(spark, root, "k").orderBy("k")
       .as[(Long, Double)].collect().toSeq ===
       Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)))
-    // raw-name surfaces refuse rule-bearing versions loudly
+    // row-level DML surfaces apply the rules (predicates compile against
+    // the CURRENT name over pre-rename files); positionsWhere scans RAW
+    // files, so the eq-suppressed pre-upsert row of k=1 is included —
+    // documented as safe for tombstoning only
+    assert(Snapshots.positionsWhere(spark, root, col("v") > 0).count() === 4,
+      "3 current rows + 1 suppressed pre-upsert row match on raw files")
+    // raw STATS surfaces still refuse rule-bearing versions loudly
+    // (stats key raw file column names — genuinely unsound under rules)
     intercept[IllegalArgumentException] {
-      Snapshots.positionsWhere(spark, root, col("v") > 0)
+      Snapshots.zoneMap(spark, root, Seq("v"))
     }
     // compaction materializes the current shape and RETIRES the rules
     Snapshots.compactMerged(spark, root, "k"): Unit
@@ -880,5 +905,88 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(segCount() === 1, "only the retained version's segment remains")
     assert(!java.nio.file.Files.exists(leak))
     assert(ids(root) === (100L until 103L))
+  }
+
+  test("updateWhere composes with rename/drop rules: SET and WHERE compile against the CURRENT names, no compaction needed") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root, Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("k", "old_v"), "base"): Unit
+    Snapshots.renameColumn(root, "old_v", "v"): Unit
+    // UPDATE right after the rename — pre-rule files still carry `old_v`
+    // on disk; the DML scan applies the rule so `v` resolves everywhere
+    Snapshots.updateWhere(spark, root, col("v") >= 20.0,
+      Map("v" -> (col("v") + 1.0))): Unit
+    assert(Snapshots.readMerged(spark, root, "k").orderBy("k")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.0), (2L, 21.0), (3L, 31.0)))
+    // the rewritten rows materialized the CURRENT shape (their files
+    // postdate the rule, so the rule never touches them)
+    val head = Snapshots.snapshot(root, Snapshots.latestVersion(root).get)
+    assert(head.rules.nonEmpty, "the rule chain is still live (no rewrite)")
+    // a SET naming a column that doesn't exist is a typo — loud
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, root, col("k") === 1L,
+        Map("old_v" -> lit(0.0)))
+    }
+    // OPTIMIZE also works under live rules and retires them
+    Snapshots.compactMerged(spark, root, "k"): Unit
+    Snapshots.optimizeFiles(spark, root, Seq("k"), targetBytes = 1L << 20): Unit
+    val optimized = Snapshots.snapshot(root, Snapshots.latestVersion(root).get)
+    assert(optimized.rules.isEmpty, "the replace commit resets the rules")
+    assert(Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.0), (2L, 21.0), (3L, 31.0)))
+  }
+
+  test("checkpoint collapses the ref chain to ONE segment; reads, MOR state, stats and rules replay identically") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    (0 until 6).foreach { i =>
+      Snapshots.commit(root, spark.range(i * 10L, i * 10L + 10).toDF(),
+        s"a$i", statsCols = Seq("id")): Unit
+    }
+    Snapshots.renameColumn(root, "id", "key"): Unit                 // v7
+    Snapshots.commitChanges(root,
+      upserts = Seq(Tuple1(3L)).toDF("key"),
+      deleteKeys = Seq(Tuple1(11L)).toDF("key"), "key", "chg"): Unit // v8
+    def refs(v: Long) = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_graft_snaps", f"v$v%08d.txt")), "UTF-8")
+      .linesIterator.count(_.startsWith("segment="))
+    // 6 appends + 1 change commit = 7 segments (the rename is
+    // metadata-only: a header rule, no segment)
+    assert(refs(8L) === 7, "pre-checkpoint: one ref per entry-bearing commit")
+    val before = Snapshots.readMerged(spark, root, "key")
+      .as[Long].collect().sorted.toSeq
+    val cp = Snapshots.checkpoint(root)                             // v9
+    assert(refs(cp) === 1, "the checkpoint manifest holds ONE ref")
+    // state replays identically: entries, seqs, tombstones, rules, stats
+    assert(Snapshots.readMerged(spark, root, "key")
+      .as[Long].collect().sorted.toSeq === before)
+    val snap = Snapshots.snapshot(root, cp)
+    assert(snap.rules.nonEmpty, "rules carry through the checkpoint")
+    assert(snap.files.map(_.seq).distinct.size >= 6,
+      "original commit seqs are preserved verbatim")
+    assert(snap.files.forall(f => f.seq > 6L || f.stats.nonEmpty),
+      "manifest-embedded stats survive consolidation")
+    // the chain RESTARTS: the next commit references checkpoint + own
+    Snapshots.commitChanges(root, upserts = Seq(Tuple1(100L)).toDF("key"),
+      deleteKeys = spark.emptyDataset[Long].toDF("key"), "key", "more"): Unit
+    assert(refs(cp + 1) === 2, "post-checkpoint commits chain from ONE ref")
+    assert(Snapshots.readMerged(spark, root, "key")
+      .as[Long].collect().sorted.toSeq === (before :+ 100L).sorted)
+    // pinned pre-checkpoint versions are untouched; history spans all
+    assert(Snapshots.read(spark, root, Some(1L)).count() === 10L)
+    assert(Snapshots.history(spark, root).count() === (cp + 1).toInt)
+  }
+
+  test("statsCols names are whitelisted: anything that could split a manifest line is rejected at commit") {
+    val root = freshTable()
+    Seq("a|b", "a:b", "a;b", "a\nb", "a=b", "a b", "").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        Snapshots.commit(root, spark.range(0, 1).toDF(), "x",
+          statsCols = Seq(bad))
+      }
+    }
   }
 }
