@@ -525,6 +525,23 @@ object SparkEntry {
         "c_custkey", "chg2"): Unit
     }
 
+  /** The shared graft-snap FRONT-DOOR fixture `snapshot_sql` and
+    * `snapshot_sql_tt` both read: the table is built THROUGH the
+    * DataFrame writer (each save publishes a commit) — base, then the
+    * +7 slice on keys ≡0 mod 9.
+    */
+  private def snapSqlTable(s: SparkSession, d: String): String =
+    ModelStore.fit(s"snapsql|${cid(d)}", "graft_snapsql") { p =>
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+      cust.write.format("graft-snap").option("note", "base").save(p)
+      cust.where(pmod(col("c_custkey"), lit(9)) === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          dec2(col("acctbal") + 7).as("acctbal"))
+        .write.format("graft-snap").mode("append")
+        .option("note", "delta").save(p)
+    }
+
   private def logregArtifact(s: SparkSession, d: String): String =
     ModelStore.fit(s"logreg|${cid(d)}|$LrRounds|$LrRate", "graft_m_logreg") { p =>
       ModelStore.saveWeights(s, Learn.featureNames,
@@ -1873,6 +1890,155 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy(col("bucket"))
+    }),
+
+    // The SQL/DataFrame FRONT DOOR (sources/SnapshotDataSource): the
+    // table format as a first-class Spark source — the table is BUILT
+    // through df.write.format("graft-snap") (each save publishes a
+    // commit via the optimistic protocol) and read back through plain
+    // SQL over a `USING graft-snap` temporary view. The relation is a
+    // HadoopFsRelation over the pinned manifest, so the scan is Spark's
+    // own vectorized parquet reader (whole-stage codegen, pushdown) —
+    // never a hand-rolled row reader. The oracle replays the two
+    // appended slices declaratively.
+    "snapshot_sql" -> ((s, d) => {
+      val root = snapSqlTable(s, d)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_snap_sql " +
+        s"USING `graft-snap` OPTIONS (path '$root')")
+      s.sql("""SELECT c_mktsegment, count(*) AS n_rows,
+              |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+              |FROM graft_snap_sql
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // TIME TRAVEL through the front door: the same graft-snap table read
+    // AS OF each of its two versions via option("versionAsOf") AFTER
+    // both exist — v1 sees only the base, v2 the appended slice too (the
+    // pinned manifest IS the scan's file list, so no later commit can
+    // leak in). Same fitted table as snapshot_sql: zero extra build.
+    "snapshot_sql_tt" -> ((s, d) => {
+      val root = snapSqlTable(s, d)
+      Seq(1L, 2L).map { v =>
+        s.read.format("graft-snap").option("versionAsOf", v.toString)
+          .load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("acctbal")).cast("double").as("sum_bal"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_bal"))
+      }.reduce(_ unionByName _).orderBy(col("version"))
+    }),
+
+    // Manifest-stats pruning through the front door: the commit embeds
+    // per-file l_orderkey bounds (option("statsCols")), and the WHERE
+    // below reaches the custom FileIndex as pushed data filters — file
+    // skipping decided from manifest TEXT alone, zero footer I/O at
+    // planning (plan-asserted in SnapshotSqlSpec: numFiles < total).
+    // Window bounds derive from the embedded stats, so the oracle
+    // replays them from the source table.
+    "snapshot_sql_prune" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapsqlpr|${cid(d)}", "graft_snapsqlpr") { p =>
+        li(s, d).select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag"))
+          .repartitionByRange(12, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .write.format("graft-snap").option("statsCols", "l_orderkey")
+          .option("note", "stats-base").save(p)
+      }
+      val stats = Snapshots.zoneMapManifest(s, root, Seq("l_orderkey"))
+      val Array(bounds) = stats.agg(
+        min(col("min_l_orderkey")).as("mn"),
+        max(col("max_l_orderkey")).as("mx")).collect()
+      val lo = bounds.getDouble(0).toLong
+      val hi = lo + (bounds.getDouble(1).toLong - lo) / 12
+      s.read.format("graft-snap").load(root)
+        .where(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // The change feed over POSITION-DELETE windows: an UPDATE WHERE and
+    // a DELETE WHERE (both position-tombstone commits) feed row-level
+    // CDC — the deleted rows' FULL payload is recovered by keying each
+    // tombstone back to its (file, pos) row; the update surfaces as
+    // delete(old) + insert(new), and a position re-deleted later feeds
+    // once, at the FIRST deleting version. The oracle replays the two
+    // mutations' change sets declaratively.
+    "snapshot_cdf_pos" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapcdfpos|${cid(d)}", "graft_snapcdfp") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        Snapshots.updateWhere(s, p,
+          col("c_mktsegment") === "BUILDING" &&
+            pmod(col("c_custkey"), lit(7)) === 0,
+          Map("acctbal" -> dec2(col("acctbal") + 500))): Unit
+        Snapshots.deleteWhere(s, p,
+          pmod(col("c_custkey"), lit(13)) === 0): Unit
+      }
+      Snapshots.changeFeed(s, root, 1L, 3L, "c_custkey")
+        .select(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"), col("acctbal"))
+        .groupBy(col("change_type"), col("commit_version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("commit_version"), col("change_type"))
+    }),
+
+    // Row-level UPDATE right after a RENAME, no compaction between: the
+    // DML scan applies the manifest's rename rule per commit group, so
+    // SET and WHERE compile against the CURRENT name while the files on
+    // disk still carry the old one — schema evolution and row-level DML
+    // compose instead of forcing a rewrite. The oracle replays rename +
+    // update declaratively.
+    "snapshot_update_renamed" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapuprn|${cid(d)}", "graft_snapuprn") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("bal"))
+        Snapshots.commit(p, cust, "base"): Unit
+        Snapshots.renameColumn(p, "bal", "acctbal"): Unit
+        Snapshots.updateWhere(s, p,
+          col("c_mktsegment") === "BUILDING" &&
+            pmod(col("c_custkey"), lit(7)) === 0,
+          Map("acctbal" -> dec2(col("acctbal") + 500))): Unit
+      }
+      Snapshots.readMerged(s, root, "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // CHECKPOINT — deep-history maintenance: six append commits build a
+    // six-ref manifest chain, checkpoint() collapses it into ONE
+    // consolidated segment (entries/seqs verbatim, O(files) text, no
+    // data I/O), and a post-checkpoint append chains from the single
+    // ref — the Iceberg manifest-list-compaction move that keeps a
+    // 100k-commit table's per-commit metadata flat. The read proves the
+    // consolidated state lost nothing; chain-length is spec-asserted.
+    "snapshot_checkpoint" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapckpt|${cid(d)}", "graft_snapckpt") { p =>
+        Snapshots.init(p)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+        (0 until 6).foreach { r =>
+          Snapshots.commit(p,
+            cust.where(pmod(col("c_custkey"), lit(6)) === r),
+            s"slice$r"): Unit
+        }
+        Snapshots.checkpoint(p): Unit
+        Snapshots.commit(p,
+          cust.where(pmod(col("c_custkey"), lit(9)) === 0)
+            .select(col("c_custkey"), col("c_mktsegment"),
+              dec2(col("acctbal") + 7).as("acctbal")), "post-ckpt"): Unit
+      }
+      Snapshots.read(s, root)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
     }),
 
     // The snapshot-isolated table format (ops/Snapshots): immutable data
@@ -3711,6 +3877,33 @@ object SparkEntry {
         .orderBy(col("interval_id"))
     }),
 
+    // The rule on DATE operands (the TPC-H flavor — ship/order dates),
+    // feeding an Aggregate: RangeJoinBucketize both kills the nested
+    // loop AND pushes the count/sum partials BELOW the fan-out (the
+    // hand-written RangeJoin.countSumByInterval shape — interior days
+    // join a day-level rollup wholesale, only boundary days pay
+    // row-level residuals). Plan-asserted in ExtensionsSpec; same
+    // declarative oracle as the manual operator.
+    "range_join_date" -> ((s, d) => {
+      if (!s.experimental.extraOptimizations.contains(plans.RangeJoinBucketize))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.RangeJoinBucketize
+      val iv = Tables.orders(s, d)
+        .where(pmod(col("o_orderkey"), lit(97L)) === 0)
+        .select(col("o_orderkey").as("interval_id"),
+          col("o_orderdate").cast("date").as("lo"),
+          (col("o_orderdate") +
+            expr("make_dt_interval(cast(o_orderkey % 28 + 1 as int))"))
+            .cast("date").as("hi"))
+      li(s, d).select(col("l_shipdate").cast("date").as("ship_day"),
+          col("l_quantity"))
+        .join(iv, col("ship_day") >= col("lo") && col("ship_day") <= col("hi"))
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("interval_id"))
+    }),
+
     // -- quality / mixing --------------------------------------------------
     // Duplicate-shingle ratio per doc: the cheap boilerplate/degenerate-
     // generation gate that runs before any dedup pass.
@@ -4709,6 +4902,105 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_partkey % 1024 < 64
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // The front-door table is the base plus the +7 slice on keys ≡0
+    // mod 9, all committed through the DataFrame writer.
+    "snapshot_sql" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |state AS (
+        |  SELECT c_mktsegment, acctbal FROM cust
+        |  UNION ALL
+        |  SELECT c_mktsegment, CAST(acctbal + 7 AS DECIMAL(18,2))
+        |  FROM cust WHERE c_custkey % 9 = 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // v1 = the base alone; v2 = base + the +7 slice — both replayed from
+    // the source.
+    "snapshot_sql_tt" ->
+      """WITH cust AS (SELECT c_custkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS version,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(acctbal) AS DOUBLE) AS sum_bal FROM cust),
+        |v2 AS (SELECT CAST(2 AS BIGINT) AS version,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(acctbal) AS DOUBLE) AS sum_bal FROM (
+        |  SELECT acctbal FROM cust
+        |  UNION ALL
+        |  SELECT CAST(acctbal + 7 AS DECIMAL(18,2)) FROM cust
+        |  WHERE c_custkey % 9 = 0))
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version""".stripMargin,
+
+    // Same replay as snapshot_stats_prune: bounds derive from the
+    // embedded stats' global min/max = the table's own.
+    "snapshot_sql_prune" ->
+      """WITH b AS (SELECT min(l_orderkey) AS lo,
+        |    min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 12 AS hi
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem, b WHERE l_orderkey BETWEEN lo AND hi
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The two position-delete mutations replayed as change sets: the
+    // UPDATE feeds delete(old)+insert(new) at v2; the DELETE at v3 hits
+    // base rows not already tombstoned at v2 plus the v2 rewrites that
+    // still match — a position re-deleted in-window feeds at its FIRST
+    // deleting version.
+    "snapshot_cdf_pos" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |u AS (SELECT * FROM cust
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0),
+        |feed AS (
+        |  SELECT 'insert' AS change_type, 2 AS commit_version,
+        |    CAST(acctbal + 500 AS DECIMAL(18,2)) AS bal FROM u
+        |  UNION ALL
+        |  SELECT 'delete', 2, acctbal FROM u
+        |  UNION ALL
+        |  SELECT 'delete', 3, acctbal FROM cust WHERE c_custkey % 13 = 0
+        |    AND NOT (c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0)
+        |  UNION ALL
+        |  SELECT 'delete', 3, CAST(acctbal + 500 AS DECIMAL(18,2)) FROM u
+        |  WHERE c_custkey % 13 = 0)
+        |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bal) AS DOUBLE) AS sum_bal
+        |FROM feed GROUP BY 1, 2
+        |ORDER BY commit_version, change_type""".stripMargin,
+
+    // Rename then row-level update, replayed declaratively under the
+    // post-rename name.
+    "snapshot_update_renamed" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |state AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0
+        |           THEN CAST(acctbal + 500 AS DECIMAL(18,2))
+        |         ELSE acctbal END AS acctbal
+        |  FROM cust)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // The six slices compose the full table, the checkpoint is
+    // content-preserving (entries copied verbatim), and the post-
+    // checkpoint append adds the +7 slice on keys ≡0 mod 9.
+    "snapshot_checkpoint" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |state AS (
+        |  SELECT c_mktsegment, acctbal FROM cust
+        |  UNION ALL
+        |  SELECT c_mktsegment, CAST(acctbal + 7 AS DECIMAL(18,2))
+        |  FROM cust WHERE c_custkey % 9 = 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // 3-dim box (dim0 prefix fixed, dim2 halved, dim1 free): green vs the
     // plain source aggregate proves the 3-dim strip cover loses no rows.
@@ -6563,6 +6855,20 @@ object SparkEntry {
         |SELECT interval_id, count(*) AS n_items,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN iv ON l_shipdate >= lo AND l_shipdate <= hi
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
+    // The DATE-typed twin, stated declaratively over date-cast bounds;
+    // the engine answers via the auto-rewritten two-level rollup.
+    "range_join_date" ->
+      """WITH iv AS (SELECT o_orderkey AS interval_id,
+        |  CAST(o_orderdate AS DATE) AS lo,
+        |  CAST(o_orderdate + to_days(CAST(o_orderkey % 28 + 1 AS INTEGER))
+        |    AS DATE) AS hi
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT interval_id, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN iv
+        |  ON CAST(l_shipdate AS DATE) >= lo AND CAST(l_shipdate AS DATE) <= hi
         |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
 
     // The oracle states interval overlap declaratively (per-key quadratic

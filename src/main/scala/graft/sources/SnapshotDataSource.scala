@@ -1,0 +1,255 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Snapshots
+
+/** The SQL/DataFrame FRONT DOOR for the snapshot table format
+  * ([[graft.ops.Snapshots]]) — the format as a first-class Spark source
+  * instead of a Scala-only API:
+  *
+  * {{{
+  *   // reads, with time travel
+  *   spark.read.format("graft-snap").load(root)
+  *   spark.read.format("graft-snap").option("versionAsOf", 3).load(root)
+  *   spark.read.format("graft-snap")
+  *     .option("timestampAsOf", "2026-08-16 12:00:00").load(root)
+  *
+  *   // writes publish COMMITS (append / replace via SaveMode)
+  *   df.write.format("graft-snap").option("statsCols", "k").save(root)
+  *
+  *   // and plain SQL over the format
+  *   CREATE TEMPORARY VIEW t USING `graft-snap`
+  *     OPTIONS (path '<root>', versionAsOf '3');
+  *   SELECT ... FROM t WHERE k BETWEEN 10 AND 20
+  * }}}
+  *
+  * Architecture: the relation is a [[HadoopFsRelation]] over a custom
+  * [[FileIndex]] whose file list IS the pinned version's manifest — the
+  * Delta/Iceberg integration shape, chosen over a bespoke DSv2
+  * `PartitionReader` because it rides Spark's OWN vectorized parquet
+  * scan (whole-stage codegen, filter/projection pushdown into footers
+  * and pages — a hand-rolled row-based reader would forfeit all three).
+  * The index answers `listFiles(dataFilters)` by pruning against the
+  * MANIFEST-EMBEDDED column stats (commits made with `statsCols`):
+  * query-time file skipping with ZERO footer I/O, exactly
+  * [[graft.ops.Snapshots.readPrunedManifest]]'s channel, now driven by
+  * the predicates Spark itself pushes into the scan. Files without
+  * embedded bounds are conservatively kept, never skipped.
+  *
+  * Contracts carried over from the Scala surface: a version with live
+  * merge-on-read tombstones or rename/drop rules is REFUSED loudly
+  * (one `HadoopFsRelation` cannot express the anti-join / per-group
+  * rename union — read those through `readMerged`, or compact); an
+  * additive-evolution table reads with `option("mergeSchema", "true")`
+  * exactly like plain parquet.
+  */
+class SnapshotDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snap"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snap needs a table root: .load(root) or OPTIONS (path '...')"))
+
+  /** `versionAsOf` (a version number) or `timestampAsOf` (epoch millis,
+    * or `yyyy-MM-dd HH:mm:ss` taken in the session zone = UTC here, or
+    * an ISO-8601 instant) — at most one; default latest.
+    */
+  private def resolveVersion(root: String,
+                             parameters: Map[String, String]): Long =
+    (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "give versionAsOf OR timestampAsOf, not both")
+      case (Some(v), None) => v.trim.toLong
+      case (None, Some(ts)) =>
+        val t = ts.trim
+        val millis =
+          if (t.matches("[0-9]+")) t.toLong
+          else if (t.contains("T")) java.time.Instant.parse(t).toEpochMilli
+          else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+            .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        Snapshots.versionAsOf(root, millis)
+      case (None, None) => Snapshots.latestVersion(root).getOrElse(
+        throw new IllegalStateException(s"no committed version under $root"))
+    }
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    SnapshotDataSource.relation(spark, root,
+      resolveVersion(root, parameters), parameters)
+  }
+
+  /** The write half: `df.write.format("graft-snap")` publishes a COMMIT
+    * through the format's optimistic protocol — `Append` appends,
+    * `Overwrite` is a replace commit pinned to the current head (a
+    * concurrent commit conflicts loudly, never silently drops),
+    * `ErrorIfExists`/`Ignore` follow their SaveMode contracts against
+    * "the table has any committed version". `statsCols` embeds per-file
+    * bounds for the pruned read path; `note` labels the commit in
+    * `history()`.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val root = rootOf(parameters)
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val note = parameters.getOrElse("note", s"dfwriter-$mode")
+    val existing = new java.io.File(root, "_graft_snaps").isDirectory &&
+      Snapshots.latestVersion(root).nonEmpty
+    if (!existing) Snapshots.init(root): Unit
+    mode match {
+      case SaveMode.Append =>
+        Snapshots.commit(root, data, note, statsCols = statsCols): Unit
+      case SaveMode.Overwrite =>
+        Snapshots.commit(root, data, note, replace = true,
+          basedOn = Snapshots.latestVersion(root), statsCols = statsCols): Unit
+      case SaveMode.ErrorIfExists =>
+        if (existing) throw new IllegalStateException(
+          s"graft-snap table $root already has commits " +
+            "(SaveMode.ErrorIfExists); use append/overwrite")
+        else Snapshots.commit(root, data, note, statsCols = statsCols): Unit
+      case SaveMode.Ignore =>
+        if (!existing)
+          Snapshots.commit(root, data, note, statsCols = statsCols): Unit
+    }
+    createRelation(sqlContext, parameters - "versionAsOf" - "timestampAsOf")
+  }
+}
+
+object SnapshotDataSource {
+
+  /** Relax every field to nullable (recursively): a file-source relation
+    * schema must be nullable — Spark's own DataSource resolution does
+    * the same — or the vectorized reader refuses files that lack a
+    * parquet-`required` column under additive evolution.
+    */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = asNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private[sources] def relation(spark: SparkSession, root: String, v: Long,
+                                parameters: Map[String, String])
+      : HadoopFsRelation = {
+    val snap = Snapshots.snapshot(root, v)
+    Snapshots.requireFrontDoor(snap, root)
+    val index = new GraftSnapFileIndex(root, snap)
+    // schema from the manifest's own files (never a directory listing —
+    // dead files from other versions are invisible); one footer unless
+    // mergeSchema asks for the additive-evolution union
+    // asNullable: a file-source schema must be nullable (Spark's own
+    // DataSource resolution does the same) — a parquet `required` field
+    // inferred non-nullable would make the vectorized reader refuse any
+    // OTHER file that lacks the column under additive evolution
+    val inferred = new ParquetFileFormat().inferSchema(spark, parameters,
+      index.allStatuses).getOrElse(throw new IllegalStateException(
+      s"version $v of $root lists no readable parquet files"))
+    val schema = asNullable(inferred).asInstanceOf[StructType]
+    HadoopFsRelation(index, StructType(Nil), schema, None,
+      new ParquetFileFormat(), parameters)(spark)
+  }
+}
+
+/** [[FileIndex]] over one pinned snapshot version: `listFiles` = the
+  * manifest's file list, pruned per query by the manifest-embedded
+  * (min, max) bounds against the scan's pushed data filters. Planning
+  * is a driver-side pass over in-memory entries — zero footer I/O, the
+  * property that keeps a million-file table's scan planning off the
+  * metadata service. Unprunable predicates (non-comparison shapes,
+  * columns without embedded stats) conservatively keep every file.
+  */
+private[sources] class GraftSnapFileIndex(root: String,
+                                          snap: Snapshots.Snapshot)
+    extends FileIndex {
+
+  private val entries: Seq[(Snapshots.FileEntry, FileStatus)] =
+    snap.files.map { e =>
+      val f = new java.io.File(root, e.path)
+      e -> new FileStatus(f.length(), false, 1, 128L * 1024 * 1024,
+        f.lastModified(), new HPath(f.toURI))
+    }
+
+  private[sources] def allStatuses: Seq[FileStatus] = entries.map(_._2)
+
+  override def rootPaths: Seq[HPath] =
+    Seq(new HPath(new java.io.File(root).toURI))
+  override def partitionSchema: StructType = StructType(Nil)
+  override def sizeInBytes: Long = entries.map(_._2.getLen).sum
+  override def inputFiles: Array[String] =
+    entries.map(_._2.getPath.toString).toArray
+  override def refresh(): Unit = () // pinned version: nothing to refresh
+
+  /** Decode a pushed filter into closed numeric bounds on one column —
+    * the same conservative arithmetic as the zone maps: strict
+    * comparisons widen to inclusive (keeping a boundary file is correct,
+    * skipping it is not), non-numeric literals and complex shapes decode
+    * to nothing (→ no pruning from that conjunct).
+    */
+  private def bounds(e: Expression): Seq[(String, Double, Double)] = {
+    def num(l: Literal): Option[Double] = l.value match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a: Attribute, l: Literal) =>
+        num(l).map(x => (a.name, x, x)).toSeq
+      case EqualTo(l: Literal, a: Attribute) =>
+        num(l).map(x => (a.name, x, x)).toSeq
+      case GreaterThan(a: Attribute, l: Literal) =>
+        num(l).map(x => (a.name, x, Double.PositiveInfinity)).toSeq
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        num(l).map(x => (a.name, x, Double.PositiveInfinity)).toSeq
+      case LessThan(a: Attribute, l: Literal) =>
+        num(l).map(x => (a.name, Double.NegativeInfinity, x)).toSeq
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        num(l).map(x => (a.name, Double.NegativeInfinity, x)).toSeq
+      case GreaterThan(l: Literal, a: Attribute) =>
+        num(l).map(x => (a.name, Double.NegativeInfinity, x)).toSeq
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        num(l).map(x => (a.name, Double.NegativeInfinity, x)).toSeq
+      case LessThan(l: Literal, a: Attribute) =>
+        num(l).map(x => (a.name, x, Double.PositiveInfinity)).toSeq
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        num(l).map(x => (a.name, x, Double.PositiveInfinity)).toSeq
+      case org.apache.spark.sql.catalyst.expressions.And(x, y) =>
+        bounds(x) ++ bounds(y)
+      case _ => Nil
+    }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val preds = dataFilters.flatMap(bounds)
+    val keep = entries.filter { case (e, _) =>
+      preds.forall { case (c, lo, hi) =>
+        e.stats.get(c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true // no embedded bounds: unprunable, never wrong
+        }
+      }
+    }
+    Seq(PartitionDirectory(InternalRow.empty, keep.map(_._2).toArray))
+  }
+}

@@ -130,6 +130,81 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.select(col("pt_id")).collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  test("RangeJoinBucketize fires on DATE operands (the TPC-H flavor)") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val iv = Seq((1L, "2020-01-01", "2020-01-03"),
+                 (2L, "2020-01-02", "2020-01-02"),
+                 (9L, "2020-02-02", "2020-02-01")) // malformed lo>hi
+      .toDF("interval_id", "lo_s", "hi_s")
+      .select(col("interval_id"), col("lo_s").cast("date").as("lo"),
+        col("hi_s").cast("date").as("hi"))
+    val pts = Seq((10L, "2019-12-31"), (11L, "2020-01-01"),
+                  (12L, "2020-01-02"), (13L, "2020-01-03"),
+                  (14L, "2020-02-01"))
+      .toDF("pt_id", "d_s")
+      .select(col("pt_id"), col("d_s").cast("date").as("d"))
+    val joined = pts.join(iv, col("d") >= col("lo") && col("d") <= col("hi"))
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"),
+      s"rule did not fire on DATE:\n$phys")
+    val got = joined.select(col("pt_id"), col("interval_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((11L, 1L), (12L, 1L), (12L, 2L), (13L, 1L)))
+  }
+
+  test("RangeJoinBucketize pushes COUNT/SUM below the fan-out when the range join feeds an Aggregate") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val ivSeq = Seq((1L, "2020-01-01 12:00:00", "2020-01-06 06:00:00"),
+                    (2L, "2020-01-02 00:00:00", "2020-01-02 23:00:00"),
+                    (3L, "2020-03-01 00:00:00", "2020-03-04 00:00:00"),
+                    (9L, "2020-02-02 00:00:00", "2020-02-01 00:00:00"))
+      // iv3 matches no points; iv9 is malformed (lo > hi) → zero rows
+    val ptSeq = (0 until 240).map(h =>
+      (h.toLong, f"2020-01-${1 + h / 24}%02d ${h % 24}%02d:30:00", h * 1.5))
+    val iv = ivSeq.toDF("interval_id", "lo_s", "hi_s")
+      .select(col("interval_id"), to_timestamp(col("lo_s")).as("lo"),
+        to_timestamp(col("hi_s")).as("hi"))
+    val pts = ptSeq.toDF("pt_id", "ts_s", "qty")
+      .select(col("pt_id"), to_timestamp(col("ts_s")).as("ts"), col("qty"))
+    val agg = pts.join(iv, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).cast("double").as("s"))
+    val opt = agg.queryExecution.optimizedPlan.toString
+    assert(opt.contains("_graft_rj_p0"),
+      s"aggregate pushdown did not fire:\n$opt")
+    val phys = agg.queryExecution.executedPlan.toString
+    assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"))
+    // ground truth replayed in plain Scala (qty values are exact halves,
+    // so double sums are order-independent here)
+    def t(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    def matches(extra: ((Long, String, Double), Long) => Boolean) =
+      ivSeq.flatMap { case (id, lo, hi) =>
+        ptSeq.filter(p => t(p._2) >= t(lo) && t(p._2) <= t(hi) &&
+          extra(p, id)).map(p => (id, p._3))
+      }.groupBy(_._1).map { case (id, xs) =>
+        (id, xs.size.toLong, xs.map(_._2).sum) }.toSet
+    val expect = matches((_, _) => true)
+    val got = agg.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, s"pushdown changed the result: $got vs $expect")
+    // an extra join conjunct invalidates wholesale interior inclusion —
+    // the pushdown must bail (the plain day-bucket rewrite still fires)
+    val guarded = pts.join(iv,
+        col("ts") >= col("lo") && col("ts") <= col("hi") &&
+          col("pt_id") =!= col("interval_id"))
+      .groupBy(col("interval_id")).agg(count(lit(1)).as("n"))
+    assert(!guarded.queryExecution.optimizedPlan.toString
+      .contains("_graft_rj_p0"))
+    val gPhys = guarded.queryExecution.executedPlan.toString
+    assert(!gPhys.contains("NestedLoop") && !gPhys.contains("Cartesian"))
+    val gExpect = matches((p, id) => p._1 != id)
+      .map(x => (x._1, x._2))
+    assert(guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      gExpect)
+  }
+
   test("RangeJoinBucketize leaves equi and non-range joins alone") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._

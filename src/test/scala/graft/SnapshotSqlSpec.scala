@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Snapshots
+
+/** The `graft-snap` SQL/DataFrame front door
+  * ([[graft.sources.SnapshotDataSource]]): reads plan against a pinned
+  * manifest, writes publish commits, time travel rides options, and the
+  * scan's pushed filters prune files from MANIFEST-EMBEDDED stats with
+  * zero footer I/O — all asserted on the physical plan, not just row
+  * values.
+  */
+class SnapshotSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-snap-sql-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_snapsql").toString
+
+  test("df.write.format(graft-snap) publishes commits; read/versionAsOf/timestampAsOf/SQL view all resolve") {
+    val ss = spark; import ss.implicits._
+    val root = freshDir()
+    // ErrorIfExists (the writer default) commits v1 on an empty table
+    (0L until 100L).map(k => (k, k * 2.0)).toDF("k", "x")
+      .write.format("graft-snap").option("note", "base").save(root)
+    val ts1 = Snapshots.snapshot(root, 1L).ts
+    // Append commits v2
+    (100L until 120L).map(k => (k, k * 2.0)).toDF("k", "x")
+      .write.format("graft-snap").mode(SaveMode.Append).save(root)
+    assert(Snapshots.versions(root) === Seq(1L, 2L))
+    assert(spark.read.format("graft-snap").load(root).count() === 120L)
+    // time travel: by version and by timestamp (v1's own commit ts)
+    assert(spark.read.format("graft-snap").option("versionAsOf", "1")
+      .load(root).count() === 100L)
+    assert(spark.read.format("graft-snap")
+      .option("timestampAsOf", ts1.toString).load(root).count() === 100L)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-snap").option("versionAsOf", "1")
+        .option("timestampAsOf", "0").load(root)
+    }
+    // ErrorIfExists on a non-empty table is loud
+    intercept[IllegalStateException] {
+      (0L until 1L).map(k => (k, 0.0)).toDF("k", "x")
+        .write.format("graft-snap").save(root)
+    }
+    // Ignore is a no-op on a non-empty table
+    (0L until 1L).map(k => (k, 0.0)).toDF("k", "x")
+      .write.format("graft-snap").mode(SaveMode.Ignore).save(root)
+    assert(Snapshots.versions(root) === Seq(1L, 2L))
+    // Overwrite is a REPLACE commit (pinned, audited)
+    (0L until 10L).map(k => (k, 1.0)).toDF("k", "x")
+      .write.format("graft-snap").mode(SaveMode.Overwrite).save(root)
+    assert(spark.read.format("graft-snap").load(root).count() === 10L)
+    assert(spark.read.format("graft-snap").option("versionAsOf", "2")
+      .load(root).count() === 120L, "pinned pre-overwrite reads survive")
+    // plain SQL over the format, time travel included
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_v1 USING `graft-snap` " +
+      s"OPTIONS (path '$root', versionAsOf '1')")
+    assert(spark.sql("SELECT count(*) FROM snap_v1").head().getLong(0) === 100L)
+  }
+
+  test("pushed filters prune files from manifest-embedded stats — zero footer I/O, plan-asserted") {
+    val ss = spark; import ss.implicits._
+    val root = freshDir()
+    (0L until 8L).foreach { i => // 8 commits = 8 files with tight k ranges
+      (i * 100L until (i + 1) * 100L).map(k => (k, k * 1.0)).toDF("k", "x")
+        .coalesce(1).write.format("graft-snap").mode(SaveMode.Append)
+        .option("statsCols", "k").save(root)
+    }
+    // ONE action per frame: every Dataset action resets plan metrics and
+    // the lazy file listing doesn't re-post them — collect rows and the
+    // scanned-file metric from the same execution
+    def rowsAndFiles(df: org.apache.spark.sql.DataFrame)
+        : (Array[org.apache.spark.sql.Row], Long) = {
+      val rows = df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      (rows, scan.metrics("numFiles").value)
+    }
+    val (allRows, allFiles) =
+      rowsAndFiles(spark.read.format("graft-snap").load(root))
+    assert(allRows.length === 800 && allFiles === 8L)
+    val (prunedRows, prunedFiles) = rowsAndFiles(
+      spark.read.format("graft-snap").load(root)
+        .where(col("k") >= 250L && col("k") <= 320L))
+    assert(prunedRows.map(_.getLong(0)).sorted.toSeq === (250L to 320L))
+    assert(prunedFiles === 2L,
+      "only the two files whose [min,max] intersects [250,320] may scan")
+    // a column without embedded bounds prunes nothing (conservative)
+    val (unRows, unFiles) = rowsAndFiles(
+      spark.read.format("graft-snap").load(root).where(col("x") <= 1.0))
+    assert(unRows.length === 2 && unFiles === 8L) // x = 0.0, 1.0
+  }
+
+  test("front-door contracts: live tombstones and live schema rules refuse loudly; mergeSchema reads additive evolution") {
+    val ss = spark; import ss.implicits._
+    val root = freshDir()
+    Snapshots.init(root)
+    Snapshots.commit(root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      "base"): Unit
+    Snapshots.deleteWhere(spark, root, col("k") === 1L): Unit
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snap").load(root)
+    }
+    assert(e.getMessage.contains("readMerged"))
+    Snapshots.compactMerged(spark, root, "k"): Unit
+    assert(spark.read.format("graft-snap").load(root).count() === 1L)
+    Snapshots.renameColumn(root, "v", "val"): Unit
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-snap").load(root)
+    }
+    Snapshots.optimizeFiles(spark, root, Seq("k"), 1L << 20): Unit
+    assert(spark.read.format("graft-snap").load(root).columns.toSeq ===
+      Seq("k", "val"))
+    // additive evolution: new column appended post-hoc reads via
+    // mergeSchema exactly like plain parquet
+    Seq((9L, "z", 7.5)).toDF("k", "val", "w")
+      .write.format("graft-snap").mode(SaveMode.Append).save(root)
+    val evolved = spark.read.format("graft-snap")
+      .option("mergeSchema", "true").load(root)
+    assert(evolved.columns.toSeq === Seq("k", "val", "w"))
+    assert(evolved.where(col("w").isNull).count() === 1L)
+  }
+}
