@@ -113,6 +113,10 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertNoLoopJoin("range_join_auto")
   }
 
+  test("range_join_date: the rule fires on DATE operands too") {
+    assertNoLoopJoin("range_join_date")
+  }
+
   test("knn_bruteforce: corpus is never sort-merge shuffled; top-k is a partial aggregate") {
     val p = plan("knn_bruteforce")
     assert(!p.contains("SortMergeJoin"),
@@ -282,6 +286,10 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "edit_distance" -> Map("documents" -> 2),    // both members of each near-dup pair
       "dup_spans" -> Map("documents" -> 3),        // span sides + doc metadata
       "range_join" -> Map("lineitem" -> 2, "orders" -> 2), // probe + build intervals
+      // the rule-rewritten twins now take the same two-level rollup
+      // (day-agg + boundary legs each read both sides once)
+      "range_join_auto" -> Map("lineitem" -> 2, "orders" -> 2),
+      "range_join_date" -> Map("lineitem" -> 2, "orders" -> 2),
       "set_ops" -> Map("orders" -> 4),             // UNION/INTERSECT/EXCEPT legs — the surface under test
       // -- stats-then-score: a 1-row (or reduced) aggregate leg plus the
       //    scoring scan; Catalyst cannot share a scan across an aggregate
