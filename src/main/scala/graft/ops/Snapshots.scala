@@ -813,6 +813,13 @@ object Snapshots {
                       carrySegmentsOf: Option[Long] = None,
                       newRule: Option[(String, String)] = None,
                       posRefs: Set[String] = Set.empty): Long = {
+    // the note renders verbatim into ONE manifest header line — a
+    // newline would let a caller-supplied note (the front door's `note`
+    // option is user text) inject bogus `segment=`/`rename=` lines that
+    // every later commit copies forward, permanently poisoning the table
+    require(!note.exists(c => c == '\n' || c == '\r'),
+      s"commit note must be a single line (got ${note.length} chars " +
+        "containing a line break)")
     // a REPLACE writer computed its output FROM some version; `basedOn`
     // pins it (the lakehouse transaction-version pattern) so the commit
     // can detect that the parent moved — whether before this call or
@@ -971,21 +978,36 @@ object Snapshots {
   /** A version's data files scanned WITH position metadata (`_gfile` =
     * manifest-relative path, `_gpos` = within-file row index) and the
     * rename/drop rules applied per commit group — the shared scan under
-    * row-level DML ([[positionsWhere]], [[updateWhere]]): predicates
-    * compile against the CURRENT column names even over pre-rule files,
-    * so UPDATE/DELETE work right after a rename with no compaction.
-    * Rule-free tables take the single-read fast path (one scan, not one
-    * per commit group).
+    * row-level DML ([[positionsWhere]], [[updateWhere]]) and the change
+    * feed's position leg: predicates compile against the CURRENT column
+    * names even over pre-rule files, so UPDATE/DELETE work right after a
+    * rename with no compaction. `entriesOpt` restricts the scan to a
+    * file subset (the change feed scans only referenced files);
+    * `withSeq` additionally stamps each row's commit `_gseq`.
+    *
+    * Rule-free tables take the single-read fast path — WITH mergeSchema:
+    * without it the read would adopt one arbitrary footer's schema, and
+    * on an additively-evolved table an UPDATE's rewrite could silently
+    * DROP the newer column from its rewritten rows (the per-group rules
+    * path is naturally safe via unionByName(allowMissingColumns); one
+    * commit group always has one schema).
     */
   private def scanWithPositions(spark: SparkSession, root: String,
-                                snap: Snapshot): DataFrame = {
+                                snap: Snapshot,
+                                entriesOpt: Option[Seq[FileEntry]] = None,
+                                withSeq: Boolean = false): DataFrame = {
+    val entries = entriesOpt.getOrElse(snap.files)
     def framed(fs: Seq[FileEntry]) =
-      spark.read.parquet(fs.map(f => s"$root/${f.path}"): _*)
+      spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(f => s"$root/${f.path}"): _*)
         .select(col("*"), relPathCol.as("_gfile"),
           col("_metadata.row_index").as("_gpos"))
-    if (snap.rules.isEmpty) framed(snap.files)
-    else snap.files.groupBy(_.seq).toSeq.sortBy(_._1)
-      .map { case (seq, fs) => applyRules(framed(fs), snap.rules, seq) }
+    if (snap.rules.isEmpty && !withSeq) framed(entries)
+    else entries.groupBy(_.seq).toSeq.sortBy(_._1)
+      .map { case (seq, fs) =>
+        val f = applyRules(framed(fs), snap.rules, seq)
+        if (withSeq) f.withColumn("_gseq", lit(seq)) else f
+      }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1186,7 +1208,10 @@ object Snapshots {
       .map(f => new java.io.File(root, f.path).length()).sum
     val nFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val laid = read(spark, root, Some(base))
+    // evolved = true: the rewrite must materialize the UNION schema —
+    // a plain read would adopt one arbitrary footer's shape and an
+    // additively-evolved table would lose its newer column table-wide
+    val laid = read(spark, root, Some(base), evolved = true)
       .repartitionByRange(nFiles, orderBy.map(col): _*)
       .sortWithinPartitions(orderBy.map(col): _*)
     commit(root, laid, s"optimize-v$base", replace = true,
@@ -1425,10 +1450,10 @@ object Snapshots {
       case _ => None
     }
     // position-delete leg: tombstones → (file, pos, first deleting
-    // version), minus positions already dead before the window, joined
-    // back to the referenced files' rows (scanned with position
-    // metadata, pre-window rename/drop rules applied per commit group
-    // so the recovered rows carry the window's shape)
+    // version), minus positions already dead before the window (under
+    // EITHER tombstone kind), joined back to the referenced files' rows
+    // (scanned with position metadata via the shared DML scan, so
+    // pre-window rename/drop rules apply per commit group)
     val posDeletes: Option[DataFrame] = if (posFiles.isEmpty) None else {
       val winTombs = withVersion(posFiles, identity).get
         .groupBy(col("_file"), col("_pos"))
@@ -1451,16 +1476,27 @@ object Snapshots {
           "files the window's head no longer lists — the window is not " +
           "append-shaped; reprocess from the replace")
       if (refEntries.isEmpty) None else {
-        val rows = refEntries.groupBy(_.seq).toSeq.sortBy(_._1)
-          .map { case (seq, fs) =>
-            applyRules(
-              spark.read.parquet(fs.map(f => s"$root/${f.path}"): _*)
-                .select(col("*"), relPathCol.as("_file"),
-                  col("_metadata.row_index").as("_pos")),
-              toSnap.rules, seq)
-          }.reduce(_.unionByName(_, allowMissingColumns = true))
-        Some(rows.join(tombs, Seq("_file", "_pos"))
-          .drop("_file", "_pos")
+        val rows = scanWithPositions(spark, root,
+            toSnap.copy(rules = toSnap.rules.filter(_.seq <= fromVersion)),
+            Some(refEntries), withSeq = true)
+          .withColumnRenamed("_gfile", "_file")
+          .withColumnRenamed("_gpos", "_pos")
+        // a row already suppressed by a pre-window EQUALITY tombstone
+        // was dead at window start: positionsWhere scans raw files, so
+        // a later DELETE can re-match it — emitting it again would make
+        // a CDC consumer delete twice. Same survive rule as readMerged
+        // (row seq >= tombstone seq keeps a commit's own upserts).
+        val priorEq = toSnap.deletes.filter(_.seq <= fromVersion)
+        val alive = if (priorEq.isEmpty) rows else {
+          val tk = withVersion(priorEq, _.select(col(keyCol))).get
+            .groupBy(col(keyCol))
+            .agg(max(col("_commit_version")).as("_gf_teq"))
+          rows.join(broadcast(tk), Seq(keyCol), "left")
+            .where(col("_gf_teq").isNull || col("_gseq") >= col("_gf_teq"))
+            .drop("_gf_teq")
+        }
+        Some(alive.join(tombs, Seq("_file", "_pos"))
+          .drop("_file", "_pos", "_gseq")
           .withColumn("_change_type", lit("delete")))
       }
     }

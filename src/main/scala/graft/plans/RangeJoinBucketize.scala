@@ -212,11 +212,17 @@ object RangeJoinBucketize extends Rule[LogicalPlan] {
     final case class CountPart(args: Seq[Expression]) extends Part
     final case class SumPart(arg: Expression, resType: DataType) extends Part
     val parts = scala.collection.mutable.ArrayBuffer.empty[Part]
+    // arguments must be deterministic: the rewrite changes how many
+    // times they evaluate (once per point-day instead of once per joined
+    // row) and SHARES one evaluation across every interval covering a
+    // day — rand()-style expressions would change distribution
     def decompose(f: aggregate.AggregateFunction): Option[Part] = f match {
       case Count(args)
-          if args.forall(_.references.subsetOf(p.ptSide.outputSet)) =>
+          if args.forall(a => a.deterministic &&
+            a.references.subsetOf(p.ptSide.outputSet)) =>
         Some(CountPart(args))
-      case s: Sum if s.child.references.subsetOf(p.ptSide.outputSet) =>
+      case s: Sum if s.child.deterministic &&
+          s.child.references.subsetOf(p.ptSide.outputSet) =>
         Some(SumPart(s.child, s.dataType))
       case _ => None
     }

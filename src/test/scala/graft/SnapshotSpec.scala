@@ -980,6 +980,54 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.history(spark, root).count() === (cp + 1).toInt)
   }
 
+  test("updateWhere on an additively-evolved table preserves the newer column (mergeSchema scan, never one footer's shape)") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root, Seq((1L, 10.0)).toDF("k", "v"), "narrow"): Unit
+    Snapshots.commit(root, Seq((2L, 20.0, "keep")).toDF("k", "v", "w"),
+      "wide"): Unit
+    // the UPDATE matches the WIDE row: its rewrite must carry w through
+    // (a single-footer scan could adopt the narrow shape and silently
+    // destroy w while the tombstone kills the original)
+    Snapshots.updateWhere(spark, root, col("k") === 2L,
+      Map("v" -> lit(21.0))): Unit
+    val got = Snapshots.readMerged(spark, root, "k")
+      .orderBy("k").select("k", "v", "w")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(got === Seq((1L, 10.0, None), (2L, 21.0, Some("keep"))))
+    // optimizeFiles materializes the UNION schema for the same reason
+    Snapshots.compactMerged(spark, root, "k"): Unit
+    Snapshots.optimizeFiles(spark, root, Seq("k"), 1L << 20): Unit
+    assert(Snapshots.read(spark, root).columns.toSet === Set("k", "v", "w"))
+  }
+
+  test("changeFeed position leg excludes rows already dead under PRE-window equality tombstones") {
+    val ss = spark; import ss.implicits._
+    val root = freshTable()
+    Snapshots.commit(root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      "base"): Unit                                               // v1
+    Snapshots.commitChanges(root,
+      upserts = spark.emptyDataset[(Long, String)].toDF("k", "v"),
+      deleteKeys = Seq(Tuple1(1L)).toDF("k"), "k", "eqdel"): Unit // v2
+    // a blanket DELETE WHERE re-matches the eq-dead raw row of k=1
+    Snapshots.deleteWhere(spark, root, lit(true)): Unit           // v3
+    val feed = Snapshots.changeFeed(spark, root, 2L, 3L, "k")
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(feed === Seq((2L, "delete", 3L)),
+      "k=1 was dead at window start — feeding its delete again would " +
+        "make a CDC consumer delete twice")
+  }
+
+  test("commit notes must be single-line: a newline could inject manifest header lines") {
+    val root = freshTable()
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(root, spark.range(0, 1).toDF(),
+        "load\nsegment=_graft_snaps/seg_evil.txt")
+    }
+    assert(Snapshots.versions(root).isEmpty, "the refused commit left no version")
+  }
+
   test("statsCols names are whitelisted: anything that could split a manifest line is rejected at commit") {
     val root = freshTable()
     Seq("a|b", "a:b", "a;b", "a\nb", "a=b", "a b", "").foreach { bad =>
