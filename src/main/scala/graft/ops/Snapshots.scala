@@ -61,9 +61,16 @@ object Snapshots {
     * alone — zero footer I/O at query time. Same conservative decode as
     * the zone maps (lossy INT64 widened; a column absent here is
     * unprunable, never prunable).
+    *
+    * `bytes` is the file's size, embedded by the commit's write (`-1` on
+    * entries from pre-size manifests — callers fall back to a stat):
+    * what lets scan planning ([[graft.sources.GraftSnapFileIndex]]) and
+    * [[optimizeFiles]]'s output sizing run from manifest text alone —
+    * on an object store, one avoided HEAD request per file per query.
     */
   final case class FileEntry(path: String, rows: Long, seq: Long,
-                             stats: Map[String, (Double, Double)] = Map.empty)
+                             stats: Map[String, (Double, Double)] = Map.empty,
+                             bytes: Long = -1L)
 
   /** `files` hold rows; `deletes` hold equality-delete KEYS (one-column
     * parquet tombstones) that suppress older rows of the same key at
@@ -136,15 +143,25 @@ object Snapshots {
     lines.filter(_.startsWith(prefix)).map { l =>
       val parts = l.substring(prefix.length).split('|')
       // path never contains '|' (uuid + Spark part names); the last two
-      // fields are rows and seq, plus an optional trailing `s=` stats
-      // field (entries without one — all pre-stats manifests — parse
-      // with empty stats)
-      val (core, stats) =
-        if (parts.last.startsWith("s="))
-          (parts.dropRight(1), parseStats(parts.last.substring(2)))
-        else (parts, Map.empty[String, (Double, Double)])
+      // core fields are rows and seq, plus optional trailing tagged
+      // fields — `b=` (file size) and `s=` (column stats) — entries
+      // without them (pre-size / pre-stats manifests) parse with the
+      // defaults, so old tables keep working
+      var core = parts
+      var stats = Map.empty[String, (Double, Double)]
+      var bytes = -1L
+      var tagged = true
+      while (tagged && core.length > 2) {
+        val last = core.last
+        if (last.startsWith("s=")) {
+          stats = parseStats(last.substring(2)); core = core.dropRight(1)
+        } else if (last.startsWith("b=")) {
+          bytes = last.substring(2).toLong; core = core.dropRight(1)
+        } else tagged = false
+      }
       FileEntry(core.dropRight(2).mkString("|"),
-        core(core.length - 2).toLong, core(core.length - 1).toLong, stats)
+        core(core.length - 2).toLong, core(core.length - 1).toLong,
+        stats, bytes)
     }
 
   // stats field: `s=col:min:max;col2:min:max` — column names are
@@ -163,9 +180,13 @@ object Snapshots {
       .map { case (c, (mn, mx)) => s"$c:$mn:$mx" }
       .mkString("|s=", ";", "")
 
+  private def renderBytes(bytes: Long): String =
+    if (bytes < 0) "" else s"|b=$bytes"
+
   private def renderEntries(files: Seq[FileEntry], deletes: Seq[FileEntry],
                             posDeletes: Seq[FileEntry]): String =
-    (files.map(f => s"file=${f.path}|${f.rows}|${f.seq}${renderStats(f.stats)}") ++
+    (files.map(f => s"file=${f.path}|${f.rows}|${f.seq}" +
+        s"${renderBytes(f.bytes)}${renderStats(f.stats)}") ++
       deletes.map(f => s"delete=${f.path}|${f.rows}|${f.seq}") ++
       posDeletes.map(f => s"posdelete=${f.path}|${f.rows}|${f.seq}"))
       .mkString("", "\n", "\n")
@@ -656,7 +677,8 @@ object Snapshots {
     // file — the same pass, stats ride free (Layout.fileFooterStats is
     // the zone maps' shared decode kernel: lossy INT64 widened, decimal
     // omitted)
-    def footerInfo(path: String): (Long, Map[String, (Double, Double)]) = {
+    def footerInfo(path: String)
+        : (Long, Map[String, (Double, Double)], Long) = {
       val (rows, mins, maxs, _, _) =
         Layout.fileFooterStats(path, statsCols, Seq.empty)
       val stats = statsCols.indices.flatMap { i =>
@@ -665,13 +687,15 @@ object Snapshots {
           case _ => None // no stats in the footer: unprunable, not wrong
         }
       }.toMap
-      (rows, stats)
+      // the size rides the same pass — what lets later scan planning and
+      // OPTIMIZE sizing run from manifest text with zero per-file stats
+      (rows, stats, new java.io.File(path).length())
     }
     // wide commits (small-files regime) read footers as a DISTRIBUTED
     // job — a sequential driver loop over 4k+ footers is seconds of
     // driver time locally and minutes against an object store; narrow
     // commits skip the job-scheduling overhead
-    val infos: Seq[(String, (Long, Map[String, (Double, Double)]))] =
+    val infos: Seq[(String, (Long, Map[String, (Double, Double)], Long))] =
       if (files.size <= 64) files.map(n => n -> footerInfo(s"$root/$dataPath/$n"))
       else {
         val prefix = s"$root/$dataPath"
@@ -679,8 +703,8 @@ object Snapshots {
           .parallelize(files, math.min(files.size, 256))
           .map(n => n -> footerInfo(s"$prefix/$n")).collect().toSeq
       }
-    infos.map { case (name, (rows, stats)) =>
-      FileEntry(s"$dataPath/$name", rows, 0L, stats) }
+    infos.map { case (name, (rows, stats, bytes)) =>
+      FileEntry(s"$dataPath/$name", rows, 0L, stats, bytes) }
   }
 
   /** RESTORE: make version `toVersion`'s exact state the new LATEST — a
@@ -1204,8 +1228,12 @@ object Snapshots {
     // per commit group, the rewrite materializes the CURRENT shape, and
     // the replace commit resets the rule chain — OPTIMIZE doubles as the
     // compaction that retires schema rules
-    val totalBytes = snap.files
-      .map(f => new java.io.File(root, f.path).length()).sum
+    // sizes come from manifest entries when embedded (zero stat calls —
+    // one avoided HEAD per file on an object store); pre-size entries
+    // fall back to a stat
+    val totalBytes = snap.files.map(f =>
+      if (f.bytes >= 0) f.bytes
+      else new java.io.File(root, f.path).length()).sum
     val nFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
     // evolved = true: the rewrite must materialize the UNION schema —

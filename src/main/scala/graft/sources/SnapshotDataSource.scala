@@ -185,8 +185,14 @@ private[sources] class GraftSnapFileIndex(root: String,
   private val entries: Seq[(Snapshots.FileEntry, FileStatus)] =
     snap.files.map { e =>
       val f = new java.io.File(root, e.path)
-      e -> new FileStatus(f.length(), false, 1, 128L * 1024 * 1024,
-        f.lastModified(), new HPath(f.toURI))
+      // size from the manifest entry when embedded — zero per-file stat
+      // calls at planning (one avoided HEAD per file on an object
+      // store); pre-size entries fall back to a stat. mtime rides along
+      // only when the stat happens anyway (nothing here depends on it).
+      val (len, mtime) =
+        if (e.bytes >= 0) (e.bytes, snap.ts) else (f.length(), f.lastModified())
+      e -> new FileStatus(len, false, 1, 128L * 1024 * 1024,
+        mtime, new HPath(f.toURI))
     }
 
   private[sources] def allStatuses: Seq[FileStatus] = entries.map(_._2)
