@@ -760,6 +760,21 @@ object Snapshots {
     next
   }
 
+  /** [[checkpoint]] iff the head manifest's ref chain has reached
+    * `maxRefs` — the idempotent MAINTENANCE form: call it after any
+    * batch of commits (or from whatever schedules compaction) and the
+    * chain stays O(maxRefs) forever, for one O(segments) header read
+    * per call when below threshold. Returns the checkpoint version, or
+    * None when the chain is still short.
+    */
+  def checkpointIfDeep(root: String, maxRefs: Int = 256): Option[Long] = {
+    require(maxRefs >= 1, "maxRefs must be positive")
+    latestVersion(root).flatMap { v =>
+      if (readDoc(root, v).segments.size >= maxRefs) Some(checkpoint(root))
+      else None
+    }
+  }
+
   /** The segment refs a NEW commit chains from `v`: the version's own
     * refs, plus — for a pre-segmentation manifest carrying inline
     * entries — a one-time ADOPTION segment holding those entries

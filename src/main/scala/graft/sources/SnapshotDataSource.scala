@@ -238,6 +238,28 @@ private[sources] class GraftSnapFileIndex(root: String,
         num(l).map(x => (a.name, x, Double.PositiveInfinity)).toSeq
       case LessThanOrEqual(l: Literal, a: Attribute) =>
         num(l).map(x => (a.name, x, Double.PositiveInfinity)).toSeq
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+          a: Attribute, l: Literal) =>
+        num(l).map(x => (a.name, x, x)).toSeq
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+          l: Literal, a: Attribute) =>
+        num(l).map(x => (a.name, x, x)).toSeq
+      // IN-list point lookups: the values' [min, max] hull is a
+      // conservative zone interval (a file overlapping the hull but
+      // holding none of the values is kept — never wrong, still prunes
+      // the far files)
+      case org.apache.spark.sql.catalyst.expressions.In(a: Attribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val xs = vs.flatMap { case l: Literal => num(l) }
+        if (xs.size == vs.size) Seq((a.name, xs.min, xs.max)) else Nil
+      case org.apache.spark.sql.catalyst.expressions.InSet(a: Attribute, vs)
+          if vs.nonEmpty =>
+        val xs = vs.toSeq.flatMap {
+          case n: java.lang.Number => Some(n.doubleValue())
+          case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+          case _ => None
+        }
+        if (xs.size == vs.size) Seq((a.name, xs.min, xs.max)) else Nil
       case org.apache.spark.sql.catalyst.expressions.And(x, y) =>
         bounds(x) ++ bounds(y)
       case _ => Nil

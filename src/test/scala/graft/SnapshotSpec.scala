@@ -1043,6 +1043,21 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, root).count() === 1010L)
   }
 
+  test("checkpointIfDeep: no-op below the ref threshold, collapses at it — safe to call after every commit batch") {
+    val root = freshTable()
+    (0 until 3).foreach { i =>
+      Snapshots.commit(root, spark.range(i * 5L, i * 5L + 5).toDF(),
+        s"a$i"): Unit
+    }
+    assert(Snapshots.checkpointIfDeep(root, maxRefs = 4).isEmpty)
+    Snapshots.commit(root, spark.range(100, 105).toDF(), "a3"): Unit
+    val cp = Snapshots.checkpointIfDeep(root, maxRefs = 4)
+    assert(cp === Some(5L))
+    assert(Snapshots.checkpointIfDeep(root, maxRefs = 4).isEmpty,
+      "idempotent: the fresh checkpoint's chain is length 1")
+    assert(Snapshots.countRows(root) === Some(20L))
+  }
+
   test("commit notes must be single-line: a newline could inject manifest header lines") {
     val root = freshTable()
     intercept[IllegalArgumentException] {

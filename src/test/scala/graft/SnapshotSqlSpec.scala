@@ -108,6 +108,15 @@ class SnapshotSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (unRows, unFiles) = rowsAndFiles(
       spark.read.format("graft-snap").load(root).where(col("x") <= 1.0))
     assert(unRows.length === 2 && unFiles === 8L) // x = 0.0, 1.0
+    // IN-list point lookups prune via the values' [min, max] hull
+    val (inRows, inFiles) = rowsAndFiles(
+      spark.read.format("graft-snap").load(root)
+        .where(col("k").isin(110L, 130L, 190L)))
+    assert(inRows.map(_.getLong(0)).sorted.toSeq === Seq(110L, 130L, 190L))
+    assert(inFiles === 1L, "all three keys live in the [100,200) file")
+    // planning needed ZERO file stats: sizes came from manifest entries
+    assert(Snapshots.snapshot(root,
+      Snapshots.latestVersion(root).get).files.forall(_.bytes > 0))
   }
 
   test("front-door contracts: live tombstones and live schema rules refuse loudly; mergeSchema reads additive evolution") {
