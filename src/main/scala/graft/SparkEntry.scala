@@ -2011,6 +2011,29 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // The STREAMING read half of the front door:
+    // readStream.format("graft-snap") tails the table's append commits
+    // with offsets = VERSION numbers (getBatch(start, end] = exactly
+    // those commits' files; the engine's offset log makes consumption
+    // exactly-once — restart/resume and the loud replace break are
+    // spec-pinned in SnapshotSqlSpec). The sink accumulates the full
+    // table across invocations idempotently; oracle = the batch state.
+    "stream_snapshot_front" -> ((s, d) => {
+      val root = snapSqlTable(s, d)
+      // consumption state is process-local (checkpoints embed absolute
+      // paths — never inside a durable-store artifact)
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_snapfront_" +
+        java.lang.Integer.toHexString((cid(d) + root).hashCode)
+      streaming.StreamOps.drainToParquet(s,
+        s.readStream.format("graft-snap").load(root),
+        s"$work/sink", s"$work/ckpt")
+      s.read.parquet(s"$work/sink")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // CHECKPOINT — deep-history maintenance: six append commits build a
     // six-ref manifest chain, checkpoint() collapses it into ONE
     // consolidated segment (entries/seqs verbatim, O(files) text, no
@@ -4983,6 +5006,20 @@ object SparkEntry {
         |           THEN CAST(acctbal + 500 AS DECIMAL(18,2))
         |         ELSE acctbal END AS acctbal
         |  FROM cust)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // The streamed sink accumulates exactly the table's two commits —
+    // same declarative replay as the batch front door.
+    "stream_snapshot_front" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |state AS (
+        |  SELECT c_mktsegment, acctbal FROM cust
+        |  UNION ALL
+        |  SELECT c_mktsegment, CAST(acctbal + 7 AS DECIMAL(18,2))
+        |  FROM cust WHERE c_custkey % 9 = 0)
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
         |FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,

@@ -30,6 +30,10 @@ import graft.ops.Snapshots
   *   CREATE TEMPORARY VIEW t USING `graft-snap`
   *     OPTIONS (path '<root>', versionAsOf '3');
   *   SELECT ... FROM t WHERE k BETWEEN 10 AND 20
+  *
+  *   // streaming reads tail the table's APPEND commits (exactly-once
+  *   // via the engine's offset log; offsets ARE version numbers)
+  *   spark.readStream.format("graft-snap").load(root)
   * }}}
   *
   * Architecture: the relation is a [[HadoopFsRelation]] over a custom
@@ -53,9 +57,38 @@ import graft.ops.Snapshots
   * exactly like plain parquet.
   */
 class SnapshotDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-snap"
+
+  /** The streaming schema: the CURRENT version's shape (a stream is a
+    * forward-moving reader; pre-evolution versions are batch territory).
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val root = rootOf(parameters)
+    (shortName(), schema.getOrElse(
+      SnapshotDataSource.relation(sqlContext.sparkSession, root,
+        Snapshots.latestVersion(root).getOrElse(
+          throw new IllegalStateException(
+            s"no committed version under $root")), parameters).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = rootOf(parameters)
+    val (_, s) = sourceSchema(sqlContext, schema, providerName, parameters)
+    new GraftSnapStreamSource(sqlContext.sparkSession, root, s,
+      parameters.get("startingVersion").map(_.trim.toLong).getOrElse(0L))
+  }
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -280,4 +313,70 @@ private[sources] class GraftSnapFileIndex(root: String,
     }
     Seq(PartitionDirectory(InternalRow.empty, keep.map(_._2).toArray))
   }
+}
+
+/** The STREAMING read half of the front door
+  * (`spark.readStream.format("graft-snap")`): offsets ARE snapshot
+  * version numbers — `getOffset` reports the table's latest committed
+  * version, and a micro-batch `(start, end]` is exactly the data files
+  * those commits appended (an O(files) manifest diff; the engine's
+  * offset log makes consumption exactly-once across restarts, the same
+  * guarantee every file source inherits). Windows that are not
+  * append-shaped fail LOUDLY: a REPLACE (compaction/OPTIMIZE) resets
+  * history — reprocess from it; rename/drop rules inside a window would
+  * mix shapes mid-stream. `startingVersion` (default 0) lets a new
+  * consumer skip history.
+  *
+  * The per-batch frame is the batch parquet plan over the window's
+  * files re-tagged streaming ([[org.apache.spark.sql.GraftSqlShims]])
+  * — vectorized scan included, nothing hand-rolled.
+  */
+private[sources] class GraftSnapStreamSource(
+    spark: SparkSession, root: String, override val schema: StructType,
+    startingVersion: Long)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset on restart
+  }
+
+  override def getOffset: Option[Offset] =
+    Snapshots.latestVersion(root).filter(_ > startingVersion)
+      .map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset)
+      : org.apache.spark.sql.classic.DataFrame = {
+    val from = start.map(ver).getOrElse(startingVersion)
+    val to = ver(end)
+    val snap = Snapshots.snapshot(root, to)
+    // append-shape within the window, checked against the window's own
+    // head (files may legally be replaced AFTER `to`; this batch still
+    // replays from the pinned version until vacuum retires it)
+    if (from > 0L) {
+      val fromSet = snap.files.map(_.path).toSet
+      val fromFiles = Snapshots.snapshot(root, from).files
+      require(fromFiles.forall(f => fromSet.contains(f.path)),
+        s"($from, $to] of $root contains a replace commit — the stream " +
+          "is broken; reprocess from the replace (new checkpoint)")
+    }
+    require(!snap.rules.exists(r => r.seq > from && r.seq <= to),
+      s"($from, $to] of $root contains rename/drop schema rules — a " +
+        "stream cannot mix shapes mid-batch; restart the consumer on " +
+        "the new schema")
+    val files = snap.files.filter(f => f.seq > from && f.seq <= to)
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val batch =
+      if (files.isEmpty) // a metadata-only window (rename, checkpoint)
+        cs.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema)
+      else cs.read.schema(schema).parquet(
+        files.map(f => s"$root/${f.path}"): _*)
+    org.apache.spark.sql.GraftSqlShims.asStreamingFrame(cs, batch)
+  }
+
+  override def stop(): Unit = ()
 }

@@ -1,0 +1,23 @@
+package org.apache.spark.sql
+
+/** The one `private[sql]` door the graft engine needs: Spark's v1
+  * streaming `Source.getBatch` contract requires the returned frame to
+  * carry `isStreaming = true` (MicroBatchExecution asserts it), and the
+  * only constructor for such a frame — `SparkSession
+  * .internalCreateDataFrame(rdd, schema, isStreaming)` — is
+  * `private[sql]`. Every production v1 connector (Delta included)
+  * bridges this the same way: one tiny object inside the
+  * `org.apache.spark.sql` namespace. Nothing else in the repo reaches
+  * into Spark internals; keep it that way.
+  */
+object GraftSqlShims { // public only so graft.sources can call it
+
+  /** Re-tag an already-planned BATCH frame as a streaming one: the
+    * batch plan (vectorized parquet scan included) runs unchanged as
+    * the micro-batch's input RDD.
+    */
+  def asStreamingFrame(spark: classic.SparkSession,
+                       batch: classic.DataFrame): classic.DataFrame =
+    spark.internalCreateDataFrame(
+      batch.queryExecution.toRdd, batch.schema, isStreaming = true)
+}

@@ -119,6 +119,40 @@ class SnapshotSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       Snapshots.latestVersion(root).get).files.forall(_.bytes > 0))
   }
 
+  test("readStream.format(graft-snap): offsets are versions, a restart resumes exactly-once, a replace breaks loudly") {
+    val ss = spark; import ss.implicits._
+    val root = freshDir()
+    Snapshots.init(root)
+    Snapshots.commit(root, Seq((1L, "a")).toDF("k", "v"), "c1"): Unit
+    val work = java.nio.file.Files.createTempDirectory("graft_snapstrm").toString
+    def drain(): Unit = graft.streaming.StreamOps.drainToParquet(spark,
+      spark.readStream.format("graft-snap").load(root),
+      s"$work/sink", s"$work/ckpt")
+    drain() // consumes v1, then the query object dies
+    def sunk() = spark.read.parquet(s"$work/sink")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(sunk() === Seq((1L, "a")))
+    // two commits land while the consumer is down; a NEW query on the
+    // SAME checkpoint resumes from the offset log — versions 2..3 only
+    Snapshots.commit(root, Seq((2L, "b")).toDF("k", "v"), "c2"): Unit
+    Snapshots.commit(root, Seq((3L, "c")).toDF("k", "v"), "c3"): Unit
+    drain()
+    assert(sunk() === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "exactly-once across the restart: no re-emission, no loss")
+    drain() // nothing new: zero rows append
+    assert(sunk() === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // a REPLACE resets history: the stream must break loudly, never
+    // silently re-emit or skip
+    Snapshots.commit(root,
+      Snapshots.read(spark, root).coalesce(1), "rewrite",
+      replace = true): Unit
+    Snapshots.commit(root, Seq((9L, "z")).toDF("k", "v"), "c4"): Unit
+    val e = intercept[Exception] { drain() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("replace commit")), s"got: ${msgs(e)}")
+  }
+
   test("front-door contracts: live tombstones and live schema rules refuse loudly; mergeSchema reads additive evolution") {
     val ss = spark; import ss.implicits._
     val root = freshDir()
