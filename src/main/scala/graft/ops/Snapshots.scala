@@ -645,6 +645,7 @@ object Snapshots {
     statsCols.foreach(c => require(c.matches("[A-Za-z0-9_.]+"),
       s"stats column name '$c' must match [A-Za-z0-9_.]+ (it is " +
         "rendered into manifest text)"))
+    requireSingleLineNote(note) // fail BEFORE the (long) data write
     // the conflict baseline is captured BEFORE the data write: a schema
     // rule (or, for tombstone commits, a replace) that lands while the
     // long Spark job runs must count as landing AFTER this commit's
@@ -852,13 +853,7 @@ object Snapshots {
                       carrySegmentsOf: Option[Long] = None,
                       newRule: Option[(String, String)] = None,
                       posRefs: Set[String] = Set.empty): Long = {
-    // the note renders verbatim into ONE manifest header line — a
-    // newline would let a caller-supplied note (the front door's `note`
-    // option is user text) inject bogus `segment=`/`rename=` lines that
-    // every later commit copies forward, permanently poisoning the table
-    require(!note.exists(c => c == '\n' || c == '\r'),
-      s"commit note must be a single line (got ${note.length} chars " +
-        "containing a line break)")
+    requireSingleLineNote(note) // backstop — entry points fail-fast too
     // a REPLACE writer computed its output FROM some version; `basedOn`
     // pins it (the lakehouse transaction-version pattern) so the commit
     // can detect that the parent moved — whether before this call or
@@ -971,8 +966,21 @@ object Snapshots {
     * [[compactMerged]] materializes the state back to plain files.
     * `upserts` and `deleteKeys` must each carry at most one row per key.
     */
+  /** The note renders verbatim into ONE manifest header line — a
+    * newline would let caller text (the front door's `note` option is
+    * user input) inject bogus `segment=`/`rename=` lines that every
+    * later commit copies forward, permanently poisoning the table.
+    * Checked at every entry point BEFORE the data write (a refused note
+    * must not waste the whole Spark job) and again in publish.
+    */
+  private def requireSingleLineNote(note: String): Unit =
+    require(!note.exists(c => c == '\n' || c == '\r'),
+      s"commit note must be a single line (got ${note.length} chars " +
+        "containing a line break)")
+
   def commitChanges(root: String, upserts: DataFrame, deleteKeys: DataFrame,
                     keyCol: String, note: String): Long = {
+    requireSingleLineNote(note)
     val entryBase = latestVersion(root) // pre-write baseline, as in commit()
     val dataEntries = writeData(root, upserts)
     val tombKeys = upserts.select(col(keyCol))
@@ -997,6 +1005,7 @@ object Snapshots {
     require(positions.columns.toSet == Set("_file", "_pos"),
       s"positions must be exactly (_file, _pos); got " +
         positions.columns.mkString(","))
+    requireSingleLineNote(note)
     val entryBase = basedOn.orElse(latestVersion(root))
     val entries = writeData(root, positions)
     // the distinct files the tombstones reference — read back from the

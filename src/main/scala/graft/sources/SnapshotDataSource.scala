@@ -85,9 +85,16 @@ class SnapshotDataSource extends RelationProvider
                             parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val root = rootOf(parameters)
-    val (_, s) = sourceSchema(sqlContext, schema, providerName, parameters)
-    new GraftSnapStreamSource(sqlContext.sparkSession, root, s,
-      parameters.get("startingVersion").map(_.trim.toLong).getOrElse(0L))
+    // Spark passes the schema it got from sourceSchema back in — only
+    // build the (footer-inferring) relation again when it didn't
+    val s = schema.getOrElse(
+      sourceSchema(sqlContext, None, providerName, parameters)._2)
+    val sv = parameters.get("startingVersion").map(_.trim.toLong).getOrElse(0L)
+    val latest = Snapshots.latestVersion(root).getOrElse(0L)
+    require(sv >= 0L && sv <= latest,
+      s"startingVersion $sv is outside $root's committed range [0, " +
+        s"$latest] — a stream from it would silently emit nothing")
+    new GraftSnapStreamSource(sqlContext.sparkSession, root, s, sv)
   }
 
   private def rootOf(parameters: Map[String, String]): String =
@@ -245,8 +252,13 @@ private[sources] class GraftSnapFileIndex(root: String,
     * to nothing (→ no pruning from that conjunct).
     */
   private def bounds(e: Expression): Seq[(String, Double, Double)] = {
+    // NaN never enters a hull: any comparison against it is false, so a
+    // NaN bound would make the keep test fail for EVERY stats-bearing
+    // file and silently skip legitimately matching rows — decode to
+    // "unprunable" instead
     def num(l: Literal): Option[Double] = l.value match {
-      case n: java.lang.Number => Some(n.doubleValue())
+      case n: java.lang.Number =>
+        Some(n.doubleValue()).filterNot(_.isNaN)
       case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
       case _ => None
     }
@@ -288,7 +300,8 @@ private[sources] class GraftSnapFileIndex(root: String,
       case org.apache.spark.sql.catalyst.expressions.InSet(a: Attribute, vs)
           if vs.nonEmpty =>
         val xs = vs.toSeq.flatMap {
-          case n: java.lang.Number => Some(n.doubleValue())
+          case n: java.lang.Number =>
+            Some(n.doubleValue()).filterNot(_.isNaN)
           case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
           case _ => None
         }
@@ -367,14 +380,37 @@ private[sources] class GraftSnapStreamSource(
       s"($from, $to] of $root contains rename/drop schema rules — a " +
         "stream cannot mix shapes mid-batch; restart the consumer on " +
         "the new schema")
+    // merge-on-read tombstones (equality or position) landing mid-stream
+    // would make already-emitted rows stale (an updateWhere's rewrites
+    // would stream as duplicates; a pure delete would stream NOTHING and
+    // be silently lost) — the plain-files contract, enforced per window
+    require(!(snap.deletes ++ snap.posDeletes)
+        .exists(f => f.seq > from && f.seq <= to),
+      s"($from, $to] of $root contains merge-on-read tombstone commits " +
+        "(updateWhere/deleteWhere/commitChanges) — an append stream " +
+        "cannot represent them; consume readMerged states, or compact " +
+        "and restart the consumer")
     val files = snap.files.filter(f => f.seq > from && f.seq <= to)
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val batch =
       if (files.isEmpty) // a metadata-only window (rename, checkpoint)
         cs.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           schema)
-      else cs.read.schema(schema).parquet(
-        files.map(f => s"$root/${f.path}"): _*)
+      else {
+        // additive evolution mid-stream must break LOUDLY like rules do
+        // (reading new files through the pinned schema would silently
+        // clip the new column): one footer inference over the WINDOW's
+        // files only — O(delta), never the table
+        val read = cs.read.option("mergeSchema", "true") // union of the
+          .parquet(files.map(f => s"$root/${f.path}"): _*) // window's shapes
+        val winCols = read.schema.fieldNames.toSet
+        val pinned = schema.fieldNames.toSet
+        require(winCols == pinned,
+          s"($from, $to] of $root changes the schema (window columns " +
+            s"${winCols.mkString(",")} vs the stream's ${pinned.mkString(",")})" +
+            " — restart the consumer on the new shape")
+        cs.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+      }
     org.apache.spark.sql.GraftSqlShims.asStreamingFrame(cs, batch)
   }
 

@@ -153,6 +153,51 @@ class SnapshotSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).exists(_.contains("replace commit")), s"got: ${msgs(e)}")
   }
 
+  test("streaming contracts: mid-stream tombstones and schema changes break loudly, bad startingVersion refused") {
+    val ss = spark; import ss.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val root = freshDir()
+    Snapshots.init(root)
+    Snapshots.commit(root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      "base"): Unit
+    val work = java.nio.file.Files.createTempDirectory("graft_snapstrm2").toString
+    def drain(): Unit = graft.streaming.StreamOps.drainToParquet(spark,
+      spark.readStream.format("graft-snap").load(root),
+      s"$work/sink", s"$work/ckpt")
+    drain()
+    // a row-level DELETE lands mid-stream: the tombstone-only commit
+    // would stream ZERO rows and the delete would be silently lost — it
+    // must break the stream instead
+    Snapshots.deleteWhere(spark, root, col("k") === 1L): Unit
+    val e1 = intercept[Exception] { drain() }
+    assert(msgs(e1).exists(_.contains("tombstone")), s"got: ${msgs(e1)}")
+    // compact away, stream a fresh consumer, then evolve additively —
+    // reading new files through the pinned schema would silently CLIP
+    // the new column, so that breaks loudly too
+    Snapshots.compactMerged(spark, root, "k"): Unit
+    val work2 = java.nio.file.Files.createTempDirectory("graft_snapstrm3").toString
+    def drain2(): Unit = graft.streaming.StreamOps.drainToParquet(spark,
+      spark.readStream.format("graft-snap").load(root),
+      s"$work2/sink", s"$work2/ckpt")
+    drain2()
+    Snapshots.commit(root, Seq((5L, "e", 7.5)).toDF("k", "v", "w"),
+      "widen"): Unit
+    val e2 = intercept[Exception] { drain2() }
+    assert(msgs(e2).exists(_.contains("changes the schema")), s"got: ${msgs(e2)}")
+    // a startingVersion outside the committed range is a typo, not an
+    // empty table — refused at stream construction
+    val e3 = intercept[Exception] {
+      spark.readStream.format("graft-snap").option("startingVersion", "99")
+        .load(root).writeStream
+        .format("parquet").option("path", s"$work2/sink2")
+        .option("checkpointLocation", s"$work2/ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(msgs(e3).exists(_.contains("outside")), s"got: ${msgs(e3)}")
+  }
+
   test("front-door contracts: live tombstones and live schema rules refuse loudly; mergeSchema reads additive evolution") {
     val ss = spark; import ss.implicits._
     val root = freshDir()
