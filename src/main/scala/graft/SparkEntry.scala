@@ -2034,6 +2034,28 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // The STREAMING write half of the front door — the full
+    // manifest-driven pipe: a snapshot table streams through
+    // readStream.format("graft-snap") (offsets = versions) INTO another
+    // snapshot table via writeStream.format("graft-snap") (one append
+    // commit per micro-batch, batchId markers in the commit notes making
+    // replays exactly-once; restart/identity-scoping spec-pinned in
+    // SnapshotSqlSpec). The destination's batch read equals the source
+    // state — oracle = the same declarative replay.
+    "stream_snapshot_sink" -> ((s, d) => {
+      val root = snapSqlTable(s, d)
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_snapsink_" +
+        java.lang.Integer.toHexString((cid(d) + root).hashCode)
+      val dst = s"$work/table"
+      streaming.StreamOps.drainToSnap(s,
+        s.readStream.format("graft-snap").load(root), dst, s"$work/ckpt")
+      Snapshots.read(s, dst)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // CHECKPOINT — deep-history maintenance: six append commits build a
     // six-ref manifest chain, checkpoint() collapses it into ONE
     // consolidated segment (entries/seqs verbatim, O(files) text, no
@@ -5013,6 +5035,20 @@ object SparkEntry {
     // The streamed sink accumulates exactly the table's two commits —
     // same declarative replay as the batch front door.
     "stream_snapshot_front" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |state AS (
+        |  SELECT c_mktsegment, acctbal FROM cust
+        |  UNION ALL
+        |  SELECT c_mktsegment, CAST(acctbal + 7 AS DECIMAL(18,2))
+        |  FROM cust WHERE c_custkey % 9 = 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // The snapshot→stream→snapshot pipe is content-preserving — same
+    // declarative replay as the source table's state.
+    "stream_snapshot_sink" ->
       """WITH cust AS (SELECT c_custkey, c_mktsegment,
         |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
         |state AS (

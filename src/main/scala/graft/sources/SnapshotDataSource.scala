@@ -59,6 +59,7 @@ import graft.ops.Snapshots
 class SnapshotDataSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-snap"
@@ -95,6 +96,44 @@ class SnapshotDataSource extends RelationProvider
       s"startingVersion $sv is outside $root's committed range [0, " +
         s"$latest] — a stream from it would silently emit nothing")
     new GraftSnapStreamSource(sqlContext.sparkSession, root, s, sv)
+  }
+
+  /** The STREAMING write half: `writeStream.format("graft-snap")` —
+    * each micro-batch publishes ONE append commit through the
+    * optimistic protocol (rebases over concurrent committers), tagged
+    * with its batchId so a REPLAYED batch (post-crash restart re-runs
+    * the last epoch) is recognized and skipped: exactly-once into the
+    * table, the same guarantee `foreachBatch` sinks build by hand.
+    * Append output mode only (a commit is an append; use the CDC apply
+    * sinks for update/complete semantics). `statsCols` rides through.
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-snap is unpartitioned (layout comes from OPTIMIZE/z-order)")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snap streams APPEND commits; got $outputMode — aggregating " +
+        "sinks belong on the CDC apply path (StreamOps.cdcApplyStream*)")
+    val root = rootOf(parameters)
+    if (Snapshots.latestVersion(root).isEmpty) Snapshots.init(root): Unit
+    // the idempotence marker is scoped by PIPELINE identity (two
+    // different streams into one table must not collide on batchIds):
+    // the checkpoint location is the natural identity, `txnAppId`
+    // overrides it (the Delta idempotent-writes shape)
+    val appId = parameters.getOrElse("txnAppId",
+      parameters.getOrElse("checkpointLocation", ""))
+    require(appId.nonEmpty,
+      "graft-snap streaming sink needs a checkpointLocation (or an " +
+        "explicit txnAppId) to scope its exactly-once batch markers")
+    val appTag = java.lang.Long.toHexString(
+      appId.foldLeft(1125899906842597L)((h, c) => 31 * h + c)) // stable hash
+    new GraftSnapStreamSink(root, appTag,
+      parameters.get("statsCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty))
   }
 
   private def rootOf(parameters: Map[String, String]): String =
@@ -415,4 +454,49 @@ private[sources] class GraftSnapStreamSource(
   }
 
   override def stop(): Unit = ()
+}
+
+/** The STREAMING write half of the front door: one append COMMIT per
+  * micro-batch, exactly-once. The commit note carries the pipeline tag
+  * and batchId (`stream-batch-<appTag>-<id>`) — after a crash,
+  * Structured Streaming replays the last epoch, and a batchId at or
+  * below THIS pipeline's table high-water is skipped (the manifest IS
+  * the transaction log, so the idempotence marker lives in the same
+  * atomic publish as the data: no separate ledger to drift; different
+  * pipelines carry different tags and never suppress each other).
+  * Appends rebase over concurrent committers — this sink coexists with
+  * batch writers and other streams where a replace sink would conflict.
+  */
+private[sources] class GraftSnapStreamSink(root: String, appTag: String,
+                                           statsCols: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val notePrefix = s"stream-batch-$appTag-"
+
+  // THIS pipeline's high-water batchId already IN the table, recovered
+  // from commit notes once at sink construction (post-crash restart
+  // included); kept current in memory after each commit
+  @volatile private var maxCommitted: Long =
+    Snapshots.versions(root).flatMap { v =>
+      val n = Snapshots.snapshot(root, v).note
+      if (n.startsWith(notePrefix))
+        scala.util.Try(n.substring(notePrefix.length).toLong).toOption
+      else None
+    }.foldLeft(-1L)(math.max)
+
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.DataFrame): Unit =
+    synchronized {
+      if (batchId <= maxCommitted) return // replayed epoch: already landed
+      val cdf = data.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+      val cs = cdf.sparkSession
+      // the micro-batch frame is streaming-tagged (batch writers refuse
+      // it); its planned RDD re-tags as a batch frame unchanged
+      Snapshots.commit(root,
+        org.apache.spark.sql.GraftSqlShims.asBatchFrame(cs, cdf),
+        s"$notePrefix$batchId", statsCols = statsCols): Unit
+      maxCommitted = batchId
+    }
+
+  override def toString: String = s"GraftSnapStreamSink($root, $appTag)"
 }

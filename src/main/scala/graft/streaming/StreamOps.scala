@@ -410,6 +410,26 @@ object StreamOps {
     recordStateOps(q)
   }
 
+  /** Drain a bounded stream INTO a graft-snap snapshot table through the
+    * front door's streaming sink ([[graft.sources.SnapshotDataSource]]):
+    * one append commit per micro-batch, batch markers in the commit
+    * notes making replays exactly-once. Same one-call-per-process-
+    * lifetime shape as [[drainToParquet]]; records the state-operator
+    * fingerprint like every other bounded runner.
+    */
+  def drainToSnap(spark: SparkSession, src: DataFrame,
+                  dstRoot: String, ckpt: String): Unit = {
+    val q = src.writeStream
+      .outputMode(OutputMode.Append)
+      .format("graft-snap")
+      .option("path", dstRoot)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordStateOps(q)
+  }
+
   /** `foreachBatch` with an idempotent side sink — the bridge to writers
     * that only exist for batch (here the engine's own `graft-digest` V2
     * sink). Each micro-batch commits into a directory KEYED BY batchId, so

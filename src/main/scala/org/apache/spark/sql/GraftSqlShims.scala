@@ -20,4 +20,13 @@ object GraftSqlShims { // public only so graft.sources can call it
                        batch: classic.DataFrame): classic.DataFrame =
     spark.internalCreateDataFrame(
       batch.queryExecution.toRdd, batch.schema, isStreaming = true)
+
+  /** The inverse, for v1 `Sink.addBatch`: the micro-batch frame Spark
+    * hands a sink is streaming-tagged (batch writers refuse it); its
+    * already-planned RDD re-tags as a batch frame unchanged.
+    */
+  def asBatchFrame(spark: classic.SparkSession,
+                   streaming: classic.DataFrame): classic.DataFrame =
+    spark.internalCreateDataFrame(
+      streaming.queryExecution.toRdd, streaming.schema, isStreaming = false)
 }

@@ -198,6 +198,71 @@ class SnapshotSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e3).exists(_.contains("outside")), s"got: ${msgs(e3)}")
   }
 
+  test("writeStream.format(graft-snap): one commit per micro-batch, exactly-once, pipelines don't collide") {
+    val ss = spark; import ss.implicits._
+    val src = freshDir()
+    Snapshots.init(src)
+    Snapshots.commit(src, Seq((1L, "a")).toDF("k", "v"), "c1"): Unit
+    val dst = freshDir()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sinkck").toString
+    // the full front-door pipe: snapshot table → readStream → writeStream
+    // → snapshot table, offsets and commits both manifest-driven
+    def pipe(cp: String = ckpt): Unit =
+      spark.readStream.format("graft-snap").load(src)
+        .writeStream.format("graft-snap")
+        .option("path", dst).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    pipe()
+    def dstRows() = Snapshots.read(spark, dst)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(dstRows() === Seq((1L, "a")))
+    // two more source commits; the SAME checkpoint resumes incrementally
+    Snapshots.commit(src, Seq((2L, "b")).toDF("k", "v"), "c2"): Unit
+    Snapshots.commit(src, Seq((3L, "c")).toDF("k", "v"), "c3"): Unit
+    pipe()
+    assert(dstRows() === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // every dst commit is one tagged micro-batch; re-running adds nothing
+    val notes = Snapshots.history(spark, dst)
+      .select("note").collect().map(_.getString(0)).toSeq
+    assert(notes.forall(_.startsWith("stream-batch-")), notes.toString)
+    pipe()
+    assert(Snapshots.versions(dst).size === notes.size, "idempotent re-run")
+    // a REPLAYED epoch (same pipeline identity, fresh offset log — the
+    // post-crash shape) is recognized by the table's own notes: batchIds
+    // at or below the recovered high-water skip, nothing duplicates
+    val replayCkpt = java.nio.file.Files
+      .createTempDirectory("graft_sinkck2").toString
+    pipe(cp = replayCkpt + "|force-tag") // DIFFERENT pipeline identity...
+    val e = dstRows()
+    assert(e.count(_ == ((1L, "a"))) >= 1)
+    // ...a different pipeline legitimately lands its own copy (tags
+    // scope the idempotence); the SAME tag replaying skips:
+    val before = Snapshots.versions(dst).size
+    spark.readStream.format("graft-snap").load(src)
+      .writeStream.format("graft-snap")
+      .option("path", dst)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sinkck3").toString)
+      .option("txnAppId", ckpt) // claims the FIRST pipeline's identity
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(Snapshots.versions(dst).size === before,
+      "same txnAppId + already-committed batchIds → all skipped")
+    // aggregating output modes are refused at construction
+    intercept[Exception] {
+      spark.readStream.format("graft-snap").load(src)
+        .groupBy(col("v")).count()
+        .writeStream.format("graft-snap")
+        .outputMode("complete")
+        .option("path", dst)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_sinkck4").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+  }
+
   test("front-door contracts: live tombstones and live schema rules refuse loudly; mergeSchema reads additive evolution") {
     val ss = spark; import ss.implicits._
     val root = freshDir()
