@@ -46,6 +46,7 @@ object Bench {
     // never sets it, so per-round benches always cover every query).
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results_gc = new java.util.concurrent.atomic.AtomicLong
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -71,6 +72,24 @@ object Bench {
       // pressure inflated late-alphabet queries up to 10× (hll_merge: 19s
       // in-suite vs 2.1s isolated) before this cleanup.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // Streaming queries leave per-partition state-store PROVIDERS
+      // loaded in the JVM (HDFSBackedStateStoreProvider keeps recent
+      // version maps in memory; local mode has no executor decommission
+      // to shed them) and the StreamingQueryManager pins terminated
+      // query objects — across 21 stream_* queries × 2 runs × 32
+      // partitions that is the same slow heap squeeze the unpersist
+      // loop fixed for checkpoints (r13's winsorize read 15.6 s in the
+      // driver's memory-tighter harness while isolated runs stayed at
+      // ~1 s). Both releases are public API and O(ms).
+      try {
+        org.apache.spark.sql.GraftSqlShims.unloadStateStores()
+        spark.streams.resetTerminated()
+      } catch { case scala.util.control.NonFatal(_) => () }
+      // Broadcast blocks are reaped by ContextCleaner only after their
+      // weak refs GC — nudge periodically so a few hundred queries'
+      // broadcasts never pile up to a GC wall inside someone's timed
+      // run. Runs BETWEEN timings, so the cost lands on no query.
+      if (results_gc.incrementAndGet() % 20 == 0) System.gc()
       (name, a, b, sec)
     }
     def r3(v: Double): String = f"$v%.3f"

@@ -542,6 +542,25 @@ object SparkEntry {
         .option("note", "delta").save(p)
     }
 
+  /** The shared POSITION-DELETE CDC fixture `snapshot_cdf_pos` and
+    * `stream_snapshot_cdc` both read: base, then an UPDATE WHERE
+    * (BUILDING ∧ ≡0 mod 7: +500) at v2, then a DELETE WHERE (≡0 mod 13)
+    * at v3 — both position-tombstone commits.
+    */
+  private def snapCdfPosTable(s: SparkSession, d: String): String =
+    ModelStore.fit(s"snapcdfpos|${cid(d)}", "graft_snapcdfp") { p =>
+      Snapshots.init(p)
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+      Snapshots.commit(p, cust, "base"): Unit
+      Snapshots.updateWhere(s, p,
+        col("c_mktsegment") === "BUILDING" &&
+          pmod(col("c_custkey"), lit(7)) === 0,
+        Map("acctbal" -> dec2(col("acctbal") + 500))): Unit
+      Snapshots.deleteWhere(s, p,
+        pmod(col("c_custkey"), lit(13)) === 0): Unit
+    }
+
   private def logregArtifact(s: SparkSession, d: String): String =
     ModelStore.fit(s"logreg|${cid(d)}|$LrRounds|$LrRate", "graft_m_logreg") { p =>
       ModelStore.saveWeights(s, Learn.featureNames,
@@ -1957,6 +1976,104 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // STRING bounds in the manifest-embedded stats: the commit embeds
+    // per-file (min, max) UTF-8 bounds for c_mktsegment (same
+    // statsCols option — the decode is typed by the footer), and the
+    // equality predicate below prunes files from manifest TEXT alone
+    // through the front door's FileIndex — `WHERE source = 'x'` scans
+    // skip files exactly like numeric range scans do (plan-asserted in
+    // SnapshotSqlSpec: numFiles < total).
+    "snapshot_sql_strprune" -> ((s, d) => {
+      val root = ModelStore.fit(s"snapsqlstr|${cid(d)}", "graft_snapsqlstr") { p =>
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+            dec2(col("c_acctbal")).as("acctbal"))
+          .repartitionByRange(5, col("c_mktsegment"), col("c_custkey"))
+          .sortWithinPartitions(col("c_mktsegment"), col("c_custkey"))
+          .write.format("graft-snap").option("statsCols", "c_mktsegment")
+          .option("note", "str-stats-base").save(p)
+      }
+      s.read.format("graft-snap").load(root)
+        .where(col("c_mktsegment") === "BUILDING")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+    }),
+
+    // The v2 TableCatalog: REAL SQL names and NATIVE time-travel syntax
+    // (`VERSION AS OF`) over the same fitted table as snapshot_sql —
+    // Spark's parser binds the clause to the catalog's
+    // loadTable(ident, version) overload, and the returned table's scan
+    // is ParquetScanBuilder over the manifest-backed file index (the
+    // manifest-stats pruning rides through SQL untouched). v1 sees only
+    // the base; v2 the appended slice too.
+    "snapshot_catalog_sql" -> ((s, d) => {
+      val root = snapSqlTable(s, d)
+      val slash = root.lastIndexOf('/')
+      val (parent, tbl) = (root.substring(0, slash), root.substring(slash + 1))
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.sources.GraftSnapCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.root", parent)
+      s.sql(s"""SELECT CAST(1 AS BIGINT) AS version,
+               |  count(*) AS n_rows, CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+               |FROM graftcat.`$tbl` VERSION AS OF 1
+               |UNION ALL
+               |SELECT CAST(2 AS BIGINT), count(*),
+               |  CAST(sum(acctbal) AS DOUBLE)
+               |FROM graftcat.`$tbl` VERSION AS OF 2
+               |ORDER BY version""".stripMargin)
+    }),
+
+    // The table format built and read ENTIRELY through a Hadoop
+    // `FileSystem` URI root (`file://` — the local harness for the
+    // hdfs:// / s3a:// route): every manifest byte goes through SnapIO's
+    // FileSystem branch and the commit race through HadoopFsArbiter's
+    // stage+rename protocol instead of link(2) — the 100 TB deployment
+    // path, where a table root is an object-store URI that java.io.File
+    // cannot even address. Two commits, declarative replay as oracle.
+    "snapshot_hadoop_fs" -> ((s, d) => {
+      val root = ModelStore.fit(s"snaphdfs|${cid(d)}", "graft_snaphdfs") { p =>
+        val uri = "file://" + p
+        Snapshots.init(uri)
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+        Snapshots.commit(uri, cust, "base"): Unit
+        Snapshots.commit(uri,
+          cust.where(pmod(col("c_custkey"), lit(9)) === 0)
+            .select(col("c_custkey"), col("c_mktsegment"),
+              dec2(col("acctbal") + 7).as("acctbal")), "delta"): Unit
+      }
+      Snapshots.read(s, "file://" + root)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // CDC THROUGH THE STREAMING FRONT DOOR:
+    // readStream.format("graft-snap").option("readChangeFeed", "true")
+    // — each micro-batch is the batch changeFeed over its version
+    // window, so MERGE-ON-READ tables stream WITHOUT compaction (the
+    // tombstone-bearing window that breaks the append stream loudly is
+    // this source's normal diet). startingVersion=1 consumes exactly
+    // the two position-delete mutations; oracle = the batch change
+    // feed's declarative replay (same as snapshot_cdf_pos).
+    "stream_snapshot_cdc" -> ((s, d) => {
+      val root = snapCdfPosTable(s, d)
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_snapcdc_" +
+        java.lang.Integer.toHexString((cid(d) + root).hashCode)
+      streaming.StreamOps.drainToParquet(s,
+        s.readStream.format("graft-snap")
+          .option("readChangeFeed", "true").option("keyCol", "c_custkey")
+          .option("startingVersion", "1").load(root),
+        s"$work/sink", s"$work/ckpt")
+      s.read.parquet(s"$work/sink")
+        .select(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"), col("acctbal"))
+        .groupBy(col("change_type"), col("commit_version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("commit_version"), col("change_type"))
+    }),
+
     // The change feed over POSITION-DELETE windows: an UPDATE WHERE and
     // a DELETE WHERE (both position-tombstone commits) feed row-level
     // CDC — the deleted rows' FULL payload is recovered by keying each
@@ -1965,18 +2082,7 @@ object SparkEntry {
     // once, at the FIRST deleting version. The oracle replays the two
     // mutations' change sets declaratively.
     "snapshot_cdf_pos" -> ((s, d) => {
-      val root = ModelStore.fit(s"snapcdfpos|${cid(d)}", "graft_snapcdfp") { p =>
-        Snapshots.init(p)
-        val cust = Tables.customer(s, d).select(col("c_custkey"),
-          col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
-        Snapshots.commit(p, cust, "base"): Unit
-        Snapshots.updateWhere(s, p,
-          col("c_mktsegment") === "BUILDING" &&
-            pmod(col("c_custkey"), lit(7)) === 0,
-          Map("acctbal" -> dec2(col("acctbal") + 500))): Unit
-        Snapshots.deleteWhere(s, p,
-          pmod(col("c_custkey"), lit(13)) === 0): Unit
-      }
+      val root = snapCdfPosTable(s, d)
       Snapshots.changeFeed(s, root, 1L, 3L, "c_custkey")
         .select(col("_change_type").as("change_type"),
           col("_commit_version").as("commit_version"), col("acctbal"))
@@ -4989,6 +5095,68 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem, b WHERE l_orderkey BETWEEN lo AND hi
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // One segment's slice of the source table — the string-bounds
+    // pruning changes which FILES scan, never the answer.
+    "snapshot_sql_strprune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    // Same two-version replay as snapshot_sql_tt — the catalog route
+    // must answer exactly what the option route answers.
+    "snapshot_catalog_sql" ->
+      """WITH cust AS (SELECT c_custkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS version,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(acctbal) AS DOUBLE) AS sum_bal FROM cust),
+        |v2 AS (SELECT CAST(2 AS BIGINT) AS version,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(acctbal) AS DOUBLE) AS sum_bal FROM (
+        |  SELECT acctbal FROM cust
+        |  UNION ALL
+        |  SELECT CAST(acctbal + 7 AS DECIMAL(18,2)) FROM cust
+        |  WHERE c_custkey % 9 = 0))
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version""".stripMargin,
+
+    // The Hadoop-FS route is a pure transport change — same declarative
+    // replay as the local-root front door.
+    "snapshot_hadoop_fs" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |state AS (
+        |  SELECT c_mktsegment, acctbal FROM cust
+        |  UNION ALL
+        |  SELECT c_mktsegment, CAST(acctbal + 7 AS DECIMAL(18,2))
+        |  FROM cust WHERE c_custkey % 9 = 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // The streamed change feed equals the batch change feed — same
+    // replay as snapshot_cdf_pos.
+    "stream_snapshot_cdc" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |u AS (SELECT * FROM cust
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0),
+        |feed AS (
+        |  SELECT 'insert' AS change_type, 2 AS commit_version,
+        |    CAST(acctbal + 500 AS DECIMAL(18,2)) AS bal FROM u
+        |  UNION ALL
+        |  SELECT 'delete', 2, acctbal FROM u
+        |  UNION ALL
+        |  SELECT 'delete', 3, acctbal FROM cust WHERE c_custkey % 13 = 0
+        |    AND NOT (c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0)
+        |  UNION ALL
+        |  SELECT 'delete', 3, CAST(acctbal + 500 AS DECIMAL(18,2)) FROM u
+        |  WHERE c_custkey % 13 = 0)
+        |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bal) AS DOUBLE) AS sum_bal
+        |FROM feed GROUP BY 1, 2
+        |ORDER BY commit_version, change_type""".stripMargin,
 
     // The two position-delete mutations replayed as change sets: the
     // UPDATE feeds delete(old)+insert(new) at v2; the DELETE at v3 hits

@@ -1,0 +1,118 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Storage layer for the snapshot table format: every metadata byte
+  * [[Snapshots]] reads or writes goes through here, keyed by PATH STRING
+  * so a table root can be a plain local directory OR any Hadoop
+  * `FileSystem` URI (`hdfs://`, `s3a://`, `file://`, ...) — the 100 TB
+  * deployment target, where `java.io.File` cannot even address the
+  * store. Scheme-less roots take the `java.nio` fast path (no Hadoop
+  * `FileSystem` dispatch, no checksum shadow files — the local-bench
+  * profile is unchanged); any `scheme://` root resolves through
+  * `Path.getFileSystem(conf)`, which caches live FS instances per
+  * scheme+authority.
+  *
+  * All methods are usable from EXECUTORS too (wide commits stat footers
+  * in a distributed job): everything is static, the Hadoop conf is built
+  * lazily per JVM — from the active session's `sessionState.newHadoopConf()`
+  * on the driver (so `spark.hadoop.*` credentials propagate), plain
+  * defaults otherwise.
+  */
+private[graft] object SnapIO {
+
+  /** One directory child: `path` is the FULL path string (root-joined),
+    * `name` the basename.
+    */
+  final case class Stat(name: String, path: String, isFile: Boolean,
+                        len: Long, mtime: Long)
+
+  def isLocal(path: String): Boolean = !path.contains("://")
+
+  /** Join a path and a relative child — both worlds use `/`. */
+  def join(a: String, b: String): String = a.stripSuffix("/") + "/" + b
+
+  @transient private lazy val hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private[graft] def conf: Configuration = hadoopConf
+
+  private def fs(path: String): FileSystem =
+    new HPath(path).getFileSystem(hadoopConf)
+
+  private def nio(path: String): Path = Paths.get(path)
+
+  def mkdirs(path: String): Unit =
+    if (isLocal(path)) Files.createDirectories(nio(path)): Unit
+    else fs(path).mkdirs(new HPath(path)): Unit
+
+  def readAll(path: String): Array[Byte] =
+    if (isLocal(path)) Files.readAllBytes(nio(path))
+    else {
+      val f = fs(path)
+      val in = f.open(new HPath(path))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+    }
+
+  /** Plain write (fresh names only — the segment/tombstone route; the
+    * version-manifest race goes through a [[CommitArbiter]]).
+    */
+  def write(path: String, bytes: Array[Byte]): Unit =
+    if (isLocal(path)) Files.write(nio(path), bytes): Unit
+    else {
+      val out = fs(path).create(new HPath(path), true)
+      try out.write(bytes) finally out.close()
+    }
+
+  def exists(path: String): Boolean =
+    if (isLocal(path)) Files.exists(nio(path))
+    else fs(path).exists(new HPath(path))
+
+  def deleteIfExists(path: String): Unit =
+    if (isLocal(path)) Files.deleteIfExists(nio(path)): Unit
+    else fs(path).delete(new HPath(path), false): Unit
+
+  def deleteTree(path: String): Unit =
+    if (isLocal(path)) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    } else fs(path).delete(new HPath(path), true): Unit
+
+  def len(path: String): Long =
+    if (isLocal(path)) new java.io.File(path).length()
+    else fs(path).getFileStatus(new HPath(path)).getLen
+
+  def mtime(path: String): Long =
+    if (isLocal(path)) new java.io.File(path).lastModified()
+    else fs(path).getFileStatus(new HPath(path)).getModificationTime
+
+  /** Non-recursive children of `dir`; empty when the dir is absent. */
+  def list(dir: String): Seq[Stat] =
+    if (isLocal(dir))
+      Option(new java.io.File(dir).listFiles()).map(_.toSeq)
+        .getOrElse(Seq.empty).map { f =>
+          Stat(f.getName, join(dir, f.getName), f.isFile, f.length(),
+            f.lastModified())
+        }
+    else {
+      val f = fs(dir)
+      val p = new HPath(dir)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq.map { s =>
+        Stat(s.getPath.getName, join(dir, s.getPath.getName), s.isFile,
+          s.getLen, s.getModificationTime)
+      }
+    }
+}

@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.{Files, Path, Paths}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, max, substring_index, when}
 
@@ -68,9 +66,17 @@ object Snapshots {
     * [[optimizeFiles]]'s output sizing run from manifest text alone —
     * on an object store, one avoided HEAD request per file per query.
     */
+  /** `strStats` are the STRING twins of `stats` — per-column (min, max)
+    * UTF-8 bounds from the same footer pass (parquet binary statistics,
+    * the zone-map layer's string rules), rendered base64url in the
+    * manifest (`z=` field) so arbitrary text can never split an entry
+    * line. What lets the front door prune `WHERE source = 'cc'` scans
+    * from manifest text alone, exactly like the numeric bounds.
+    */
   final case class FileEntry(path: String, rows: Long, seq: Long,
                              stats: Map[String, (Double, Double)] = Map.empty,
-                             bytes: Long = -1L)
+                             bytes: Long = -1L,
+                             strStats: Map[String, (String, String)] = Map.empty)
 
   /** `files` hold rows; `deletes` hold equality-delete KEYS (one-column
     * parquet tombstones) that suppress older rows of the same key at
@@ -105,8 +111,8 @@ object Snapshots {
                             rules: Seq[SchemaRule] = Seq.empty)
 
   def init(root: String): String = {
-    Files.createDirectories(Paths.get(root, SnapDir))
-    Files.createDirectories(Paths.get(root, DataDir))
+    SnapIO.mkdirs(SnapIO.join(root, SnapDir))
+    SnapIO.mkdirs(SnapIO.join(root, DataDir))
     root
   }
 
@@ -149,6 +155,7 @@ object Snapshots {
       // defaults, so old tables keep working
       var core = parts
       var stats = Map.empty[String, (Double, Double)]
+      var strStats = Map.empty[String, (String, String)]
       var bytes = -1L
       var tagged = true
       while (tagged && core.length > 2) {
@@ -157,11 +164,13 @@ object Snapshots {
           stats = parseStats(last.substring(2)); core = core.dropRight(1)
         } else if (last.startsWith("b=")) {
           bytes = last.substring(2).toLong; core = core.dropRight(1)
+        } else if (last.startsWith("z=")) {
+          strStats = parseStrStats(last.substring(2)); core = core.dropRight(1)
         } else tagged = false
       }
       FileEntry(core.dropRight(2).mkString("|"),
         core(core.length - 2).toLong, core(core.length - 1).toLong,
-        stats, bytes)
+        stats, bytes, strStats)
     }
 
   // stats field: `s=col:min:max;col2:min:max` — column names are
@@ -183,10 +192,35 @@ object Snapshots {
   private def renderBytes(bytes: Long): String =
     if (bytes < 0) "" else s"|b=$bytes"
 
+  // string-stats field: `z=col:<b64url(min)>:<b64url(max)>;col2:...` —
+  // base64url WITHOUT padding keeps the value free of every structural
+  // character (| ; : = newline), so arbitrary committed text can never
+  // split or forge an entry line; UTF-8 round-trips exactly
+  private val b64e = java.util.Base64.getUrlEncoder.withoutPadding()
+  private val b64d = java.util.Base64.getUrlDecoder
+
+  private def parseStrStats(s: String): Map[String, (String, String)] =
+    if (s.isEmpty) Map.empty
+    else s.split(';').map { e =>
+      val fs = e.split(':')
+      def dec(x: String) = new String(b64d.decode(x), "UTF-8")
+      fs(0) -> (dec(fs(1)), dec(fs(2)))
+    }.toMap
+
+  private def renderStrStats(stats: Map[String, (String, String)]): String =
+    if (stats.isEmpty) ""
+    else stats.toSeq.sortBy(_._1)
+      .map { case (c, (mn, mx)) =>
+        s"$c:${b64e.encodeToString(mn.getBytes("UTF-8"))}:" +
+          b64e.encodeToString(mx.getBytes("UTF-8"))
+      }
+      .mkString("|z=", ";", "")
+
   private def renderEntries(files: Seq[FileEntry], deletes: Seq[FileEntry],
                             posDeletes: Seq[FileEntry]): String =
     (files.map(f => s"file=${f.path}|${f.rows}|${f.seq}" +
-        s"${renderBytes(f.bytes)}${renderStats(f.stats)}") ++
+        s"${renderBytes(f.bytes)}${renderStats(f.stats)}" +
+        renderStrStats(f.strStats)) ++
       deletes.map(f => s"delete=${f.path}|${f.rows}|${f.seq}") ++
       posDeletes.map(f => s"posdelete=${f.path}|${f.rows}|${f.seq}"))
       .mkString("", "\n", "\n")
@@ -214,8 +248,11 @@ object Snapshots {
       parseEntries(lines, "posdelete="))
   }
 
-  private def manifestPath(root: String, v: Long): Path =
-    Paths.get(root, SnapDir, f"v$v%08d.txt")
+  /** Full path string of one version's manifest — the [[SnapIO]] currency,
+    * so a root can be local or any `FileSystem` URI.
+    */
+  private def manifestPath(root: String, v: Long): String =
+    SnapIO.join(SnapIO.join(root, SnapDir), f"v$v%08d.txt")
 
   // A manifest is IMMUTABLE once its version is published (the arbiter
   // guarantees create-if-absent), so its parsed doc caches safely by
@@ -250,20 +287,27 @@ object Snapshots {
     * which no real engine ever does — manifests are immutable).
     */
   private[graft] def invalidateManifestCache(root: String, v: Long): Unit =
-    docCache.invalidate(manifestPath(root, v).toAbsolutePath.toString)
+    docCache.invalidate(manifestPath(root, v))
 
   private def readDoc(root: String, v: Long): ManifestDoc = {
     val p = manifestPath(root, v)
-    docCache.getOrLoad(p.toAbsolutePath.toString) {
-      parseDoc(new String(Files.readAllBytes(p), "UTF-8"))
+    docCache.getOrLoad(p) {
+      parseDoc(new String(SnapIO.readAll(p), "UTF-8"))
     }
   }
 
+  /** One version's commit NOTE from the manifest HEADER alone — a cached
+    * O(1) text read, never the segment file lists. The streaming sink's
+    * high-water recovery walks every version's note at construction;
+    * materializing full [[snapshot]]s there would be O(versions × files)
+    * segment parsing for a field the header already carries.
+    */
+  def commitNote(root: String, v: Long): String = readDoc(root, v).note
+
   /** All committed versions, ascending. O(versions) directory listing. */
   def versions(root: String): Seq[Long] =
-    Option(new java.io.File(root, SnapDir).listFiles())
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .map(_.getName).filter(n => n.startsWith("v") && n.endsWith(".txt"))
+    SnapIO.list(SnapIO.join(root, SnapDir))
+      .map(_.name).filter(n => n.startsWith("v") && n.endsWith(".txt"))
       .map(n => n.substring(1, n.length - 4).toLong).sorted
 
   def latestVersion(root: String): Option[Long] = versions(root).lastOption
@@ -302,9 +346,16 @@ object Snapshots {
       }
   }
 
+  /** Test/diagnostic hook: count of segment files actually READ from
+    * storage (cache misses) — what the streaming source's O(delta)
+    * planning contract is asserted against.
+    */
+  private[graft] val segmentReads = new java.util.concurrent.atomic.AtomicLong
+
   private def segmentLines(root: String, rel: String): Seq[String] =
-    segCache.getOrLoad(Paths.get(root, rel).toAbsolutePath.toString) {
-      new String(Files.readAllBytes(Paths.get(root, rel)), "UTF-8")
+    segCache.getOrLoad(SnapIO.join(root, rel)) {
+      segmentReads.incrementAndGet(): Unit
+      new String(SnapIO.readAll(SnapIO.join(root, rel)), "UTF-8")
         .linesIterator.toSeq
     }
 
@@ -670,33 +721,44 @@ object Snapshots {
     val uuid = java.util.UUID.randomUUID().toString.take(12)
     val dataPath = s"$DataDir/$uuid"
     df.write.parquet(s"$root/$dataPath")
-    val files = Option(new java.io.File(s"$root/$dataPath").listFiles())
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-      .map(_.getName).sorted
+    val files = SnapIO.list(SnapIO.join(root, dataPath))
+      .filter(s => s.isFile && s.name.endsWith(".parquet") &&
+        !s.name.startsWith("."))
+      .map(_.name).sorted
     // rows (always) and optional column bounds from ONE footer read per
     // file — the same pass, stats ride free (Layout.fileFooterStats is
     // the zone maps' shared decode kernel: lossy INT64 widened, decimal
-    // omitted)
+    // omitted). Every statsCols name is asked for in BOTH the numeric
+    // and the string slot: the decode is typed by the footer's physical
+    // type (a numeric column yields no string bounds and vice versa), so
+    // callers name columns without declaring their types.
     def footerInfo(path: String)
-        : (Long, Map[String, (Double, Double)], Long) = {
-      val (rows, mins, maxs, _, _) =
-        Layout.fileFooterStats(path, statsCols, Seq.empty)
+        : (Long, Map[String, (Double, Double)],
+           Map[String, (String, String)], Long) = {
+      val (rows, mins, maxs, smins, smaxs) =
+        Layout.fileFooterStats(path, statsCols, statsCols)
       val stats = statsCols.indices.flatMap { i =>
         (mins(i), maxs(i)) match {
           case (Some(mn), Some(mx)) => Some(statsCols(i) -> (mn, mx))
           case _ => None // no stats in the footer: unprunable, not wrong
         }
       }.toMap
+      val strStats = statsCols.indices.flatMap { i =>
+        (smins(i), smaxs(i)) match {
+          case (Some(mn), Some(mx)) => Some(statsCols(i) -> (mn, mx))
+          case _ => None
+        }
+      }.toMap
       // the size rides the same pass — what lets later scan planning and
       // OPTIMIZE sizing run from manifest text with zero per-file stats
-      (rows, stats, new java.io.File(path).length())
+      (rows, stats, strStats, SnapIO.len(path))
     }
     // wide commits (small-files regime) read footers as a DISTRIBUTED
     // job — a sequential driver loop over 4k+ footers is seconds of
     // driver time locally and minutes against an object store; narrow
     // commits skip the job-scheduling overhead
-    val infos: Seq[(String, (Long, Map[String, (Double, Double)], Long))] =
+    val infos: Seq[(String, (Long, Map[String, (Double, Double)],
+        Map[String, (String, String)], Long))] =
       if (files.size <= 64) files.map(n => n -> footerInfo(s"$root/$dataPath/$n"))
       else {
         val prefix = s"$root/$dataPath"
@@ -704,8 +766,8 @@ object Snapshots {
           .parallelize(files, math.min(files.size, 256))
           .map(n => n -> footerInfo(s"$prefix/$n")).collect().toSeq
       }
-    infos.map { case (name, (rows, stats, bytes)) =>
-      FileEntry(s"$dataPath/$name", rows, 0L, stats, bytes) }
+    infos.map { case (name, (rows, stats, strStats, bytes)) =>
+      FileEntry(s"$dataPath/$name", rows, 0L, stats, bytes, strStats) }
   }
 
   /** RESTORE: make version `toVersion`'s exact state the new LATEST — a
@@ -751,9 +813,9 @@ object Snapshots {
     val header = Seq(s"version=$next", s"parent=$v", s"note=checkpoint-v$v",
       s"ts=${System.currentTimeMillis()}") ++ doc.rules.map(renderRule)
     val manifest = (header :+ s"segment=$seg").mkString("", "\n", "\n")
-    if (!arbiter.putIfAbsent(manifestPath(root, next),
+    if (!arbiterFor(root).putIfAbsent(manifestPath(root, next),
         manifest.getBytes("UTF-8"))) {
-      Files.deleteIfExists(Paths.get(root, seg)): Unit
+      SnapIO.deleteIfExists(SnapIO.join(root, seg))
       throw new java.util.ConcurrentModificationException(
         s"checkpoint of $root at v$v lost to a concurrent commit " +
           s"(latest is now v${latestVersion(root).getOrElse(0L)}); re-run")
@@ -803,22 +865,35 @@ object Snapshots {
 
   private def writeSegment(root: String, body: String): String = {
     val name = s"seg_${java.util.UUID.randomUUID().toString.take(12)}.txt"
-    Files.write(Paths.get(root, SnapDir, name), body.getBytes("UTF-8"))
+    SnapIO.write(SnapIO.join(SnapIO.join(root, SnapDir), name),
+      body.getBytes("UTF-8"))
     s"$SnapDir/$name"
   }
 
-  /** The arbiter behind every manifest publish — [[HardLinkArbiter]]
-    * (POSIX `link(2)`) by default; deployments on stores without hard
-    * links swap in [[LockFileArbiter]] (or any impl of the put-if-absent
-    * contract). Process-wide: the arbiter is a property of the storage
-    * the tables live on, not of one table.
+  /** The arbiter override behind [[withArbiter]]; null means "pick by
+    * root" ([[arbiterFor]]). Process-wide: the arbiter is a property of
+    * the storage the tables live on, not of one table.
     */
-  @volatile private[graft] var arbiter: CommitArbiter = HardLinkArbiter
+  @volatile private[graft] var arbiter: CommitArbiter = null
 
-  /** Run `f` with `a` as the commit arbiter, restoring the previous one
-    * after — the test hook that drives the same concurrency torture
-    * through both arbiters. Not for interleaving arbiters across
-    * concurrent commits to DIFFERENT stores (the arbiter is process-wide).
+  /** The arbiter behind every manifest publish: a [[withArbiter]]
+    * override if one is active, else by the ROOT's storage world —
+    * [[HardLinkArbiter]] (POSIX `link(2)`) for local paths,
+    * [[HadoopFsArbiter]] (stage + rename-refuses-existing) for any
+    * `scheme://` root, `file://` included (the local test harness for
+    * the Hadoop route).
+    */
+  private[graft] def arbiterFor(root: String): CommitArbiter = {
+    val o = arbiter
+    if (o != null) o
+    else if (SnapIO.isLocal(root)) HardLinkArbiter
+    else HadoopFsArbiter
+  }
+
+  /** Run `f` with `a` as the commit arbiter, restoring the previous
+    * selection after — the test hook that drives the same concurrency
+    * torture through every arbiter. Not for interleaving arbiters across
+    * concurrent commits to DIFFERENT stores (the override is process-wide).
     */
   def withArbiter[T](a: CommitArbiter)(f: => T): T = {
     val prev = arbiter
@@ -869,7 +944,7 @@ object Snapshots {
     var parent = basedOn0
     var staleSegs: Seq[String] = Seq.empty // last iteration's unreferenced writes
     def dropStale(): Unit = {
-      staleSegs.foreach(s => Files.deleteIfExists(Paths.get(root, s)): Unit)
+      staleSegs.foreach(s => SnapIO.deleteIfExists(SnapIO.join(root, s)))
       staleSegs = Seq.empty
     }
     while (true) {
@@ -897,7 +972,8 @@ object Snapshots {
       // replace already rewrote those rows and the tombstones would
       // silently miss (DELETE no-ops; UPDATE duplicates its matches)
       if (posRefs.nonEmpty && parent > 0L) {
-        val parentFiles = snapshot(root, parent).files.map(_.path).toSet
+        val parentSnap = snapshot(root, parent)
+        val parentFiles = parentSnap.files.map(_.path).toSet
         val missing = posRefs.filterNot(parentFiles.contains)
         if (missing.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -906,6 +982,32 @@ object Snapshots {
               s"(e.g. ${missing.head}) are no longer listed at " +
               s"v$parent — recompute the positions against the new " +
               "latest and re-commit")
+        // …and the window (basedOn, parent] must have added NO tombstones
+        // either (Iceberg's validateNoNewDeletesForDataFiles): a
+        // concurrent row-level commit whose tombstones overlap the rows
+        // this commit matched would otherwise compose as WRITE-SKEW —
+        // two updateWhere's on overlapping rows both publish, each
+        // appending its own rewrite while the shared (file, pos)
+        // tombstones suppress the original only ONCE, duplicating the
+        // doubly-matched rows (an equality tombstone in the window is
+        // the same hazard from the other side: this commit's rewrite,
+        // stamped with the newer seq, would resurrect a concurrently
+        // DELETEd key). Commit-granularity and conservative — a
+        // disjoint-row DML pair conflicts too — but row-level DML
+        // recompute is O(matched), and silent duplication is not an
+        // option.
+        if (parent > basedOn0) {
+          val winTombs = (parentSnap.deletes ++ parentSnap.posDeletes)
+            .filter(f => f.seq > basedOn0 && f.seq <= parent)
+          if (winTombs.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"position-delete commit on $root based on v$basedOn0 " +
+                s"lost to concurrent tombstone commit(s) " +
+                s"${winTombs.map(_.seq).distinct.sorted.mkString(",")} — " +
+                "their deletes may overlap this commit's matched rows " +
+                "(write-skew); recompute against the new latest and " +
+                "re-commit")
+        }
       }
       val (parentSegs, parentAdopted) = parentDoc match {
         case Some(d) => segmentRefsOf(root, d)
@@ -936,11 +1038,11 @@ object Snapshots {
         (parentSegs ++ carried ++ ownSeg.toSeq).map(s => s"segment=$s"))
         .mkString("", "\n", "\n")
       // the arbiter is the atomic create-if-absent the protocol needs
-      // (link(2) by default — see [[CommitArbiter]] for why not a
-      // no-replace move, and for the object-store variant): a loss is
-      // loud, and the published manifest appears fully written or not
-      // at all.
-      if (arbiter.putIfAbsent(manifestPath(root, v),
+      // (link(2) for local roots, stage+rename for FileSystem URIs —
+      // see [[CommitArbiter]] for why not a no-replace move, and for
+      // the object-store variant): a loss is loud, and the published
+      // manifest appears fully written or not at all.
+      if (arbiterFor(root).putIfAbsent(manifestPath(root, v),
           manifest.getBytes("UTF-8")))
         return v
       else {
@@ -1134,7 +1236,7 @@ object Snapshots {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(s"$root/${fs.head.path}"),
-          new org.apache.hadoop.conf.Configuration()))
+          SnapIO.conf))
       val names = try {
         import scala.jdk.CollectionConverters._
         reader.getFooter.getFileMetaData.getSchema.getFields.asScala
@@ -1257,7 +1359,7 @@ object Snapshots {
     // fall back to a stat
     val totalBytes = snap.files.map(f =>
       if (f.bytes >= 0) f.bytes
-      else new java.io.File(root, f.path).length()).sum
+      else SnapIO.len(SnapIO.join(root, f.path))).sum
     val nFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
     // evolved = true: the rewrite must materialize the UNION schema —
@@ -1370,6 +1472,87 @@ object Snapshots {
     // anyway, so the skip index comes back for free with the layout
     commit(root, laid, s"compact-merged-v$base",
       replace = true, basedOn = Some(base), statsCols = statsCols)
+  }
+
+  /** The file entries APPENDED in `(from, to]`, planned in O(delta)
+    * manifest text — the streaming source's per-micro-batch planner. A
+    * manifest chains its parent's segment refs and adds its OWN segment,
+    * so each step's delta is `segments(v) -- segments(v-1)`: the walk
+    * reads only each version's HEADER (tiny, doc-cached) plus the
+    * window's own segments — never the table's O(files) entry text. At a
+    * million files and a 1 s trigger, the full-snapshot alternative is
+    * the planning bottleneck; this is not.
+    *
+    * Loud refusals (the stream's append-shape contract — IDENTICAL
+    * semantics to the original whole-window check):
+    *  - rename/drop schema rules stamped inside the window;
+    *  - from > 0 and the window dropped files (a REPLACE broke the
+    *    stream's history);
+    *  - merge-on-read tombstones (equality or position) LIVE at the
+    *    window's head with seq inside the window (a tombstone commit
+    *    later superseded by a replace inside the same window is not
+    *    live — a fresh consumer legally streams the compacted state).
+    *
+    * Any step that is not segment-append-shaped (replace, restore,
+    * checkpoint, legacy inline manifests) drops the walk to the
+    * O(files) whole-window decision — correctness never depends on the
+    * fast path.
+    */
+  private[graft] def windowAppends(root: String, from: Long,
+                                   to: Long): Seq[FileEntry] = {
+    require(from < to, s"need from < to, got ($from, $to]")
+    val toDoc = readDoc(root, to)
+    require(!toDoc.rules.exists(r => r.seq > from && r.seq <= to),
+      s"($from, $to] of $root contains rename/drop schema rules — a " +
+        "stream cannot mix shapes mid-batch; restart the consumer on " +
+        "the new schema")
+    val out = Seq.newBuilder[FileEntry]
+    var clean = true
+    var tombstoned = false
+    var v = from + 1
+    while (clean && v <= to) {
+      val doc = readDoc(root, v)
+      val prev = if (v - 1 == 0L) None else Some(readDoc(root, v - 1))
+      val prevSegs = prev.map(_.segments.toSet).getOrElse(Set.empty[String])
+      val inline = (prev.toSeq :+ doc).exists(d =>
+        d.inlineFiles.nonEmpty || d.inlineDeletes.nonEmpty ||
+          d.inlinePosDeletes.nonEmpty)
+      if ((prevSegs -- doc.segments.toSet).nonEmpty || inline) clean = false
+      else {
+        // the O(delta) hot path: only this step's own segments parse.
+        // Entries stamped with an older seq inside a fresh segment are a
+        // legacy ADOPTION (inline entries re-homed) — already visible at
+        // v-1, not part of this step's append.
+        val fresh = doc.segments.filterNot(prevSegs.contains)
+          .flatMap(segmentLines(root, _))
+        if (fresh.exists(l => l.startsWith("delete=") ||
+            l.startsWith("posdelete="))) tombstoned = true
+        out ++= parseEntries(fresh, "file=").filter(_.seq == v)
+      }
+      v += 1
+    }
+    if (clean && !tombstoned) return out.result()
+    // a tombstone landed, refs shrank (replace / restore / checkpoint)
+    // or a legacy inline manifest appeared: decide on the WINDOW's final
+    // state, O(files) — the original check, verbatim semantics
+    val snap = snapshot(root, to)
+    if (from > 0L) {
+      val toSet = snap.files.map(_.path).toSet
+      require(snapshot(root, from).files.forall(f => toSet.contains(f.path)),
+        s"($from, $to] of $root contains a replace commit — the stream " +
+          "is broken; reprocess from the replace (new checkpoint)")
+    }
+    // merge-on-read tombstones (equality or position) landing mid-stream
+    // would make already-emitted rows stale (an updateWhere's rewrites
+    // would stream as duplicates; a pure delete would stream NOTHING and
+    // be silently lost) — the plain-files contract, enforced per window
+    require(!(snap.deletes ++ snap.posDeletes)
+        .exists(f => f.seq > from && f.seq <= to),
+      s"($from, $to] of $root contains merge-on-read tombstone commits " +
+        "(updateWhere/deleteWhere/commitChanges) — an append stream " +
+        "cannot represent them; consume readMerged states, or compact " +
+        "and restart the consumer")
+    snap.files.filter(f => f.seq > from && f.seq <= to)
   }
 
   /** Incremental read — the rows APPENDED in versions `(fromVersion,
@@ -1591,34 +1774,33 @@ object Snapshots {
       (s.files ++ s.deletes ++ s.posDeletes).map(_.path)
     }.toSet
     val liveSegs: Set[String] = keep.flatMap(v => readDoc(root, v).segments)
-      .map(rel => Paths.get(root, rel).getFileName.toString).toSet
+      .map(rel => rel.substring(rel.lastIndexOf('/') + 1)).toSet
     drop.foreach { v =>
       val p = manifestPath(root, v)
-      Files.deleteIfExists(p): Unit
-      docCache.invalidate(p.toAbsolutePath.toString)
+      SnapIO.deleteIfExists(p)
+      docCache.invalidate(p)
     }
     val youngCutoff = System.currentTimeMillis() - minAgeMillis
     // metadata debris: segments no retained manifest references (their
     // manifests just dropped, or their commit lost its race and retried)
     // and staging temps leaked by a crash between create and link —
     // age-guarded, same reasoning as data files
-    Option(new java.io.File(root, SnapDir).listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.lastModified() <= youngCutoff &&
-        ((f.getName.startsWith("seg_") && f.getName.endsWith(".txt") &&
-          !liveSegs.contains(f.getName)) ||
-         (f.getName.startsWith(".stage_") && f.getName.endsWith(".tmp"))))
-      .foreach(f => f.delete(): Unit)
-    val dataRoot = new java.io.File(root, DataDir)
-    val rootPath = Paths.get(root)
-    def visible(f: java.io.File): Boolean = f.isFile &&
-      !f.getName.startsWith("_") && !f.getName.startsWith(".")
-    def walk(f: java.io.File): Seq[java.io.File] = {
-      val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      cs.filter(_.isFile) ++ cs.filter(_.isDirectory).flatMap(walk)
-    }
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
-      f.delete(): Unit
+    SnapIO.list(SnapIO.join(root, SnapDir))
+      .filter(s => s.isFile && s.mtime <= youngCutoff &&
+        ((s.name.startsWith("seg_") && s.name.endsWith(".txt") &&
+          !liveSegs.contains(s.name)) ||
+         (s.name.startsWith(".stage_") && s.name.endsWith(".tmp"))))
+      .foreach(s => SnapIO.deleteIfExists(s.path))
+    val dataRoot = SnapIO.join(root, DataDir)
+    // manifest paths are root-relative; every path here is built by
+    // joining from `root`, so relativizing is one prefix strip
+    val rootPrefix = root.stripSuffix("/") + "/"
+    def rel(full: String): String = full.stripPrefix(rootPrefix)
+    def visible(s: SnapIO.Stat): Boolean = s.isFile &&
+      !s.name.startsWith("_") && !s.name.startsWith(".")
+    def walk(dir: String): Seq[SnapIO.Stat] = {
+      val cs = SnapIO.list(dir)
+      cs.filter(_.isFile) ++ cs.filterNot(_.isFile).flatMap(c => walk(c.path))
     }
     var deleted = 0
     // per commit dir: if NO retained manifest references any of its data
@@ -1627,19 +1809,18 @@ object Snapshots {
     // a dir with live files sheds only its dead visible files. Hidden
     // files (_SUCCESS, .crc) are write infrastructure, never "data", so
     // a vacuum that drops no version is a no-op.
-    Option(dataRoot.listFiles()).toSeq.flatten
-      .filter(_.isDirectory).foreach { sub =>
-        val vis = walk(sub).filter(visible)
-        val (liveF, deadF) = vis.partition(f =>
-          live.contains(rootPath.relativize(f.toPath).toString))
-        val (ripe, young) = deadF.partition(_.lastModified() <= youngCutoff)
-        if (liveF.isEmpty && young.isEmpty) { deleted += ripe.size; rmTree(sub) }
-        else ripe.foreach { f => f.delete(): Unit; deleted += 1 }
-      }
-    Option(dataRoot.listFiles()).toSeq.flatten.filter(visible)
-      .filterNot(f => live.contains(rootPath.relativize(f.toPath).toString))
-      .filter(_.lastModified() <= youngCutoff)
-      .foreach { f => f.delete(): Unit; deleted += 1 }
+    SnapIO.list(dataRoot).filterNot(_.isFile).foreach { sub =>
+      val vis = walk(sub.path).filter(visible)
+      val (liveF, deadF) = vis.partition(f => live.contains(rel(f.path)))
+      val (ripe, young) = deadF.partition(_.mtime <= youngCutoff)
+      if (liveF.isEmpty && young.isEmpty) {
+        deleted += ripe.size; SnapIO.deleteTree(sub.path)
+      } else ripe.foreach { f => SnapIO.deleteIfExists(f.path); deleted += 1 }
+    }
+    SnapIO.list(dataRoot).filter(visible)
+      .filterNot(f => live.contains(rel(f.path)))
+      .filter(_.mtime <= youngCutoff)
+      .foreach { f => SnapIO.deleteIfExists(f.path); deleted += 1 }
     deleted
   }
 

@@ -67,17 +67,37 @@ class SnapshotDataSource extends RelationProvider
   /** The streaming schema: the CURRENT version's shape (a stream is a
     * forward-moving reader; pre-evolution versions are batch territory).
     */
+  private def isCdc(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.trim.equalsIgnoreCase("true"))
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String])
       : (String, StructType) = {
     val root = rootOf(parameters)
-    (shortName(), schema.getOrElse(
-      SnapshotDataSource.relation(sqlContext.sparkSession, root,
-        Snapshots.latestVersion(root).getOrElse(
-          throw new IllegalStateException(
-            s"no committed version under $root")), parameters).schema))
+    val base = schema.getOrElse {
+      val v = Snapshots.latestVersion(root).getOrElse(
+        throw new IllegalStateException(s"no committed version under $root"))
+      val table =
+        if (isCdc(parameters))
+          // a CDC stream legally starts on a tombstone-bearing table —
+          // the schema comes from the manifest's files' footers without
+          // the front-door plain-files gate (only the DATA shape is
+          // asked for here; the change rows themselves are computed
+          // tombstone-aware by changeFeed per batch)
+          SnapshotDataSource.cdcBaseSchema(sqlContext.sparkSession, root, v)
+        else SnapshotDataSource.relation(sqlContext.sparkSession, root, v,
+          parameters).schema
+      if (isCdc(parameters) && schema.isEmpty)
+        StructType(table.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType)))
+      else table
+    }
+    (shortName(), base)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -95,7 +115,14 @@ class SnapshotDataSource extends RelationProvider
     require(sv >= 0L && sv <= latest,
       s"startingVersion $sv is outside $root's committed range [0, " +
         s"$latest] — a stream from it would silently emit nothing")
-    new GraftSnapStreamSource(sqlContext.sparkSession, root, s, sv)
+    if (isCdc(parameters)) {
+      val keyCol = parameters.getOrElse("keyCol",
+        throw new IllegalArgumentException(
+          "graft-snap CDC stream needs option keyCol (equality-delete " +
+            "tombstones key the change rows back to their payloads)"))
+      new GraftSnapCdcStreamSource(sqlContext.sparkSession, root, s, sv,
+        keyCol)
+    } else new GraftSnapStreamSource(sqlContext.sparkSession, root, s, sv)
   }
 
   /** The STREAMING write half: `writeStream.format("graft-snap")` —
@@ -128,8 +155,13 @@ class SnapshotDataSource extends RelationProvider
     require(appId.nonEmpty,
       "graft-snap streaming sink needs a checkpointLocation (or an " +
         "explicit txnAppId) to scope its exactly-once batch markers")
-    val appTag = java.lang.Long.toHexString(
-      appId.foldLeft(1125899906842597L)((h, c) => 31 * h + c)) // stable hash
+    // pipeline identity must never COLLIDE (a collision makes one
+    // pipeline skip its batches as "already committed" — silent data
+    // loss): a cryptographic hash, not a 64-bit polynomial — 128 bits
+    // of SHA-256 is collision-free for any realistic pipeline count
+    val appTag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(appId.getBytes("UTF-8")).take(16)
+      .map(b => f"$b%02x").mkString
     new GraftSnapStreamSink(root, appTag,
       parameters.get("statsCols")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -141,10 +173,12 @@ class SnapshotDataSource extends RelationProvider
       "graft-snap needs a table root: .load(root) or OPTIONS (path '...')"))
 
   /** `versionAsOf` (a version number) or `timestampAsOf` (epoch millis,
-    * or `yyyy-MM-dd HH:mm:ss` taken in the session zone = UTC here, or
-    * an ISO-8601 instant) — at most one; default latest.
+    * or `yyyy-MM-dd HH:mm:ss` taken in the SESSION time zone —
+    * `spark.sql.session.timeZone`, exactly how the session resolves any
+    * other zone-less datetime literal — or an ISO-8601 instant) — at
+    * most one; default latest.
     */
-  private def resolveVersion(root: String,
+  private def resolveVersion(spark: SparkSession, root: String,
                              parameters: Map[String, String]): Long =
     (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
@@ -156,7 +190,9 @@ class SnapshotDataSource extends RelationProvider
           if (t.matches("[0-9]+")) t.toLong
           else if (t.contains("T")) java.time.Instant.parse(t).toEpochMilli
           else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-            .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+            .atZone(java.time.ZoneId.of(
+              spark.conf.get("spark.sql.session.timeZone")))
+            .toInstant.toEpochMilli
         Snapshots.versionAsOf(root, millis)
       case (None, None) => Snapshots.latestVersion(root).getOrElse(
         throw new IllegalStateException(s"no committed version under $root"))
@@ -167,7 +203,7 @@ class SnapshotDataSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
     SnapshotDataSource.relation(spark, root,
-      resolveVersion(root, parameters), parameters)
+      resolveVersion(spark, root, parameters), parameters)
   }
 
   /** The write half: `df.write.format("graft-snap")` publishes a COMMIT
@@ -187,8 +223,7 @@ class SnapshotDataSource extends RelationProvider
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     val note = parameters.getOrElse("note", s"dfwriter-$mode")
-    val existing = new java.io.File(root, "_graft_snaps").isDirectory &&
-      Snapshots.latestVersion(root).nonEmpty
+    val existing = Snapshots.latestVersion(root).nonEmpty
     if (!existing) Snapshots.init(root): Unit
     mode match {
       case SaveMode.Append =>
@@ -227,6 +262,26 @@ object SnapshotDataSource {
     case other => other
   }
 
+  /** The DATA shape a CDC stream's change rows carry: inferred from the
+    * manifest's data files' footers like [[relation]], but WITHOUT the
+    * front-door plain-files gate — a CDC stream legally starts on a
+    * tombstone-bearing merge-on-read table (serving those states is its
+    * whole point; [[graft.ops.Snapshots.changeFeed]] computes each
+    * batch tombstone-aware).
+    */
+  private[sources] def cdcBaseSchema(spark: SparkSession, root: String,
+                                     v: Long): StructType = {
+    val snap = Snapshots.snapshot(root, v)
+    require(snap.files.nonEmpty,
+      s"version $v of $root lists no data files — nothing to stream")
+    val index = new GraftSnapFileIndex(root, snap)
+    val inferred = new ParquetFileFormat().inferSchema(spark,
+      Map("mergeSchema" -> "true"), index.allStatuses).getOrElse(
+      throw new IllegalStateException(
+        s"version $v of $root lists no readable parquet files"))
+    asNullable(inferred).asInstanceOf[StructType]
+  }
+
   private[sources] def relation(spark: SparkSession, root: String, v: Long,
                                 parameters: Map[String, String])
       : HadoopFsRelation = {
@@ -261,23 +316,35 @@ private[sources] class GraftSnapFileIndex(root: String,
                                           snap: Snapshots.Snapshot)
     extends FileIndex {
 
+  /** Local roots become `file:` URIs (Spark's scan needs qualified
+    * paths); `scheme://` roots pass through — the manifest stays
+    * relative either way, so a table survives being mounted anywhere.
+    */
+  private def qualified(rel: String): HPath =
+    if (graft.ops.SnapIO.isLocal(root))
+      new HPath(new java.io.File(root, rel).toURI)
+    else new HPath(graft.ops.SnapIO.join(root, rel))
+
   private val entries: Seq[(Snapshots.FileEntry, FileStatus)] =
     snap.files.map { e =>
-      val f = new java.io.File(root, e.path)
       // size from the manifest entry when embedded — zero per-file stat
       // calls at planning (one avoided HEAD per file on an object
       // store); pre-size entries fall back to a stat. mtime rides along
       // only when the stat happens anyway (nothing here depends on it).
+      val full = graft.ops.SnapIO.join(root, e.path)
       val (len, mtime) =
-        if (e.bytes >= 0) (e.bytes, snap.ts) else (f.length(), f.lastModified())
+        if (e.bytes >= 0) (e.bytes, snap.ts)
+        else (graft.ops.SnapIO.len(full), graft.ops.SnapIO.mtime(full))
       e -> new FileStatus(len, false, 1, 128L * 1024 * 1024,
-        mtime, new HPath(f.toURI))
+        mtime, qualified(e.path))
     }
 
   private[sources] def allStatuses: Seq[FileStatus] = entries.map(_._2)
 
   override def rootPaths: Seq[HPath] =
-    Seq(new HPath(new java.io.File(root).toURI))
+    if (graft.ops.SnapIO.isLocal(root))
+      Seq(new HPath(new java.io.File(root).toURI))
+    else Seq(new HPath(root))
   override def partitionSchema: StructType = StructType(Nil)
   override def sizeInBytes: Long = entries.map(_._2.getLen).sum
   override def inputFiles: Array[String] =
@@ -351,20 +418,116 @@ private[sources] class GraftSnapFileIndex(root: String,
     }
   }
 
+  /** Decode a pushed filter into closed STRING bounds on one column —
+    * the string twin of [[bounds]]. `None` on a side means unbounded.
+    * Comparison currency is UTF-8 BYTES (Spark's `UTF8String` ordering
+    * and parquet's unsigned binary stats order — java `String.compareTo`
+    * is UTF-16 code units, which DISAGREES beyond the BMP, so the
+    * literal goes to bytes once here and every comparison is byte-wise).
+    */
+  private def strBounds(e: Expression)
+      : Seq[(String, Option[Array[Byte]], Option[Array[Byte]])] = {
+    def s(l: Literal): Option[Array[Byte]] = l.value match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a: Attribute, l: Literal) =>
+        s(l).map(x => (a.name, Some(x), Some(x))).toSeq
+      case EqualTo(l: Literal, a: Attribute) =>
+        s(l).map(x => (a.name, Some(x), Some(x))).toSeq
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+          a: Attribute, l: Literal) =>
+        s(l).map(x => (a.name, Some(x), Some(x))).toSeq
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+          l: Literal, a: Attribute) =>
+        s(l).map(x => (a.name, Some(x), Some(x))).toSeq
+      case GreaterThan(a: Attribute, l: Literal) =>
+        s(l).map(x => (a.name, Some(x), None)).toSeq
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        s(l).map(x => (a.name, Some(x), None)).toSeq
+      case LessThan(a: Attribute, l: Literal) =>
+        s(l).map(x => (a.name, None, Some(x))).toSeq
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        s(l).map(x => (a.name, None, Some(x))).toSeq
+      case GreaterThan(l: Literal, a: Attribute) =>
+        s(l).map(x => (a.name, None, Some(x))).toSeq
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        s(l).map(x => (a.name, None, Some(x))).toSeq
+      case LessThan(l: Literal, a: Attribute) =>
+        s(l).map(x => (a.name, Some(x), None)).toSeq
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        s(l).map(x => (a.name, Some(x), None)).toSeq
+      case org.apache.spark.sql.catalyst.expressions.In(a: Attribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val xs = vs.flatMap { case l: Literal => s(l) }
+        if (xs.size == vs.size)
+          Seq((a.name, Some(xs.min(GraftSnapFileIndex.byteOrd)),
+            Some(xs.max(GraftSnapFileIndex.byteOrd))))
+        else Nil
+      case org.apache.spark.sql.catalyst.expressions.InSet(a: Attribute, vs)
+          if vs.nonEmpty =>
+        val xs = vs.toSeq.flatMap {
+          case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+          case _ => None
+        }
+        if (xs.size == vs.size)
+          Seq((a.name, Some(xs.min(GraftSnapFileIndex.byteOrd)),
+            Some(xs.max(GraftSnapFileIndex.byteOrd))))
+        else Nil
+      case org.apache.spark.sql.catalyst.expressions.And(x, y) =>
+        strBounds(x) ++ strBounds(y)
+      case _ => Nil
+    }
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
     val preds = dataFilters.flatMap(bounds)
+    val spreds = dataFilters.flatMap(strBounds)
+    import GraftSnapFileIndex.{byteCmp, isAscii}
     val keep = entries.filter { case (e, _) =>
       preds.forall { case (c, lo, hi) =>
         e.stats.get(c) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true // no embedded bounds: unprunable, never wrong
         }
+      } && spreds.forall { case (c, lo, hi) =>
+        e.strStats.get(c) match {
+          // ASCII-only gate: the manifest's string bounds were merged
+          // across row groups in UTF-16 order (Layout's kernel) — for
+          // pure-ASCII bounds that order AGREES with the byte order the
+          // comparisons here run in (an ASCII winner dominates every
+          // candidate in both orders, since any non-ASCII byte exceeds
+          // all ASCII bytes in both); non-ASCII bounds decode to
+          // "unprunable", never to a wrong skip
+          case Some((mn, mx)) if isAscii(mn) && isAscii(mx) =>
+            val mnB = mn.getBytes("UTF-8"); val mxB = mx.getBytes("UTF-8")
+            lo.forall(l => byteCmp(mxB, l) >= 0) &&
+              hi.forall(h => byteCmp(mnB, h) <= 0)
+          case _ => true
+        }
       }
     }
     Seq(PartitionDirectory(InternalRow.empty, keep.map(_._2).toArray))
   }
+}
+
+private[sources] object GraftSnapFileIndex {
+  /** Unsigned byte-wise lexicographic compare — `UTF8String` order. */
+  def byteCmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+  val byteOrd: Ordering[Array[Byte]] = (a, b) => byteCmp(a, b)
+  def isAscii(s: String): Boolean = s.forall(_ < 0x80)
 }
 
 /** The STREAMING read half of the front door
@@ -404,32 +567,16 @@ private[sources] class GraftSnapStreamSource(
       : org.apache.spark.sql.classic.DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
     val to = ver(end)
-    val snap = Snapshots.snapshot(root, to)
-    // append-shape within the window, checked against the window's own
-    // head (files may legally be replaced AFTER `to`; this batch still
-    // replays from the pinned version until vacuum retires it)
-    if (from > 0L) {
-      val fromSet = snap.files.map(_.path).toSet
-      val fromFiles = Snapshots.snapshot(root, from).files
-      require(fromFiles.forall(f => fromSet.contains(f.path)),
-        s"($from, $to] of $root contains a replace commit — the stream " +
-          "is broken; reprocess from the replace (new checkpoint)")
-    }
-    require(!snap.rules.exists(r => r.seq > from && r.seq <= to),
-      s"($from, $to] of $root contains rename/drop schema rules — a " +
-        "stream cannot mix shapes mid-batch; restart the consumer on " +
-        "the new schema")
-    // merge-on-read tombstones (equality or position) landing mid-stream
-    // would make already-emitted rows stale (an updateWhere's rewrites
-    // would stream as duplicates; a pure delete would stream NOTHING and
-    // be silently lost) — the plain-files contract, enforced per window
-    require(!(snap.deletes ++ snap.posDeletes)
-        .exists(f => f.seq > from && f.seq <= to),
-      s"($from, $to] of $root contains merge-on-read tombstone commits " +
-        "(updateWhere/deleteWhere/commitChanges) — an append stream " +
-        "cannot represent them; consume readMerged states, or compact " +
-        "and restart the consumer")
-    val files = snap.files.filter(f => f.seq > from && f.seq <= to)
+    // O(delta) planning: the window walk reads each version's manifest
+    // HEADER plus only the window's own segments — never two full
+    // manifest materializations per micro-batch (O(files) each; at a
+    // million files and a 1 s trigger that was the planning
+    // bottleneck). Same loud refusals: replace / schema-rule /
+    // tombstone windows break the stream with the original messages
+    // (checkpoint commits pass — entry-preserving). Files may legally
+    // be replaced AFTER `to`; this batch still replays from the pinned
+    // window until vacuum retires it.
+    val files = Snapshots.windowAppends(root, from, to)
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val batch =
       if (files.isEmpty) // a metadata-only window (rename, checkpoint)
@@ -456,6 +603,65 @@ private[sources] class GraftSnapStreamSource(
   override def stop(): Unit = ()
 }
 
+/** The CDC half of the streaming front door
+  * (`spark.readStream.format("graft-snap").option("readChangeFeed",
+  * "true").option("keyCol", k)`): each micro-batch `(start, end]` is
+  * the batch [[Snapshots.changeFeed]] over exactly that version window —
+  * row-level changes with `_change_type` (insert / upsert / delete) and
+  * `_commit_version`, so MERGE-ON-READ tables stream WITHOUT compaction:
+  * a tombstone-bearing window that breaks the append source loudly is
+  * this source's normal diet (an updateWhere feeds as delete(old) +
+  * insert(new), deleted rows feed with their full recovered payload).
+  * Offsets ARE versions, the window feed is deterministic, and the
+  * engine's offset log makes consumption exactly-once — the Delta
+  * `readChangeFeed` streaming shape. Replace commits and in-window
+  * schema rules still refuse loudly (history resets are not
+  * representable as row changes); both inherit [[Snapshots.changeFeed]]'s
+  * checks.
+  */
+private[sources] class GraftSnapCdcStreamSource(
+    spark: SparkSession, root: String, override val schema: StructType,
+    startingVersion: Long, keyCol: String)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] =
+    Snapshots.latestVersion(root).filter(_ > startingVersion)
+      .map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset)
+      : org.apache.spark.sql.classic.DataFrame = {
+    val from = start.map(ver).getOrElse(startingVersion)
+    val to = ver(end)
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val snap = Snapshots.snapshot(root, to)
+    val any = (snap.files ++ snap.deletes ++ snap.posDeletes)
+      .exists(f => f.seq > from && f.seq <= to)
+    val batch =
+      if (!any) // a metadata-only window (rename-free checkpoint etc.)
+        cs.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema)
+      else {
+        val feed = Snapshots.changeFeed(cs, root, from, to, keyCol)
+        // pin the column ORDER to the stream's declared schema (the
+        // feed's union order varies with which change kinds the window
+        // holds); a column the feed cannot produce fails analysis loudly
+        feed.select(schema.fieldNames.toSeq.map(feed.col): _*)
+      }
+    org.apache.spark.sql.GraftSqlShims.asStreamingFrame(cs,
+      batch.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
+  }
+
+  override def stop(): Unit = ()
+}
+
 /** The STREAMING write half of the front door: one append COMMIT per
   * micro-batch, exactly-once. The commit note carries the pipeline tag
   * and batchId (`stream-batch-<appTag>-<id>`) — after a crash,
@@ -475,10 +681,12 @@ private[sources] class GraftSnapStreamSink(root: String, appTag: String,
 
   // THIS pipeline's high-water batchId already IN the table, recovered
   // from commit notes once at sink construction (post-crash restart
-  // included); kept current in memory after each commit
+  // included); kept current in memory after each commit. HEADER reads
+  // only (cached docs) — materializing full snapshots here would be
+  // O(versions × files) segment parsing for a field the header carries.
   @volatile private var maxCommitted: Long =
     Snapshots.versions(root).flatMap { v =>
-      val n = Snapshots.snapshot(root, v).note
+      val n = Snapshots.commitNote(root, v)
       if (n.startsWith(notePrefix))
         scala.util.Try(n.substring(notePrefix.length).toLong).toOption
       else None

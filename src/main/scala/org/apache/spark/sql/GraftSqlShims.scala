@@ -29,4 +29,14 @@ object GraftSqlShims { // public only so graft.sources can call it
                    streaming: classic.DataFrame): classic.DataFrame =
     spark.internalCreateDataFrame(
       streaming.queryExecution.toRdd, streaming.schema, isStreaming = false)
+
+  /** HARNESS hygiene only (graft.Bench between timed queries), never an
+    * engine code path: unload every state-store provider a finished
+    * streaming query left loaded in this JVM. `StateStore.unloadAll` is
+    * `private[sql]`; in local mode nothing else sheds the providers'
+    * in-memory version maps between queries, and a few hundred of them
+    * is a real heap squeeze on a memory-tight host.
+    */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
 }

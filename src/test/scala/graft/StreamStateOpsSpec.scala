@@ -52,6 +52,7 @@ class StreamStateOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "stream_snapshot_source" -> Seq(),                 // file-source passthrough: STATELESS (exactly-once lives in the offset log)
     "stream_snapshot_front" -> Seq(),                  // graft-snap v1 Source passthrough: STATELESS (offsets are versions, exactly-once in the offset log)
     "stream_snapshot_sink" -> Seq(),                   // graft-snap v1 Sink passthrough: STATELESS (batch markers live in the commit notes)
+    "stream_snapshot_cdc" -> Seq(),                    // graft-snap CDC v1 Source passthrough: STATELESS (the change feed is derived per window from manifests; exactly-once lives in the offset log)
     "stream_foreach_digest" -> Seq(),                  // append passthrough: STATELESS
     "stream_upsert" -> Seq(),                          // foreachBatch CDC apply: STATELESS (merge state lives in the snapshot table)
     "stream_upsert_mor" -> Seq(),                      // foreachBatch MOR CDC apply: STATELESS (tombstones live in the snapshot table)
