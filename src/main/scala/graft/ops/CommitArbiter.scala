@@ -175,7 +175,12 @@ class HadoopFsArbiter(conf: => org.apache.hadoop.conf.Configuration)
   def this() = this(SnapIO.conf)
 
   override def putIfAbsent(target: String, content: Array[Byte]): Boolean =
-    HadoopFsArbiter.jvmLock.synchronized {
+    // stripe by the target's PARENT (the table's manifest dir): only
+    // same-table racers contend, commits to unrelated tables never
+    // serialize behind one another's store round-trips (the lock exists
+    // for the raw-local harness, where rename replaces; on HDFS the
+    // namenode already arbitrates)
+    HadoopFsArbiter.lockFor(target).synchronized {
       val t = new org.apache.hadoop.fs.Path(target)
       val fs = t.getFileSystem(conf)
       if (fs.exists(t)) return false
@@ -193,6 +198,14 @@ class HadoopFsArbiter(conf: => org.apache.hadoop.conf.Configuration)
 }
 
 object HadoopFsArbiter extends HadoopFsArbiter() {
-  /** Same-JVM serialization for the rename race — see class doc. */
-  private[ops] val jvmLock = new Object
+  /** Same-JVM serialization for the rename race, STRIPED by the
+    * target's parent dir so unrelated tables commit concurrently —
+    * see class doc.
+    */
+  private val stripes = Array.fill(64)(new Object)
+  private[ops] def lockFor(target: String): Object = {
+    val cut = target.lastIndexOf('/')
+    val parent = if (cut <= 0) target else target.substring(0, cut)
+    stripes(math.floorMod(parent.hashCode, stripes.length))
+  }
 }

@@ -364,9 +364,12 @@ object Layout {
       listParquetFiles(new java.io.File(dir)).map(_.getPath), cols, strCols)
 
   private def openFooter(path: String) = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // SnapIO.conf, not a bare Configuration(): on s3a://-class roots the
+    // credentials live in the session's spark.hadoop.* conf, and the
+    // commit path stats footers through here — a bare conf would make
+    // the very first credentialed commit fail
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+      .fromPath(new org.apache.hadoop.fs.Path(path), SnapIO.conf)
     org.apache.parquet.hadoop.ParquetFileReader.open(in)
   }
 

@@ -202,7 +202,11 @@ object Snapshots {
   private def parseStrStats(s: String): Map[String, (String, String)] =
     if (s.isEmpty) Map.empty
     else s.split(';').map { e =>
-      val fs = e.split(':')
+      // limit -1: an empty-string bound encodes as an EMPTY base64 field
+      // (`col::`), and the default split drops trailing empty fields —
+      // without the limit a legal all-empty-values commit would brick
+      // every later parse of the table
+      val fs = e.split(":", -1)
       def dec(x: String) = new String(b64d.decode(x), "UTF-8")
       fs(0) -> (dec(fs(1)), dec(fs(2)))
     }.toMap

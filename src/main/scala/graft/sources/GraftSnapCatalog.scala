@@ -74,10 +74,12 @@ class GraftSnapCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = namespace.foldLeft(rootDir)((p, seg) => SnapIO.join(p, seg))
-    val kids = SnapIO.list(dir)
-    if (kids.isEmpty && namespace.nonEmpty)
+    // an existing-but-empty namespace lists as empty; only a MISSING
+    // directory is NoSuchNamespace (SnapIO.list returns empty for both,
+    // so the distinction needs the existence probe)
+    if (namespace.nonEmpty && !SnapIO.exists(dir))
       throw new NoSuchNamespaceException(namespace)
-    kids.filterNot(_.isFile)
+    SnapIO.list(dir).filterNot(_.isFile)
       .filter(s => Snapshots.latestVersion(s.path).nonEmpty)
       .map(s => Identifier.of(namespace, s.name)).toArray
   }
@@ -177,7 +179,7 @@ private[sources] class GraftSnapTable(spark: SparkSession, tblName: String,
   * partition surface is empty and `listFiles` delegates straight to the
   * manifest-stats pruning index.
   */
-private[sources] class GraftSnapPartitioningIndex(
+private[graft] class GraftSnapPartitioningIndex(
     spark: SparkSession, root: String, snap: Snapshots.Snapshot)
     extends PartitioningAwareFileIndex(spark, Map.empty, None,
       FileStatusCache.getOrCreate(spark)) {

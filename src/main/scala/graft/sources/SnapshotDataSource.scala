@@ -162,7 +162,13 @@ class SnapshotDataSource extends RelationProvider
     val appTag = java.security.MessageDigest.getInstance("SHA-256")
       .digest(appId.getBytes("UTF-8")).take(16)
       .map(b => f"$b%02x").mkString
-    new GraftSnapStreamSink(root, appTag,
+    // the tag format changed (64-bit poly → SHA-256): a pipeline that
+    // committed batches under the OLD tag must still recover its
+    // high-water across the upgrade, or the engine's replayed last
+    // epoch re-commits — duplicate rows at exactly the upgrade boundary
+    val legacyTag = java.lang.Long.toHexString(
+      appId.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
+    new GraftSnapStreamSink(root, appTag, Seq(legacyTag),
       parameters.get("statsCols")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty))
@@ -674,10 +680,15 @@ private[sources] class GraftSnapCdcStreamSource(
   * batch writers and other streams where a replace sink would conflict.
   */
 private[sources] class GraftSnapStreamSink(root: String, appTag: String,
+                                           legacyTags: Seq[String],
                                            statsCols: Seq[String])
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   private val notePrefix = s"stream-batch-$appTag-"
+  // markers written under this pipeline's PREVIOUS tag formats still
+  // count toward the high-water (upgrade-boundary exactly-once)
+  private val recoverPrefixes =
+    notePrefix +: legacyTags.map(t => s"stream-batch-$t-")
 
   // THIS pipeline's high-water batchId already IN the table, recovered
   // from commit notes once at sink construction (post-crash restart
@@ -687,9 +698,8 @@ private[sources] class GraftSnapStreamSink(root: String, appTag: String,
   @volatile private var maxCommitted: Long =
     Snapshots.versions(root).flatMap { v =>
       val n = Snapshots.commitNote(root, v)
-      if (n.startsWith(notePrefix))
-        scala.util.Try(n.substring(notePrefix.length).toLong).toOption
-      else None
+      recoverPrefixes.find(n.startsWith).flatMap(p =>
+        scala.util.Try(n.substring(p.length).toLong).toOption)
     }.foldLeft(-1L)(math.max)
 
   override def addBatch(batchId: Long,

@@ -58,7 +58,8 @@ class SnapshotConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).sorted.toSeq
 
   for ((arbName, arb) <- Seq("hard-link" -> HardLinkArbiter,
-                             "lock-file" -> LockFileArbiter)) {
+                             "lock-file" -> LockFileArbiter,
+                             "hadoop-fs" -> graft.ops.HadoopFsArbiter)) {
     test(s"[$arbName] N concurrent appenders: every commit lands, the version chain is linear, no row is lost") {
       Snapshots.withArbiter(arb)(appenderStorm())
     }
