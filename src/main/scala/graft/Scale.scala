@@ -64,6 +64,7 @@ object Scale {
     if (args.headOption.contains("posmor")) return posMorMain(args.drop(1))
     if (args.headOption.contains("versions")) return versionsMain(args.drop(1))
     if (args.headOption.contains("checkpoint")) return checkpointMain(args.drop(1))
+    if (args.headOption.contains("streamplan")) return streamPlanMain(args.drop(1))
     if (args.headOption.contains("snapshots")) return snapshotsMain(args.drop(1))
     if (args.headOption.contains("mor")) return morMain(args.drop(1))
     if (args.headOption.contains("merge")) return mergeMain(args.drop(1))
@@ -775,6 +776,71 @@ object Scale {
     require(ops.Snapshots.countRows(plainRoot) ==
       ops.Snapshots.countRows(ckptRoot))
     println(f"""{"mode":"checkpoint","n_versions":$v,"ckpt_every":$k,"plain_manifest_kb":$plainKb,"ckpt_manifest_kb":$ckptKb,"plain_head_refs":${headRefs(plainRoot)},"ckpt_head_refs":${headRefs(ckptRoot)},"plain_commit_sec":$plainCommitSec%.1f,"ckpt_commit_sec":$ckptCommitSec%.1f,"plain_history_sec":$plainHistorySec%.2f,"ckpt_history_sec":$ckptHistorySec%.2f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Streaming micro-batch PLANNING cost against a deep, wide table:
+    * the round-13 source materialized TWO full snapshots per `getBatch`
+    * (O(files) segment parsing each — at a million files and a 1 s
+    * trigger, planning IS the bottleneck); `windowAppends` walks version
+    * HEADERS and parses only the window's own segments — O(delta). This
+    * leg builds a table with one WIDE base commit (`nFiles` files — the
+    * compacted-history stand-in) plus `v` small appends, then measures
+    * (a) segment files read + wall time for a 2-commit window plan, and
+    * (b) the same for one full-snapshot materialization (the old
+    * per-batch unit cost), both on cold segment caches; then (c) drives
+    * `nBatches` consecutive 1-commit windows and reports TOTAL segment
+    * reads — linear in batches, independent of table width.
+    */
+  private def streamPlanMain(args: Array[String]): Unit = {
+    val v = if (args.nonEmpty) args(0).toInt else 500
+    val nFiles = if (args.length > 1) args(1).toInt else 2048
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val root = ops.Snapshots.init(
+      java.nio.file.Files.createTempDirectory("graft_streamplan").toString)
+    // the wide base: one commit whose segment is O(nFiles) entry text
+    ops.Snapshots.commit(root,
+      spark.range(nFiles * 10L).toDF().repartition(nFiles), "wide-base"): Unit
+    (0 until v).foreach { i =>
+      ops.Snapshots.commit(root,
+        spark.range(i * 10L, i * 10L + 10).toDF().coalesce(1), s"a$i"): Unit
+    }
+    val head = ops.Snapshots.latestVersion(root).get
+    // (a) one 2-commit window plan, cold segment cache
+    val r0 = ops.Snapshots.segmentReads.get()
+    val windowSec = time {
+      require(ops.Snapshots.windowAppends(root, head - 2, head).size == 2)
+    }
+    val windowReads = ops.Snapshots.segmentReads.get() - r0
+    // (b) a consumer tailing nBatches consecutive 1-commit windows
+    // (before the full snapshot below warms the whole segment cache —
+    // each read here is a real storage GET)
+    val nBatches = math.min(200, v - 1)
+    val r2 = ops.Snapshots.segmentReads.get()
+    val tailSec = time {
+      (0 until nBatches).foreach { i =>
+        val from = head - nBatches + i - 3
+        require(ops.Snapshots.windowAppends(root, from, from + 1).size == 1)
+      }
+    }
+    val tailReads = ops.Snapshots.segmentReads.get() - r2
+    // (c) one full snapshot materialization (the old per-batch unit)
+    val r1 = ops.Snapshots.segmentReads.get()
+    val snapSec = time {
+      require(ops.Snapshots.snapshot(root, head).files.size == nFiles + v)
+    }
+    val snapReads = ops.Snapshots.segmentReads.get() - r1
+    println(f"""{"mode":"streamplan","n_versions":$v,"base_files":$nFiles,"window2_segment_reads":$windowReads,"window2_sec":$windowSec%.3f,"full_snapshot_segment_reads":$snapReads,"full_snapshot_sec":$snapSec%.3f,"tail_batches":$nBatches,"tail_segment_reads":$tailReads,"tail_sec":$tailSec%.3f,"cpus":$cpus}""")
     spark.stop()
   }
 
