@@ -559,7 +559,8 @@ object Snapshots {
     * reason Iceberg manifests carry column bounds.
     */
   def zoneMapManifest(spark: SparkSession, root: String, cols: Seq[String],
-                      version: Option[Long] = None): DataFrame = {
+                      version: Option[Long] = None,
+                      strCols: Seq[String] = Seq.empty): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
     val v = version.orElse(latestVersion(root)).getOrElse(
@@ -567,19 +568,32 @@ object Snapshots {
     val snap0 = snapshot(root, v)
     requireStableNames(snap0, root,
       "a manifest-stats read (stats key committed-time column names)")
+    // string bounds surface only when pure ASCII — the same conservative
+    // gate as the front-door FileIndex (the footer kernel's cross-row-
+    // group merge is UTF-16 order; ASCII winners are valid in the UTF-8
+    // byte order Spark compares in, non-ASCII ones may not be); a NULL
+    // bound is conservatively kept by zonePrune, never skipped
+    def ascii(s: String): Boolean = s.forall(_ < 0x80)
     val rows = snap0.files.map { f =>
       org.apache.spark.sql.Row.fromSeq(
-        s"$root/${f.path}" +: f.rows +: cols.flatMap { c =>
+        s"$root/${f.path}" +: f.rows +: (cols.flatMap { c =>
           f.stats.get(c) match {
             case Some((mn, mx)) => Seq(Double.box(mn), Double.box(mx))
             case None => Seq(null, null)
           }
-        })
+        } ++ strCols.flatMap { c =>
+          f.strStats.get(c) match {
+            case Some((mn, mx)) if ascii(mn) && ascii(mx) => Seq(mn, mx)
+            case _ => Seq(null, null)
+          }
+        }))
     }
     spark.createDataFrame(rows.asJava, StructType(
       StructField("file", StringType) +: StructField("n_rows", LongType) +:
-        cols.flatMap(c => Seq(StructField(s"min_$c", DoubleType),
-          StructField(s"max_$c", DoubleType)))))
+        (cols.flatMap(c => Seq(StructField(s"min_$c", DoubleType),
+          StructField(s"max_$c", DoubleType))) ++
+         strCols.flatMap(c => Seq(StructField(s"min_$c", StringType),
+           StructField(s"max_$c", StringType))))))
   }
 
   /** [[readPruned]] planned from MANIFEST-EMBEDDED stats
@@ -599,8 +613,12 @@ object Snapshots {
     requireStableNames(snap, root, "a pruned file read")
     require(snap.files.nonEmpty, s"version $v of $root lists no files; " +
       "read it with an explicit schema via spark.read.schema(...)")
+    // numeric predicates prune on `s=` bounds, string predicates on the
+    // `z=` string bounds — same split as [[readPruned]]'s footer route
+    val numeric = preds.filter(_._2.isInstanceOf[Number]).map(_._1)
+    val strings = preds.filterNot(_._2.isInstanceOf[Number]).map(_._1)
     val survivors = Layout.zonePrune(
-      zoneMapManifest(spark, root, preds.map(_._1), Some(v)), preds)
+      zoneMapManifest(spark, root, numeric, Some(v), strings), preds)
     if (survivors.isEmpty)
       spark.read.parquet(s"$root/${snap.files.head.path}").limit(0)
     else spark.read.parquet(survivors: _*)

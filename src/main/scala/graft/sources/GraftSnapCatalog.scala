@@ -40,11 +40,14 @@ import graft.ops.{SnapIO, Snapshots}
   * stats pruning (numeric AND string bounds, zero footer I/O at
   * planning) rides through SQL untouched.
   *
-  * READ-ONLY by design in this round: writes go through the DataFrame
-  * front door (`df.write.format("graft-snap").save(root)`) or the Scala
-  * surface — a catalog `createTable` would have to invent a schema-only
-  * commit shape the format does not define (a table IS its first
-  * commit). The mutating verbs refuse loudly.
+  * Writes: `INSERT INTO graft.t` / `INSERT OVERWRITE graft.t` ride the
+  * v2 `V1Write` fallback straight into the commit protocol (append /
+  * pinned replace) — see [[GraftSnapTable.newWriteBuilder]]. DDL stays
+  * out by design: a catalog `createTable` would have to invent a
+  * schema-only commit shape the format does not define (a table IS its
+  * first commit — make one with the DataFrame writer), ALTER is the
+  * zero-rewrite rule surface, and retirement is VACUUM; those verbs
+  * refuse loudly with pointers.
   */
 class GraftSnapCatalog extends TableCatalog {
 
@@ -84,11 +87,31 @@ class GraftSnapCatalog extends TableCatalog {
       .map(s => Identifier.of(namespace, s.name)).toArray
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val root = tableRoot(ident)
-    val v = Snapshots.latestVersion(root).getOrElse(
-      throw new NoSuchTableException(ident))
-    new GraftSnapTable(spark, fullName(ident), root, v)
+  /** `t$history` / `t$files` — the metadata tables every lakehouse
+    * catalog grows (`DESCRIBE HISTORY` as a queryable relation): the
+    * suffix selects the metadata view of table `t`, served by a
+    * [[org.apache.spark.sql.connector.read.LocalScan]] (the rows ARE
+    * driver-side manifest metadata — O(versions·segments) text, no
+    * executor work to plan).
+    */
+  private def metaSplit(ident: Identifier): Option[(Identifier, String)] = {
+    val cut = ident.name().lastIndexOf('$')
+    if (cut <= 0) None
+    else Some((Identifier.of(ident.namespace(), ident.name().take(cut)),
+      ident.name().substring(cut + 1)))
+  }
+
+  override def loadTable(ident: Identifier): Table = metaSplit(ident) match {
+    case Some((base, meta)) =>
+      val root = tableRoot(base)
+      val v = Snapshots.latestVersion(root).getOrElse(
+        throw new NoSuchTableException(ident))
+      GraftSnapMetaTable(spark, fullName(ident), root, v, meta, ident)
+    case None =>
+      val root = tableRoot(ident)
+      val v = Snapshots.latestVersion(root).getOrElse(
+        throw new NoSuchTableException(ident))
+      new GraftSnapTable(spark, fullName(ident), root, v, pinned = false)
   }
 
   /** `VERSION AS OF <v>` — the parser hands the version verbatim. */
@@ -99,7 +122,8 @@ class GraftSnapCatalog extends TableCatalog {
     val v = scala.util.Try(version.trim.toLong).getOrElse(
       throw new IllegalArgumentException(
         s"graft-snap versions are numbers; got '$version'"))
-    new GraftSnapTable(spark, s"${fullName(ident)}@v$v", root, v)
+    new GraftSnapTable(spark, s"${fullName(ident)}@v$v", root, v,
+      pinned = true)
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark resolves the literal in the session
@@ -110,7 +134,8 @@ class GraftSnapCatalog extends TableCatalog {
     if (Snapshots.latestVersion(root).isEmpty)
       throw new NoSuchTableException(ident)
     val v = Snapshots.versionAsOf(root, timestampMicros / 1000L)
-    new GraftSnapTable(spark, s"${fullName(ident)}@v$v", root, v)
+    new GraftSnapTable(spark, s"${fullName(ident)}@v$v", root, v,
+      pinned = true)
   }
 
   private def fullName(ident: Identifier): String =
@@ -145,10 +170,20 @@ class GraftSnapCatalog extends TableCatalog {
   * `ParquetScanBuilder` over the manifest-backed file index, so filter
   * pushdown reaches BOTH parquet (row-group/page skipping) and the
   * manifest stats (file skipping with zero footer I/O).
+  *
+  * WRITES ride the `V1Write` fallback straight into the format's commit
+  * protocol: `INSERT INTO graft.t` publishes an append commit (rebases
+  * over concurrent committers like every append), `INSERT OVERWRITE` a
+  * replace pinned to the table's latest (a concurrent commit conflicts
+  * loudly, never a silent drop). A time-travel-pinned table
+  * (`VERSION/TIMESTAMP AS OF`) refuses writes — history is immutable;
+  * restore is the Scala surface's job.
   */
 private[sources] class GraftSnapTable(spark: SparkSession, tblName: String,
-                                      root: String, version: Long)
-    extends Table with SupportsRead {
+                                      root: String, version: Long,
+                                      pinned: Boolean)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private lazy val snap = {
     val s = Snapshots.snapshot(root, version)
@@ -162,7 +197,8 @@ private[sources] class GraftSnapTable(spark: SparkSession, tblName: String,
     SnapshotDataSource.cdcBaseSchema(spark, root, version)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
@@ -170,6 +206,111 @@ private[sources] class GraftSnapTable(spark: SparkSession, tblName: String,
     ParquetScanBuilder(spark,
       new GraftSnapPartitioningIndex(spark, root, snap), schema, schema,
       options)
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (pinned) throw new UnsupportedOperationException(
+      s"$tblName is a time-travel read (VERSION/TIMESTAMP AS OF) — " +
+        "history is immutable; INSERT into the plain table name, or " +
+        "Snapshots.restore to make an old state the new head")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        replace = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit =
+                // appends rebase over concurrent committers; an
+                // overwrite is a replace pinned to the CURRENT latest
+                // (not the loaded version — the standard lost-update
+                // guard surfaces a concurrent commit as a conflict)
+                if (replace || overwrite)
+                  Snapshots.commit(root, data, "sql-insert-overwrite",
+                    replace = true,
+                    basedOn = Snapshots.latestVersion(root)): Unit
+                else
+                  Snapshots.commit(root, data, "sql-insert"): Unit
+            }
+        }
+    }
+  }
+}
+
+/** The `t$history` / `t$files` metadata tables: read-only relations
+  * over manifest METADATA, served by a `LocalScan` (planning already
+  * holds the rows — no executor job).
+  *
+  *  - `$history`: one row per retained version — the `DESCRIBE
+  *    HISTORY` surface as a queryable relation (version, parent, note,
+  *    commit_ts, n_files, n_tombstones, manifest_rows);
+  *  - `$files`: one row per manifest entry of the LATEST version, all
+  *    three kinds (`data` / `delete` / `posdelete`), with the entry's
+  *    row count, commit seq and embedded size — the small-files /
+  *    tombstone-churn inspection surface (`WHERE kind = 'posdelete'`,
+  *    `ORDER BY bytes`).
+  */
+private[sources] object GraftSnapMetaTable {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def apply(spark: SparkSession, name: String, root: String, v: Long,
+            meta: String, ident: Identifier): Table = meta match {
+    case "history" =>
+      val rows = Snapshots.versions(root).map { ver =>
+        val s = Snapshots.snapshot(root, ver)
+        InternalRow.fromSeq(Seq(s.version, s.parent,
+          UTF8String.fromString(s.note), s.ts, s.files.size.toLong,
+          (s.deletes.size + s.posDeletes.size).toLong,
+          s.files.map(_.rows).sum))
+      }
+      val schema = StructType(Seq(
+        StructField("version", LongType), StructField("parent", LongType),
+        StructField("note", StringType), StructField("commit_ts", LongType),
+        StructField("n_files", LongType),
+        StructField("n_tombstones", LongType),
+        StructField("manifest_rows", LongType)))
+      new MetaTable(name, schema, rows.toArray)
+    case "files" =>
+      val s = Snapshots.snapshot(root, v)
+      def rowsOf(kind: String, es: Seq[Snapshots.FileEntry]) = es.map(e =>
+        InternalRow.fromSeq(Seq(UTF8String.fromString(kind),
+          UTF8String.fromString(e.path), e.rows, e.seq, e.bytes)))
+      val rows = rowsOf("data", s.files) ++ rowsOf("delete", s.deletes) ++
+        rowsOf("posdelete", s.posDeletes)
+      val schema = StructType(Seq(
+        StructField("kind", StringType), StructField("path", StringType),
+        StructField("n_rows", LongType), StructField("seq", LongType),
+        StructField("bytes", LongType)))
+      new MetaTable(name, schema, rows.toArray)
+    case other => throw new NoSuchTableException(ident)
+  }
+
+  private final class MetaTable(tblName: String,
+                                override val schema: StructType,
+                                rowData: Array[InternalRow])
+      extends Table with SupportsRead {
+    override def name(): String = tblName
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : ScanBuilder = new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = rowData
+        override def readSchema(): StructType = schema
+        override def description(): String = tblName
+      }
+    }
   }
 }
 

@@ -624,6 +624,14 @@ private[sources] class GraftSnapStreamSource(
   * schema rules still refuse loudly (history resets are not
   * representable as row changes); both inherit [[Snapshots.changeFeed]]'s
   * checks.
+  *
+  * Planning cost note: a CDC batch materializes the window head's
+  * manifest (O(files) text) — unlike the append source's O(delta)
+  * walk — because the feed needs tombstone CONTEXT (pre-window
+  * equality/position tombstones decide which deletes are already
+  * dead). CDC windows are heavier by nature (they scan referenced
+  * files to recover deleted payloads); the manifest text is not their
+  * bottleneck at any realistic trigger.
   */
 private[sources] class GraftSnapCdcStreamSource(
     spark: SparkSession, root: String, override val schema: StructType,

@@ -257,6 +257,12 @@ class RoundFourteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (n4, _) = rowsAndFiles(spark.read.format("graft-snap").load(root)
       .where(col("s") === "zzz"))
     assert(n4 === 0L)
+    // the Scala surface prunes strings from manifest text too
+    // (readPrunedManifest → zoneMapManifest's z= bounds)
+    val pruned = Snapshots.readPrunedManifest(spark, root,
+      Seq(("s", "bravo", "bravo~")))
+    assert(pruned.inputFiles.length === 1)
+    assert(pruned.count() === 50L)
 
     // hostile text round-trips: structural characters (| ; : =), unicode
     // and spaces can never split a manifest entry line (base64url field)
@@ -312,7 +318,7 @@ class RoundFourteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- v2 TableCatalog ----------------------------------------------------
 
-  test("GraftSnapCatalog: SHOW TABLES, native VERSION AS OF / TIMESTAMP AS OF, stats pruning through the v2 scan, writes refused loudly") {
+  test("GraftSnapCatalog: SHOW TABLES, native VERSION AS OF / TIMESTAMP AS OF, stats pruning through the v2 scan, INSERT INTO/OVERWRITE commits, metadata tables, DDL refused loudly") {
     val ss = spark; import ss.implicits._
     val base = freshDir()
     val root = SnapIO.join(base, "t1")
@@ -341,7 +347,6 @@ class RoundFourteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the files whose bounds intersect the predicate
     val idx = new graft.sources.GraftSnapPartitioningIndex(spark, root,
       Snapshots.snapshot(root, 8L))
-    import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
     val kAttr = AttributeReference("k",
       org.apache.spark.sql.types.LongType)()
@@ -351,13 +356,44 @@ class RoundFourteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the SQL answer under the same predicate is right
     assert(spark.sql("SELECT count(*) FROM g14.t1 WHERE k BETWEEN 250 AND 320")
       .head().getLong(0) === 71L)
-    // writes through the catalog refuse loudly (the DataFrame front door
-    // is the write path)
+    // DDL refuses loudly (a table is born from its first commit)
     val e = intercept[Exception] {
       spark.sql("CREATE TABLE g14.t2 (a INT) USING parquet")
     }
     assert(msgs(e).exists(m => m.contains("first commit") ||
       m.contains("does not support")), s"got: ${msgs(e)}")
+
+    // INSERT INTO publishes an append commit through the protocol
+    spark.sql("INSERT INTO g14.t1 VALUES (9000, 1.5), (9001, 2.5)")
+    assert(Snapshots.latestVersion(root).get === 9L)
+    assert(Snapshots.commitNote(root, 9L) === "sql-insert")
+    assert(spark.sql("SELECT count(*) FROM g14.t1").head().getLong(0) === 802L)
+    // INSERT OVERWRITE is a replace pinned to the current latest
+    spark.sql("INSERT OVERWRITE g14.t1 SELECT k, x FROM g14.t1 WHERE k < 100")
+    assert(spark.sql("SELECT count(*) FROM g14.t1").head().getLong(0) === 100L)
+    assert(Snapshots.commitNote(root, 10L) === "sql-insert-overwrite")
+    // history stayed intact: the pre-overwrite state still reads
+    assert(spark.sql("SELECT count(*) FROM g14.t1 VERSION AS OF 9")
+      .head().getLong(0) === 802L)
+    // a time-travel-pinned table refuses writes — history is immutable
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO g14.t1 VERSION AS OF 3 VALUES (1, 1.0)")
+    }
+    assert(msgs(e2).nonEmpty) // parse- or analysis-level refusal is fine
+    // metadata tables: $history and $files as queryable SQL relations
+    val hist = spark.sql(
+      "SELECT version, note FROM g14.`t1$history` ORDER BY version")
+      .collect()
+    assert(hist.length === Snapshots.versions(root).size)
+    assert(hist.last.getString(1) === "sql-insert-overwrite")
+    val headFiles = Snapshots.snapshot(root,
+      Snapshots.latestVersion(root).get).files.size.toLong
+    assert(spark.sql(
+      "SELECT count(*) FROM g14.`t1$files` WHERE kind = 'data'")
+      .head().getLong(0) === headFiles)
+    assert(spark.sql(
+      "SELECT sum(n_rows) FROM g14.`t1$files` WHERE kind = 'data'")
+      .head().getLong(0) === 100L)
   }
 
   // ---- session-zone timestampAsOf ----------------------------------------
