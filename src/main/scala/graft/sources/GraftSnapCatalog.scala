@@ -92,50 +92,72 @@ class GraftSnapCatalog extends TableCatalog {
     * suffix selects the metadata view of table `t`, served by a
     * [[org.apache.spark.sql.connector.read.LocalScan]] (the rows ARE
     * driver-side manifest metadata — O(versions·segments) text, no
-    * executor work to plan).
+    * executor work to plan). A REAL committed table whose directory
+    * name literally contains the suffix always wins — the meta route
+    * only fires when no table exists at the literal name AND the suffix
+    * is a known view, so no listed table ever becomes unqueryable.
+    * Time travel composes: `$files VERSION AS OF v` lists that
+    * version's manifest entries; `$history AS OF v` the history up to
+    * it.
     */
-  private def metaSplit(ident: Identifier): Option[(Identifier, String)] = {
+  private def metaTable(ident: Identifier,
+                        vOpt: Option[Long]): Option[Table] = {
     val cut = ident.name().lastIndexOf('$')
-    if (cut <= 0) None
-    else Some((Identifier.of(ident.namespace(), ident.name().take(cut)),
-      ident.name().substring(cut + 1)))
+    if (cut <= 0) return None
+    val meta = ident.name().substring(cut + 1)
+    if (meta != "history" && meta != "files") return None
+    if (Snapshots.latestVersion(tableRoot(ident)).nonEmpty)
+      return None // a real table at the literal name wins
+    val base = Identifier.of(ident.namespace(), ident.name().take(cut))
+    val root = tableRoot(base)
+    Snapshots.latestVersion(root).map { head =>
+      val v = vOpt.getOrElse(head)
+      require(Snapshots.versions(root).contains(v),
+        s"version $v of ${fullName(base)} is not committed/retained")
+      GraftSnapMetaTable(spark, fullName(ident), root, v, meta)
+    }
   }
 
-  override def loadTable(ident: Identifier): Table = metaSplit(ident) match {
-    case Some((base, meta)) =>
-      val root = tableRoot(base)
-      val v = Snapshots.latestVersion(root).getOrElse(
-        throw new NoSuchTableException(ident))
-      GraftSnapMetaTable(spark, fullName(ident), root, v, meta, ident)
-    case None =>
+  override def loadTable(ident: Identifier): Table =
+    metaTable(ident, None).getOrElse {
       val root = tableRoot(ident)
       val v = Snapshots.latestVersion(root).getOrElse(
         throw new NoSuchTableException(ident))
       new GraftSnapTable(spark, fullName(ident), root, v, pinned = false)
-  }
+    }
 
   /** `VERSION AS OF <v>` — the parser hands the version verbatim. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val root = tableRoot(ident)
-    if (Snapshots.latestVersion(root).isEmpty)
-      throw new NoSuchTableException(ident)
     val v = scala.util.Try(version.trim.toLong).getOrElse(
       throw new IllegalArgumentException(
         s"graft-snap versions are numbers; got '$version'"))
-    new GraftSnapTable(spark, s"${fullName(ident)}@v$v", root, v,
-      pinned = true)
+    metaTable(ident, Some(v)).getOrElse {
+      val root = tableRoot(ident)
+      if (Snapshots.latestVersion(root).isEmpty)
+        throw new NoSuchTableException(ident)
+      new GraftSnapTable(spark, s"${fullName(ident)}@v$v", root, v,
+        pinned = true)
+    }
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark resolves the literal in the session
     * zone and hands epoch MICROseconds.
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val root = tableRoot(ident)
+    // resolve the wall-clock against the DATA table's history in both
+    // routes (a meta ident resolves via its base table)
+    val cut = ident.name().lastIndexOf('$')
+    val baseForTs =
+      if (cut > 0 && Snapshots.latestVersion(tableRoot(ident)).isEmpty)
+        Identifier.of(ident.namespace(), ident.name().take(cut))
+      else ident
+    val root = tableRoot(baseForTs)
     if (Snapshots.latestVersion(root).isEmpty)
       throw new NoSuchTableException(ident)
     val v = Snapshots.versionAsOf(root, timestampMicros / 1000L)
-    new GraftSnapTable(spark, s"${fullName(ident)}@v$v", root, v,
-      pinned = true)
+    metaTable(ident, Some(v)).getOrElse(
+      new GraftSnapTable(spark, s"${fullName(ident)}@v$v", root, v,
+        pinned = true))
   }
 
   private def fullName(ident: Identifier): String =
@@ -228,17 +250,31 @@ private[sources] class GraftSnapTable(spark: SparkSession, tblName: String,
               : org.apache.spark.sql.sources.InsertableRelation =
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
-                                  overwrite: Boolean): Unit =
+                                  overwrite: Boolean): Unit = {
+                // SQL has no statsCols option, so INHERIT the stats
+                // column set from the head's own entries — otherwise
+                // one INSERT OVERWRITE would silently strip every
+                // manifest bound and kill file skipping table-wide
+                // (columns the footer lacks decode to "no bounds",
+                // never an error)
+                val head = Snapshots.latestVersion(root)
+                val statsCols = head.map { h =>
+                  val fs = Snapshots.snapshot(root, h).files
+                  (fs.flatMap(_.stats.keys) ++ fs.flatMap(_.strStats.keys))
+                    .distinct.sorted
+                }.getOrElse(Seq.empty)
                 // appends rebase over concurrent committers; an
                 // overwrite is a replace pinned to the CURRENT latest
                 // (not the loaded version — the standard lost-update
                 // guard surfaces a concurrent commit as a conflict)
                 if (replace || overwrite)
                   Snapshots.commit(root, data, "sql-insert-overwrite",
-                    replace = true,
-                    basedOn = Snapshots.latestVersion(root)): Unit
+                    replace = true, basedOn = head,
+                    statsCols = statsCols): Unit
                 else
-                  Snapshots.commit(root, data, "sql-insert"): Unit
+                  Snapshots.commit(root, data, "sql-insert",
+                    statsCols = statsCols): Unit
+              }
             }
         }
     }
@@ -265,9 +301,10 @@ private[sources] object GraftSnapMetaTable {
   import org.apache.spark.unsafe.types.UTF8String
 
   def apply(spark: SparkSession, name: String, root: String, v: Long,
-            meta: String, ident: Identifier): Table = meta match {
+            meta: String): Table = meta match {
     case "history" =>
-      val rows = Snapshots.versions(root).map { ver =>
+      // a pinned read (`$history VERSION AS OF v`) shows history UP TO v
+      val rows = Snapshots.versions(root).filter(_ <= v).map { ver =>
         val s = Snapshots.snapshot(root, ver)
         InternalRow.fromSeq(Seq(s.version, s.parent,
           UTF8String.fromString(s.note), s.ts, s.files.size.toLong,
@@ -293,7 +330,8 @@ private[sources] object GraftSnapMetaTable {
         StructField("n_rows", LongType), StructField("seq", LongType),
         StructField("bytes", LongType)))
       new MetaTable(name, schema, rows.toArray)
-    case other => throw new NoSuchTableException(ident)
+    case other => throw new IllegalArgumentException(
+      s"unknown metadata view '$other' (known: history, files)")
   }
 
   private final class MetaTable(tblName: String,

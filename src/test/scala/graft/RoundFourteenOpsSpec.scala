@@ -394,6 +394,29 @@ class RoundFourteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(
       "SELECT sum(n_rows) FROM g14.`t1$files` WHERE kind = 'data'")
       .head().getLong(0) === 100L)
+    // SQL-written commits INHERIT the head's stats column set: the
+    // overwrite at v10 must still carry k bounds, or one INSERT
+    // OVERWRITE would strip manifest pruning table-wide
+    // (a zero-row part file has no row groups, so no bounds — that is
+    // the "unprunable, never wrong" default, not a stats loss)
+    assert(Snapshots.snapshot(root, 10L).files
+      .filter(_.rows > 0).forall(_.stats.contains("k")))
+    assert(Snapshots.snapshot(root, 9L).files
+      .filter(f => f.seq == 9L && f.rows > 0)
+      .forall(_.stats.contains("k")))
+    // metadata tables compose with time travel
+    assert(spark.sql(
+      "SELECT count(*) FROM g14.`t1$history` VERSION AS OF 5")
+      .head().getLong(0) === 5L)
+    assert(spark.sql(
+      "SELECT sum(n_rows) FROM g14.`t1$files` VERSION AS OF 3 " +
+        "WHERE kind = 'data'").head().getLong(0) === 300L)
+    // a REAL committed table whose name contains the suffix wins over
+    // the metadata route — no listed table is ever shadowed
+    val shadow = SnapIO.join(base, "t9$history")
+    Seq((1L, 1.0)).toDF("k", "x").write.format("graft-snap").save(shadow)
+    assert(spark.sql("SELECT count(*) FROM g14.`t9$history`")
+      .head().getLong(0) === 1L)
   }
 
   // ---- session-zone timestampAsOf ----------------------------------------
