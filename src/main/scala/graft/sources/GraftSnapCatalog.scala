@@ -48,8 +48,22 @@ import graft.ops.{SnapIO, Snapshots}
   * first commit — make one with the DataFrame writer), ALTER is the
   * zero-rewrite rule surface, and retirement is VACUUM; those verbs
   * refuse loudly with pointers.
+  *
+  * MAINTENANCE runs as v2 PROCEDURES (the Iceberg `CALL` surface, on
+  * Spark's native procedure API):
+  *
+  * {{{
+  *   CALL graft.optimize(table => 't', order_by => 'k', target_mb => 128)
+  *   CALL graft.checkpoint('t')
+  *   CALL graft.vacuum('t', 5)          -- keep 5 versions (1 h age guard)
+  *   CALL graft.restore('t', 3)         -- make v3 the new head
+  * }}}
+  *
+  * Each returns its outcome as a one-row result (new version, counts),
+  * so maintenance is scriptable from pure SQL.
   */
-class GraftSnapCatalog extends TableCatalog {
+class GraftSnapCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var rootDir: String = _
@@ -184,6 +198,132 @@ class GraftSnapCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "a graft-snap table root is its identity; move the directory")
+
+  // ---- maintenance procedures (CALL graft.<proc>(...)) -------------------
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftSnapProcedures.Names
+        .map(Identifier.of(namespace, _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system")),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")}")
+    GraftSnapProcedures.load(this, ident.name())
+  }
+
+  /** Procedure support: table-name → root, via the catalog's mapping. */
+  private[sources] def rootOfTableName(name: String): String = {
+    val root = tableRoot(Identifier.of(Array.empty, name))
+    require(Snapshots.latestVersion(root).nonEmpty,
+      s"$catalogName.$name is not a committed graft-snap table")
+    root
+  }
+}
+
+/** The maintenance verbs as Spark v2 PROCEDURES — `OPTIMIZE` /
+  * `CHECKPOINT` / `VACUUM` / `RESTORE` runnable from pure SQL, each
+  * returning its outcome as a one-row [[org.apache.spark.sql.connector.read.LocalScan]]
+  * result. The procedure bodies are thin delegations to the format's
+  * Scala surface — same conflicts, same retention contract, same
+  * age guards (`vacuum` keeps the 1 h in-flight-commit guard; tests
+  * and emergency reclamation can pass `min_age_sec => 0`).
+  */
+private[sources] object GraftSnapProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val Names: Seq[String] = Seq("optimize", "checkpoint", "vacuum", "restore")
+
+  def load(cat: GraftSnapCatalog, name: String): UnboundProcedure =
+    name match {
+      case "optimize" => proc(name,
+        "collapse a fragmented table into ~target_mb clustered files " +
+          "(REPLACE commit; stats columns inherited from the head)",
+        Seq(in("table", StringType), in("order_by", StringType),
+          inDef("target_mb", IntegerType, "128")),
+        StructType(Seq(StructField("version", LongType),
+          StructField("n_files", LongType)))) { row =>
+        val root = cat.rootOfTableName(row.getUTF8String(0).toString)
+        val spark = SparkSession.active
+        val head = Snapshots.snapshot(root,
+          Snapshots.latestVersion(root).get)
+        val statsCols = (head.files.flatMap(_.stats.keys) ++
+          head.files.flatMap(_.strStats.keys)).distinct.sorted
+        val v = Snapshots.optimizeFiles(spark, root,
+          row.getUTF8String(1).toString.split(",").map(_.trim).toSeq,
+          row.getInt(2).toLong * 1024 * 1024, statsCols)
+        InternalRow.fromSeq(Seq(v,
+          Snapshots.snapshot(root, v).files.size.toLong))
+      }
+      case "checkpoint" => proc(name,
+        "collapse the head's segment-ref chain into one consolidated " +
+          "segment (metadata-only commit)",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("version", LongType)))) { row =>
+        val root = cat.rootOfTableName(row.getUTF8String(0).toString)
+        InternalRow.fromSeq(Seq(Snapshots.checkpoint(root)))
+      }
+      case "vacuum" => proc(name,
+        "retire history past keep_versions and reclaim unreferenced " +
+          "files (age-guarded; the retention window is the reader " +
+          "contract)",
+        Seq(in("table", StringType), in("keep_versions", IntegerType),
+          inDef("min_age_sec", IntegerType, "3600")),
+        StructType(Seq(StructField("deleted_files", LongType)))) { row =>
+        val root = cat.rootOfTableName(row.getUTF8String(0).toString)
+        InternalRow.fromSeq(Seq(Snapshots.vacuum(root, row.getInt(1),
+          row.getInt(2).toLong * 1000L).toLong))
+      }
+      case "restore" => proc(name,
+        "make an old version's exact state the new head (new commit " +
+          "referencing its segments verbatim — nothing rewritten, " +
+          "history kept)",
+        Seq(in("table", StringType), in("version", LongType)),
+        StructType(Seq(StructField("version", LongType)))) { row =>
+        val root = cat.rootOfTableName(row.getUTF8String(0).toString)
+        InternalRow.fromSeq(Seq(Snapshots.restore(root, row.getLong(1))))
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure '$other' (known: ${Names.mkString(", ")})")
+    }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDef(name: String, dt: DataType,
+                    default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def proc(procName: String, desc: String,
+                   params: Seq[ProcedureParameter], outSchema: StructType)
+                  (body: InternalRow => InternalRow): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false // commits/deletes
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            val out = body(input)
+            java.util.Collections.singletonList[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = Array(out)
+              override def readSchema(): StructType = outSchema
+              override def description(): String = s"graft.$procName"
+            }).iterator()
+          }
+        }
+    }
 }
 
 /** One pinned version of a graft-snap table as a v2 `Table`: batch-read

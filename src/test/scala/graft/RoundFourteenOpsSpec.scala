@@ -419,6 +419,46 @@ class RoundFourteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) === 1L)
   }
 
+  test("maintenance procedures: CALL graft.optimize/checkpoint/restore/vacuum run from pure SQL and report outcomes") {
+    val ss = spark; import ss.implicits._
+    val base = freshDir()
+    val root = SnapIO.join(base, "m1")
+    (0L until 6L).foreach { i =>
+      (i * 100L until (i + 1) * 100L).map(k => (k, k * 1.0)).toDF("k", "x")
+        .coalesce(1).write.format("graft-snap")
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .option("statsCols", "k").save(root)
+    }
+    spark.conf.set("spark.sql.catalog.g14p", "graft.sources.GraftSnapCatalog")
+    spark.conf.set("spark.sql.catalog.g14p.root", base)
+    // OPTIMIZE: 6 fragments → ~1 file, stats inherited, audited replace
+    val opt = spark.sql(
+      "CALL g14p.optimize(`table` => 'm1', order_by => 'k', target_mb => 64)")
+      .head()
+    assert(opt.getLong(0) === 7L)
+    assert(opt.getLong(1) === 1L, "600 tiny rows collapse into one file")
+    assert(Snapshots.snapshot(root, 7L).files
+      .filter(_.rows > 0).forall(_.stats.contains("k")),
+      "optimize inherits the head's stats columns")
+    assert(spark.sql("SELECT count(*) FROM g14p.m1").head().getLong(0) === 600L)
+    // CHECKPOINT: metadata-only commit, content preserved
+    assert(spark.sql("CALL g14p.checkpoint('m1')").head().getLong(0) === 8L)
+    assert(spark.sql("SELECT count(*) FROM g14p.m1").head().getLong(0) === 600L)
+    // RESTORE: pin an old state as the new head without rewriting
+    assert(spark.sql("CALL g14p.restore('m1', 3)").head().getLong(0) === 9L)
+    assert(spark.sql("SELECT count(*) FROM g14p.m1").head().getLong(0) === 300L)
+    // VACUUM: retire history (explicit zero age guard for the test)
+    val deleted = spark.sql(
+      "CALL g14p.vacuum(`table` => 'm1', keep_versions => 1, " +
+        "min_age_sec => 0)").head().getLong(0)
+    assert(deleted > 0L)
+    assert(spark.sql("SELECT count(*) FROM g14p.m1").head().getLong(0) === 300L)
+    // unknown procedure refuses loudly
+    val e = intercept[Exception] { spark.sql("CALL g14p.frobnicate('m1')") }
+    assert(msgs(e).exists(m => m.contains("unknown procedure") ||
+      m.toLowerCase.contains("not found")), s"got: ${msgs(e)}")
+  }
+
   // ---- session-zone timestampAsOf ----------------------------------------
 
   test("timestampAsOf local-datetime strings resolve in the SESSION time zone, not hardcoded UTC") {
