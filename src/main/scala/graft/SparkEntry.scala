@@ -2081,6 +2081,25 @@ object SparkEntry {
     // delete(old) + insert(new), and a position re-deleted later feeds
     // once, at the FIRST deleting version. The oracle replays the two
     // mutations' change sets declaratively.
+    // The BATCH change-feed FRONT DOOR (the Delta readChangeFeed batch
+    // shape): spark.read.format("graft-snap").option("readChangeFeed",
+    // "true") over a (startingVersion, endingVersion] window — the
+    // relation IS the change feed, so row-level CDC reads through plain
+    // DataFrame/SQL views with no Scala API. Same window and oracle as
+    // snapshot_cdf_pos, proving the front door equals the Scala surface.
+    "snapshot_cdf_front" -> ((s, d) => {
+      val root = snapCdfPosTable(s, d)
+      s.read.format("graft-snap")
+        .option("readChangeFeed", "true").option("keyCol", "c_custkey")
+        .option("startingVersion", "1").load(root)
+        .select(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"), col("acctbal"))
+        .groupBy(col("change_type"), col("commit_version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("commit_version"), col("change_type"))
+    }),
+
     "snapshot_cdf_pos" -> ((s, d) => {
       val root = snapCdfPosTable(s, d)
       Snapshots.changeFeed(s, root, 1L, 3L, "c_custkey")
@@ -5137,6 +5156,30 @@ object SparkEntry {
     // The streamed change feed equals the batch change feed — same
     // replay as snapshot_cdf_pos.
     "stream_snapshot_cdc" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |u AS (SELECT * FROM cust
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0),
+        |feed AS (
+        |  SELECT 'insert' AS change_type, 2 AS commit_version,
+        |    CAST(acctbal + 500 AS DECIMAL(18,2)) AS bal FROM u
+        |  UNION ALL
+        |  SELECT 'delete', 2, acctbal FROM u
+        |  UNION ALL
+        |  SELECT 'delete', 3, acctbal FROM cust WHERE c_custkey % 13 = 0
+        |    AND NOT (c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0)
+        |  UNION ALL
+        |  SELECT 'delete', 3, CAST(acctbal + 500 AS DECIMAL(18,2)) FROM u
+        |  WHERE c_custkey % 13 = 0)
+        |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bal) AS DOUBLE) AS sum_bal
+        |FROM feed GROUP BY 1, 2
+        |ORDER BY commit_version, change_type""".stripMargin,
+
+    // The batch front-door change feed equals the Scala surface — same
+    // replay as snapshot_cdf_pos.
+    "snapshot_cdf_front" ->
       """WITH cust AS (SELECT c_custkey, c_mktsegment,
         |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
         |u AS (SELECT * FROM cust

@@ -208,7 +208,36 @@ class SnapshotDataSource extends RelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
-    SnapshotDataSource.relation(spark, root,
+    if (isCdc(parameters)) {
+      // the BATCH change-feed read (the Delta `readChangeFeed` batch
+      // shape): option("startingVersion", a) [exclusive] +
+      // option("endingVersion", b) [inclusive, default latest] +
+      // option("keyCol", k) — the relation IS the changeFeed frame
+      // (insert/upsert/delete rows with _commit_version), so MOR
+      // windows read as row-level changes through plain SQL views too
+      require(!parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"),
+        "readChangeFeed reads a VERSION WINDOW (startingVersion, " +
+          "endingVersion], not a point-in-time snapshot — drop " +
+          "versionAsOf/timestampAsOf")
+      val keyCol = parameters.getOrElse("keyCol",
+        throw new IllegalArgumentException(
+          "graft-snap readChangeFeed needs option keyCol"))
+      val from = parameters.get("startingVersion").map(_.trim.toLong)
+        .getOrElse(0L)
+      val to = parameters.get("endingVersion").map(_.trim.toLong)
+        .orElse(Snapshots.latestVersion(root)).getOrElse(
+          throw new IllegalStateException(
+            s"no committed version under $root"))
+      val feed = Snapshots.changeFeed(spark, root, from, to, keyCol)
+      val sqlc = sqlContext
+      new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = sqlc
+        override def schema: StructType = feed.schema
+        override def buildScan()
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = feed.rdd
+      }
+    } else SnapshotDataSource.relation(spark, root,
       resolveVersion(spark, root, parameters), parameters)
   }
 
