@@ -231,11 +231,22 @@ class SnapshotDataSource extends RelationProvider
             s"no committed version under $root"))
       val feed = Snapshots.changeFeed(spark, root, from, to, keyCol)
       val sqlc = sqlContext
-      new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      new BaseRelation with org.apache.spark.sql.sources.PrunedScan {
         override def sqlContext: SQLContext = sqlc
         override def schema: StructType = feed.schema
-        override def buildScan()
-            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = feed.rdd
+        // the internal-source bridge: the feed is already a planned
+        // Spark frame, so hand its InternalRow RDD straight through
+        // (needConversion=false) instead of a per-row external-Row
+        // round trip on a potentially table-sized feed; PrunedScan
+        // keeps select() pruning payload columns
+        override def needConversion: Boolean = false
+        override def buildScan(requiredColumns: Array[String])
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          // an empty projection (count(*)) must yield 0-field rows, and
+          // select() with zero columns does exactly that
+          feed.select(requiredColumns.toSeq.map(feed.col): _*)
+            .queryExecution.toRdd
+            .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
       }
     } else SnapshotDataSource.relation(spark, root,
       resolveVersion(spark, root, parameters), parameters)
@@ -275,7 +286,13 @@ class SnapshotDataSource extends RelationProvider
         if (!existing)
           Snapshots.commit(root, data, note, statsCols = statsCols): Unit
     }
-    createRelation(sqlContext, parameters - "versionAsOf" - "timestampAsOf")
+    // the returned relation is the TABLE the write landed in — strip
+    // read-shaping options: time travel (pin the post-write head) AND
+    // the CDC window options (a write carrying readChangeFeed must not
+    // fail on a missing keyCol or eagerly plan a change feed just to
+    // return the writer's result relation)
+    createRelation(sqlContext, parameters - "versionAsOf" - "timestampAsOf"
+      - "readChangeFeed" - "keyCol" - "startingVersion" - "endingVersion")
   }
 }
 

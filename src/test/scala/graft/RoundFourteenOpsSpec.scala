@@ -517,4 +517,36 @@ class RoundFourteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     drain() // nothing new
     assert(sunk().count() === truth.count())
   }
+
+  test("batch change-feed front door: the relation equals changeFeed, prunes columns, counts via the empty projection, and write paths ignore CDC options") {
+    val ss = spark; import ss.implicits._
+    val root = Snapshots.init(freshDir())
+    Snapshots.commit(root,
+      (0L until 30L).map(k => (k, s"v$k")).toDF("k", "v"), "base"): Unit
+    Snapshots.deleteWhere(spark, root, col("k") % 3 === 0): Unit
+    val rel = spark.read.format("graft-snap")
+      .option("readChangeFeed", "true").option("keyCol", "k").load(root)
+    val truth = Snapshots.changeFeed(spark, root, 0L, 2L, "k")
+    // count(*) drives the EMPTY projection through PrunedScan
+    assert(rel.count() === truth.count())
+    // a narrow select prunes to the requested columns and matches
+    assert(rel.select(col("_change_type")).where(col("_change_type") === "delete")
+      .count() === 10L)
+    assert(rel.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      truth.groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // CDC + point-in-time options refuse loudly
+    val e = intercept[Exception] {
+      spark.read.format("graft-snap").option("readChangeFeed", "true")
+        .option("keyCol", "k").option("versionAsOf", "1").load(root)
+    }
+    assert(msgs(e).exists(_.contains("VERSION WINDOW")), s"got: ${msgs(e)}")
+    // a WRITE carrying stray CDC options still commits and returns the
+    // table relation (the options are read-shaping, not write-shaping)
+    val root2 = freshDir()
+    Seq((1L, "a")).toDF("k", "v").write.format("graft-snap")
+      .option("readChangeFeed", "true").save(root2)
+    assert(Snapshots.read(spark, root2).count() === 1L)
+  }
 }
