@@ -46,10 +46,10 @@ object Bench {
     // never sets it, so per-round benches always cover every query).
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results_gc = new java.util.concurrent.atomic.AtomicLong
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), qIdx) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         // noop sink, not count(): under an aggregate Catalyst removes the
@@ -89,7 +89,7 @@ object Bench {
       // weak refs GC — nudge periodically so a few hundred queries'
       // broadcasts never pile up to a GC wall inside someone's timed
       // run. Runs BETWEEN timings, so the cost lands on no query.
-      if (results_gc.incrementAndGet() % 20 == 0) System.gc()
+      if ((qIdx + 1) % 20 == 0) System.gc()
       (name, a, b, sec)
     }
     def r3(v: Double): String = f"$v%.3f"

@@ -308,6 +308,19 @@ object Snapshots {
     */
   def commitNote(root: String, v: Long): String = readDoc(root, v).note
 
+  /** The stats column set the HEAD's entries carry (numeric `s=` and
+    * string `z=` bounds united) — what SQL-surface writes (INSERT,
+    * CALL optimize) inherit, since SQL has no statsCols option and a
+    * rewrite that dropped the bounds would silently kill file skipping
+    * table-wide.
+    */
+  def headStatsCols(root: String): Seq[String] =
+    latestVersion(root).map { h =>
+      val fs = snapshot(root, h).files
+      (fs.flatMap(_.stats.keys) ++ fs.flatMap(_.strStats.keys))
+        .distinct.sorted
+    }.getOrElse(Seq.empty)
+
   /** All committed versions, ascending. O(versions) directory listing. */
   def versions(root: String): Seq[Long] =
     SnapIO.list(SnapIO.join(root, SnapDir))

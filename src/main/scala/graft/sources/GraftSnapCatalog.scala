@@ -252,13 +252,9 @@ private[sources] object GraftSnapProcedures {
           StructField("n_files", LongType)))) { row =>
         val root = cat.rootOfTableName(row.getUTF8String(0).toString)
         val spark = SparkSession.active
-        val head = Snapshots.snapshot(root,
-          Snapshots.latestVersion(root).get)
-        val statsCols = (head.files.flatMap(_.stats.keys) ++
-          head.files.flatMap(_.strStats.keys)).distinct.sorted
         val v = Snapshots.optimizeFiles(spark, root,
           row.getUTF8String(1).toString.split(",").map(_.trim).toSeq,
-          row.getInt(2).toLong * 1024 * 1024, statsCols)
+          row.getInt(2).toLong * 1024 * 1024, Snapshots.headStatsCols(root))
         InternalRow.fromSeq(Seq(v,
           Snapshots.snapshot(root, v).files.size.toLong))
       }
@@ -391,25 +387,18 @@ private[sources] class GraftSnapTable(spark: SparkSession, tblName: String,
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
                                   overwrite: Boolean): Unit = {
-                // SQL has no statsCols option, so INHERIT the stats
-                // column set from the head's own entries — otherwise
-                // one INSERT OVERWRITE would silently strip every
-                // manifest bound and kill file skipping table-wide
-                // (columns the footer lacks decode to "no bounds",
-                // never an error)
-                val head = Snapshots.latestVersion(root)
-                val statsCols = head.map { h =>
-                  val fs = Snapshots.snapshot(root, h).files
-                  (fs.flatMap(_.stats.keys) ++ fs.flatMap(_.strStats.keys))
-                    .distinct.sorted
-                }.getOrElse(Seq.empty)
+                // SQL has no statsCols option — inherit the head's
+                // (Snapshots.headStatsCols), else one INSERT OVERWRITE
+                // would silently strip every manifest bound and kill
+                // file skipping table-wide
+                val statsCols = Snapshots.headStatsCols(root)
                 // appends rebase over concurrent committers; an
                 // overwrite is a replace pinned to the CURRENT latest
                 // (not the loaded version — the standard lost-update
                 // guard surfaces a concurrent commit as a conflict)
                 if (replace || overwrite)
                   Snapshots.commit(root, data, "sql-insert-overwrite",
-                    replace = true, basedOn = head,
+                    replace = true, basedOn = Snapshots.latestVersion(root),
                     statsCols = statsCols): Unit
                 else
                   Snapshots.commit(root, data, "sql-insert",
@@ -507,7 +496,7 @@ private[graft] class GraftSnapPartitioningIndex(
 
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
 
-  override def leafFiles
+  override lazy val leafFiles
       : scala.collection.mutable.LinkedHashMap[org.apache.hadoop.fs.Path,
         org.apache.hadoop.fs.FileStatus] = {
     val m = scala.collection.mutable.LinkedHashMap
@@ -516,7 +505,7 @@ private[graft] class GraftSnapPartitioningIndex(
     m
   }
 
-  override def leafDirToChildrenFiles
+  override lazy val leafDirToChildrenFiles
       : Map[org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus]] =
     inner.allStatuses.groupBy(_.getPath.getParent)
       .map { case (d, ss) => d -> ss.toArray }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
-import graft.ops.Snapshots
+import graft.ops.{SnapIO, Snapshots}
 
 /** The SQL/DataFrame FRONT DOOR for the snapshot table format
   * ([[graft.ops.Snapshots]]) — the format as a first-class Spark source
@@ -287,16 +287,23 @@ class SnapshotDataSource extends RelationProvider
           Snapshots.commit(root, data, note, statsCols = statsCols): Unit
     }
     // the returned relation is the TABLE the write landed in — strip
-    // read-shaping options: time travel (pin the post-write head) AND
-    // the CDC window options (a write carrying readChangeFeed must not
-    // fail on a missing keyCol or eagerly plan a change feed just to
-    // return the writer's result relation)
-    createRelation(sqlContext, parameters - "versionAsOf" - "timestampAsOf"
-      - "readChangeFeed" - "keyCol" - "startingVersion" - "endingVersion")
+    // every read-shaping option: time travel (pin the post-write head)
+    // and the CDC window options (a write carrying readChangeFeed must
+    // not fail on a missing keyCol or eagerly plan a change feed just
+    // to return the writer's result relation)
+    createRelation(sqlContext,
+      parameters -- SnapshotDataSource.ReadShapingOptions)
   }
 }
 
 object SnapshotDataSource {
+
+  /** Options that shape READS only — a writer's post-commit result
+    * relation must not inherit them.
+    */
+  private[sources] val ReadShapingOptions: Set[String] = Set(
+    "versionAsOf", "timestampAsOf", "readChangeFeed", "keyCol",
+    "startingVersion", "endingVersion")
 
   /** Relax every field to nullable (recursively): a file-source relation
     * schema must be nullable — Spark's own DataSource resolution does
@@ -373,9 +380,8 @@ private[sources] class GraftSnapFileIndex(root: String,
     * relative either way, so a table survives being mounted anywhere.
     */
   private def qualified(rel: String): HPath =
-    if (graft.ops.SnapIO.isLocal(root))
-      new HPath(new java.io.File(root, rel).toURI)
-    else new HPath(graft.ops.SnapIO.join(root, rel))
+    if (SnapIO.isLocal(root)) new HPath(new java.io.File(root, rel).toURI)
+    else new HPath(SnapIO.join(root, rel))
 
   private val entries: Seq[(Snapshots.FileEntry, FileStatus)] =
     snap.files.map { e =>
@@ -383,10 +389,10 @@ private[sources] class GraftSnapFileIndex(root: String,
       // calls at planning (one avoided HEAD per file on an object
       // store); pre-size entries fall back to a stat. mtime rides along
       // only when the stat happens anyway (nothing here depends on it).
-      val full = graft.ops.SnapIO.join(root, e.path)
+      val full = SnapIO.join(root, e.path)
       val (len, mtime) =
         if (e.bytes >= 0) (e.bytes, snap.ts)
-        else (graft.ops.SnapIO.len(full), graft.ops.SnapIO.mtime(full))
+        else (SnapIO.len(full), SnapIO.mtime(full))
       e -> new FileStatus(len, false, 1, 128L * 1024 * 1024,
         mtime, qualified(e.path))
     }
@@ -394,8 +400,7 @@ private[sources] class GraftSnapFileIndex(root: String,
   private[sources] def allStatuses: Seq[FileStatus] = entries.map(_._2)
 
   override def rootPaths: Seq[HPath] =
-    if (graft.ops.SnapIO.isLocal(root))
-      Seq(new HPath(new java.io.File(root).toURI))
+    if (SnapIO.isLocal(root)) Seq(new HPath(new java.io.File(root).toURI))
     else Seq(new HPath(root))
   override def partitionSchema: StructType = StructType(Nil)
   override def sizeInBytes: Long = entries.map(_._2.getLen).sum
@@ -598,22 +603,33 @@ private[sources] object GraftSnapFileIndex {
   * files re-tagged streaming ([[org.apache.spark.sql.GraftSqlShims]])
   * — vectorized scan included, nothing hand-rolled.
   */
+/** Shared by both snapshot stream sources: offsets ARE version numbers
+  * (a `SerializedOffset` arrives on restart and parses back).
+  */
+private[sources] object SnapStreamOffsets {
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset on restart
+  }
+
+  def latestAfter(root: String, startingVersion: Long): Option[Offset] =
+    Snapshots.latestVersion(root).filter(_ > startingVersion)
+      .map(LongOffset(_))
+}
+
 private[sources] class GraftSnapStreamSource(
     spark: SparkSession, root: String, override val schema: StructType,
     startingVersion: Long)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.Offset
-  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-
-  private def ver(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong // SerializedOffset on restart
-  }
+  import SnapStreamOffsets.ver
 
   override def getOffset: Option[Offset] =
-    Snapshots.latestVersion(root).filter(_ > startingVersion)
-      .map(LongOffset(_))
+    SnapStreamOffsets.latestAfter(root, startingVersion)
 
   override def getBatch(start: Option[Offset], end: Offset)
       : org.apache.spark.sql.classic.DataFrame = {
@@ -685,16 +701,10 @@ private[sources] class GraftSnapCdcStreamSource(
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.Offset
-  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-
-  private def ver(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
-  }
+  import SnapStreamOffsets.ver
 
   override def getOffset: Option[Offset] =
-    Snapshots.latestVersion(root).filter(_ > startingVersion)
-      .map(LongOffset(_))
+    SnapStreamOffsets.latestAfter(root, startingVersion)
 
   override def getBatch(start: Option[Offset], end: Offset)
       : org.apache.spark.sql.classic.DataFrame = {
