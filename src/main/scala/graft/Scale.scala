@@ -65,6 +65,7 @@ object Scale {
     if (args.headOption.contains("versions")) return versionsMain(args.drop(1))
     if (args.headOption.contains("checkpoint")) return checkpointMain(args.drop(1))
     if (args.headOption.contains("streamplan")) return streamPlanMain(args.drop(1))
+    if (args.headOption.contains("arbiters")) return arbitersMain(args.drop(1))
     if (args.headOption.contains("snapshots")) return snapshotsMain(args.drop(1))
     if (args.headOption.contains("mor")) return morMain(args.drop(1))
     if (args.headOption.contains("merge")) return mergeMain(args.drop(1))
@@ -776,6 +777,71 @@ object Scale {
     require(ops.Snapshots.countRows(plainRoot) ==
       ops.Snapshots.countRows(ckptRoot))
     println(f"""{"mode":"checkpoint","n_versions":$v,"ckpt_every":$k,"plain_manifest_kb":$plainKb,"ckpt_manifest_kb":$ckptKb,"plain_head_refs":${headRefs(plainRoot)},"ckpt_head_refs":${headRefs(ckptRoot)},"plain_commit_sec":$plainCommitSec%.1f,"ckpt_commit_sec":$ckptCommitSec%.1f,"plain_history_sec":$plainHistorySec%.2f,"ckpt_history_sec":$ckptHistorySec%.2f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Commit-arbiter throughput: `v` sequential metadata-heavy commits
+    * through each of the three arbiters (hard-link, lock-file,
+    * Hadoop-FS stage+rename; the Hadoop run uses a `file://` root so
+    * the whole SnapIO FileSystem branch is in the loop), plus the same
+    * count under 4-way contention for the FS arbiter. Local numbers
+    * bound the PROTOCOL overhead (syscalls per publish); on a real
+    * store each publish adds its round-trips on top — the reason the
+    * protocol was designed to hold no lock during data writes.
+    */
+  private def arbitersMain(args: Array[String]): Unit = {
+    val v = if (args.nonEmpty) args(0).toInt else 300
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(100000L).selectExpr("sum(id % 7)").collect()
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def run(arb: ops.CommitArbiter, uriRoot: Boolean): Double = {
+      val local = java.nio.file.Files
+        .createTempDirectory("graft_arb_scale").toString
+      val root = ops.Snapshots.init(if (uriRoot) "file://" + local else local)
+      ops.Snapshots.withArbiter(arb) {
+        time {
+          (0 until v).foreach { i =>
+            ops.Snapshots.commit(root,
+              spark.range(i * 4L, i * 4L + 4).toDF().coalesce(1),
+              s"a$i"): Unit
+          }
+        }
+      }
+    }
+    val hardLink = run(ops.HardLinkArbiter, uriRoot = false)
+    val lockFile = run(ops.LockFileArbiter, uriRoot = false)
+    val hadoopFs = run(ops.HadoopFsArbiter, uriRoot = true)
+    // 4-way contention through the FS arbiter: every commit must land
+    val contRoot = ops.Snapshots.init("file://" + java.nio.file.Files
+      .createTempDirectory("graft_arb_scale_c").toString)
+    val threads = 4
+    val per = v / threads
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val contended = time {
+      val fs = (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            (0 until per).foreach { i =>
+              ops.Snapshots.commit(contRoot,
+                spark.range(t * 10000L + i, t * 10000L + i + 1)
+                  .toDF().coalesce(1), s"c$t-$i"): Unit
+            }
+        })
+      }
+      fs.foreach(_.get())
+    }
+    pool.shutdown()
+    require(ops.Snapshots.versions(contRoot).size == threads * per)
+    println(f"""{"mode":"arbiters","n_commits":$v,"hard_link_sec":$hardLink%.1f,"lock_file_sec":$lockFile%.1f,"hadoop_fs_sec":$hadoopFs%.1f,"hadoop_fs_contended4_sec":$contended%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 
