@@ -40,6 +40,24 @@ import java.nio.file.{FileAlreadyExistsException, Files, NoSuchFileException, Pa
   * All are driven through the same N-appender + replacer torture
   * (`SnapshotConcurrencySpec`): linear version chain, no lost commit,
   * conflicts loud.
+  *
+  * SELECTION is per-scheme (`Snapshots.arbiterFor`) — an arbiter is
+  * only safe where the storage actually provides its primitive:
+  *
+  * | root                                | arbiter              |
+  * |-------------------------------------|----------------------|
+  * | local path (no scheme)              | HardLinkArbiter      |
+  * | hdfs:// webhdfs:// swebhdfs:// viewfs:// | HadoopFsArbiter |
+  * | file:// (single-JVM test harness)   | HadoopFsArbiter      |
+  * | s3a/s3/s3n/gs/abfs(s)/wasb(s)/oss/cosn/swift/obs | REFUSED loudly* |
+  * | any other scheme                    | REFUSED loudly*      |
+  *
+  * *unless a conditional-PUT implementation is registered for the
+  * scheme via `Snapshots.registerArbiter` — those stores' "rename" is a
+  * non-atomic copy-then-delete that silently replaces, so defaulting
+  * them to the rename protocol would turn the commit race into
+  * last-writer-wins (a silent lost commit). The refusal is torture-
+  * tested against a mock FileSystem whose rename replaces.
   */
 trait CommitArbiter {
   /** Atomically create `target` with `content` iff absent.

@@ -271,8 +271,12 @@ object Layout {
     val schema = StructType(
       StructField("file", StringType) +: StructField("n_rows", LongType) +:
         statFields(cols, strCols))
+    // ship the driver's Hadoop conf: the executor-side lazy fallback is
+    // a bare Configuration() that drops spark.hadoop.* credentials
+    val shipped = SnapIO.ship()
     val rows = spark.sparkContext.parallelize(files,
       math.max(1, math.min(files.size, 64))).map { path =>
+      SnapIO.install(shipped.value)
       val (nRows, mins, maxs, smins, smaxs) = fileFooterStats(path, cols, strCols)
       Row.fromSeq(path +: nRows +: statCells(cols, strCols,
         mins, maxs, smins, smaxs))
@@ -339,8 +343,10 @@ object Layout {
       StructField("file", StringType) +: StructField("rg_idx", LongType) +:
         StructField("rg_start", LongType) +: StructField("rg_bytes", LongType) +:
         StructField("n_rows", LongType) +: statFields(cols, strCols))
+    val shipped = SnapIO.ship() // executor-side credentialed footer reads
     val rows = spark.sparkContext.parallelize(files,
       math.max(1, math.min(files.size, 64))).flatMap { path =>
+      SnapIO.install(shipped.value)
       val reader = openFooter(path)
       try {
         import scala.jdk.CollectionConverters._
@@ -524,10 +530,14 @@ object Layout {
     }
     val fieldNames = projection.fields.map(_.name)
     val fieldTypes = projection.fields.map(_.dataType)
+    val shipped = SnapIO.ship() // executor-side credentialed range reads
     val rows = spark.sparkContext
       .parallelize(runs, math.max(1, runs.size))
       .flatMap { case (file, start, bytes) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        SnapIO.install(shipped.value)
+        // a per-task COPY of the shipped conf: the read schema set below
+        // is task-local and must not leak into the JVM-wide conf
+        val conf = new org.apache.hadoop.conf.Configuration(SnapIO.conf)
         // cut the read schema from the FILE's own footer (repetition —
         // required vs optional — must match the file, which the caller's
         // Spark-side nullability cannot know)
@@ -600,8 +610,10 @@ object Layout {
                  files: Seq[String], c: String,
                  values: Seq[Any]): Seq[String] = {
     if (values.isEmpty) return Seq.empty // nothing probed: provably empty
+    val shipped = SnapIO.ship() // executor-side credentialed footer reads
     spark.sparkContext.parallelize(files,
       math.max(1, math.min(files.size, 64))).filter { path =>
+      SnapIO.install(shipped.value)
       val reader = openFooter(path)
       try {
         import scala.jdk.CollectionConverters._

@@ -17,12 +17,51 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * scheme+authority.
   *
   * All methods are usable from EXECUTORS too (wide commits stat footers
-  * in a distributed job): everything is static, the Hadoop conf is built
-  * lazily per JVM — from the active session's `sessionState.newHadoopConf()`
-  * on the driver (so `spark.hadoop.*` credentials propagate), plain
-  * defaults otherwise.
+  * in a distributed job): everything is static, and the Hadoop conf is
+  * the DRIVER's — `sessionState.newHadoopConf()` (so `spark.hadoop.*`
+  * credentials propagate) on the driver itself, and on executors the
+  * driver's conf SHIPPED into the closure ([[ship]] → [[install]]):
+  * the per-JVM lazy fallback would rebuild a bare `Configuration()`
+  * there (`getActiveSession` is None on executors) and silently drop
+  * every credential, so each distributed footer job carries the conf
+  * explicitly and installs it before any FS dispatch.
   */
 private[graft] object SnapIO {
+
+  /** The driver's Hadoop conf as a serializable closure capture —
+    * `Configuration` is a Hadoop `Writable`, not `Serializable`, so the
+    * wrapper round-trips it through its own wire format (the same shape
+    * as Spark's internal `SerializableConfiguration`, which is
+    * `private[spark]` and therefore not usable here).
+    */
+  final class ShippedConf(@transient private var c: Configuration)
+      extends Serializable {
+    def value: Configuration = c
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      c.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      c = new Configuration(false)
+      c.readFields(in)
+    }
+  }
+
+  /** Capture the current (driver) conf for an executor-side closure.
+    * Call on the DRIVER, pass the result into the closure, and call
+    * [[install]] inside it before touching any `scheme://` path.
+    */
+  def ship(): ShippedConf = new ShippedConf(conf)
+
+  // executor-side slot: the driver's shipped conf, installed once per
+  // JVM by the first task of any distributed metadata job
+  @volatile private var installed: Configuration = null
+
+  /** Install a shipped driver conf as this JVM's [[conf]] — idempotent,
+    * cheap enough to call per task.
+    */
+  def install(c: Configuration): Unit = installed = c
 
   /** One directory child: `path` is the FULL path string (root-joined),
     * `name` the basename.
@@ -40,7 +79,13 @@ private[graft] object SnapIO {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  private[graft] def conf: Configuration = hadoopConf
+  /** This JVM's Hadoop conf: a shipped driver conf when one was
+    * [[install]]ed (executors), else the active session's (driver).
+    */
+  private[graft] def conf: Configuration = {
+    val i = installed
+    if (i != null) i else hadoopConf
+  }
 
   private def fs(path: String): FileSystem =
     new HPath(path).getFileSystem(hadoopConf)

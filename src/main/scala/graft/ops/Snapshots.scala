@@ -797,9 +797,17 @@ object Snapshots {
       if (files.size <= 64) files.map(n => n -> footerInfo(s"$root/$dataPath/$n"))
       else {
         val prefix = s"$root/$dataPath"
+        // ship the DRIVER's Hadoop conf into the job: on executors the
+        // lazy per-JVM fallback is a bare Configuration() (no active
+        // session), which would drop spark.hadoop.* credentials exactly
+        // on the wide commits that need the distributed footer pass
+        val shipped = SnapIO.ship()
         df.sparkSession.sparkContext
           .parallelize(files, math.min(files.size, 256))
-          .map(n => n -> footerInfo(s"$prefix/$n")).collect().toSeq
+          .map { n =>
+            SnapIO.install(shipped.value)
+            n -> footerInfo(s"$prefix/$n")
+          }.collect().toSeq
       }
     infos.map { case (name, (rows, stats, strStats, bytes)) =>
       FileEntry(s"$dataPath/$name", rows, 0L, stats, bytes, strStats) }
@@ -911,18 +919,84 @@ object Snapshots {
     */
   @volatile private[graft] var arbiter: CommitArbiter = null
 
+  /** Schemes whose `FileSystem.rename` atomically REFUSES an existing
+    * destination — the one contract [[HadoopFsArbiter]]'s loser-loses-
+    * loudly guarantee stands on. HDFS (and its wrappers) honor it at
+    * the namenode; `file://` is the single-JVM test harness for the
+    * same protocol (raw-local rename REPLACES, so its cross-process
+    * safety comes from the arbiter's same-JVM stripe lock — documented
+    * in [[HadoopFsArbiter]]).
+    */
+  private val RenameAtomicSchemes =
+    Set("hdfs", "webhdfs", "swebhdfs", "viewfs", "file")
+
+  /** Schemes KNOWN to violate it — object stores whose "rename" is a
+    * non-atomic copy(+check)-then-delete that silently replaces
+    * (S3A/GCS/ABFS-class). Routing these to the rename arbiter would
+    * let two committers both return true for one version — a silent
+    * lost commit, the one failure a table format must never have — so
+    * they refuse loudly unless a conditional-PUT arbiter is registered.
+    */
+  private val ReplaceOnRenameSchemes =
+    Set("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+      "oss", "cosn", "swift", "obs")
+
+  // scheme → user/extension-registered arbiter (e.g. a conditional-PUT
+  // implementation against the store's real API for s3a://); checked
+  // before the built-in contract table so a registration can also
+  // OVERRIDE a default
+  private val schemeArbiters =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitArbiter]()
+
+  /** Register the commit arbiter for every root on `scheme` — the
+    * extension point that makes object-store roots committable: an
+    * implementation of [[CommitArbiter]]'s put-if-absent contract
+    * against the store's real conditional-write primitive (S3
+    * `PUT If-None-Match: *`, GCS `ifGenerationMatch=0`, ABFS
+    * conditional create — [[LockFileArbiter]] documents the protocol).
+    * Process-wide, like [[withArbiter]].
+    */
+  def registerArbiter(scheme: String, a: CommitArbiter): Unit =
+    schemeArbiters.put(scheme.toLowerCase, a): Unit
+
+  def unregisterArbiter(scheme: String): Unit =
+    schemeArbiters.remove(scheme.toLowerCase): Unit
+
   /** The arbiter behind every manifest publish: a [[withArbiter]]
     * override if one is active, else by the ROOT's storage world —
-    * [[HardLinkArbiter]] (POSIX `link(2)`) for local paths,
-    * [[HadoopFsArbiter]] (stage + rename-refuses-existing) for any
-    * `scheme://` root, `file://` included (the local test harness for
-    * the Hadoop route).
+    * [[HardLinkArbiter]] (POSIX `link(2)`) for local paths, and for
+    * `scheme://` roots a PER-SCHEME contract table: a
+    * [[registerArbiter]] registration wins; rename-refuses-existing
+    * schemes (HDFS family, plus `file://` as the single-JVM harness)
+    * take [[HadoopFsArbiter]]; everything else — known replace-on-
+    * rename object stores AND unknown schemes — REFUSES loudly. The
+    * refusal is deliberate: silently defaulting an `s3a://` root to the
+    * rename protocol would degrade the format's single point of
+    * atomicity to last-writer-wins.
     */
   private[graft] def arbiterFor(root: String): CommitArbiter = {
     val o = arbiter
-    if (o != null) o
-    else if (SnapIO.isLocal(root)) HardLinkArbiter
-    else HadoopFsArbiter
+    if (o != null) return o
+    if (SnapIO.isLocal(root)) return HardLinkArbiter
+    val scheme = root.substring(0, root.indexOf("://")).toLowerCase
+    val reg = schemeArbiters.get(scheme)
+    if (reg != null) reg
+    else if (RenameAtomicSchemes.contains(scheme)) HadoopFsArbiter
+    else throw new IllegalStateException(
+      s"no safe commit arbiter for scheme '$scheme://' ($root): " +
+        (if (ReplaceOnRenameSchemes.contains(scheme))
+          s"$scheme rename is a non-atomic copy-then-delete that " +
+            "silently REPLACES an existing destination, so the rename " +
+            "arbiter would lose commits silently under contention. "
+        else
+          s"'$scheme' is not in the rename-refuses-existing allowlist " +
+            s"(${RenameAtomicSchemes.toSeq.sorted.mkString(", ")}) and " +
+            "its rename contract is unknown. ") +
+        "Register a conditional-PUT arbiter for the scheme " +
+        "(Snapshots.registerArbiter(scheme, impl) — the CommitArbiter " +
+        "put-if-absent contract over the store's conditional-write " +
+        "primitive, e.g. S3 PUT If-None-Match: *), or route commits " +
+        "through Snapshots.withArbiter for a one-off")
   }
 
   /** Run `f` with `a` as the commit arbiter, restoring the previous

@@ -6,7 +6,28 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{CommitArbiter, HardLinkArbiter, LockFileArbiter, Snapshots}
+import graft.ops.{CommitArbiter, HardLinkArbiter, LockFileArbiter, SnapIO, Snapshots}
+
+/** A mock store with the S3A-class rename contract VIOLATION: renaming a
+  * FILE onto an existing destination silently REPLACES it (object-store
+  * "rename" is copy-then-delete). Directory renames stay sane (Spark's
+  * parquet committer needs them) — the hazard under test is the
+  * manifest-file race. Registered per test via `fs.mockrep.impl`.
+  */
+class MockReplaceRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockrep"
+  override def getUri: java.net.URI = java.net.URI.create("mockrep:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val s = pathToFile(src)
+    val d = pathToFile(dst)
+    if (s.isFile && (!d.exists() || d.isFile)) {
+      java.nio.file.Files.move(s.toPath, d.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      true
+    } else super.rename(src, dst)
+  }
+}
 
 /** Concurrent-writer torture for the snapshot commit protocol. The
   * protocol's claims — losers of the manifest race rebase (appends) or
@@ -180,6 +201,110 @@ class SnapshotConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     val notes = Snapshots.history(spark, root)
       .select("note").collect().map(_.getString(0))
     assert(notes.count(_.startsWith("rewrite-of-v")) === 1)
+  }
+
+  test("arbiterFor contract table: replace-on-rename and unknown schemes refuse loudly; only rename-atomic schemes reach the rename arbiter") {
+    // known replace-on-rename object stores: silently defaulting these
+    // to the rename arbiter would make the commit race last-writer-wins
+    for (root <- Seq("s3a://bucket/table", "gs://bucket/table",
+        "abfss://c@acct.dfs.core.windows.net/t", "wasb://c@acct/t")) {
+      val e = intercept[IllegalStateException](Snapshots.arbiterFor(root))
+      assert(e.getMessage.contains("registerArbiter"), root)
+      assert(e.getMessage.contains("silently REPLACES"), root)
+    }
+    // an UNKNOWN scheme refuses too (its rename contract is unproven)
+    val u = intercept[IllegalStateException](
+      Snapshots.arbiterFor("weirdfs://host/t"))
+    assert(u.getMessage.contains("allowlist"))
+    // the allowlist routes: HDFS family + file:// → rename arbiter,
+    // scheme-less local → link(2)
+    assert(Snapshots.arbiterFor("hdfs://nn:8020/t") eq graft.ops.HadoopFsArbiter)
+    assert(Snapshots.arbiterFor("file:///tmp/t") eq graft.ops.HadoopFsArbiter)
+    assert(Snapshots.arbiterFor("/tmp/t") eq HardLinkArbiter)
+    // a registration overrides the refusal — and unregistering restores it
+    val marker = new CommitArbiter {
+      override def putIfAbsent(t: String, c: Array[Byte]): Boolean = false
+    }
+    Snapshots.registerArbiter("s3a", marker)
+    try assert(Snapshots.arbiterFor("s3a://bucket/table") eq marker)
+    finally Snapshots.unregisterArbiter("s3a")
+    intercept[IllegalStateException](
+      Snapshots.arbiterFor("s3a://bucket/table")): Unit
+  }
+
+  test("a store whose rename silently replaces: the hazard is real, the default is a LOUD refusal (never a lost commit), and a registered conditional-PUT arbiter carries the full appender torture") {
+    val impl = classOf[MockReplaceRenameFs].getName
+    spark.sparkContext.hadoopConfiguration.set("fs.mockrep.impl", impl)
+    SnapIO.conf.set("fs.mockrep.impl", impl)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mockrep")
+    // 1. the hazard is REAL on this store: renaming onto an existing
+    //    file returns true and replaces it — exactly what the
+    //    rename-based arbiter's loser-loses-loudly guarantee cannot
+    //    survive (both racers would "win" the same version)
+    val hp = new org.apache.hadoop.fs.Path(s"mockrep://$dir/probe_dst")
+    val fs = hp.getFileSystem(SnapIO.conf)
+    java.nio.file.Files.write(dir.resolve("probe_dst"),
+      "committed".getBytes("UTF-8")): Unit
+    java.nio.file.Files.write(dir.resolve("probe_src"),
+      "usurper".getBytes("UTF-8")): Unit
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"mockrep://$dir/probe_src"),
+      hp), "the mock store's rename must 'succeed' onto an existing file")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("probe_dst")), "UTF-8") === "usurper",
+      "…by silently replacing it — the S3A-class contract violation")
+    // 2. the engine REFUSES the scheme instead of losing commits to it
+    val root = s"mockrep://$dir/table"
+    Snapshots.init(root): Unit
+    val e = intercept[IllegalStateException] {
+      Snapshots.commit(root, spark.range(0, 1).toDF().coalesce(1), "doomed")
+    }
+    assert(e.getMessage.contains("no safe commit arbiter"))
+    assert(Snapshots.latestVersion(root).isEmpty, "the refusal must " +
+      "leave no published version behind")
+    // 3. registering the store's conditional-PUT arbiter (here: the mock
+    //    store is local disk, so link(2) IS its conditional PUT) makes
+    //    the same root safe — the N-appender torture holds its
+    //    invariants end-to-end over the URI root
+    val condPut = new CommitArbiter {
+      override def putIfAbsent(target: String, content: Array[Byte]): Boolean =
+        HardLinkArbiter.putIfAbsent(target.stripPrefix("mockrep://"), content)
+    }
+    Snapshots.registerArbiter("mockrep", condPut)
+    try {
+      val threads = 4
+      val perThread = 3
+      val pool = Executors.newFixedThreadPool(threads)
+      val start = new CountDownLatch(1)
+      val committed = new ConcurrentLinkedQueue[(Long, Long)]()
+      val failures = new ConcurrentLinkedQueue[Throwable]()
+      (0 until threads).foreach { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            try (0 until perThread).foreach { i =>
+              val id = t * 1000L + i
+              val v = Snapshots.commit(root,
+                spark.range(id, id + 1).toDF().coalesce(1), s"append-$id")
+              committed.add(id -> v): Unit
+            } catch { case e: Throwable => failures.add(e): Unit }
+          }
+        }): Unit
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS), "appenders hung")
+      assert(failures.isEmpty, s"no append may fail: ${failures.peek()}")
+      import scala.jdk.CollectionConverters._
+      val commits = committed.asScala.toSeq
+      val n = threads * perThread
+      assert(commits.size === n)
+      assert(commits.map(_._2).sorted === (1L to n.toLong))
+      (1L to n.toLong).foreach { v =>
+        assert(Snapshots.snapshot(root, v).parent === v - 1)
+      }
+      assert(Snapshots.read(spark, root).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq === commits.map(_._1).sorted)
+    } finally Snapshots.unregisterArbiter("mockrep")
   }
 
   test("a position-delete commit racing a REPLACE conflicts loudly — never a silent no-op DELETE or duplicated UPDATE") {
