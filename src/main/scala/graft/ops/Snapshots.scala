@@ -361,6 +361,7 @@ object Snapshots {
           lines
         }
       }
+    def clear(): Unit = synchronized { map.clear(); totalLines = 0L }
   }
 
   /** Test/diagnostic hook: count of segment files actually READ from
@@ -368,6 +369,11 @@ object Snapshots {
     * planning contract is asserted against.
     */
   private[graft] val segmentReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Test hook: drop every cached segment so a read-count assertion
+    * measures true storage reads, not a warm cache.
+    */
+  private[graft] def clearSegmentCacheForTests(): Unit = segCache.clear()
 
   private def segmentLines(root: String, rel: String): Seq[String] =
     segCache.getOrLoad(SnapIO.join(root, rel)) {
@@ -1641,6 +1647,11 @@ object Snapshots {
       v += 1
     }
     if (clean && !tombstoned) return out.result()
+    windowAppendsSlow(root, from, to)
+  }
+
+  private def windowAppendsSlow(root: String, from: Long,
+                                to: Long): Seq[FileEntry] = {
     // a tombstone landed, refs shrank (replace / restore / checkpoint)
     // or a legacy inline manifest appeared: decide on the WINDOW's final
     // state, O(files) — the original check, verbatim semantics
@@ -1662,6 +1673,52 @@ object Snapshots {
         "cannot represent them; consume readMerged states, or compact " +
         "and restart the consumer")
     snap.files.filter(f => f.seq > from && f.seq <= to)
+  }
+
+  /** A materialized [[Snapshot]] at `base.version` ADVANCED to `to` in
+    * O(delta) manifest text — the CDC stream source's per-micro-batch
+    * planner (the tombstone-TOLERANT sibling of [[windowAppends]]:
+    * tombstone commits are that source's normal diet, so they join the
+    * delta instead of refusing). Each step's fresh segments parse and
+    * their entries (all three kinds) append to the base's lists —
+    * header reads are doc-cached, so a sequential stream reads each
+    * segment exactly once across its whole life. Returns None when any
+    * step is not segment-append-shaped (replace / restore / checkpoint
+    * / legacy inline manifests) — the caller falls back to the O(files)
+    * full materialization; correctness never depends on the fast path.
+    * `base.version == 0` means "empty table" (version 0 has no
+    * manifest; the walk starts at v1).
+    */
+  private[graft] def advanceSnapshot(root: String, base: Snapshot,
+                                     to: Long): Option[Snapshot] = {
+    val from = base.version
+    require(from < to, s"need base.version < to, got ($from, $to]")
+    val fs = Seq.newBuilder[FileEntry]
+    val ds = Seq.newBuilder[FileEntry]
+    val ps = Seq.newBuilder[FileEntry]
+    var v = from + 1
+    while (v <= to) {
+      val doc = readDoc(root, v)
+      val prev = if (v - 1 == 0L) None else Some(readDoc(root, v - 1))
+      val prevSegs = prev.map(_.segments.toSet).getOrElse(Set.empty[String])
+      val inline = (prev.toSeq :+ doc).exists(d =>
+        d.inlineFiles.nonEmpty || d.inlineDeletes.nonEmpty ||
+          d.inlinePosDeletes.nonEmpty)
+      if ((prevSegs -- doc.segments.toSet).nonEmpty || inline) return None
+      // entries stamped with an older seq inside a fresh segment are a
+      // legacy ADOPTION (inline entries re-homed) — already visible at
+      // v-1, not part of this step's append
+      val fresh = doc.segments.filterNot(prevSegs.contains)
+        .flatMap(segmentLines(root, _))
+      fs ++= parseEntries(fresh, "file=").filter(_.seq == v)
+      ds ++= parseEntries(fresh, "delete=").filter(_.seq == v)
+      ps ++= parseEntries(fresh, "posdelete=").filter(_.seq == v)
+      v += 1
+    }
+    val toDoc = readDoc(root, to)
+    Some(Snapshot(toDoc.version, toDoc.parent, toDoc.note,
+      base.files ++ fs.result(), base.deletes ++ ds.result(),
+      base.posDeletes ++ ps.result(), toDoc.ts, toDoc.rules))
   }
 
   /** Incremental read — the rows APPENDED in versions `(fromVersion,
@@ -1736,7 +1793,21 @@ object Snapshots {
       s"need fromVersion < toVersion, got ($fromVersion, $toVersion]")
     val fromFiles = if (fromVersion == 0L) Seq.empty[FileEntry]
                     else snapshot(root, fromVersion).files
-    val toSnap = snapshot(root, toVersion)
+    changeFeedOn(spark, root, fromFiles, snapshot(root, toVersion),
+      fromVersion, toVersion, keyCol)
+  }
+
+  /** [[changeFeed]] over PRECOMPUTED manifest state — the CDC stream
+    * source's entry point: it advances a cached snapshot per micro-batch
+    * ([[advanceSnapshot]], O(delta) reads) and must not pay two full
+    * O(files) materializations per 1 s trigger just to hand them back
+    * here. Same checks, same output; `fromFiles`/`toSnap` must be the
+    * window ends' true states.
+    */
+  private[graft] def changeFeedOn(spark: SparkSession, root: String,
+                                  fromFiles: Seq[FileEntry], toSnap: Snapshot,
+                                  fromVersion: Long, toVersion: Long,
+                                  keyCol: String): DataFrame = {
     val toSet = toSnap.files.toSet
     require(fromFiles.forall(toSet.contains),
       s"($fromVersion, $toVersion] contains a replace commit — " +

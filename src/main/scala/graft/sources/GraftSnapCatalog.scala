@@ -159,19 +159,26 @@ class GraftSnapCatalog extends TableCatalog
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     // resolve the wall-clock against the DATA table's history in both
-    // routes (a meta ident resolves via its base table)
+    // routes (a meta ident resolves via its base table). The ident is a
+    // meta ident ONLY when its suffix is a KNOWN view — an unknown
+    // suffix (`t$foo`) must resolve at its literal name and throw
+    // NoSuchTableException like the other two overloads, never silently
+    // serve the base table's data
     val cut = ident.name().lastIndexOf('$')
+    val isMeta = cut > 0 &&
+      Set("history", "files").contains(ident.name().substring(cut + 1)) &&
+      Snapshots.latestVersion(tableRoot(ident)).isEmpty
     val baseForTs =
-      if (cut > 0 && Snapshots.latestVersion(tableRoot(ident)).isEmpty)
-        Identifier.of(ident.namespace(), ident.name().take(cut))
+      if (isMeta) Identifier.of(ident.namespace(), ident.name().take(cut))
       else ident
     val root = tableRoot(baseForTs)
     if (Snapshots.latestVersion(root).isEmpty)
       throw new NoSuchTableException(ident)
     val v = Snapshots.versionAsOf(root, timestampMicros / 1000L)
-    metaTable(ident, Some(v)).getOrElse(
-      new GraftSnapTable(spark, s"${fullName(ident)}@v$v", root, v,
-        pinned = true))
+    if (isMeta) metaTable(ident, Some(v)).getOrElse(
+      throw new NoSuchTableException(ident))
+    else new GraftSnapTable(spark, s"${fullName(ident)}@v$v", root, v,
+      pinned = true)
   }
 
   private def fullName(ident: Identifier): String =

@@ -23,12 +23,23 @@ object GraftSqlShims { // public only so graft.sources can call it
 
   /** The inverse, for v1 `Sink.addBatch`: the micro-batch frame Spark
     * hands a sink is streaming-tagged (batch writers refuse it); its
-    * already-planned RDD re-tags as a batch frame unchanged.
+    * already-planned RDD re-tags as a batch frame unchanged. A frame
+    * built by [[asStreamingFrame]] (a bare streaming-tagged LogicalRDD —
+    * what the snapshot sources return from `getBatch`) unwraps to its
+    * RDD directly: its fresh QueryExecution is a BATCH one whose
+    * `toRdd` would trip the streaming-source check.
     */
   def asBatchFrame(spark: classic.SparkSession,
                    streaming: classic.DataFrame): classic.DataFrame =
-    spark.internalCreateDataFrame(
-      streaming.queryExecution.toRdd, streaming.schema, isStreaming = false)
+    streaming.queryExecution.logical match {
+      case l: execution.LogicalRDD if l.isStreaming =>
+        spark.internalCreateDataFrame(l.rdd, streaming.schema,
+          isStreaming = false)
+      case _ =>
+        spark.internalCreateDataFrame(
+          streaming.queryExecution.toRdd, streaming.schema,
+          isStreaming = false)
+    }
 
   /** HARNESS hygiene only (graft.Bench between timed queries), never an
     * engine code path: unload every state-store provider a finished

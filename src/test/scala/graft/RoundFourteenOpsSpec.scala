@@ -417,6 +417,18 @@ class RoundFourteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((1L, 1.0)).toDF("k", "x").write.format("graft-snap").save(shadow)
     assert(spark.sql("SELECT count(*) FROM g14.`t9$history`")
       .head().getLong(0) === 1L)
+    // an UNKNOWN $suffix is NOT a meta ident: all THREE loadTable
+    // overloads must throw NoSuchTableException for `t1$foo` — the
+    // timestamp overload used to strip the suffix and silently serve
+    // the BASE table's data
+    for (q <- Seq("SELECT count(*) FROM g14.`t1$foo`",
+        "SELECT count(*) FROM g14.`t1$foo` VERSION AS OF 2",
+        s"SELECT count(*) FROM g14.`t1$$foo` TIMESTAMP AS OF '$lit2'")) {
+      val nf = intercept[Exception] { spark.sql(q).collect() }
+      assert(msgs(nf).exists(m => m.contains("t1$foo") ||
+        m.toLowerCase.contains("table or view not found") ||
+        m.contains("TABLE_OR_VIEW_NOT_FOUND")), s"$q → ${msgs(nf)}")
+    }
   }
 
   test("maintenance procedures: CALL graft.optimize/checkpoint/restore/vacuum run from pure SQL and report outcomes") {
