@@ -542,6 +542,32 @@ object SparkEntry {
         .option("note", "delta").save(p)
     }
 
+  /** The shared SQL-DML fixture `sql_update_where` and
+    * `sql_delete_where` both read: base committed through the writer,
+    * then a `CALL update_where` (+500 on BUILDING ∧ ≡0 mod 7) and a
+    * native `DELETE FROM` (MACHINERY) — both row-level DML landing as
+    * position-tombstone commits THROUGH the v2 catalog's SQL surface,
+    * with every later SELECT served by the catalog's merge-on-read
+    * scan (no compaction step).
+    */
+  private def sqlDmlTable(s: SparkSession, d: String): String =
+    ModelStore.fit(s"sqldml|${cid(d)}", "graft_sqldml") { p =>
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), dec2(col("c_acctbal")).as("acctbal"))
+      cust.write.format("graft-snap").option("note", "base").save(p)
+      val slash = p.lastIndexOf('/')
+      s.conf.set("spark.sql.catalog.graftdml",
+        "graft.sources.GraftSnapCatalog")
+      s.conf.set("spark.sql.catalog.graftdml.root", p.substring(0, slash))
+      val tbl = p.substring(slash + 1)
+      s.sql(s"CALL graftdml.update_where('$tbl', " +
+        "'acctbal = CAST(acctbal + 500 AS DECIMAL(18,2))', " +
+        "\"c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0\")")
+        .collect(): Unit
+      s.sql(s"DELETE FROM graftdml.`$tbl` WHERE c_mktsegment = 'MACHINERY'")
+        .collect(): Unit
+    }
+
   /** The shared POSITION-DELETE CDC fixture `snapshot_cdf_pos` and
     * `stream_snapshot_cdc` both read: base, then an UPDATE WHERE
     * (BUILDING ∧ ≡0 mod 7: +500) at v2, then a DELETE WHERE (≡0 mod 13)
@@ -2020,6 +2046,45 @@ object SparkEntry {
                |  CAST(sum(acctbal) AS DOUBLE)
                |FROM graftcat.`$tbl` VERSION AS OF 2
                |ORDER BY version""".stripMargin)
+    }),
+
+    // SQL ROW-LEVEL DML through the v2 catalog, UPDATE half: the
+    // fixture runs `CALL graftdml.update_where` (+500 on BUILDING ∧
+    // ≡0 mod 7, one atomic position-tombstone + rewrite commit) and the
+    // read here is served by the catalog's MERGE-ON-READ scan — a
+    // `V1Scan` over the format's readMerged plan, so `SELECT` works
+    // right after row-level DML with no compaction. Oracle replays the
+    // update declaratively.
+    "sql_update_where" -> ((s, d) => {
+      val root = sqlDmlTable(s, d)
+      val slash = root.lastIndexOf('/')
+      s.conf.set("spark.sql.catalog.graftdml",
+        "graft.sources.GraftSnapCatalog")
+      s.conf.set("spark.sql.catalog.graftdml.root", root.substring(0, slash))
+      val tbl = root.substring(slash + 1)
+      s.sql(s"""SELECT count(*) AS n_rows,
+               |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+               |FROM graftdml.`$tbl`
+               |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    }),
+
+    // SQL ROW-LEVEL DML, DELETE half: native `DELETE FROM graftdml.t
+    // WHERE c_mktsegment = 'MACHINERY'` (SupportsDelete — Spark's own
+    // DELETE translation hands the predicate to the format, which
+    // publishes O(matched) position tombstones, nothing rewritten).
+    // The full-state aggregate shows the segment gone and the update
+    // applied; oracle replays both DMLs.
+    "sql_delete_where" -> ((s, d) => {
+      val root = sqlDmlTable(s, d)
+      val slash = root.lastIndexOf('/')
+      s.conf.set("spark.sql.catalog.graftdml",
+        "graft.sources.GraftSnapCatalog")
+      s.conf.set("spark.sql.catalog.graftdml.root", root.substring(0, slash))
+      val tbl = root.substring(slash + 1)
+      s.sql(s"""SELECT c_mktsegment, count(*) AS n_rows,
+               |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+               |FROM graftdml.`$tbl`
+               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
     // The table format built and read ENTIRELY through a Hadoop
@@ -5138,6 +5203,32 @@ object SparkEntry {
         |  SELECT CAST(acctbal + 7 AS DECIMAL(18,2)) FROM cust
         |  WHERE c_custkey % 9 = 0))
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version""".stripMargin,
+
+    // The +500 update on (BUILDING ∧ ≡0 mod 7), replayed declaratively
+    // over the BUILDING slice.
+    "sql_update_where" ->
+      """WITH cust AS (SELECT c_custkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN c_custkey % 7 = 0
+        |    THEN CAST(acctbal + 500 AS DECIMAL(18,2))
+        |    ELSE acctbal END) AS DOUBLE) AS sum_bal
+        |FROM cust""".stripMargin,
+
+    // Both DMLs replayed: the MACHINERY segment deleted, the BUILDING
+    // ∧ ≡0 mod 7 slice at +500.
+    "sql_delete_where" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |st AS (SELECT c_mktsegment,
+        |    CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0
+        |      THEN CAST(acctbal + 500 AS DECIMAL(18,2))
+        |      ELSE acctbal END AS acctbal
+        |  FROM cust WHERE c_mktsegment <> 'MACHINERY')
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM st GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // The Hadoop-FS route is a pure transport change — same declarative
     // replay as the local-root front door.

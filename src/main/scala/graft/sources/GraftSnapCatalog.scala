@@ -4,7 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -246,7 +246,9 @@ private[sources] object GraftSnapProcedures {
   import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField}
   import org.apache.spark.unsafe.types.UTF8String
 
-  val Names: Seq[String] = Seq("optimize", "checkpoint", "vacuum", "restore")
+  val Names: Seq[String] =
+    Seq("optimize", "checkpoint", "vacuum", "restore",
+      "update_where", "delete_where")
 
   def load(cat: GraftSnapCatalog, name: String): UnboundProcedure =
     name match {
@@ -292,6 +294,42 @@ private[sources] object GraftSnapProcedures {
         StructType(Seq(StructField("version", LongType)))) { row =>
         val root = cat.rootOfTableName(row.getUTF8String(0).toString)
         InternalRow.fromSeq(Seq(Snapshots.restore(root, row.getLong(1))))
+      }
+      case "update_where" => proc(name,
+        "row-level UPDATE: assignments = 'col = expr; col2 = expr2' " +
+          "(every expression evaluates against the OLD row), predicate " +
+          "= any SQL boolean over the current shape; O(matched) " +
+          "rewritten as one atomic commit (position tombstones + " +
+          "rewrites), nothing else touched",
+        Seq(in("table", StringType), in("assignments", StringType),
+          in("predicate", StringType)),
+        StructType(Seq(StructField("version", LongType)))) { row =>
+        val root = cat.rootOfTableName(row.getUTF8String(0).toString)
+        val spark = SparkSession.active
+        import org.apache.spark.sql.functions.expr
+        val sets = row.getUTF8String(1).toString.split(";")
+          .map(_.trim).filter(_.nonEmpty).map { cl =>
+            val i = cl.indexOf('=')
+            require(i > 0,
+              s"assignment '$cl' must be <column> = <expression> " +
+                "(';'-separated)")
+            cl.substring(0, i).trim -> expr(cl.substring(i + 1).trim)
+          }.toMap
+        InternalRow.fromSeq(Seq(Snapshots.updateWhere(spark, root,
+          expr(row.getUTF8String(2).toString), sets,
+          note = "call-update-where")))
+      }
+      case "delete_where" => proc(name,
+        "row-level DELETE on ANY SQL predicate (the native DELETE FROM " +
+          "covers v1-filter shapes; this covers the rest): O(matched) " +
+          "position tombstones, nothing rewritten",
+        Seq(in("table", StringType), in("predicate", StringType)),
+        StructType(Seq(StructField("version", LongType)))) { row =>
+        val root = cat.rootOfTableName(row.getUTF8String(0).toString)
+        val spark = SparkSession.active
+        InternalRow.fromSeq(Seq(Snapshots.deleteWhere(spark, root,
+          org.apache.spark.sql.functions.expr(row.getUTF8String(1).toString),
+          note = "call-delete-where")))
       }
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' (known: ${Names.mkString(", ")})")
@@ -348,29 +386,117 @@ private[sources] class GraftSnapTable(spark: SparkSession, tblName: String,
                                       root: String, version: Long,
                                       pinned: Boolean)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  private lazy val snap = {
-    val s = Snapshots.snapshot(root, version)
-    Snapshots.requireFrontDoor(s, root)
-    s
+  private lazy val snap = Snapshots.snapshot(root, version)
+
+  /** Plain versions ride the vectorized parquet fast path; anything
+    * else — live merge-on-read tombstones or rename/drop rules — reads
+    * through the MERGED route below.
+    */
+  private def isPlain: Boolean =
+    snap.deletes.isEmpty && snap.posDeletes.isEmpty && snap.rules.isEmpty
+
+  /** The merge-on-read state as a planned frame (tombstone anti-joins,
+    * per-group schema rules — [[Snapshots.readMerged]]). The key column
+    * equality tombstones join on is recovered from the tombstone files'
+    * OWN footers (`commitChanges` writes exactly the key column), so a
+    * SQL reader needs no option; position-only tables never consult it.
+    */
+  private lazy val mergedFrame: DataFrame = {
+    val keyCol =
+      if (snap.deletes.isEmpty) ""
+      else {
+        val cols = spark.read
+          .parquet(SnapIO.join(root, snap.deletes.head.path))
+          .schema.fieldNames
+        require(cols.length == 1,
+          s"cannot infer the CDC key column of $tblName: its equality " +
+            s"tombstones carry (${cols.mkString(", ")}) — read through " +
+            "Snapshots.readMerged with an explicit keyCol")
+        cols.head
+      }
+    Snapshots.readMerged(spark, root, keyCol, Some(version))
   }
 
   override def name(): String = tblName
 
   override lazy val schema: StructType =
-    SnapshotDataSource.cdcBaseSchema(spark, root, version)
+    if (isPlain) SnapshotDataSource.cdcBaseSchema(spark, root, version)
+    else mergedFrame.schema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = {
-    Snapshots.requireFrontDoor(snap, root)
-    ParquetScanBuilder(spark,
-      new GraftSnapPartitioningIndex(spark, root, snap), schema, schema,
-      options)
+      : ScanBuilder =
+    if (isPlain) {
+      Snapshots.requireFrontDoor(snap, root)
+      ParquetScanBuilder(spark,
+        new GraftSnapPartitioningIndex(spark, root, snap), schema, schema,
+        options)
+    } else {
+      // MERGE-ON-READ (or schema-rule) versions: one v2 batch scan
+      // cannot express the tombstone anti-joins or the per-group rename
+      // union, so the scan is a V1Scan handing Spark the format's own
+      // readMerged plan — `SELECT` works right after a row-level
+      // UPDATE/DELETE with NO compaction, the lakehouse contract. The
+      // frame's InternalRow RDD passes through unconverted
+      // (needConversion = false); predicates apply above the scan
+      // (MOR read cost is the anti-join, not the missed pushdown).
+      val declared = schema
+      val frame = mergedFrame.select(
+        declared.fieldNames.toSeq.map(mergedFrame.col): _*)
+      new ScanBuilder {
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.V1Scan {
+            override def readSchema(): StructType = declared
+            override def description(): String = s"$tblName (merge-on-read)"
+            override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan](
+                context: org.apache.spark.sql.SQLContext): T =
+              (new org.apache.spark.sql.sources.BaseRelation
+                  with org.apache.spark.sql.sources.TableScan {
+                override def sqlContext: org.apache.spark.sql.SQLContext =
+                  context
+                override def schema: StructType = declared
+                override def needConversion: Boolean = false
+                override def buildScan()
+                    : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                  frame.queryExecution.toRdd
+                    .asInstanceOf[org.apache.spark.rdd.RDD[
+                      org.apache.spark.sql.Row]]
+              }).asInstanceOf[T]
+          }
+      }
+    }
+
+  // ---- SQL row-level DELETE (SupportsDelete) -----------------------------
+  // `DELETE FROM graft.t WHERE <pred>` — Spark translates the condition
+  // to v1 filters and hands them here; the delete publishes POSITION
+  // tombstones (O(matched) written, nothing rewritten), and the merged
+  // scan above serves the post-DML state to the very next SELECT.
+  // Predicates outside the v1 Filter algebra refuse at canDeleteWhere
+  // (Spark surfaces the standard error); `CALL graft.delete_where` takes
+  // arbitrary SQL predicates.
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    if (pinned) throw new UnsupportedOperationException(
+      s"$tblName is a time-travel read (VERSION/TIMESTAMP AS OF) — " +
+        "history is immutable; DELETE from the plain table name")
+    filters.forall(f => GraftSnapTable.filterToColumn(f).isDefined)
+  }
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val pred = filters.toSeq.flatMap(GraftSnapTable.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Snapshots.deleteWhere(spark, root, pred,
+      note = "sql-delete-where"): Unit
   }
 
   override def newWriteBuilder(
@@ -414,6 +540,41 @@ private[sources] class GraftSnapTable(spark: SparkSession, tblName: String,
             }
         }
     }
+  }
+}
+
+private[sources] object GraftSnapTable {
+  import org.apache.spark.sql.{functions => F}
+  import org.apache.spark.sql.sources._
+
+  /** One v1 `Filter` as a `Column` predicate — the algebra Spark's
+    * DELETE translation emits. `None` = not expressible (the caller
+    * refuses at `canDeleteWhere`, so Spark surfaces its standard
+    * "cannot delete" error; arbitrary predicates take the
+    * `CALL delete_where` route).
+    */
+  private[sources] def filterToColumn(f: Filter)
+      : Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
+    case GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case In(a, vs) => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(F.col(a).isNull)
+    case IsNotNull(a) => Some(F.col(a).isNotNull)
+    case And(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+    case Not(c) => filterToColumn(c).map(!_)
+    case StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(F.col(a).endsWith(v))
+    case StringContains(a, v) => Some(F.col(a).contains(v))
+    case _: AlwaysTrue => Some(F.lit(true))
+    case _: AlwaysFalse => Some(F.lit(false))
+    case _ => None
   }
 }
 

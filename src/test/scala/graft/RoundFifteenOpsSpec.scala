@@ -130,6 +130,103 @@ class RoundFifteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"(read $used) — the CDC source's planning is O(delta), not O(files)")
   }
 
+  // ---- SQL row-level DML through the catalog -----------------------------
+
+  test("SQL row-level DML: DELETE FROM deletes, CALL update_where updates, and SELECT serves the merge-on-read state with no compaction") {
+    val ss = spark; import ss.implicits._
+    val base = freshDir()
+    val root = SnapIO.join(base, "t")
+    (0L until 100L).map(k => (k, k * 1.0)).toDF("k", "x")
+      .coalesce(1).write.format("graft-snap").save(root)
+    spark.conf.set("spark.sql.catalog.g15", "graft.sources.GraftSnapCatalog")
+    spark.conf.set("spark.sql.catalog.g15.root", base)
+    // UPDATE via the procedure (arbitrary SQL assignments + predicate)
+    assert(spark.sql(
+      "CALL g15.update_where('t', 'x = x + 1000', 'k % 10 = 0')")
+      .head().getLong(0) === 2L)
+    // DELETE via native SQL (v1-filter predicate)
+    spark.sql("DELETE FROM g15.t WHERE k >= 90").collect(): Unit
+    // the very next SELECT serves the merged state — no compaction step
+    val row = spark.sql(
+      "SELECT count(*) AS n, CAST(sum(x) AS DOUBLE) AS s FROM g15.t").head()
+    assert(row.getLong(0) === 90L)
+    val expect = (0L until 90L).map(k =>
+      if (k % 10 == 0) k * 1.0 + 1000 else k * 1.0).sum
+    assert(math.abs(row.getDouble(1) - expect) < 1e-6)
+    // predicates compose above the merged scan
+    assert(spark.sql("SELECT count(*) FROM g15.t WHERE x >= 1000")
+      .head().getLong(0) === 9L, "k=0..80 step 10 updated, k=90 deleted")
+    // a PINNED (pre-DML) version still reads the old state, fast path
+    assert(spark.sql("SELECT count(*) FROM g15.t VERSION AS OF 1")
+      .head().getLong(0) === 100L)
+    // history audits the two DML commits by note
+    val notes = Snapshots.history(spark, root)
+      .select("note").collect().map(_.getString(0)).toSeq
+    assert(notes.contains("call-update-where"))
+    assert(notes.contains("sql-delete-where"))
+    // $files exposes the tombstone churn (file count is partition-
+    // dependent; both DML commits must be represented)
+    assert(spark.sql(
+      "SELECT count(DISTINCT seq) FROM g15.`t$files` " +
+        "WHERE kind = 'posdelete'").head().getLong(0) === 2L)
+  }
+
+  test("SQL DELETE refuses on a time-travel-pinned table and on untranslatable predicates; equality-tombstone tables SELECT through the inferred key") {
+    val ss = spark; import ss.implicits._
+    val base = freshDir()
+    val root = SnapIO.join(base, "e")
+    spark.conf.set("spark.sql.catalog.g15b", "graft.sources.GraftSnapCatalog")
+    spark.conf.set("spark.sql.catalog.g15b.root", base)
+    (0L until 50L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.format("graft-snap").save(root)
+    // an equality-delete (commitChanges) state: upsert 5 keys, delete 3
+    Snapshots.commitChanges(root,
+      upserts = (0L until 5L).map(k => (k, s"new$k")).toDF("k", "v"),
+      deleteKeys = Seq(47L, 48L, 49L).toDF("k"),
+      keyCol = "k", note = "chg"): Unit
+    // SELECT serves the merged state — the key column is inferred from
+    // the tombstone files' own footers, no option needed
+    assert(spark.sql("SELECT count(*) FROM g15b.e").head().getLong(0) === 47L)
+    assert(spark.sql("SELECT v FROM g15b.e WHERE k = 3").head().getString(0)
+      === "new3")
+    // DELETE on a mod predicate is outside the v1 filter algebra: the
+    // native path refuses loudly; the procedure takes it
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM g15b.e WHERE k % 7 = 0").collect()
+    }
+    assert(msgs(e).nonEmpty)
+    assert(spark.sql("CALL g15b.delete_where('e', 'k % 7 = 0')")
+      .head().getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM g15b.e").head().getLong(0) === 40L,
+      "47 − k%7==0 survivors (0,7,...,42)")
+  }
+
+  test("a concurrent row-level DML derived from a pre-SQL-DELETE version conflicts loudly (write-skew guard holds through the SQL path)") {
+    val ss = spark; import ss.implicits._
+    val base = freshDir()
+    val root = SnapIO.join(base, "w")
+    (0L until 100L).map(k => (k, k * 1.0)).toDF("k", "x")
+      .coalesce(1).write.format("graft-snap").save(root)
+    spark.conf.set("spark.sql.catalog.g15c", "graft.sources.GraftSnapCatalog")
+    spark.conf.set("spark.sql.catalog.g15c.root", base)
+    // DML B derives its positions from v1 BEFORE the SQL DELETE lands
+    val positionsB = Snapshots.positionsWhere(spark, root,
+      col("k") % 5 === 0, Some(1L))
+    spark.sql("DELETE FROM g15c.w WHERE k < 20").collect(): Unit // v2
+    // B's rebase window now contains tombstones touching its files —
+    // composing would double-apply: must conflict, never silently merge
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.commitPositionDeletes(root, positionsB, "dml-b",
+        basedOn = Some(1L))
+    }
+    assert(e.getMessage.contains("write-skew"), e.getMessage)
+    // recovery: recompute against the new latest through the SQL surface
+    assert(spark.sql("CALL g15c.delete_where('w', 'k % 5 = 0')")
+      .head().getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM g15c.w").head().getLong(0) === 64L,
+      "100 − (k<20: 20) − (k%5==0 ∧ k>=20: 16)")
+  }
+
   test("the CDC stream source stays correct when a batch is NOT sequential (restart replay): the fallback re-materializes and the feed matches the batch changeFeed") {
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
     val root = cdcTable()
