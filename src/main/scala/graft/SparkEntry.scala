@@ -2087,6 +2087,39 @@ object SparkEntry {
                |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // ATOMIC CTAS through the v2 catalog: `CREATE TABLE graft.t AS
+    // SELECT …` stages the query's output under the final root (a
+    // manifest-less root is invisible) and publishes manifest v1 only
+    // at commit — first-commit semantics through the same arbiter as
+    // every write, so a failed CTAS leaves no table and a concurrent
+    // creator loses loudly. TBLPROPERTIES('statsCols') embeds manifest
+    // bounds in the born table. Oracle replays the SELECT.
+    "sql_ctas" -> ((s, d) => {
+      val root = ModelStore.fit(s"sqlctas|${cid(d)}", "graft_sqlctas") { p =>
+        val slash = p.lastIndexOf('/')
+        s.conf.set("spark.sql.catalog.graftctas",
+          "graft.sources.GraftSnapCatalog")
+        s.conf.set("spark.sql.catalog.graftctas.root", p.substring(0, slash))
+        val tbl = p.substring(slash + 1)
+        Tables.customer(s, d).createOrReplaceTempView("graft_ctas_src")
+        s.sql(s"""CREATE TABLE graftctas.`$tbl`
+                 |TBLPROPERTIES('statsCols' = 'c_custkey')
+                 |AS SELECT c_custkey, c_mktsegment,
+                 |  CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+                 |FROM graft_ctas_src
+                 |WHERE c_custkey % 3 = 0""".stripMargin).collect(): Unit
+      }
+      val slash = root.lastIndexOf('/')
+      s.conf.set("spark.sql.catalog.graftctas",
+        "graft.sources.GraftSnapCatalog")
+      s.conf.set("spark.sql.catalog.graftctas.root", root.substring(0, slash))
+      val tbl = root.substring(slash + 1)
+      s.sql(s"""SELECT c_mktsegment, count(*) AS n_rows,
+               |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+               |FROM graftctas.`$tbl`
+               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // The table format built and read ENTIRELY through a Hadoop
     // `FileSystem` URI root (`file://` — the local harness for the
     // hdfs:// / s3a:// route): every manifest byte goes through SnapIO's
@@ -5229,6 +5262,13 @@ object SparkEntry {
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
         |FROM st GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // The CTAS SELECT replayed declaratively.
+    "sql_ctas" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey % 3 = 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // The Hadoop-FS route is a pure transport change — same declarative
     // replay as the local-root front door.

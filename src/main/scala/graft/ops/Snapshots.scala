@@ -819,6 +819,31 @@ object Snapshots {
       FileEntry(s"$dataPath/$name", rows, 0L, stats, bytes, strStats) }
   }
 
+  /** Phase one of the ATOMIC-CTAS surface: write `df`'s files under the
+    * table's (manifest-less, hence INVISIBLE) root and return their
+    * entries for [[commitStaged]]. A root with no published manifest
+    * does not exist to any reader or catalog probe, so staging under
+    * the final root costs nothing in visibility — the lakehouse
+    * "stage data, publish metadata" two-phase shape.
+    */
+  private[graft] def stageData(root: String, df: DataFrame,
+                               statsCols: Seq[String] = Seq.empty)
+      : Seq[FileEntry] = {
+    init(root): Unit
+    writeData(root, df, statsCols)
+  }
+
+  /** Phase two: publish pre-staged entries as VERSION 1 of a table that
+    * must not exist yet — a replace pinned to "empty" (`basedOn = 0`),
+    * so a concurrent creator's win surfaces as the standard conflict
+    * (never a silent merge of two CTAS outputs) and the loser's staged
+    * segments are reclaimed by the abort path.
+    */
+  private[graft] def commitStaged(root: String, entries: Seq[FileEntry],
+                                  note: String): Long =
+    publish(root, entries, Seq.empty, Seq.empty, note,
+      replace = true, basedOn = Some(0L))
+
   /** RESTORE: make version `toVersion`'s exact state the new LATEST — a
     * new commit whose manifest references the old version's SEGMENTS
     * verbatim (entries and seqs preserved, so a merge-on-read state

@@ -42,28 +42,38 @@ import graft.ops.{SnapIO, Snapshots}
   *
   * Writes: `INSERT INTO graft.t` / `INSERT OVERWRITE graft.t` ride the
   * v2 `V1Write` fallback straight into the commit protocol (append /
-  * pinned replace) — see [[GraftSnapTable.newWriteBuilder]]. DDL stays
-  * out by design: a catalog `createTable` would have to invent a
-  * schema-only commit shape the format does not define (a table IS its
-  * first commit — make one with the DataFrame writer), ALTER is the
-  * zero-rewrite rule surface, and retirement is VACUUM; those verbs
-  * refuse loudly with pointers.
+  * pinned replace) — see [[GraftSnapTable.newWriteBuilder]].
+  * `CREATE TABLE graft.t AS SELECT …` is ATOMIC CTAS (the
+  * `StagingTableCatalog` route): the query's output stages under the
+  * final root and manifest v1 publishes at commit — first-commit
+  * semantics, a failed CTAS leaves no table behind. Row-level DML:
+  * `DELETE FROM graft.t WHERE …` (v2 `SupportsDelete` → position
+  * tombstones, O(matched) written) plus `CALL graft.update_where /
+  * delete_where` for arbitrary SQL predicates; tombstone-bearing
+  * versions READ through a merge-on-read `V1Scan`
+  * ([[GraftSnapTable.newScanBuilder]]), so `SELECT` follows DML with no
+  * compaction step. Schema-only `CREATE TABLE` stays out by design (a
+  * table IS its first commit), ALTER is the zero-rewrite rule surface,
+  * and retirement is VACUUM; those verbs refuse loudly with pointers.
   *
-  * MAINTENANCE runs as v2 PROCEDURES (the Iceberg `CALL` surface, on
-  * Spark's native procedure API):
+  * MAINTENANCE and DML procedures run as v2 PROCEDURES (the Iceberg
+  * `CALL` surface, on Spark's native procedure API):
   *
   * {{{
   *   CALL graft.optimize(table => 't', order_by => 'k', target_mb => 128)
   *   CALL graft.checkpoint('t')
   *   CALL graft.vacuum('t', 5)          -- keep 5 versions (1 h age guard)
   *   CALL graft.restore('t', 3)         -- make v3 the new head
+  *   CALL graft.update_where('t', 'b = b + 1; s = upper(s)', 'k % 7 = 0')
+  *   CALL graft.delete_where('t', 'k % 7 = 0')
   * }}}
   *
   * Each returns its outcome as a one-row result (new version, counts),
   * so maintenance is scriptable from pure SQL.
   */
 class GraftSnapCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var rootDir: String = _
@@ -188,9 +198,62 @@ class GraftSnapCatalog extends TableCatalog
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
-      "graft-snap tables are born from their first commit — write " +
-        s"df.write.format(\"graft-snap\").save(\"${tableRoot(ident)}\") " +
-        "instead of CREATE TABLE")
+      "graft-snap tables are born from their first commit — use " +
+        s"CREATE TABLE ${fullName(ident)} AS SELECT ... (atomic CTAS) " +
+        "or write df.write.format(\"graft-snap\")" +
+        s".save(\"${tableRoot(ident)}\"); a schema-only CREATE would " +
+        "invent a commit shape the format does not define")
+
+  // ---- atomic CTAS (StagingTableCatalog) ---------------------------------
+  // `CREATE TABLE graft.t AS SELECT …` stages the query's output under
+  // the FINAL root (a manifest-less root is invisible to every reader
+  // and catalog probe) and publishes manifest v1 only at
+  // commitStagedChanges — first-commit semantics through the same
+  // arbiter as every other commit, so a concurrent creator loses
+  // LOUDLY and a failed CTAS leaves no table behind.
+
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedCreate(ident, info.schema(), info.partitions(), info.properties())
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedCreate(ident, schema, partitions, properties)
+
+  private def stagedCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(partitions.isEmpty,
+      "graft-snap is unpartitioned (layout comes from OPTIMIZE/z-order)")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    // TBLPROPERTIES('statsCols' = 'k,s') embeds manifest bounds in the
+    // first commit — the CTAS twin of the writer's statsCols option
+    val statsCols = Option(properties.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    new GraftSnapStagedTable(fullName(ident), tableRoot(ident), schema,
+      statsCols)
+  }
+
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    throw new UnsupportedOperationException(
+      "REPLACE TABLE rewrites a table's identity; use INSERT OVERWRITE " +
+        s"${fullName(ident)} (a replace commit — history kept, pinned " +
+        "readers unaffected) instead")
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    if (tableExists(ident)) stageReplace(ident, info)
+    else stageCreate(ident, info)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -540,6 +603,54 @@ private[sources] class GraftSnapTable(spark: SparkSession, tblName: String,
             }
         }
     }
+  }
+}
+
+/** One in-flight CTAS: the query's output stages under the final root
+  * (invisible — no manifest yet), `commitStagedChanges` publishes
+  * version 1 through the arbiter as a replace pinned to "empty", so a
+  * concurrent creator of the same name loses LOUDLY. `abortStagedChanges`
+  * removes only THIS attempt's staged data dirs, and drops the root only
+  * when no committer published — a failed CTAS leaves no table behind,
+  * and a lost create race never deletes the winner's table.
+  */
+private[graft] class GraftSnapStagedTable(tblName: String, root: String,
+                                          expected: StructType,
+                                          statsCols: Seq[String])
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  @volatile private var staged: Seq[Snapshots.FileEntry] = Seq.empty
+
+  override def name(): String = tblName
+  override def schema(): StructType = expected
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: DataFrame,
+                                  overwrite: Boolean): Unit =
+                staged = Snapshots.stageData(root, data, statsCols)
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit =
+    Snapshots.commitStaged(root, staged, "ctas"): Unit
+
+  override def abortStagedChanges(): Unit = {
+    staged.map(_.path.split('/').take(2).mkString("/")).distinct
+      .foreach(d => SnapIO.deleteTree(SnapIO.join(root, d)))
+    if (Snapshots.latestVersion(root).isEmpty) SnapIO.deleteTree(root)
   }
 }
 

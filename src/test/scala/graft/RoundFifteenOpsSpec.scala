@@ -227,6 +227,76 @@ class RoundFifteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "100 − (k<20: 20) − (k%5==0 ∧ k>=20: 16)")
   }
 
+  // ---- atomic CTAS -------------------------------------------------------
+
+  test("CREATE TABLE AS SELECT: atomic first-commit semantics — table listed and readable, stats embedded via TBLPROPERTIES, existing names refuse") {
+    val base = freshDir()
+    spark.conf.set("spark.sql.catalog.g15d", "graft.sources.GraftSnapCatalog")
+    spark.conf.set("spark.sql.catalog.g15d.root", base)
+    spark.sql(
+      """CREATE TABLE g15d.c TBLPROPERTIES('statsCols' = 'id')
+        |AS SELECT id, id * 2.0 AS x FROM range(0, 100)""".stripMargin)
+      .collect(): Unit
+    assert(spark.sql("SHOW TABLES IN g15d").collect()
+      .map(_.getString(1)).toSeq === Seq("c"))
+    assert(spark.sql("SELECT count(*), CAST(sum(x) AS DOUBLE) FROM g15d.c")
+      .head().toSeq === Seq(100L, (0 until 100).map(_ * 2.0).sum))
+    val root = SnapIO.join(base, "c")
+    assert(Snapshots.versions(root) === Seq(1L), "CTAS is ONE commit")
+    assert(Snapshots.commitNote(root, 1L) === "ctas")
+    assert(Snapshots.snapshot(root, 1L).files.filter(_.rows > 0)
+      .forall(_.stats.contains("id")),
+      "TBLPROPERTIES('statsCols') embeds manifest bounds in the first commit")
+    // the born table takes every downstream verb: INSERT, time travel
+    spark.sql("INSERT INTO g15d.c VALUES (999, 0.0)").collect(): Unit
+    assert(spark.sql("SELECT count(*) FROM g15d.c").head().getLong(0) === 101L)
+    assert(spark.sql("SELECT count(*) FROM g15d.c VERSION AS OF 1")
+      .head().getLong(0) === 100L)
+    // CTAS onto an existing name refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE g15d.c AS SELECT 1 AS k").collect()
+    }
+    assert(msgs(e).exists(m => m.contains("already exists") ||
+      m.contains("TABLE_OR_VIEW_ALREADY_EXISTS")), s"got: ${msgs(e)}")
+  }
+
+  test("a FAILED CTAS leaves no table root behind; a lost create race never deletes the winner's table") {
+    val ss = spark; import ss.implicits._
+    val base = freshDir()
+    spark.conf.set("spark.sql.catalog.g15e", "graft.sources.GraftSnapCatalog")
+    spark.conf.set("spark.sql.catalog.g15e.root", base)
+    // 1. the SELECT throws mid-write → abort: no table, no root debris
+    intercept[Exception] {
+      spark.sql("CREATE TABLE g15e.f AS " +
+        "SELECT raise_error('boom') AS x FROM range(1)").collect()
+    }
+    assert(spark.sql("SHOW TABLES IN g15e").collect().isEmpty)
+    assert(!SnapIO.exists(SnapIO.join(base, "f")),
+      "a failed CTAS must leave no table root behind")
+    // 2. two concurrent CTAS of one name: the loser's commit conflicts
+    //    loudly and its ABORT must not delete the winner's table
+    val root = SnapIO.join(base, "r")
+    val a = new graft.sources.GraftSnapStagedTable("g15e.r", root,
+      new org.apache.spark.sql.types.StructType(), Seq.empty)
+    val b = new graft.sources.GraftSnapStagedTable("g15e.r", root,
+      new org.apache.spark.sql.types.StructType(), Seq.empty)
+    def write(t: graft.sources.GraftSnapStagedTable,
+              df: org.apache.spark.sql.DataFrame): Unit =
+      t.newWriteBuilder(null).build()
+        .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+        .toInsertableRelation.insert(df, overwrite = false)
+    write(a, Seq((1L, "winner")).toDF("k", "v").coalesce(1))
+    write(b, Seq((2L, "loser")).toDF("k", "v").coalesce(1))
+    a.commitStagedChanges()
+    intercept[java.util.ConcurrentModificationException] {
+      b.commitStagedChanges()
+    }
+    b.abortStagedChanges() // what Spark's exec does on failure
+    assert(spark.sql("SELECT v FROM g15e.r").head().getString(0) === "winner",
+      "the loser's abort must only reclaim its own staged files")
+    assert(Snapshots.versions(root) === Seq(1L))
+  }
+
   test("the CDC stream source stays correct when a batch is NOT sequential (restart replay): the fallback re-materializes and the feed matches the batch changeFeed") {
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
     val root = cdcTable()
