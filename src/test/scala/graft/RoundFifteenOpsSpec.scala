@@ -297,6 +297,69 @@ class RoundFifteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.versions(root) === Seq(1L))
   }
 
+  // ---- URI-root composition ----------------------------------------------
+
+  test("URI-root composition: the v2 catalog (CTAS, INSERT, DML, time travel) and the streaming front door (source, sink, CDC) all run on a file:// root") {
+    val ss = spark; import ss.implicits._
+    val local = freshDir()
+    val base = "file://" + local
+    spark.conf.set("spark.sql.catalog.g15f", "graft.sources.GraftSnapCatalog")
+    spark.conf.set("spark.sql.catalog.g15f.root", base)
+    // the CATALOG over a URI root: CTAS → read → INSERT → row-level DML
+    // → merged read → time travel, every byte through SnapIO's
+    // FileSystem branch and the FS arbiter
+    spark.sql("CREATE TABLE g15f.t AS " +
+      "SELECT id AS k, id * 1.0 AS x FROM range(0, 50)").collect(): Unit
+    assert(new java.io.File(local, "t/_graft_snaps").isDirectory,
+      "metadata physically landed where the URI points")
+    assert(spark.sql("SELECT count(*) FROM g15f.t").head().getLong(0) === 50L)
+    assert(spark.sql("SHOW TABLES IN g15f").collect()
+      .map(_.getString(1)).toSeq === Seq("t"))
+    spark.sql("INSERT INTO g15f.t VALUES (100, 0.0)").collect(): Unit  // v2
+    spark.sql("CALL g15f.update_where('t', 'x = x + 10', 'k < 5')")
+      .collect(): Unit                                                 // v3
+    spark.sql("DELETE FROM g15f.t WHERE k >= 40 AND k < 100")
+      .collect(): Unit                                                 // v4
+    assert(spark.sql("SELECT count(*) FROM g15f.t").head().getLong(0) === 41L,
+      "50 + 1 inserted − 10 deleted")
+    assert(spark.sql(
+      "SELECT CAST(sum(x) AS DOUBLE) FROM g15f.t WHERE k < 5")
+      .head().getDouble(0) === (0 until 5).map(_ * 1.0 + 10).sum)
+    assert(spark.sql("SELECT count(*) FROM g15f.t VERSION AS OF 1")
+      .head().getLong(0) === 50L)
+    // the STREAMING front door on URI roots: append source over
+    // file://A drains through the graft-snap streaming sink into
+    // file://B — offsets, micro-batch planning, exactly-once markers
+    // and the sink's commits all through the FileSystem branch
+    val srcRoot = s"$base/s1"
+    (0L until 30L).map(k => (k, s"r$k")).toDF("k", "v").coalesce(1)
+      .write.format("graft-snap").save(srcRoot)
+    (30L until 45L).map(k => (k, s"r$k")).toDF("k", "v").coalesce(1)
+      .write.format("graft-snap")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(srcRoot)
+    val dstRoot = s"$base/s2"
+    streaming.StreamOps.drainToSnap(spark,
+      spark.readStream.format("graft-snap").load(srcRoot),
+      dstRoot, s"${freshDir()}/ckpt")
+    assert(Snapshots.read(spark, dstRoot).count() === 45L)
+    assert(spark.sql("SELECT count(*) FROM g15f.s2").head().getLong(0) === 45L,
+      "the sink's commits list under the same catalog root")
+    // the CDC STREAM over the URI root's DML'd table: the update feeds
+    // delete(old)+insert(new), the delete feeds recovered payloads
+    val cdcSink = freshDir()
+    streaming.StreamOps.drainToParquet(spark,
+      spark.readStream.format("graft-snap")
+        .option("readChangeFeed", "true").option("keyCol", "k")
+        .option("startingVersion", "2").load(SnapIO.join(base, "t")),
+      s"$cdcSink/sink", s"$cdcSink/ckpt")
+    val feed = spark.read.parquet(s"$cdcSink/sink")
+      .groupBy(col("_commit_version"), col("_change_type")).count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(feed === Seq((3L, "delete", 5L), (3L, "insert", 5L),
+      (4L, "delete", 10L)))
+  }
+
   test("the CDC stream source stays correct when a batch is NOT sequential (restart replay): the fallback re-materializes and the feed matches the batch changeFeed") {
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
     val root = cdcTable()
