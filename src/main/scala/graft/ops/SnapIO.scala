@@ -87,8 +87,12 @@ private[graft] object SnapIO {
     if (i != null) i else hadoopConf
   }
 
+  // through conf (NOT the raw lazy fallback): an executor-side install()
+  // must govern every FS dispatch here — exists/len/list included, not
+  // just footer opens — or the first uncredentialed instantiation
+  // poisons Hadoop's per-scheme FS cache for the whole JVM
   private def fs(path: String): FileSystem =
-    new HPath(path).getFileSystem(hadoopConf)
+    new HPath(path).getFileSystem(conf)
 
   private def nio(path: String): Path = Paths.get(path)
 
@@ -125,6 +129,23 @@ private[graft] object SnapIO {
   def deleteIfExists(path: String): Unit =
     if (isLocal(path)) Files.deleteIfExists(nio(path)): Unit
     else fs(path).delete(new HPath(path), false): Unit
+
+  /** Remove a DIRECTORY only if it is empty (rmdir semantics — a
+    * non-empty directory is left untouched, never an error): the
+    * race-safe cleanup primitive for abandoned scaffolding, where a
+    * concurrent writer may be staging into the same tree.
+    */
+  def deleteDirIfEmpty(path: String): Unit =
+    if (isLocal(path)) {
+      try Files.deleteIfExists(nio(path)): Unit
+      catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+    } else {
+      val f = fs(path)
+      val p = new HPath(path)
+      try if (f.exists(p) && f.listStatus(p).isEmpty)
+        f.delete(p, false): Unit
+      catch { case _: java.io.IOException => () /* raced non-empty */ }
+    }
 
   def deleteTree(path: String): Unit =
     if (isLocal(path)) {

@@ -758,8 +758,12 @@ object Snapshots {
     * never a re-scan.
     */
   private def writeData(root: String, df: DataFrame,
-                        statsCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
-    val uuid = java.util.UUID.randomUUID().toString.take(12)
+                        statsCols: Seq[String] = Seq.empty,
+                        dirName: Option[String] = None): Seq[FileEntry] = {
+    // dirName lets a CTAS attempt pre-pick its commit dir so its ABORT
+    // can reclaim even a mid-write failure's debris (a random name would
+    // be unattributable to the attempt)
+    val uuid = dirName.getOrElse(java.util.UUID.randomUUID().toString.take(12))
     val dataPath = s"$DataDir/$uuid"
     df.write.parquet(s"$root/$dataPath")
     val files = SnapIO.list(SnapIO.join(root, dataPath))
@@ -827,10 +831,11 @@ object Snapshots {
     * "stage data, publish metadata" two-phase shape.
     */
   private[graft] def stageData(root: String, df: DataFrame,
-                               statsCols: Seq[String] = Seq.empty)
+                               statsCols: Seq[String] = Seq.empty,
+                               dirName: Option[String] = None)
       : Seq[FileEntry] = {
     init(root): Unit
-    writeData(root, df, statsCols)
+    writeData(root, df, statsCols, dirName)
   }
 
   /** Phase two: publish pre-staged entries as VERSION 1 of a table that
@@ -840,9 +845,14 @@ object Snapshots {
     * segments are reclaimed by the abort path.
     */
   private[graft] def commitStaged(root: String, entries: Seq[FileEntry],
-                                  note: String): Long =
+                                  note: String): Long = {
+    // re-create the scaffold first: a concurrent attempt's ABORT may
+    // have rmdir'd the (then-empty) metadata dir between our staging
+    // and this publish — init is idempotent, so the scaffold self-heals
+    init(root): Unit
     publish(root, entries, Seq.empty, Seq.empty, note,
       replace = true, basedOn = Some(0L))
+  }
 
   /** RESTORE: make version `toVersion`'s exact state the new LATEST — a
     * new commit whose manifest references the old version's SEGMENTS

@@ -622,11 +622,18 @@ private[graft] class GraftSnapStagedTable(tblName: String, root: String,
 
   @volatile private var staged: Seq[Snapshots.FileEntry] = Seq.empty
 
+  // THIS attempt's commit dir, chosen up front: the abort path can then
+  // reclaim even a mid-write failure's debris (whose entries were never
+  // returned) without touching a concurrent attempt's staging
+  private val attemptDir =
+    s"ctas_${java.util.UUID.randomUUID().toString.take(12)}"
+
   override def name(): String = tblName
   override def schema(): StructType = expected
+  // write-only during CTAS: advertising BATCH_READ without SupportsRead
+  // would invite a capability-driven cast to blow up
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -639,7 +646,8 @@ private[graft] class GraftSnapStagedTable(tblName: String, root: String,
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: DataFrame,
                                   overwrite: Boolean): Unit =
-                staged = Snapshots.stageData(root, data, statsCols)
+                staged = Snapshots.stageData(root, data, statsCols,
+                  Some(attemptDir))
             }
         }
     }
@@ -648,9 +656,19 @@ private[graft] class GraftSnapStagedTable(tblName: String, root: String,
     Snapshots.commitStaged(root, staged, "ctas"): Unit
 
   override def abortStagedChanges(): Unit = {
-    staged.map(_.path.split('/').take(2).mkString("/")).distinct
-      .foreach(d => SnapIO.deleteTree(SnapIO.join(root, d)))
-    if (Snapshots.latestVersion(root).isEmpty) SnapIO.deleteTree(root)
+    // reclaim THIS attempt's commit dir (covers mid-write failures,
+    // whose entries were never returned)…
+    SnapIO.deleteTree(SnapIO.join(root, s"data/$attemptDir"))
+    // …then retire the scaffold with strict RMDIR semantics (refuse
+    // non-empty): a CONCURRENT CTAS of the same name may have staged
+    // its own (unpublished) files here — an emptiness CHECK followed by
+    // a recursive delete would race it and destroy the future winner's
+    // data, so each level deletes only if actually empty
+    if (Snapshots.latestVersion(root).isEmpty) {
+      SnapIO.deleteDirIfEmpty(SnapIO.join(root, "data"))
+      SnapIO.deleteDirIfEmpty(SnapIO.join(root, "_graft_snaps"))
+      SnapIO.deleteDirIfEmpty(root)
+    }
   }
 }
 

@@ -295,6 +295,19 @@ class RoundFifteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT v FROM g15e.r").head().getString(0) === "winner",
       "the loser's abort must only reclaim its own staged files")
     assert(Snapshots.versions(root) === Seq(1L))
+    // 3. abort BEFORE the winner publishes: rmdir semantics must leave
+    //    the concurrent attempt's staged (still-unpublished) files alone
+    val root2 = SnapIO.join(base, "r2")
+    val a2 = new graft.sources.GraftSnapStagedTable("g15e.r2", root2,
+      new org.apache.spark.sql.types.StructType(), Seq.empty)
+    val b2 = new graft.sources.GraftSnapStagedTable("g15e.r2", root2,
+      new org.apache.spark.sql.types.StructType(), Seq.empty)
+    write(a2, Seq((1L, "winner")).toDF("k", "v").coalesce(1))
+    write(b2, Seq((2L, "loser")).toDF("k", "v").coalesce(1))
+    b2.abortStagedChanges() // loser gives up FIRST — no manifest anywhere
+    a2.commitStagedChanges() // the future winner's files must be intact
+    assert(spark.sql("SELECT v FROM g15e.r2").head().getString(0) === "winner",
+      "an abort before the winner publishes must not raze the root")
   }
 
   // ---- URI-root composition ----------------------------------------------
