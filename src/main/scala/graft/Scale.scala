@@ -65,6 +65,7 @@ object Scale {
     if (args.headOption.contains("versions")) return versionsMain(args.drop(1))
     if (args.headOption.contains("checkpoint")) return checkpointMain(args.drop(1))
     if (args.headOption.contains("streamplan")) return streamPlanMain(args.drop(1))
+    if (args.headOption.contains("cdcplan")) return cdcPlanMain(args.drop(1))
     if (args.headOption.contains("arbiters")) return arbitersMain(args.drop(1))
     if (args.headOption.contains("snapshots")) return snapshotsMain(args.drop(1))
     if (args.headOption.contains("mor")) return morMain(args.drop(1))
@@ -907,6 +908,70 @@ object Scale {
     }
     val snapReads = ops.Snapshots.segmentReads.get() - r1
     println(f"""{"mode":"streamplan","n_versions":$v,"base_files":$nFiles,"window2_segment_reads":$windowReads,"window2_sec":$windowSec%.3f,"full_snapshot_segment_reads":$snapReads,"full_snapshot_sec":$snapSec%.3f,"tail_batches":$nBatches,"tail_segment_reads":$tailReads,"tail_sec":$tailSec%.3f,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** CDC stream planning at deep history: a WIDE base (its segment is
+    * O(nFiles) entry text) plus `v` commits mixing appends with
+    * row-level DML (the CDC source's normal diet), then (a) a consumer
+    * tailing `nBatches` consecutive 1-commit windows through the
+    * source's cached-state advance ([[ops.Snapshots.advanceSnapshot]] —
+    * the round-15 O(delta) path, one segment read per batch) versus
+    * (b) the old per-batch unit, one full head materialization. Cold
+    * segment cache before each measured leg, so every read is a real
+    * storage GET.
+    */
+  private def cdcPlanMain(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = if (args.nonEmpty) args(0).toInt else 400
+    val nFiles = if (args.length > 1) args(1).toInt else 512
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val root = ops.Snapshots.init(
+      java.nio.file.Files.createTempDirectory("graft_cdcplan").toString)
+    ops.Snapshots.commit(root,
+      spark.range(nFiles * 10L).toDF().repartition(nFiles), "wide-base"): Unit
+    (0 until v).foreach { i =>
+      if (i % 16 == 8) // a position-tombstone commit in the stream's diet
+        ops.Snapshots.deleteWhere(spark, root,
+          col("id") === lit(i * 10L), s"dml$i"): Unit
+      else
+        ops.Snapshots.commit(root,
+          spark.range(1000000L + i * 10L, 1000000L + i * 10L + 10)
+            .toDF().coalesce(1), s"a$i"): Unit
+    }
+    val head = ops.Snapshots.latestVersion(root).get
+    val nBatches = math.min(200, v - 4)
+    // (a) the cached-state consumer: ONE materialization at stream
+    // start, then each 1-commit window advances it by its own segment
+    var state = ops.Snapshots.snapshot(root, head - nBatches)
+    ops.Snapshots.clearSegmentCacheForTests()
+    val r0 = ops.Snapshots.segmentReads.get()
+    val tailSec = time {
+      (0 until nBatches).foreach { _ =>
+        state = ops.Snapshots.advanceSnapshot(root, state,
+          state.version + 1).get
+      }
+    }
+    val tailReads = ops.Snapshots.segmentReads.get() - r0
+    require(state.version == head)
+    // (b) the old per-batch unit: a full head materialization
+    ops.Snapshots.clearSegmentCacheForTests()
+    val r1 = ops.Snapshots.segmentReads.get()
+    val fullSec = time {
+      require(ops.Snapshots.snapshot(root, head).files.size > nFiles)
+    }
+    val fullReads = ops.Snapshots.segmentReads.get() - r1
+    println(f"""{"mode":"cdcplan","n_versions":$v,"base_files":$nFiles,"tail_batches":$nBatches,"tail_segment_reads":$tailReads,"tail_sec":$tailSec%.3f,"per_batch_full_snapshot_segment_reads":$fullReads,"per_batch_full_snapshot_sec":$fullSec%.3f,"cpus":$cpus}""")
     spark.stop()
   }
 

@@ -2146,6 +2146,21 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // The MERGE-ON-READ batch front door: option("readMerged", "true")
+    // serves a tombstone-bearing version's MERGED state through the
+    // option route (a plain read of this fixture refuses loudly; the
+    // catalog's V1Scan is the other MOR door) — UPDATE WHERE and
+    // DELETE WHERE applied with no compaction step. Position-only DML
+    // state, so no keyCol needed. Oracle replays both mutations.
+    "snapshot_mor_sql" -> ((s, d) => {
+      val root = snapCdfPosTable(s, d)
+      s.read.format("graft-snap").option("readMerged", "true").load(root)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // CDC THROUGH THE STREAMING FRONT DOOR:
     // readStream.format("graft-snap").option("readChangeFeed", "true")
     // — each micro-batch is the batch changeFeed over its version
@@ -5283,6 +5298,20 @@ object SparkEntry {
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
         |FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // The merged state after the +500 update (BUILDING ∧ ≡0 mod 7) and
+    // the ≡0 mod 13 delete, replayed declaratively.
+    "snapshot_mor_sql" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer),
+        |st AS (SELECT c_mktsegment,
+        |    CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0
+        |      THEN CAST(acctbal + 500 AS DECIMAL(18,2))
+        |      ELSE acctbal END AS acctbal
+        |  FROM cust WHERE c_custkey % 13 <> 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(acctbal) AS DOUBLE) AS sum_bal
+        |FROM st GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // The streamed change feed equals the batch change feed — same
     // replay as snapshot_cdf_pos.

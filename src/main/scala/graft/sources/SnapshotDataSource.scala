@@ -49,10 +49,12 @@ import graft.ops.{SnapIO, Snapshots}
   * the predicates Spark itself pushes into the scan. Files without
   * embedded bounds are conservatively kept, never skipped.
   *
-  * Contracts carried over from the Scala surface: a version with live
-  * merge-on-read tombstones or rename/drop rules is REFUSED loudly
-  * (one `HadoopFsRelation` cannot express the anti-join / per-group
-  * rename union — read those through `readMerged`, or compact); an
+  * Contracts carried over from the Scala surface: a PLAIN read of a
+  * version with live merge-on-read tombstones or rename/drop rules is
+  * REFUSED loudly (one `HadoopFsRelation` cannot express the anti-join
+  * / per-group rename union) — pass `option("readMerged", "true")`
+  * (plus `keyCol` when equality tombstones live) to read the MERGED
+  * state through the same front door, or compact; an
   * additive-evolution table reads with `option("mergeSchema", "true")`
   * exactly like plain parquet.
   */
@@ -248,6 +250,35 @@ class SnapshotDataSource extends RelationProvider
             .queryExecution.toRdd
             .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
       }
+    } else if (parameters.get("readMerged")
+        .exists(_.trim.equalsIgnoreCase("true"))) {
+      // the MERGE-ON-READ batch front door: option("readMerged","true")
+      // serves a tombstone-bearing (or schema-rule) version as its
+      // merged state — the option-route twin of the catalog's V1Scan
+      // MOR read, for users without a configured catalog. keyCol is
+      // needed only when EQUALITY tombstones live (position-only DML
+      // states read without it); the relation hands the planned frame's
+      // InternalRow RDD through unconverted, like the CDF relation.
+      val v = resolveVersion(spark, root, parameters)
+      val snap = Snapshots.snapshot(root, v)
+      val keyCol = parameters.get("keyCol").getOrElse {
+        require(snap.deletes.isEmpty,
+          s"version $v of $root has equality tombstones — readMerged " +
+            "needs option keyCol (the column the tombstones key on)")
+        ""
+      }
+      val merged = Snapshots.readMerged(spark, root, keyCol, Some(v))
+      val sqlc = sqlContext
+      new BaseRelation with org.apache.spark.sql.sources.PrunedScan {
+        override def sqlContext: SQLContext = sqlc
+        override def schema: StructType = merged.schema
+        override def needConversion: Boolean = false
+        override def buildScan(requiredColumns: Array[String])
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          merged.select(requiredColumns.toSeq.map(merged.col): _*)
+            .queryExecution.toRdd
+            .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+      }
     } else SnapshotDataSource.relation(spark, root,
       resolveVersion(spark, root, parameters), parameters)
   }
@@ -302,8 +333,8 @@ object SnapshotDataSource {
     * relation must not inherit them.
     */
   private[sources] val ReadShapingOptions: Set[String] = Set(
-    "versionAsOf", "timestampAsOf", "readChangeFeed", "keyCol",
-    "startingVersion", "endingVersion")
+    "versionAsOf", "timestampAsOf", "readChangeFeed", "readMerged",
+    "keyCol", "startingVersion", "endingVersion")
 
   /** Relax every field to nullable (recursively): a file-source relation
     * schema must be nullable — Spark's own DataSource resolution does

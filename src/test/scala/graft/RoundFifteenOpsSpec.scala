@@ -310,6 +310,46 @@ class RoundFifteenOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "an abort before the winner publishes must not raze the root")
   }
 
+  // ---- option-route merge-on-read reads ----------------------------------
+
+  test("option(\"readMerged\") serves a tombstone-bearing version's merged state through the option front door; equality tombstones demand keyCol; writers never inherit the option") {
+    val ss = spark; import ss.implicits._
+    val root = Snapshots.init(freshDir())
+    Snapshots.commit(root,
+      (0L until 60L).map(k => (k, k * 1.0)).toDF("k", "x").coalesce(1),
+      "base"): Unit
+    Snapshots.updateWhere(spark, root, col("k") < 5,
+      Map("x" -> (col("x") + 100.0))): Unit
+    Snapshots.deleteWhere(spark, root, col("k") >= 50): Unit
+    // the PLAIN option-route read refuses this state loudly…
+    val e = intercept[Exception] {
+      spark.read.format("graft-snap").load(root).count()
+    }
+    assert(msgs(e).exists(_.contains("readMerged")), s"got: ${msgs(e)}")
+    // …and the readMerged option serves it (position-only: no keyCol)
+    val merged = spark.read.format("graft-snap")
+      .option("readMerged", "true").load(root)
+    assert(merged.count() === 50L)
+    assert(merged.where(col("k") < 5).agg(sum(col("x"))).head().getDouble(0)
+      === (0 until 5).map(_ * 1.0 + 100).sum)
+    // column pruning composes (PrunedScan)
+    assert(merged.select("k").distinct().count() === 50L)
+    // version pinning composes
+    assert(spark.read.format("graft-snap").option("readMerged", "true")
+      .option("versionAsOf", "2").load(root).count() === 60L)
+    // EQUALITY tombstones demand keyCol — loudly, never a wrong default
+    Snapshots.commitChanges(root,
+      upserts = spark.emptyDataset[(Long, Double)].toDF("k", "x"),
+      deleteKeys = Seq(1L).toDF("k"), keyCol = "k", note = "eq"): Unit
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-snap").option("readMerged", "true")
+        .load(root).count()
+    }
+    assert(msgs(e2).exists(_.contains("keyCol")), s"got: ${msgs(e2)}")
+    assert(spark.read.format("graft-snap").option("readMerged", "true")
+      .option("keyCol", "k").load(root).count() === 49L)
+  }
+
   // ---- URI-root composition ----------------------------------------------
 
   test("URI-root composition: the v2 catalog (CTAS, INSERT, DML, time travel) and the streaming front door (source, sink, CDC) all run on a file:// root") {
