@@ -3747,10 +3747,13 @@ object SparkEntry {
     // equi-joins close the wedges. No cartesian anywhere; every join is
     // keyed, and the triangle probe runs on the FILTERED edge list.
     "triangle_count" -> ((s, d) => {
-      val e = Graph.cooccurrenceEdges(
+      // checkpointWide, not plain localCheckpoint: the wedge probe scans
+      // e at its CACHED width, and the thresholded edge list is small
+      // enough that AQE would cache it 1-wide.
+      val e = graft.spark.CheckpointUtil.checkpointWide(
+        Graph.cooccurrenceEdges(
           li(s, d).select(col("l_partkey"), col("l_suppkey")),
-          "l_partkey", "l_suppkey")
-        .localCheckpoint()
+          "l_partkey", "l_suppkey"))
       e.agg(count(lit(1)).as("n_edges")).crossJoin(Graph.triangleCount(e))
     }),
 

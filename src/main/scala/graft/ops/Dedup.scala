@@ -98,7 +98,6 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int, bands: Int, shingleN: Int,
                    maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
     // Materialize signatures ONCE. The plan below references them four
     // times (bucket counts, the guard join, both sides of the self-join);
     // without a barrier each reference re-computes k md5 hashes per
@@ -106,6 +105,20 @@ object Dedup {
     // expression tree (minutes of janino time for large k). At cluster
     // scale you'd persist signatures to a table for the same reason.
     val sig = minhashSignatures(docs, k, shingleN).localCheckpoint()
+    pairsFromSignatures(sig, k, bands, maxBucket)
+  }
+
+  /** [[minhashPairs]] from an already-materialized `(doc_id, sig)` frame —
+    * the shared kernel that lets [[minhashAccuracy]] (and any caller that
+    * also needs the signatures themselves) compute the k-hash signature
+    * pass ONCE instead of once for the pairs and once again for its own
+    * use. `sig` must be materialized (checkpointed/persisted) by the
+    * caller; the pair plan references it four times.
+    */
+  private[graft] def pairsFromSignatures(sig: DataFrame, k: Int, bands: Int,
+                                         maxBucket: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
     val buckets = bandBuckets(sig, bands, r)
     val smallBuckets = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bkt_n"))
@@ -318,8 +331,11 @@ object Dedup {
     */
   def minhashAccuracy(docs: DataFrame, k: Int, bands: Int, shingleN: Int,
                       maxBucket: Int = 1000): DataFrame = {
-    val pairs = minhashPairs(docs, k, bands, shingleN, maxBucket).localCheckpoint()
+    // ONE signature pass: the same materialized frame feeds the LSH pair
+    // generation AND the estimate join below (it used to be computed and
+    // checkpointed twice — a full duplicate k-hash corpus pass).
     val sig = minhashSignatures(docs, k, shingleN).localCheckpoint()
+    val pairs = pairsFromSignatures(sig, k, bands, maxBucket).localCheckpoint()
     val exact = jaccardRefine(docs, pairs, shingleN, minJaccard = 0.0)
     val est = pairs
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -380,9 +396,18 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
+    // LAZY checkpoints + ONE action per round: the changed-count read is
+    // also the materializing action for that round's label frame (the
+    // count consumes `next`'s RDD, which caches as a side effect — column
+    // pruning cannot reach through the LogicalRDD boundary), so each round
+    // costs one Spark job instead of the eager-checkpoint + count PAIR the
+    // loop used to schedule. Same per-round frames, half the jobs — the
+    // job-scheduling floor, not the data, dominates a near-clique cluster
+    // graph's 2-3 rounds. Round r−1's blocks are freed as soon as round
+    // r's count lands (same O(1)-storage discipline as the PageRank loop).
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -390,9 +415,10 @@ object Dedup {
         .select(edges("src").as("id"), col("cluster_id"))
       val next = labels.unionAll(prop)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
         .where(col("cluster_id") < col("prev")).count()
+      graft.spark.CheckpointUtil.unpersistCheckpointed(labels)
       labels = next
       iter += 1
     }

@@ -41,7 +41,10 @@ object Graph {
     * it carries a distinct-shuffle that would otherwise run twice.
     */
   def pagerankStep(edges: DataFrame, damping: Double = 0.85): DataFrame = {
-    val e = edges.localCheckpoint()
+    // Full-width cache: e feeds the CPU-bound contrib join/aggregate, and
+    // an AQE-coalesced upstream join would otherwise cache it 1-2 wide
+    // (see CheckpointUtil.checkpointWide).
+    val e = graft.spark.CheckpointUtil.checkpointWide(edges)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
@@ -99,7 +102,109 @@ object Graph {
     */
   def pagerankConverged(edges: DataFrame, damping: Double = 0.85,
                         maxIters: Int = 20, tol: Double = 0.0): DataFrame =
-    pagerankLoop(edges, damping, maxIters, tol)._1
+    if (tol <= 0.0) pagerankChain(edges, damping, maxIters)
+    else pagerankLoop(edges, damping, maxIters, tol)._1
+
+  /** Max node count for which the per-round rank / in-mass frames are
+    * BROADCAST instead of shuffle-joined. The rank frame is a checkpointed
+    * RDD each round, so Catalyst has NO size statistics for it and always
+    * falls back to a sort-merge join — shuffling the (much larger,
+    * loop-invariant) degreed edge list by src EVERY round just to attach
+    * |nodes| small rank rows. The loop already collects N as a driver
+    * literal, so the broadcast decision is made from a MEASURED row count
+    * (the same data-driven call AQE makes from shuffle stats — it cannot
+    * see it here because the rank frame is a bare cached RDD): n rank
+    * rows broadcast when they fit comfortably (≤ maxN ⇒ ≤ ~100 MB framed),
+    * and a web-scale graph keeps the shuffle join. Overridable per
+    * deployment via `spark.graft.graph.broadcastNodesMax` (set it to 0 to
+    * force the shuffle path everywhere).
+    */
+  private def broadcastNodesMax(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.graph.broadcastNodesMax")
+      .map(_.toLong).getOrElse(2000000L)
+
+  /** One PageRank round as a plan: (damped in-mass per node) + teleport,
+    * from the previous round's `ranks`. Shared verbatim by the delta-read
+    * loop and the chained fixed-round path so both produce bit-identical
+    * per-round frames (same expressions, same evaluation order).
+    *
+    * `bcast` (decided ONCE per loop from the measured node count) swaps
+    * the two |nodes|-sized per-round frames (previous ranks, new in-mass)
+    * from shuffle joins to broadcasts: per-round data movement drops from
+    * O(|edges|) — the edge list re-shuffled by src every round — to
+    * O(|nodes|) broadcast bytes plus the one unavoidable contribution
+    * shuffle. Results are identical either way (the decimal contribution
+    * sums are fold-order-free by construction).
+    */
+  private def pagerankRound(nodes: DataFrame, eo: DataFrame, ranks: DataFrame,
+                            damping: Double, n: Double,
+                            bcast: Boolean): DataFrame = {
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val contrib = eo
+      .join(maybeB(ranks.select(col("node").as("src"), col("rank").as("r_prev"))),
+        "src")
+      .select(col("dst"),
+        round(lit(damping) * col("r_prev") / col("outdeg"), 15)
+          .cast(Dec).as("c"))
+    val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("mass"))
+    nodes
+      .join(maybeB(inMass), col("node") === col("dst"), "left")
+      .select(col("node"),
+        round(coalesce(col("mass").cast("double"), lit(0.0d))
+          + lit((1.0d - damping) / n), 9).as("rank"))
+  }
+
+  /** Fixed-round PageRank with NO per-round driver action — the `tol ≤ 0`
+    * fast path of [[pagerankConverged]]. With `tol = 0` the delta read
+    * exists only to early-stop at an EXACT fixed point, and a fixed point
+    * maps to itself (each round is a deterministic function of the rank
+    * frame), so running all `maxIters` rounds yields the identical frame;
+    * the per-round delta join + 1-row aggregate — a whole Spark job per
+    * round in the loop — is pure overhead and is dropped here. Proven
+    * equal round-by-round via the shared [[pagerankRound]] plan builder
+    * (GraphStatsSpec pins chain == loop on the same edges).
+    *
+    * Scale shape: the loop-invariant frames materialize exactly as in
+    * [[pagerankLoop]]; each round's frame is LAZILY `localCheckpoint`ed —
+    * that cut keeps every round's Catalyst plan O(1) deep (the checkpoint
+    * boundary is a LogicalRDD even before materialization), while the ONE
+    * terminal action (the caller's write) computes the whole chain in a
+    * single Spark job: per-round cost collapses from one scheduled job +
+    * state-diff shuffle to just the round's own two keyed shuffles.
+    * Intermediate rounds cache as they materialize; all but the final
+    * frame are dead immediately, and rounds before the last are freed by
+    * the caller's post-action unpersist sweep (harness) or a driver GC +
+    * ContextCleaner pass (they are never re-referenced either way).
+    */
+  private def pagerankChain(edges: DataFrame, damping: Double,
+                            maxIters: Int): DataFrame = {
+    require(maxIters >= 1, "pagerank needs at least one iteration")
+    val e = edges.localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    // eo is scanned by EVERY round's CPU-heavy contrib stage — cache it
+    // at full cluster width (see CheckpointUtil.checkpointWide: AQE's
+    // byte-based coalescing otherwise caches it 1-2 wide and serializes
+    // every round's map work on as many cores).
+    val eo = graft.spark.CheckpointUtil.checkpointWide(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+        .select(col("src"), col("dst"), col("outdeg")))
+    graft.spark.CheckpointUtil.unpersistCheckpointed(e)
+    val n = nodes.count().toDouble
+    val bcast = n <= broadcastNodesMax(edges)
+    var ranks = nodes
+      .select(col("node"), lit(1.0d / n).as("rank"))
+      .localCheckpoint(eager = false)
+    var rounds = 0
+    while (rounds < maxIters) {
+      ranks = pagerankRound(nodes, eo, ranks, damping, n, bcast)
+        .localCheckpoint(eager = false)
+      rounds += 1
+    }
+    ranks
+  }
 
   /** [[pagerankConverged]] plus loop diagnostics: (ranks, rounds run,
     * per-round L1 deltas) — the test/inspection surface. */
@@ -117,9 +222,10 @@ object Graph {
     // The edges ⋈ out-degrees join is LOOP-INVARIANT — fold the degree
     // onto each edge once and free the raw edge frame; every round then
     // pays one join (degreed edges ⋈ current ranks) instead of two.
-    val eo = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-      .select(col("src"), col("dst"), col("outdeg"))
-      .localCheckpoint()
+    // Full-width cache for the same reason as the chain path above.
+    val eo = graft.spark.CheckpointUtil.checkpointWide(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+        .select(col("src"), col("dst"), col("outdeg")))
     graft.spark.CheckpointUtil.unpersistCheckpointed(e)
     // N is loop-invariant and one long — collect it once; on an empty
     // graph no row ever evaluates the 1/n expressions below.
@@ -129,21 +235,12 @@ object Graph {
     var ranks = nodes
       .select(col("node"), lit(1.0d / n).as("rank"))
       .localCheckpoint(eager = false)
+    val bcast = n <= broadcastNodesMax(edges)
     val deltas = scala.collection.mutable.ArrayBuffer.empty[Double]
     var rounds = 0
     var done = false
     while (rounds < maxIters && !done) {
-      val contrib = eo
-        .join(ranks.select(col("node").as("src"), col("rank").as("r_prev")), "src")
-        .select(col("dst"),
-          round(lit(damping) * col("r_prev") / col("outdeg"), 15)
-            .cast(Dec).as("c"))
-      val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("mass"))
-      val next = nodes
-        .join(inMass, col("node") === col("dst"), "left")
-        .select(col("node"),
-          round(coalesce(col("mass").cast("double"), lit(0.0d))
-            + lit((1.0d - damping) / n), 9).as("rank"))
+      val next = pagerankRound(nodes, eo, ranks, damping, n, bcast)
         .localCheckpoint(eager = false)
       // coalesce: sum over the empty delta join (edge frame with no rows
       // → empty node set) is NULL; an empty graph is converged at 0.
@@ -237,14 +334,29 @@ object Graph {
     // again: up to 8 base-relation scans for one edge list. Both frames
     // are already reduced (distinct incidence pairs / distinct co-pairs),
     // so the materialization is the small end of the dataflow.
-    val all = incidence.select(col(itemCol).as("g_item"),
-      col(memberCol).as("g_member")).distinct()
-      .localCheckpoint()
+    // Full-width cache: `all` is re-scanned by the fan aggregate and BOTH
+    // sides of the pair self-join — the wedge/pair explosion is the
+    // CPU-heavy leg of this operator, and an AQE-coalesced distinct
+    // output would cache it a few partitions wide (measured 5/32 slots
+    // busy; see CheckpointUtil.checkpointWide).
+    val all = graft.spark.CheckpointUtil.checkpointWide(
+      incidence.select(col(itemCol).as("g_item"),
+        col(memberCol).as("g_member")).distinct())
     val smallItems = all.groupBy(col("g_item"))
       .agg(count(lit(1)).as("fan"))
       .where(col("fan") <= maxFan)
       .select(col("g_item"))
-    val ps = all.join(smallItems, Seq("g_item"))
+    // Explicit item-keyed repartition at cluster width: the pair join's
+    // REDUCE stage is where the C(fan, 2) explosion happens, and AQE
+    // sizes that stage by its INPUT bytes (two id columns — tiny), not
+    // the blow-up, serializing the explosion onto a few tasks (measured
+    // 5/32). A user-specified hash repartition on the join key is exactly
+    // the distribution the join needs (no extra exchange — the join
+    // reuses it) and AQE leaves it alone. Width = defaultParallelism:
+    // one wave of the CPU-bound stage at any cluster size.
+    val slots = incidence.sparkSession.sparkContext.defaultParallelism
+    val ps = all.repartition(slots, col("g_item"))
+      .join(smallItems.repartition(slots, col("g_item")), Seq("g_item"))
     val shared = ps
       .join(ps.select(col("g_item").as("b_item"), col("g_member").as("s2")),
         col("g_item") === col("b_item") && col("g_member") < col("s2"))
@@ -271,12 +383,23 @@ object Graph {
     * degree-bounded edges the wedge volume is Σ_a C(outdeg(a), 2).
     * The caller materializes `edges` (localCheckpoint) when it feeds
     * multiple consumers — Catalyst has no subtree CSE.
+    *
+    * Join strategy (guide §3.1): both probe sides are BROADCAST — the
+    * edge list is the post-threshold sparse tail (two id columns; the
+    * mean+σ cut in [[cooccurrenceEdges]] bounds it), which fits a
+    * broadcast relation long after the wedge stream does not. The
+    * sort-merge alternative shuffles the wedge EXPLOSION by (a,c) —
+    * measured at sf0.1 that shuffle's byte size coalesced the probe to
+    * ONE task (AQE sizes by bytes, wedge rows are 3 ids) while the
+    * broadcast form runs map-side at the cached edge width with zero
+    * exchanges before the 1-row count. An edge list too big to broadcast
+    * is the signal to re-cut the threshold, not to shuffle wedges.
     */
   def triangleCount(edges: DataFrame): DataFrame =
     edges
-      .join(edges.select(col("s1").as("t2_s1"), col("s2").as("t2_s2")),
+      .join(broadcast(edges.select(col("s1").as("t2_s1"), col("s2").as("t2_s2"))),
         col("s2") === col("t2_s1"))
-      .join(edges.select(col("s1").as("t3_s1"), col("s2").as("t3_s2")),
+      .join(broadcast(edges.select(col("s1").as("t3_s1"), col("s2").as("t3_s2"))),
         col("s1") === col("t3_s1") && col("t2_s2") === col("t3_s2"))
       .agg(count(lit(1)).as("n_triangles"))
 }

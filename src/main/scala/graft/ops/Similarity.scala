@@ -49,6 +49,21 @@ object Similarity {
     */
   def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
+  /** Fan the corpus side out to cluster width when the source delivers
+    * fewer splits than the cluster has slots (single unsplittable file,
+    * few row groups — the small-corpus / test case): every kernel here
+    * does O(K·dim) per-row math (argmax over centroids, PQ encoding, ADC
+    * sums), and a 1-split scan runs all of it single-threaded no matter
+    * how many cores exist (measured: every ANN stage at sf0.1 was ONE
+    * task). The narrow (id, vector) shuffle is paid once per kernel; when
+    * the scan already parallelizes (the 100 TB case: thousands of
+    * splits), this is a no-op. Same guard as Dedup.minhashSignatures.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots / 2) df.repartition(slots) else df
+  }
+
   /** Cosine similarity from precomputed norms; 0.0 when either norm is 0
     * (a NaN would otherwise rank above every real similarity).
     */
@@ -65,10 +80,19 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
-                     embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
-        asDouble(col(embCol)).as("c_emb"))
-      .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
+                     embCol: String = "embedding"): DataFrame =
+    bruteForceFromC(
+      fanOut(corpus.select(col(idCol).cast("long").as("nbr_id"),
+          asDouble(col(embCol)).as("c_emb")))
+        .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb")))),
+      queries, k, idCol, embCol)
+
+  /** [[bruteForceTopK]] from a pre-projected `(nbr_id, c_emb, c_nrm)`
+    * corpus frame — lets recall probes share one corpus projection
+    * across their exact and approximate legs.
+    */
+  private def bruteForceFromC(c: DataFrame, queries: DataFrame, k: Int,
+                              idCol: String, embCol: String): DataFrame = {
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         asDouble(col(embCol)).as("q_emb"))
       .withColumn("q_nrm", sqrt(dot(col("q_emb"), col("q_emb"))))
@@ -94,8 +118,8 @@ object Similarity {
               numCentroids: Int,
               idCol: String = "vec_id",
               embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
-      asDouble(col(embCol)).as("c_emb"))
+    val c = fanOut(corpus.select(col(idCol).cast("long").as("nbr_id"),
+      asDouble(col(embCol)).as("c_emb")))
     val cells = assignCells(c, "nbr_id", "c_emb", numCentroids)
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       asDouble(col(embCol)).as("q_emb"))
@@ -121,8 +145,8 @@ object Similarity {
                   ids: Array[Long], embs: Array[Array[Double]],
                   idCol: String = "vec_id",
                   embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
-      asDouble(col(embCol)).as("c_emb"))
+    val c = fanOut(corpus.select(col(idCol).cast("long").as("nbr_id"),
+      asDouble(col(embCol)).as("c_emb")))
     val cells = assignToCentroids(c, "nbr_id", "c_emb", ids, embs)
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       asDouble(col(embCol)).as("q_emb"))
@@ -187,8 +211,8 @@ object Similarity {
     require(nprobe >= 1, "nprobe must be at least 1")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
-      asDouble(col(embCol)).as("c_emb"))
+    val c = fanOut(corpus.select(col(idCol).cast("long").as("nbr_id"),
+      asDouble(col(embCol)).as("c_emb")))
     val cells = assignToCentroids(c, "nbr_id", "c_emb", ids, embs)
     val centDf = ids.zip(embs).toSeq.map { case (i, e) => (i, e.toSeq) }
       .toDF("cell", "ce")
@@ -293,8 +317,8 @@ object Similarity {
   def kmeansStep(corpus: DataFrame, numCentroids: Int,
                  idCol: String = "vec_id",
                  embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).cast("long").as("id"),
-      asDouble(col(embCol)).as("e"))
+    val c = fanOut(corpus.select(col(idCol).cast("long").as("id"),
+      asDouble(col(embCol)).as("e")))
     val assigned = assignCells(c, "id", "e", numCentroids)
     assigned.select(col("cell"), posexplode(col("e")))
       .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
@@ -349,8 +373,8 @@ object Similarity {
     require(maxIters >= 1, "k-means needs at least one round")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol).cast("long").as("id"),
-      asDouble(col(embCol)).as("e"))
+    val c = fanOut(corpus.select(col(idCol).cast("long").as("id"),
+      asDouble(col(embCol)).as("e")))
     // Round-0 centroids: the identical deterministic hash-rank K-row
     // sample assignCells draws (TakeOrderedAndProject — bounded heap,
     // O(K) driver rows at any corpus size).
@@ -457,11 +481,22 @@ object Similarity {
   def pqTopKWith(corpus: DataFrame, queries: DataFrame, topK: Int,
                  subs: Int, cents: Array[Array[Double]],
                  idCol: String = "vec_id",
-                 embCol: String = "embedding"): DataFrame = {
+                 embCol: String = "embedding"): DataFrame =
+    pqTopKFromEmb(
+      fanOut(corpus.select(col(idCol).cast("long").as(idCol),
+        asDouble(col(embCol)).as("e"))),
+      queries, topK, subs, cents, idCol, embCol)
+
+  /** [[pqTopKWith]] from a pre-projected `(idCol, e)` corpus frame —
+    * lets [[annRecallIvfPq]] reuse the one materialized corpus
+    * projection its probe legs already carry instead of re-scanning and
+    * re-encoding per leg.
+    */
+  private def pqTopKFromEmb(c: DataFrame, queries: DataFrame, topK: Int,
+                            subs: Int, cents: Array[Array[Double]],
+                            idCol: String, embCol: String): DataFrame = {
     require(cents.head.length % subs == 0,
       s"dim ${cents.head.length} not divisible into $subs sub-vectors")
-    val c = corpus.select(col(idCol).cast("long").as(idCol),
-      asDouble(col(embCol)).as("e"))
     val subDim = cents.head.length / subs
     val codes = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.PqCodes(
@@ -472,7 +507,7 @@ object Similarity {
     // costs seconds of analysis + codegen per run), then one tiny
     // aggregate assembles each query's lookup table ordered by entry id.
     // dtj[j+1][s+1] = ||q_sub(s) − cent_j_sub(s)||².
-    val spark = corpus.sparkSession
+    val spark = c.sparkSession
     import spark.implicits._
     val cbook = broadcast(
       cents.zipWithIndex.map { case (ce, j) => (j, ce.toSeq) }
@@ -532,15 +567,41 @@ object Similarity {
                 coarseIds: Array[Long], coarseEmbs: Array[Array[Double]],
                 subs: Int, cents: Array[Array[Double]], nprobe: Int,
                 idCol: String = "vec_id",
-                embCol: String = "embedding"): DataFrame = {
+                embCol: String = "embedding"): DataFrame =
+    ivfPqTopKFromAssigned(
+      ivfAssigned(corpus, coarseIds, coarseEmbs, idCol, embCol),
+      queries, topK, coarseIds, coarseEmbs, subs, cents, nprobe, idCol,
+      embCol)
+
+  /** The shared corpus-side frame of the IVF-PQ family: `(nbr_id, e,
+    * cell, c_nrm)` — the vector, its coarse cell (native argmax) and its
+    * norm, fanned to cluster width. Computed ONCE and (in the recall
+    * probes) materialized once, then every leg derives its codes from it
+    * map-side instead of re-scanning and re-assigning the corpus.
+    */
+  private def ivfAssigned(corpus: DataFrame, coarseIds: Array[Long],
+                          coarseEmbs: Array[Array[Double]],
+                          idCol: String, embCol: String): DataFrame =
+    assignToCentroids(
+      fanOut(corpus.select(col(idCol).cast("long").as("nbr_id"),
+        asDouble(col(embCol)).as("e"))),
+      "nbr_id", "e", coarseIds, coarseEmbs)
+
+  /** [[ivfPqTopK]] from a pre-assigned corpus frame (see
+    * [[ivfAssigned]]); the raw-vector PQ codes are derived map-side.
+    */
+  private def ivfPqTopKFromAssigned(assigned: DataFrame, queries: DataFrame,
+                                    topK: Int, coarseIds: Array[Long],
+                                    coarseEmbs: Array[Array[Double]],
+                                    subs: Int, cents: Array[Array[Double]],
+                                    nprobe: Int, idCol: String,
+                                    embCol: String): DataFrame = {
     require(nprobe >= 1, "nprobe must be at least 1")
     require(cents.head.length % subs == 0,
       s"dim ${cents.head.length} not divisible into $subs sub-vectors")
-    val spark = corpus.sparkSession
+    val spark = assigned.sparkSession
     import spark.implicits._
     val subDim = cents.head.length / subs
-    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
-      asDouble(col(embCol)).as("e"))
     // ONE map-only projection: coarse cell (native argmax over the
     // shipped centroids) + PQ codes (native encoder over the shipped
     // codebook) — the whole indexing pass at any corpus size.
@@ -548,7 +609,7 @@ object Similarity {
       graft.functions.PqCodes(
         org.apache.spark.sql.GraftColumnBridge.expression(col("e")),
         cents, subs))
-    val coded = assignToCentroids(c, "nbr_id", "e", coarseIds, coarseEmbs)
+    val coded = assigned
       .select(col("nbr_id"), col("cell"), codes.as("codes"))
     // Query side: nprobe nearest cells (bounded (queries × K) cross)...
     val centDf = coarseIds.zip(coarseEmbs).toSeq
@@ -612,11 +673,23 @@ object Similarity {
                      ids: Array[Long], embs: Array[Array[Double]],
                      subs: Int, cents: Array[Array[Double]],
                      nprobe: Int): DataFrame = {
-    val truth = pqTopKWith(corpus, queries, k, subs, cents)
+    // ONE corpus pass for all three legs: the assigned frame (vector +
+    // cell + norm) is materialized once and each leg derives its codes /
+    // scores from it map-side — this probe used to scan, fan out and
+    // PQ-encode the corpus once PER LEG (3×). Same checkpoint discipline
+    // as minhashPairs' signature frame; at cluster scale you'd persist
+    // the assigned frame to a table for the same reason.
+    val assigned = ivfAssigned(corpus, ids, embs, "vec_id", "embedding")
+      .localCheckpoint()
+    val truth = pqTopKFromEmb(
+        assigned.select(col("nbr_id").as("vec_id"), col("e")),
+        queries, k, subs, cents, "vec_id", "embedding")
       .select(col("query_id"), col("nbr_id"))
-    val p1 = ivfPqTopK(corpus, queries, k, ids, embs, subs, cents, 1)
+    val p1 = ivfPqTopKFromAssigned(assigned, queries, k, ids, embs, subs,
+        cents, 1, "vec_id", "embedding")
       .select(col("query_id").as("q1"), col("nbr_id").as("n1"))
-    val pn = ivfPqTopK(corpus, queries, k, ids, embs, subs, cents, nprobe)
+    val pn = ivfPqTopKFromAssigned(assigned, queries, k, ids, embs, subs,
+        cents, nprobe, "vec_id", "embedding")
       .select(col("query_id").as("qn"), col("nbr_id").as("nn"))
     truth
       .join(p1, col("query_id") === col("q1") && col("nbr_id") === col("n1"),
@@ -698,11 +771,27 @@ object Similarity {
     require(nprobe >= 1, "nprobe must be at least 1")
     require(residCents.head.length % subs == 0,
       s"dim ${residCents.head.length} not divisible into $subs sub-vectors")
-    val spark = corpus.sparkSession
+    ivfPqResTopKFromAssigned(
+      ivfAssigned(corpus, coarseIds, coarseEmbs, idCol, embCol),
+      queries, topK, coarseIds, coarseEmbs, subs, residCents, nprobe,
+      idCol, embCol)
+  }
+
+  /** [[ivfPqResTopK]] from a pre-assigned corpus frame (see
+    * [[ivfAssigned]]); the residual PQ codes are derived map-side from
+    * the frame's vector and cell columns.
+    */
+  private def ivfPqResTopKFromAssigned(assigned: DataFrame,
+                                       queries: DataFrame, topK: Int,
+                                       coarseIds: Array[Long],
+                                       coarseEmbs: Array[Array[Double]],
+                                       subs: Int,
+                                       residCents: Array[Array[Double]],
+                                       nprobe: Int, idCol: String,
+                                       embCol: String): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
     val subDim = residCents.head.length / subs
-    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
-      asDouble(col(embCol)).as("e"))
     // ONE map-only projection: coarse cell (native argmax), residual
     // (literal-map centroid lookup), PQ codes over the residual
     val resid = zip_with(col("e"),
@@ -712,7 +801,7 @@ object Similarity {
       graft.functions.PqCodes(
         org.apache.spark.sql.GraftColumnBridge.expression(resid),
         residCents, subs))
-    val coded = assignToCentroids(c, "nbr_id", "e", coarseIds, coarseEmbs)
+    val coded = assigned
       .select(col("nbr_id"), col("cell"), codes.as("codes"))
     // Query side: nprobe nearest cells, KEEPING each probed cell's
     // centroid — the query residual is per (query, cell)
@@ -779,12 +868,20 @@ object Similarity {
                         subs: Int, rawCents: Array[Array[Double]],
                         residCents: Array[Array[Double]],
                         nprobe: Int): DataFrame = {
-    val truth = bruteForceTopK(corpus, queries, k)
+    // ONE corpus pass shared by the exact leg (vector + norm ride the
+    // frame) and both code legs (raw / residual codes derived map-side)
+    // — see annRecallIvfPq's checkpoint note.
+    val assigned = ivfAssigned(corpus, ids, embs, "vec_id", "embedding")
+      .localCheckpoint()
+    val truth = bruteForceFromC(
+        assigned.select(col("nbr_id"), col("e").as("c_emb"), col("c_nrm")),
+        queries, k, "vec_id", "embedding")
       .select(col("query_id"), col("nbr_id"))
-    val raw = ivfPqTopK(corpus, queries, k, ids, embs, subs, rawCents, nprobe)
+    val raw = ivfPqTopKFromAssigned(assigned, queries, k, ids, embs, subs,
+        rawCents, nprobe, "vec_id", "embedding")
       .select(col("query_id").as("q1"), col("nbr_id").as("n1"))
-    val res = ivfPqResTopK(corpus, queries, k, ids, embs, subs, residCents,
-        nprobe)
+    val res = ivfPqResTopKFromAssigned(assigned, queries, k, ids, embs,
+        subs, residCents, nprobe, "vec_id", "embedding")
       .select(col("query_id").as("q2"), col("nbr_id").as("n2"))
     truth
       .join(raw, col("query_id") === col("q1") && col("nbr_id") === col("n1"),
@@ -913,7 +1010,7 @@ object Similarity {
     */
   private def sqPrep(corpus: DataFrame, dim: Int,
                      idCol: String, embCol: String): DataFrame = {
-    val c = corpus.select(col(idCol), asDouble(col(embCol)).as("e"))
+    val c = fanOut(corpus.select(col(idCol), asDouble(col(embCol)).as("e")))
     val mm = c.agg(
       array((1 to dim).map(i => min(element_at(col("e"), i))): _*).as("mns"),
       array((1 to dim).map(i => max(element_at(col("e"), i))): _*).as("mxs"))
@@ -943,7 +1040,7 @@ object Similarity {
       if (mxs(i - 1) == mns(i - 1)) lit(0)
       else floor((v - mn) * lit(255.0) / (mx - mn) + lit(0.5)).cast("int")
     }
-    corpus.select(col(idCol), asDouble(col(embCol)).as("e"))
+    fanOut(corpus.select(col(idCol), asDouble(col(embCol)).as("e")))
       .withColumn("mns", array(mns.map(lit(_)): _*))
       .withColumn("mxs", array(mxs.map(lit(_)): _*))
       .withColumn("codes", array((1 to dim).map(code): _*))
@@ -1173,8 +1270,8 @@ object Similarity {
                  embCol: String = "embedding",
                  labelCol: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).cast("long").as("id"),
-      asDouble(col(embCol)).as("e"), col(labelCol).as("label"))
+    val c = fanOut(corpus.select(col(idCol).cast("long").as("id"),
+      asDouble(col(embCol)).as("e"), col(labelCol).as("label")))
     val assigned = assignCells(c, "id", "e", numCentroids,
       passThrough = Seq("label"))
     val g = assigned.groupBy(col("cell"), col("label"))
@@ -1203,8 +1300,8 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, numCentroids: Int, minCosine: Double,
                     idCol: String = "vec_id",
                     embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).cast("long").as("id"),
-      asDouble(col(embCol)).as("e"))
+    val c = fanOut(corpus.select(col(idCol).cast("long").as("id"),
+      asDouble(col(embCol)).as("e")))
     val assigned = assignCells(c, "id", "e", numCentroids)
     val a = assigned.select(col("cell"), col("id").as("id_a"),
       col("e").as("ea"), col("c_nrm").as("na"))
@@ -1578,7 +1675,7 @@ object Similarity {
                       idCol: String = "vec_id",
                       embCol: String = "embedding"): DataFrame =
     assignToCentroids(
-      df.select(col(idCol), asDouble(col(embCol)).as("e")),
+      fanOut(df.select(col(idCol), asDouble(col(embCol)).as("e"))),
       idCol, "e", ids, embs)
       .select(col(idCol), col("cell"))
 

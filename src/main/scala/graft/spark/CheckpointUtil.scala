@@ -22,4 +22,24 @@ object CheckpointUtil {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Eager `localCheckpoint` at FULL cluster width. AQE coalesces shuffle
+    * output by BYTES (advisory partition size), which is right for
+    * I/O-bound stages but starves a cached frame that downstream
+    * CPU-bound stages re-read every loop round: a ~10 MB join output
+    * coalesces to 1-2 partitions, and every subsequent map stage over the
+    * cached blocks then runs 1-2 wide no matter how many slots the
+    * cluster has (measured: the PageRank contrib stage ran 2-wide on 32
+    * cores, ~1 s/round of single-threaded decimal aggregation). The
+    * round-robin repartition pins the cached width to
+    * `defaultParallelism` — scale-adaptive by definition (total cluster
+    * slots), one wave of tasks per downstream stage. Use for
+    * loop-invariant frames that hot per-round stages scan repeatedly;
+    * plain `localCheckpoint` remains right for frames read once or
+    * reduced to near-nothing.
+    */
+  def checkpointWide(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(slots).localCheckpoint()
+  }
 }

@@ -153,6 +153,28 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
   }
 
+  test("pagerankConverged tol=0 chain equals the delta-read loop bit-for-bit") {
+    val sp = spark; import sp.implicits._
+    // non-uniform degrees so ranks move every round; includes a dangling
+    // node (d has no out-edges... c->a keeps a cycle) and a multi-edge
+    val edges = ((1 to 60).map(i => (s"n${i % 11}", s"n${(i * 7) % 13}")) ++
+      Seq(("n1", "n2"), ("n1", "n2"))).toDF("src", "dst")
+    for (iters <- Seq(1, 3, 5)) {
+      // pagerankConverged(tol=0) now takes the no-delta chained path; the
+      // loop with tol<0 is unreachable via converged, so compare against
+      // pagerankLoop directly — the frames must be IDENTICAL (both paths
+      // share pagerankRound, so any drift means the chain wiring broke)
+      val chain = Graph.pagerankConverged(edges, 0.85, iters, tol = 0.0)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val (lf, _, _) = Graph.pagerankLoop(edges, 0.85, iters, 0.0)
+      val loop = lf.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(chain == loop, s"chain != loop at iters=$iters")
+    }
+    // empty graph: chain path must not NPE and returns an empty frame
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.pagerankConverged(empty, 0.85, 3, 0.0).count() == 0)
+  }
+
   test("bfsHops: shortest directed hops, cap, early stop, and isolation") {
     val sp = spark; import sp.implicits._
     // chain a→b→c→d plus a shortcut a→c, a cycle d→a, and an island x→y
