@@ -72,7 +72,12 @@ object Stats {
     */
   def columnProfile(df: DataFrame, cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(cols.nonEmpty)
-    val stacked = df.select(explode(array(cols.map { case (n, c) =>
+    // Fan the scan out first: the ×k stack + string rendering + partial
+    // distinct aggregate is the heavy map leg of this pass, and a
+    // 1-split source would run all of it on one core (measured: one
+    // 2 s single-task stage at sf0.1; see CheckpointUtil.fanOutScan).
+    val stacked = graft.spark.CheckpointUtil.fanOutScan(df)
+      .select(explode(array(cols.map { case (n, c) =>
         struct(lit(n).as("col_name"), c.cast("string").as("v"))
       }: _*)).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.v").as("v"))

@@ -1269,14 +1269,31 @@ object TextStats {
     * stage-once path (see [[TextStage]]); only the tiny query strings
     * tokenize here. */
   def sparseKnnTk(tkDocs: DataFrame, queries: Seq[(Long, String)],
-                  k: Int, maxDfFrac: Option[Double] = None): DataFrame = {
+                  k: Int, maxDfFrac: Option[Double] = None): DataFrame =
+    sparseKnnFromPostings(postingsOf(tkDocs), queries, k, maxDfFrac)
+
+  /** The exact-tf postings frame `(doc_id, term, tf)` — the shared
+    * corpus-side artifact of the sparse-retrieval family, materialized
+    * once (it feeds idf, weights and norms).
+    */
+  private def postingsOf(tkDocs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(tkDocs.sparkSession)
-    import tkDocs.sparkSession.implicits._
-    val postings = tkDocs
+    tkDocs
       .select(col("doc_id"), explode(col("tk")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+  }
+
+  /** [[sparseKnnTk]] from a pre-materialized postings frame — lets
+    * [[sparseRecallTk]] build the token explode + postings aggregate
+    * ONCE for its exact and pruned legs (it used to run twice).
+    */
+  private def sparseKnnFromPostings(postings: DataFrame,
+                                    queries: Seq[(Long, String)],
+                                    k: Int,
+                                    maxDfFrac: Option[Double]): DataFrame = {
+    import postings.sparkSession.implicits._
     // N for idf = docs that produced at least one token (documented
     // semantics: untokenizable docs are outside the vector space).
     val nDocs = postings.agg(
@@ -1349,9 +1366,12 @@ object TextStats {
     */
   def sparseRecallTk(tkDocs: DataFrame, queries: Seq[(Long, String)],
                      k: Int, maxDfFrac: Double): DataFrame = {
-    val exact = sparseKnnTk(tkDocs, queries, k)
+    // ONE postings build (token explode + (doc, term) aggregate) shared
+    // by both legs — only the df prune differs between them.
+    val postings = postingsOf(tkDocs)
+    val exact = sparseKnnFromPostings(postings, queries, k, None)
       .select(col("query_id"), col("doc_id"))
-    val pruned = sparseKnnTk(tkDocs, queries, k, Some(maxDfFrac))
+    val pruned = sparseKnnFromPostings(postings, queries, k, Some(maxDfFrac))
       .select(col("query_id").as("pq"), col("doc_id").as("pd"))
     exact.join(pruned,
         col("query_id") === col("pq") && col("doc_id") === col("pd"), "left")
