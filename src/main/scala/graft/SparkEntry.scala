@@ -4326,8 +4326,14 @@ object SparkEntry {
     // and stream-static joins the store; same output as the batch
     // incr_neardup by construction.
     "stream_neardup" -> ((s, d) => {
+      // The static side of a stream-static join is RE-DERIVED every
+      // micro-batch (each batch plans the join afresh) — materialize the
+      // store once so batches probe cached blocks instead of re-running
+      // the k-hash signature pass + bucket-count aggregate per batch. At
+      // production scale the store is a persisted table; the checkpoint
+      // is the in-process stand-in for exactly that.
       val store = Dedup.signatureStore(docs(s, d).where(col("doc_id") < 400),
-        MinhashK, MinhashBands, ShingleN)
+        MinhashK, MinhashBands, ShingleN).localCheckpoint()
       val path = s"$d/documents.parquet"
       val schema = s.read.parquet(path).schema
       val stream = s.readStream.schema(schema)

@@ -396,6 +396,23 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
+    // Broadcast the per-round label frames when the MEASURED edge count
+    // bounds them (|labels| ≤ |edges| ids): the label frame is a
+    // checkpointed RDD each round, so Catalyst has no statistics for it
+    // and plans sort-merge joins that re-shuffle the (loop-invariant)
+    // edge list EVERY round just to attach the labels — the same
+    // stats-blind-cached-RDD problem [[graft.ops.Graph]]'s PageRank loop
+    // gates with `broadcastNodesMax`, decided here from the edge count
+    // the eager checkpoint makes free. Min-label propagation is
+    // join-strategy-free (the min aggregate is associative), so results
+    // are identical either way; a web-scale pair set past the threshold
+    // keeps the shuffle joins. `spark.graft.dedup.broadcastLabelsMax`
+    // overrides (0 forces the shuffle path).
+    val labelsMax = pairs.sparkSession.conf
+      .getOption("spark.graft.dedup.broadcastLabelsMax")
+      .map(_.toLong).getOrElse(2000000L)
+    val bcast = edges.count() <= labelsMax
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     // LAZY checkpoints + ONE action per round: the changed-count read is
     // also the materializing action for that round's label frame (the
     // count consumes `next`'s RDD, which caches as a side effect — column
@@ -411,12 +428,12 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val prop = edges.join(labels, edges("dst") === labels("id"))
+      val prop = edges.join(maybeB(labels), edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("cluster_id"))
       val next = labels.unionAll(prop)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint(eager = false)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+      changed = next.join(maybeB(labels.withColumnRenamed("cluster_id", "prev")), "id")
         .where(col("cluster_id") < col("prev")).count()
       graft.spark.CheckpointUtil.unpersistCheckpointed(labels)
       labels = next

@@ -41,10 +41,16 @@ object Graph {
     * it carries a distinct-shuffle that would otherwise run twice.
     */
   def pagerankStep(edges: DataFrame, damping: Double = 0.85): DataFrame = {
-    // Full-width cache: e feeds the CPU-bound contrib join/aggregate, and
-    // an AQE-coalesced upstream join would otherwise cache it 1-2 wide
-    // (see CheckpointUtil.checkpointWide).
-    val e = graft.spark.CheckpointUtil.checkpointWide(edges)
+    // LAZY checkpoint, plain width (not checkpointWide): unlike the loop —
+    // whose broadcast-join rounds run the CPU-bound contrib arithmetic AT
+    // the cached width — the single step's contrib join is a shuffle join,
+    // so the decimal work runs at shuffle width regardless of how wide e
+    // is cached; the widening repartition and its eager materialization
+    // job were pure overhead for a frame every consumer re-shuffles
+    // anyway (measured: ~1.5 s of pre-action jobs at sf0.1, none of which
+    // the loop's round stages pay). The eager `nodes` checkpoint below is
+    // e's first consumer and materializes it for the other three.
+    val e = edges.localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
@@ -377,6 +383,23 @@ object Graph {
       .select(col("s1"), col("s2"))
   }
 
+  /** Max edge count for which [[triangleCount]] BROADCASTS the two wedge
+    * probe sides. Mirrors [[broadcastNodesMax]]: the edge frame reaching
+    * triangleCount is a checkpointed RDD, so Catalyst has no size
+    * statistics for it and would plan sort-merge joins that shuffle the
+    * wedge EXPLOSION; the decision is therefore made from a MEASURED edge
+    * count (the frame is already materialized by the caller — the count
+    * reads cached blocks). Two id columns at ≤ 2M rows framed is well
+    * under Spark's 8 GB / 512M-row broadcast cap; past the threshold the
+    * probes fall back to shuffle joins, which spill gracefully — a
+    * heavy-tailed co-occurrence distribution must DEGRADE to sort-merge,
+    * never throw at the broadcast cap. Overridable per deployment via
+    * `spark.graft.graph.broadcastEdgesMax` (0 forces the shuffle path).
+    */
+  private def broadcastEdgesMax(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.graph.broadcastEdgesMax")
+      .map(_.toLong).getOrElse(2000000L)
+
   /** Triangle count of an oriented (s1 < s2) edge list: two wedge-closing
     * equi-joins — e1=(a,b), e2=(b,c) keyed on the shared middle node,
     * closed by probing (a,c). Every join is keyed (no cartesian); with
@@ -384,22 +407,29 @@ object Graph {
     * The caller materializes `edges` (localCheckpoint) when it feeds
     * multiple consumers — Catalyst has no subtree CSE.
     *
-    * Join strategy (guide §3.1): both probe sides are BROADCAST — the
-    * edge list is the post-threshold sparse tail (two id columns; the
-    * mean+σ cut in [[cooccurrenceEdges]] bounds it), which fits a
+    * Join strategy (guide §3.1): both probe sides BROADCAST while the
+    * MEASURED edge count clears [[broadcastEdgesMax]] — the edge list is
+    * the post-threshold sparse tail (two id columns; the mean+σ cut in
+    * [[cooccurrenceEdges]] bounds the typical case), which fits a
     * broadcast relation long after the wedge stream does not. The
     * sort-merge alternative shuffles the wedge EXPLOSION by (a,c) —
     * measured at sf0.1 that shuffle's byte size coalesced the probe to
     * ONE task (AQE sizes by bytes, wedge rows are 3 ids) while the
     * broadcast form runs map-side at the cached edge width with zero
-    * exchanges before the 1-row count. An edge list too big to broadcast
-    * is the signal to re-cut the threshold, not to shuffle wedges.
+    * exchanges before the 1-row count. An adversarial edge list that
+    * exceeds the threshold (a heavy tail the mean+σ cut does not bound)
+    * keeps the shuffle-join plan instead of throwing at Spark's 8 GB
+    * broadcast cap; results are identical either way (count of an inner
+    * join is join-strategy-free).
     */
-  def triangleCount(edges: DataFrame): DataFrame =
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val bcast = edges.count() <= broadcastEdgesMax(edges)
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     edges
-      .join(broadcast(edges.select(col("s1").as("t2_s1"), col("s2").as("t2_s2"))),
+      .join(maybeB(edges.select(col("s1").as("t2_s1"), col("s2").as("t2_s2"))),
         col("s2") === col("t2_s1"))
-      .join(broadcast(edges.select(col("s1").as("t3_s1"), col("s2").as("t3_s2"))),
+      .join(maybeB(edges.select(col("s1").as("t3_s1"), col("s2").as("t3_s2"))),
         col("s1") === col("t3_s1") && col("t2_s2") === col("t3_s2"))
       .agg(count(lit(1)).as("n_triangles"))
+  }
 }

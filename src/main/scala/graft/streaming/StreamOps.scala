@@ -219,6 +219,33 @@ object StreamOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Run `body` with trailing NO-DATA micro-batches disabled
+    * (`spark.sql.streaming.noDataMicroBatches.enabled=false`). After the
+    * last data batch of a bounded (`AvailableNow`) run, Spark schedules
+    * one extra empty batch purely to act on the advanced watermark — a
+    * full state-store load/commit round-trip per stateful operator per
+    * partition (measured: the second of stream_join's two batch jobs,
+    * 0.65 s of its 1.7 s batch wall). None of the bounded runners need
+    * it for OUTPUT correctness: complete/update-mode sinks re-emit final
+    * state with the last data batch; the append-mode paths here
+    * (dropDuplicates*, flatMapGroupsWithState gap-closes, stream-stream
+    * INNER join, stateless transforms) all emit on arrival/match, and
+    * the sessionization queries pin watermark delays past the corpus
+    * span precisely so that no event-time timeout ever fires. A pipeline
+    * that DOES rely on watermark-driven emission (append-mode windowed
+    * aggregates, timer fires) must leave the default on — which is why
+    * this is scoped to the bounded runners, not set session-wide.
+    */
+  private def withoutNoDataBatches[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Run a streaming aggregate over the bounded file source to completion
     * (`Trigger.AvailableNow`) and return the final result table.
     *
@@ -233,7 +260,7 @@ object StreamOps {
   def runToCompletion(spark: SparkSession, agg: DataFrame,
                       statePartitions: Int = 8): DataFrame = {
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    withStatePartitions(spark, statePartitions) {
+    withoutNoDataBatches(spark) { withStatePartitions(spark, statePartitions) {
       val q = agg.writeStream
         .outputMode(OutputMode.Complete)
         .format("memory")
@@ -242,7 +269,7 @@ object StreamOps {
         .start()
       q.awaitTermination()
       recordStateOps(q)
-    }
+    } }
     spark.table(name)
   }
 
@@ -254,7 +281,7 @@ object StreamOps {
   def runToParquet(spark: SparkSession, out: DataFrame,
                    statePartitions: Int = 8): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    withStatePartitions(spark, statePartitions) {
+    withoutNoDataBatches(spark) { withStatePartitions(spark, statePartitions) {
       val q = out.writeStream
         .outputMode(OutputMode.Append)
         .format("parquet")
@@ -264,7 +291,7 @@ object StreamOps {
         .start()
       q.awaitTermination()
       recordStateOps(q)
-    }
+    } }
     spark.read.schema(out.schema).parquet(s"$base/data")
   }
 
@@ -307,7 +334,7 @@ object StreamOps {
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(src, s"$name.parquet")): Unit
     }
-    def runOnce(): Unit = withStatePartitions(spark, 8) {
+    def runOnce(): Unit = withoutNoDataBatches(spark) { withStatePartitions(spark, 8) {
       val out = spark.readStream.schema("event_id BIGINT").parquet(src)
         .select(pmod(col("event_id"), lit(keyMod.toLong)).as("k"))
         .dropDuplicates("k")
@@ -320,7 +347,7 @@ object StreamOps {
         .start()
       q.awaitTermination()
       recordStateOps(q)
-    }
+    } }
     addFile(ev.where(pmod(col("event_id"), lit(keyMod.toLong)) <
       keyMod / 2), "phase1")
     runOnce() // ...process dies here: this query object is never reused
@@ -625,7 +652,7 @@ object StreamOps {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val name = s"graft_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      withStatePartitions(spark, statePartitions) {
+      withoutNoDataBatches(spark) { withStatePartitions(spark, statePartitions) {
         val q = out.writeStream
           .outputMode(OutputMode.Update)
           .format("memory")
@@ -634,7 +661,7 @@ object StreamOps {
           .start()
         q.awaitTermination()
         recordStateOps(q)
-      }
+      } }
       spark.table(name)
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)

@@ -63,6 +63,40 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("triangleCount: edges past broadcastEdgesMax fall back to shuffle joins") {
+    val sp = spark; import sp.implicits._
+    val k4 = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)).toSet + ((4L, 9L))
+    val df = k4.toSeq.toDF("s1", "s2").localCheckpoint()
+    def planOf(frame: org.apache.spark.sql.DataFrame): String =
+      frame.queryExecution.executedPlan.toString
+    // auto-broadcast off: a test-sized frame is below the planner's own
+    // threshold whatever we do, and the subject here is OUR measured-count
+    // hint (a 100 TB edge list is past the planner threshold anyway, so
+    // this is also the faithful at-scale shape)
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // under the default threshold: 7 edges broadcast — probes are BHJ
+      val bPlan = planOf(Graph.triangleCount(df))
+      assert(bPlan.contains("BroadcastHashJoin"),
+        s"small edge list must broadcast the probes:\n$bPlan")
+      // threshold 0 forces the fallback: NO broadcast join anywhere, and
+      // the count is unchanged (join strategy cannot change an inner-join
+      // count)
+      sp.conf.set("spark.graft.graph.broadcastEdgesMax", "0")
+      val guarded = Graph.triangleCount(df)
+      val gPlan = planOf(guarded)
+      assert(!gPlan.contains("BroadcastHashJoin"),
+        s"over-threshold edge list must NOT broadcast:\n$gPlan")
+      assert(guarded.head().getLong(0) == 4L,
+        "fallback plan must count the same 4 triangles")
+    } finally {
+      sp.conf.unset("spark.graft.graph.broadcastEdgesMax")
+      sp.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("cooccurrenceEdges orients s1 < s2 and keeps only above-threshold pairs") {
     val sp = spark; import sp.implicits._
     // items 1..8 shared by members (10, 20); item 9 shared by (20, 30);
