@@ -3821,9 +3821,13 @@ object SparkEntry {
         regexp_replace(col("text"), "[\\x00-\\x1f]", ""), "\\s+", " "))
       // all per-doc gate signals in ONE map-only projection chain
       // (lang_pred and quality ride through via passThrough — never a
-      // doc_id self-join back onto the corpus)
+      // doc_id self-join back onto the corpus). Fanned to cluster width
+      // first: the lang-trigram + quality regex work is the CPU-heavy leg
+      // and ran as ONE task on the one-row-group scan (event log: 1.3 s
+      // single-task checkpoint stage); no-op when the scan splits.
       val flags = TextStats.qualityScore(
-          TextStats.langId(base, passThrough = Seq("text")),
+          TextStats.langId(graft.spark.CheckpointUtil.fanOutScan(base),
+            passThrough = Seq("text")),
           passThrough = Seq("text", "lang_pred"))
         .select(col("doc_id"), col("lang_pred"), col("quality"),
           length(cleaned).as("clean_len"), md5(col("text")).as("dg"))

@@ -285,7 +285,11 @@ object Dedup {
     * feeds the size aggregate and both sides of the self-join.
     */
   def sourceOverlap(docs: DataFrame, shingleN: Int): DataFrame = {
-    val sg = docs
+    // Tokenize+shingle+hash is the CPU-heavy leg — fan a one-row-group
+    // scan to cluster width first (no-op when the scan already splits),
+    // same guard as minhashSignatures.
+    val sg = graft.spark.CheckpointUtil.fanOutScan(
+        docs.select(col("source"), col("text")))
       .select(col("source"), explode(shingles(tokens(col("text")), shingleN)).as("g"))
       .select(col("source"), h60(col("g")).as("gd"))
       .distinct()
@@ -358,7 +362,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int, maxDf: Int,
                         minJaccard: Double): DataFrame = {
-    val sh = docs
+    // Same single-split fan-out as minhashSignatures: the shingle explode
+    // is the CPU-heavy map leg feeding the distinct shuffle.
+    val sh = graft.spark.CheckpointUtil.fanOutScan(
+        docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(shingles(tokens(col("text")), shingleN)).as("shingle"))
       .distinct()
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
