@@ -293,6 +293,16 @@ object Graph {
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "bfs needs a non-negative hop cap")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // Broadcast the per-level frontier / visited frames when the MEASURED
+    // edge count bounds them (|visited| ≤ |nodes| ≤ 2·|edges|): both are
+    // stats-blind checkpointed RDDs each level, so Catalyst would
+    // re-shuffle the loop-invariant edge list by src EVERY level just to
+    // attach the frontier — the same gate as the PageRank loop's
+    // `broadcastNodesMax`, decided from the count the eager checkpoint
+    // makes free. Reachability is join-strategy-free; a web-scale graph
+    // past the threshold keeps the shuffle joins.
+    val bcast = e.count() <= broadcastNodesMax(edges)
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var visited = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0).as("hops"))
       .localCheckpoint(eager = false)
@@ -303,9 +313,9 @@ object Graph {
     var grew = visited.count() > 0
     while (level < maxHops && grew) {
       val frontier = visited.where(col("hops") === level).select(col("node"))
-      val next = e.join(frontier, e("src") === frontier("node"))
+      val next = e.join(maybeB(frontier), e("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .join(maybeB(visited.select(col("node"))), Seq("node"), "left_anti")
         .select(col("node"), lit(level + 1).as("hops"))
       val grown = visited.unionAll(next).localCheckpoint(eager = false)
       level += 1

@@ -25,13 +25,10 @@ def main(path):
                     jobs[e["Job ID"]]["t1"] = e["Completion Time"]
             elif ev == "SparkListenerStageCompleted":
                 si = e["Stage Info"]
-                stages[si["Stage ID"]] = {
-                    "name": si["Stage Name"][:50],
-                    "ntasks": si["Number of Tasks"],
-                    "wall": si.get("Completion Time", 0) - si.get("Submission Time", 0),
-                    "cpu": 0, "run": 0, "gc": 0,
-                    "shr": 0, "shw": 0,
-                }
+                st = stages.setdefault(si["Stage ID"], {})
+                st["name"] = si["Stage Name"][:50]
+                st["ntasks"] = si["Number of Tasks"]
+                st["wall"] = si.get("Completion Time", 0) - si.get("Submission Time", 0)
             elif ev == "SparkListenerTaskEnd":
                 sid = e["Stage ID"]
                 m = e.get("Task Metrics") or {}
